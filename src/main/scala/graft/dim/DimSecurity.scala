@@ -1,0 +1,47 @@
+package graft.dim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Surrogate-key security dimension maintenance (SURVEY.md §2.3 A4,
+  * §2.6 W2, §2.5 M3; reference `dags/sql/5. merge_dim_security.sql`).
+  *
+  * Semantics (exactly the reference's):
+  *   1. next_id = COALESCE(MAX(security_id), 0) + 1 over the current dim
+  *      (`5. merge_dim_security.sql:16`),
+  *   2. new symbols = distinct normalized incoming symbols LEFT ANTI dim
+  *      (`:22-33`),
+  *   3. ids = ROW_NUMBER() OVER (ORDER BY symbol) + next_id − 1 — dense,
+  *      ordered, gap-free (`:27`). NOT `monotonically_increasing_id` (that
+  *      is non-dense and would violate the reference's id semantics).
+  *
+  * Scale: the global ROW_NUMBER is a single-partition sort, fine at dim
+  * cardinality (~12k symbols in the reference). If the *daily delta* of
+  * new keys ever approached RAW scale, switch to the two-pass
+  * per-partition-count + offset (zipWithIndex-shaped) assigner; the dense
+  * ordered contract is preserved either way.
+  */
+object DimSecurity {
+
+  /** Merge new symbols into an existing (security_id, symbol) dim. */
+  def merge(dim: DataFrame, incomingSymbols: DataFrame, symbolCol: String = "symbol"): DataFrame = {
+    val nextId: Long = dim.agg(coalesce(max(col("security_id")), lit(0L)))
+      .first().getLong(0) + 1L
+    val normalized = incomingSymbols
+      .select(upper(trim(col(symbolCol))).as("symbol"))
+      .filter(col("symbol").isNotNull && col("symbol") =!= "")
+      .distinct()
+    val newSymbols = normalized.join(dim.select("symbol"), Seq("symbol"), "left_anti")
+    val w = Window.orderBy(col("symbol"))
+    val assigned = newSymbols.select(
+      (row_number().over(w) + lit(nextId - 1L)).cast("long").as("security_id"),
+      col("symbol"))
+    dim.unionByName(assigned)
+  }
+
+  /** An empty dim with the right schema, to bootstrap a warehouse. */
+  def empty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.schema.Schemas.dimSecurity)
+}

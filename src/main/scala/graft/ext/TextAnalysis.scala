@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language-ID (stopword/charset heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from codegen'd
+  * built-ins (no UDFs): narrow, shuffle-free, whole-stage-codegen
+  * friendly — exactly what a 100 TB text sweep needs. The primitives
+  * (regex, md5/sha2, integer arithmetic) are engine-portable, which is
+  * what makes these oracle-checkable bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Canonical text normalization: lowercase, trim, collapse whitespace. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens (non-space runs — split-semantics-proof). */
+  def wsTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Lowercase alphabetic word tokens. */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** BPE-ish pre-tokenizer: letter runs | digit runs | single punct. */
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  /** Stopword hit ratio for one language list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = wordTokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double")
+        / size(toks))
+  }
+
+  /** Non-ASCII character ratio (CJK/diacritic signal for language-ID). */
+  def nonAsciiRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[ -~]", ""))).cast("double")
+        / length(text))
+
+  // Minimal per-language stopword profiles (public common-word lists).
+  val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val stopEs = Seq("el", "la", "que", "y", "en", "un", "es", "los", "se", "del")
+  val stopFr = Seq("le", "la", "et", "un", "que", "pour", "dans", "ce", "une", "sur")
+
+  /** Digit-character ratio. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  /** MD5 fingerprint of normalized text (exact near-identity under
+    * case/whitespace noise). */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit fingerprint: leading 16 hex chars of SHA-256 of normalized
+    * text. */
+  def fingerprint64(text: Column): Column =
+    substring(sha2(normalize(text).cast("binary"), 256), 1, 16)
+
+  /** Polynomial rolling hash (Rabin–Karp, base 257 mod 2^61−1) over the
+    * normalized text bytes — the classic content-defined fingerprint.
+    * Expressed as an ordered fold over character codes (HOF `aggregate`,
+    * sequential and deterministic). Engine-portable only where 128-bit
+    * intermediates exist, so this one is library+test surface, not an
+    * oracle query. */
+  def rollingHash(text: Column): Column = {
+    val codes = transform(
+      sequence(lit(1), length(normalize(text))),
+      i => ascii(substring(normalize(text), i, lit(1))).cast("long"))
+    aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * 257L + c, lit(2305843009213693951L)))
+  }
+}

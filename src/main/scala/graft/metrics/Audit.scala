@@ -1,0 +1,44 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pre/post-merge audit metrics (SURVEY.md §2.7 Q1/Q2; reference
+  * `dags/sql/3. premerge_metrics.sql`, `8. postmerge_metrics.sql`).
+  *
+  * The reference stitches four scalar counts into one row via cross joins
+  * of 1-row aggregates (`3. premerge_metrics.sql:50-53`) and ships it over
+  * XCom; here the row is a plain case class returned by the stage — the
+  * driver program IS the orchestration (SURVEY.md §3.1).
+  */
+final case class PreMergeMetrics(rawCnt: Long, rejectCnt: Long,
+                                 estInserts: Long, estUpdates: Long)
+final case class PostMergeMetrics(coreRows: Long, factRows: Long)
+
+object Audit {
+
+  /** Q1: given the raw batch (one date), its reject predicate, and the
+    * current CORE table, compute (raw_cnt, reject_cnt, est_inserts,
+    * est_updates). est_updates = |distinct valid keys ∩ core keys|;
+    * est_inserts = |distinct valid keys| − est_updates — the invariant
+    * est_inserts + est_updates = |distinct valid keys| holds by
+    * construction (reference `3. premerge_metrics.sql:45-49`). */
+  def preMerge(raw: DataFrame, rejectWhen: Column, core: DataFrame): PreMergeMetrics = {
+    val rawCnt = raw.count()
+    val rejectCnt = raw.filter(coalesce(rejectWhen, lit(false))).count()
+    val validKeys = raw.filter(!coalesce(rejectWhen, lit(false)))
+      .select(upper(trim(col("symbol"))).as("symbol"), col("trade_date"))
+      .distinct()
+    val existing = validKeys.join(
+      core.select(col("symbol"), col("trade_date")),
+      Seq("symbol", "trade_date"), "left_semi").count()
+    PreMergeMetrics(rawCnt, rejectCnt,
+      estInserts = validKeys.count() - existing, estUpdates = existing)
+  }
+
+  /** Q2: post-merge reconciliation counts for the run date. */
+  def postMerge(core: DataFrame, fact: DataFrame, runDate: java.sql.Date): PostMergeMetrics =
+    PostMergeMetrics(
+      core.filter(col("trade_date") === lit(runDate)).count(),
+      fact.filter(col("trade_date") === lit(runDate)).count())
+}

@@ -1,0 +1,37 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates (SURVEY.md §2.2 P2, §2.3 A1/A2).
+  *
+  * The reference's quality story is: a row-count assertion after load
+  * (reference `dags/sql/2. check_loaded.sql:6-8`) and a negative-volume
+  * reject split before merge (reference `dags/sql/4. merge_core.sql:24-45`).
+  */
+final case class GateFailed(message: String) extends RuntimeException(message)
+
+object Gates {
+
+  /** A2: `COUNT(*) > 0` load gate — fails the pipeline when the filtered
+    * batch is empty. Uses `isEmpty` (limit-1 scan), not `count()`, so the
+    * gate is O(first-row) at any scale. */
+  def requireNonEmpty(df: DataFrame, what: String): Unit =
+    if (df.isEmpty) throw GateFailed(s"load gate: no rows for $what")
+
+  /** P2 reject split: partition a batch into (valid, reject) on a
+    * predicate. One scan shape, two filters — Catalyst pushes both to the
+    * source; `valid ∪ reject ≡ input` by construction. */
+  def split(df: DataFrame, rejectWhen: Column): (DataFrame, DataFrame) =
+    (df.filter(!coalesce(rejectWhen, lit(false))),
+     df.filter(coalesce(rejectWhen, lit(false))))
+
+  /** The reference's single quality rule: negative volume
+    * (reference `dags/sql/4. merge_core.sql:35`). */
+  val negativeVolume: Column = col("volume") < 0
+
+  /** Reject rows annotated with the constant reason column
+    * (reference `dags/sql/4. merge_core.sql:30`). */
+  def annotateReject(rejects: DataFrame, reason: String): DataFrame =
+    rejects.withColumn("reject_reason", lit(reason))
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.sa.Analytics
+import graft.util.Tables._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Serving-layer / dashboard analytics (SURVEY.md §2.3 A6-A10,
+  * §2.6 W3-W6) on the testdata embodiments: `lineitem`/`orders` stand in
+  * for the fact table, `events(ts, value)` for the per-security daily
+  * series (FIXTURES.md §B).
+  */
+object AnalyticsQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec32(c: Column): Column = c.cast(DecimalType(3, 2))
+  private val one = lit(1).cast(DecimalType(3, 2))
+
+  /** A1/A6/A8: pricing summary — grouped sums/averages/counts over exact
+    * decimal accumulation (TPC-H Q1 shape; the dashboard's traded-value
+    * and average cards). */
+  private val q16 = Q("q16_pricing_summary",
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("2001-03-31")))
+      .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec32(col("l_discount"))))
+          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec32(col("l_discount"))) * (one + dec32(col("l_tax"))))
+          .cast(DecimalType(38, 6)).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec32(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("returnflag", "linestatus"),
+    Some("""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
+              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+              CAST(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '2001-03-31'
+            GROUP BY 1, 2 ORDER BY returnflag, linestatus"""))
+
+  /** A9/A6: revenue contribution share per nation — group-by revenue over
+    * the star join with an unpartitioned window sum as denominator. */
+  private val q17 = Q("q17_share_of_total",
+    (s, d) => {
+      val joined = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      Analytics.shareOfTotal(joined, "n_name",
+        dec2(col("l_extendedprice")) * (one - dec32(col("l_discount"))))
+        .orderBy("n_name")
+    },
+    Some("""WITH r AS (
+              SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name)
+            SELECT n_name, rev,
+                   CAST(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS DOUBLE) AS share
+            FROM r ORDER BY n_name"""))
+
+  /** A7: exact distinct counts (the "Total Symbol" card; at 100 TB the
+    * approx_count_distinct variant is the scale path — see x-queries). */
+  private val q18 = Q("q18_distinct_counts",
+    (s, d) => lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders")),
+    Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem"""))
+
+  /** W6 (global top-N): top 10 orders by value, total order via key
+    * tie-break. */
+  private val q19 = Q("q19_top_n_global",
+    (s, d) => orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+            FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** W6 (per-group top-N): top 3 line items per return flag via
+    * ROW_NUMBER ≤ N. */
+  private val q20 = Q("q20_top_n_per_group",
+    (s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(dec2(col("l_extendedprice")).desc, col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("l_returnflag").as("returnflag"), col("rnk"),
+          col("l_orderkey"), col("l_linenumber"), dec2(col("l_extendedprice")).as("price"))
+        .orderBy("returnflag", "rnk")
+    },
+    Some("""SELECT l_returnflag AS returnflag, rnk, l_orderkey, l_linenumber,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+            FROM (SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_orderkey, l_linenumber) AS INT) AS rnk
+                  FROM lineitem)
+            WHERE rnk <= 3 ORDER BY returnflag, rnk"""))
+
+  /** W3: 30-row trailing liquidity window per user over the event series
+    * (the dashboard's "30-day rolling avg volume / traded value"). */
+  private val q21 = Q("q21_rolling_30",
+    (s, d) => Analytics.rollingRows(events(s, d), "user_id",
+        Seq(col("ts"), col("event_id")), "value", 30, "30")
+      .select(col("event_id"), col("user_id"), col("sum_30"), col("n_30"), col("avg_30"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_30,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_30,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS DOUBLE) AS avg_30
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
+  /** W3 (calendar-day flavor): 30-day RANGE frame on an integer day
+    * number — peers on the same day share the frame. */
+  private val q22 = Q("q22_rolling_days_range",
+    (s, d) => {
+      val withDay = events(s, d).withColumn("day_num",
+        datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))))
+      Analytics.rollingDays(withDay, "user_id", "day_num", "value", 30, "31d")
+        .select(col("event_id"), col("user_id"), col("day_num"),
+          col("sum_31d"), col("n_31d"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS day_num,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_31d,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_31d
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+                         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
+  /** W5: lag-based simple returns per user (the dashboard's daily return
+    * trend). Per-row double arithmetic; first row per user is null. */
+  private val q23 = Q("q23_lag_return",
+    (s, d) => Analytics.lagReturn(events(s, d), "user_id",
+        Seq(col("ts"), col("event_id")), "value")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("prev_value"), col("ret"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, value,
+                   lag(value) OVER w AS prev_value,
+                   value / (lag(value) OVER w) - 1 AS ret
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id"""))
+
+  /** W4: rank with ties on a discrete measure (liquidity rank). */
+  private val q24 = Q("q24_rank",
+    (s, d) => events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .withColumn("rnk", rank().over(Window.orderBy(col("n_events").desc)).cast("int"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(rank() OVER (ORDER BY count(*) DESC) AS INT) AS rnk
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** A10: volatility — sample stddev of lag returns per user via exact
+    * decimal sums (the dashboard's "Top Volatile" measure, made
+    * engine-reproducible; see [[graft.sa.Analytics.volatility]]). */
+  private val q25 = Q("q25_volatility",
+    (s, d) => {
+      val rets = Analytics.lagReturn(events(s, d), "user_id",
+        Seq(col("ts"), col("event_id")), "value")
+      Analytics.volatility(rets, "user_id", "ret").orderBy("user_id")
+    },
+    Some("""WITH r AS (
+              SELECT user_id, CAST(value / (lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - 1
+                   AS DECIMAL(18,6)) AS r6
+              FROM events),
+            g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rets,
+                         SUM(r6) AS sx, SUM(r6 * r6) AS sx2
+                  FROM r WHERE r6 IS NOT NULL GROUP BY user_id)
+            SELECT user_id, n_rets,
+                   sqrt(greatest(
+                     (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_rets) / (n_rets - 1),
+                     0.0)) AS vol
+            FROM g WHERE n_rets >= 2 ORDER BY user_id"""))
+
+  /** §2.8 scalar-function round-trip: regex field extraction from the
+    * JSON-ish props string (get_json_object-equivalent surface, done with
+    * the cross-engine-identical regex primitive). */
+  private val q26 = Q("q26_json_field_extract",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": *(-?[0-9]+)", 1).cast("int").as("k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+                   CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS INT) AS k
+            FROM events ORDER BY event_id"""))
+
+  val qs: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+}

@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One checked query: a Spark DataFrame program over a testdata
+  * scale-factor directory, plus (when SQL-expressible) an equivalent ANSI
+  * SQL text the driver runs in DuckDB over the same parquet tables.
+  *
+  * Determinism contract (so the driver's hash compare is exact):
+  *   - every query ends in a TOTAL ORDER BY (unique tie-break key);
+  *   - no floating-point reduction whose result depends on summation
+  *     order: sums/averages go through exact DECIMAL arithmetic and only
+  *     then cast to DOUBLE; per-row double arithmetic (IEEE-deterministic)
+  *     is fine;
+  *   - aggregate/computed columns carry identical aliases and explicit
+  *     CASTs on both sides (the driver compares by column name + value
+  *     hash);
+  *   - no wall-clock or random values.
+  */
+final case class Q(name: String,
+                   fn: (SparkSession, String) => DataFrame,
+                   oracle: Option[String])
+
+object Registry {
+  lazy val all: Seq[Q] = ParityQueries.qs ++ AnalyticsQueries.qs ++ ExtQueries.qs
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

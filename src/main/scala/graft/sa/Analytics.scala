@@ -1,0 +1,82 @@
+package graft.sa
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Serving-layer analytics measures (SURVEY.md §2.3 A6-A10, §2.6 W3-W6) —
+  * the dashboard capability surface of the reference
+  * (`dashboard/securities_market_report1.jpg`, `…report2.jpg`): rolling
+  * liquidity, daily returns, volatility, ranks, contribution shares.
+  *
+  * Numeric policy: sums/averages run through exact DECIMAL accumulation
+  * (order-independent, so results are identical on any partitioning /
+  * any engine) and only the final scalar is cast to DOUBLE. This is both
+  * a correctness property (deterministic under AQE re-planning and at any
+  * cluster size) and the reason these measures hash-match the DuckDB
+  * oracle bit-for-bit.
+  */
+object Analytics {
+
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** W3: trailing N-row rolling sum/count/avg of `valueCol` per key. */
+  def rollingRows(df: DataFrame, key: String, order: Seq[Column],
+                  valueCol: String, n: Int, prefix: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*).rowsBetween(-(n - 1), 0)
+    df.withColumn(s"sum_$prefix", sum(dec2(col(valueCol))).over(w).cast(DecimalType(38, 2)))
+      .withColumn(s"n_$prefix", count(lit(1)).over(w))
+      .withColumn(s"avg_$prefix",
+        col(s"sum_$prefix").cast("double") / col(s"n_$prefix"))
+  }
+
+  /** W3 (calendar flavor): trailing `days`-day RANGE frame keyed on an
+    * integer day number — calendar-day semantics independent of row
+    * density, deterministic under ties (peers share the frame). */
+  def rollingDays(df: DataFrame, key: String, dayNumCol: String,
+                  valueCol: String, days: Int, prefix: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(dayNumCol))
+      .rangeBetween(-days, 0)
+    df.withColumn(s"sum_$prefix", sum(dec2(col(valueCol))).over(w).cast(DecimalType(38, 2)))
+      .withColumn(s"n_$prefix", count(lit(1)).over(w))
+  }
+
+  /** W5: lag-based simple return `v / lag(v) - 1` per key (per-row double
+    * arithmetic — IEEE-deterministic). */
+  def lagReturn(df: DataFrame, key: String, order: Seq[Column],
+                valueCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("prev_value", lag(col(valueCol), 1).over(w))
+      .withColumn("ret", col(valueCol) / col("prev_value") - 1)
+  }
+
+  /** A10: sample stddev of `ret` per key via exact decimal sums: the
+    * decimal accumulators are order-independent; the final
+    * (n·Σx² − (Σx)²)-style evaluation happens once per group in double,
+    * so the result is reproducible on any engine/partitioning. Rows with
+    * null ret are excluded; groups with n<2 are dropped. */
+  def volatility(returns: DataFrame, key: String, retCol: String): DataFrame = {
+    val r6 = col(retCol).cast(DecimalType(18, 6))
+    returns.filter(col(retCol).isNotNull)
+      .groupBy(key)
+      .agg(count(lit(1)).as("n_rets"),
+        sum(r6).as("__sx"), sum(r6 * r6).as("__sx2"))
+      .filter(col("n_rets") >= 2)
+      .select(col(key), col("n_rets"),
+        sqrt(greatest(
+          (col("__sx2").cast("double") - col("__sx").cast("double") * col("__sx").cast("double") / col("n_rets"))
+            / (col("n_rets") - 1),
+          lit(0.0))).as("vol"))
+  }
+
+  /** A9: per-group share of total: exact decimal group sums, grand total
+    * via an unpartitioned window sum (still exact), share in double. */
+  def shareOfTotal(df: DataFrame, groupCol: String, revenue: Column): DataFrame = {
+    val grouped = df.groupBy(groupCol)
+      .agg(sum(revenue).cast(DecimalType(38, 4)).as("rev"))
+    grouped.withColumn("share",
+      col("rev").cast("double") /
+        sum(col("rev")).over(Window.partitionBy()).cast("double"))
+  }
+}
