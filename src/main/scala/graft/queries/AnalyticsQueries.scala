@@ -178,9 +178,14 @@ object AnalyticsQueries {
                    CAST(rank() OVER (ORDER BY count(*) DESC) AS INT) AS rnk
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  /** A10: volatility — sample stddev of lag returns per user via exact
-    * decimal sums (the dashboard's "Top Volatile" measure, made
-    * engine-reproducible; see [[graft.sa.Analytics.volatility]]). */
+  /** A10: volatility — sample stddev of lag returns per user, made
+    * bit-reproducible across engines via integer-quantized returns and an
+    * exact decimal variance numerator (see
+    * [[graft.sa.Analytics.volatility]] for the numeric contract). The
+    * oracle converts the >2⁵³ numerator to double via an exact hi/lo
+    * split (hi·2⁴⁰ + lo, one rounded add = correctly rounded) because
+    * DuckDB's native int128→double cast is NOT correctly rounded, while
+    * Spark's BigDecimal cast is. */
   private val q25 = Q("q25_volatility",
     (s, d) => {
       val rets = Analytics.lagReturn(events(s, d), "user_id",
@@ -188,17 +193,21 @@ object AnalyticsQueries {
       Analytics.volatility(rets, "user_id", "ret").orderBy("user_id")
     },
     Some("""WITH r AS (
-              SELECT user_id, CAST(value / (lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - 1
-                   AS DECIMAL(18,6)) AS r6
+              SELECT user_id,
+                CAST(floor((value / (lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - 1) * 1000000)
+                     AS DECIMAL(13,0)) AS m
               FROM events),
             g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rets,
-                         SUM(r6) AS sx, SUM(r6 * r6) AS sx2
-                  FROM r WHERE r6 IS NOT NULL GROUP BY user_id)
+                         CAST(SUM(m) AS DECIMAL(18,0)) AS sx,
+                         CAST(SUM(CAST(CAST(m AS DECIMAL(19,0)) * m AS DECIMAL(33,0))) AS DECIMAL(33,0)) AS sx2
+                  FROM r WHERE m IS NOT NULL GROUP BY user_id),
+            v AS (SELECT user_id, n_rets,
+                         CAST(CAST(n_rets AS DECIMAL(4,0)) * sx2 - CAST(sx AS DECIMAL(19,0)) * sx AS HUGEINT) AS num
+                  FROM g WHERE n_rets >= 2)
             SELECT user_id, n_rets,
-                   sqrt(greatest(
-                     (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_rets) / (n_rets - 1),
-                     0.0)) AS vol
-            FROM g WHERE n_rets >= 2 ORDER BY user_id"""))
+                   sqrt((CAST(num // 1099511627776 AS DOUBLE) * 1099511627776.0 + CAST(num % 1099511627776 AS DOUBLE))
+                        / (n_rets * (n_rets - 1))) / 1000000.0 AS vol
+            FROM v ORDER BY user_id"""))
 
   /** §2.8 scalar-function round-trip: regex field extraction from the
     * JSON-ish props string (get_json_object-equivalent surface, done with

@@ -28,14 +28,17 @@ object ParityQueries {
         dec2(col("l_quantity")).as("quantity"),
         dec2(col("l_extendedprice")).as("price"),
         col("l_returnflag").as("returnflag"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (11,785 dup pairs at sf0.01) — order by every output column so
+      // the ordering is total up to fully-identical rows.
+      .orderBy("l_orderkey", "l_linenumber", "quantity", "price", "returnflag"),
     Some("""SELECT l_orderkey, l_linenumber,
             CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
             l_returnflag AS returnflag
             FROM lineitem
             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, quantity, price, returnflag"""))
 
   /** P2/P7: quality split — the reject-rule predicate with the constant
     * reason column (reference `4. merge_core.sql:24-45`). */
@@ -115,13 +118,16 @@ object ParityQueries {
     * (reference `4. merge_core.sql:72-81`). */
   private val q07 = Q("q07_dedup_latest_wins",
     (s, d) => Dedup.latestWins(lineitem(s, d), Seq("l_orderkey"),
-        Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+        // (l_shipdate, l_linenumber) has exact-tie groups in the synthetic
+        // data; l_partkey makes the ordering total (verified unique on
+        // (l_orderkey, l_shipdate, l_linenumber, l_partkey) at sf0.01/0.1).
+        Seq(col("l_shipdate").desc, col("l_linenumber").desc, col("l_partkey").desc))
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
         col("l_shipdate").cast("date").as("ship_date"))
       .orderBy("l_orderkey"),
     Some("""SELECT l_orderkey, l_partkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
             FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-                    ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn FROM lineitem)
+                    ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC) AS rn FROM lineitem)
             WHERE rn = 1 ORDER BY l_orderkey"""))
 
   /** W2: dense ordered surrogate ids over a distinct key set
@@ -244,7 +250,8 @@ object ParityQueries {
           col("n_name"),
           DimDate.dateSk(col("o_orderdate").cast("date")).as("date_sk"),
           dec2(col("l_extendedprice")).as("price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // total order up to identical rows — see q01 note
+        .orderBy("l_orderkey", "l_linenumber", "c_custkey", "n_name", "date_sk", "price")
     },
     Some("""SELECT l_orderkey, l_linenumber, c_custkey, n_name,
                    CAST(year(CAST(o_orderdate AS DATE))*10000 + month(CAST(o_orderdate AS DATE))*100
@@ -254,7 +261,7 @@ object ParityQueries {
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, c_custkey, n_name, date_sk, price"""))
 
   /** J3 (dim-date leg)/J5: semi join — EXISTS-shaped referential check. */
   private val q14 = Q("q14_semi_join",

@@ -51,23 +51,36 @@ object Analytics {
       .withColumn("ret", col(valueCol) / col("prev_value") - 1)
   }
 
-  /** A10: sample stddev of `ret` per key via exact decimal sums: the
-    * decimal accumulators are order-independent; the final
-    * (n·Σx² − (Σx)²)-style evaluation happens once per group in double,
-    * so the result is reproducible on any engine/partitioning. Rows with
-    * null ret are excluded; groups with n<2 are dropped. */
+  /** A10: sample stddev of `ret` per key, bit-reproducible on any
+    * engine/partitioning. The naive `(Σx² − (Σx)²/n)` formula suffers
+    * catastrophic cancellation that amplifies even a 1-ulp difference in
+    * a decimal→double cast into ~1e-9 relative error, so instead:
+    * quantize returns to integers `m = round(ret,6)·10⁶`, accumulate
+    * `Σm` / `Σm²` as exact integer decimals, and form the variance
+    * numerator `n·Σm² − (Σm)²` EXACTLY in decimal(38,0). Only that exact
+    * integer is cast to double (correctly rounded in both Spark's
+    * BigDecimal and DuckDB's int128 paths → identical bits), then
+    * `vol = sqrt(num / (n(n−1))) / 10⁶` with an identical IEEE operation
+    * sequence on both sides. Rows with null ret are excluded; groups with
+    * n<2 are dropped. */
   def volatility(returns: DataFrame, key: String, retCol: String): DataFrame = {
-    val r6 = col(retCol).cast(DecimalType(18, 6))
+    // floor(ret·10⁶), not a decimal cast: floor of a double is tie-free
+    // and identical on every engine, while double→decimal casts differ in
+    // rounding mode (Spark HALF_UP vs DuckDB HALF_EVEN) on exact .5
+    // boundaries. |ret| is bounded by the data: m fits (13,0), m² fits
+    // (27,0), Σm² fits (33,0), n·Σm² and (Σm)² fit (38,0) exact.
+    val m = floor(col(retCol) * lit(1000000.0)).cast(DecimalType(13, 0))
     returns.filter(col(retCol).isNotNull)
+      .select(col(key), m.as("__m"))
       .groupBy(key)
       .agg(count(lit(1)).as("n_rets"),
-        sum(r6).as("__sx"), sum(r6 * r6).as("__sx2"))
+        sum(col("__m")).cast(DecimalType(18, 0)).as("__sx"),
+        sum((col("__m") * col("__m")).cast(DecimalType(33, 0))).cast(DecimalType(33, 0)).as("__sx2"))
       .filter(col("n_rets") >= 2)
       .select(col(key), col("n_rets"),
-        sqrt(greatest(
-          (col("__sx2").cast("double") - col("__sx").cast("double") * col("__sx").cast("double") / col("n_rets"))
-            / (col("n_rets") - 1),
-          lit(0.0))).as("vol"))
+        (sqrt((col("n_rets").cast(DecimalType(4, 0)) * col("__sx2")
+            - col("__sx").cast(DecimalType(19, 0)) * col("__sx")).cast("double")
+          / (col("n_rets") * (col("n_rets") - 1))) / lit(1000000.0)).as("vol"))
   }
 
   /** A9: per-group share of total: exact decimal group sums, grand total
