@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection via MinHash + LSH banding over word
+  * shingles: shingle → md5-derived integer hash → N permutation minima →
+  * bands → `groupBy(band)` candidate join. No all-pairs comparison
+  * anywhere: the only wide ops are an equi self-join on (band, band_key)
+  * and a distinct — the standard web-scale near-dup plan.
+  *
+  * Every step is deterministic integer arithmetic shared with DuckDB
+  * (md5 prefix → int64, LCG permutation parameters, mod 1e9+7), so the
+  * whole operator is oracle-checkable bit-for-bit.
+  */
+object MinHash {
+
+  /** Large prime modulus for the permutation hashes (fits comfortably in
+    * int64: a·h + b < (1e9+7)² ≈ 1.0e18 < 2^63). */
+  val P = 1000000007L
+
+  /** Word n-gram shingles over whitespace tokens of lowercased trimmed
+    * text (same tokenizer as [[TextAnalysis.wsTokens]]). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = regexp_extract_all(lower(trim(text)), lit("\\S+"), lit(0))
+    // guard: sequence(0, negative) would DESCEND, yielding bogus indices
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
+  }
+
+  /** 60-bit integer hash of a shingle: first 15 hex chars of md5 — the
+    * primitive both Spark (`conv(_,16,10)`) and DuckDB
+    * (`CAST('0x'||_ AS UBIGINT)`) parse to the same value. */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Permutation parameters for hash function i (0-based): LCG-derived,
+    * a_i non-zero mod P. */
+  private def permA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % (P - 1) + 1
+  private def permB(i: Int): Long = (1103515245L * (i + 101) + 12345L) % P
+
+  /** MinHash signature (array of `numHashes` longs) over a shingle-hash
+    * array: element i = min over shingles of (a_i·(h mod P) + b_i) mod P.
+    * Null for rows with no shingles. */
+  def signature(shingleHashes: Column, numHashes: Int): Column =
+    when(size(shingleHashes) === 0, lit(null)).otherwise(
+      transform(sequence(lit(0), lit(numHashes - 1)), i => {
+        val perms = transform(shingleHashes, h =>
+          // element_at on the constant arrays below would also work, but
+          // inlining per-i constants keeps everything foldable
+          (element_at(typedLit((0 until numHashes).map(permA)), i + 1)
+            * (h % P) + element_at(typedLit((0 until numHashes).map(permB)), i + 1)) % P)
+        array_min(perms)
+      }))
+
+  /** (id, band, band_key) rows: signature split into `nBands` bands of
+    * `rowsPerBand` values, joined into a string key. Docs with no
+    * signature (fewer than n words) are dropped. */
+  def bandedSignature(df: DataFrame, idCol: String, sigCol: String,
+                      nBands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = transform(sequence(lit(0), lit(nBands - 1)), b =>
+      concat_ws("-", (0 until rowsPerBand).map(r =>
+        element_at(col(sigCol), b * rowsPerBand + r + 1).cast("string")): _*))
+    df.filter(col(sigCol).isNotNull)
+      .select(col(idCol), posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  /** End-to-end candidate-pair near-dup detection: for every unordered
+    * pair of docs agreeing on at least one LSH band, the estimated
+    * Jaccard similarity (= matching signature fraction, an exact integer
+    * over numHashes). Output: (doc_a, doc_b, est_jaccard ≥ minJaccard).
+    *
+    * Plan shape: narrow signature computation → explode(bands) →
+    * self equi-join on (band, band_key) → distinct pairs → two id-joins
+    * to fetch signatures → narrow estimate. No cartesian products. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, numHashes: Int, nBands: Int,
+                   minJaccard: Double): DataFrame = {
+    val rowsPerBand = numHashes / nBands
+    val sigs = docs.select(col(idCol),
+        signature(transform(shingles(col(textCol), shingleN), shingleHash(_)),
+          numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val bands = bandedSignature(sigs, idCol, "__sig", nBands, rowsPerBand)
+    val pairs = bands.as("a")
+      .join(bands.as("b"), Seq("band", "band_key"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col(idCol).as("doc_a"), col("__sig").as("__sa")), "doc_a")
+      .join(sigs.select(col(idCol).as("doc_b"), col("__sig").as("__sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): exact
+  * brute-force cosine top-k as the baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * All arithmetic is pure `Column` expressions (higher-order functions,
+  * no UDFs) and is engine-portable bit-for-bit:
+  *   - each `float * float` product is computed in DOUBLE (exact: 24-bit
+  *     mantissas multiply into 48 bits < 53);
+  *   - array sums are sequential left-to-right folds (`aggregate` HOF),
+  *     matching DuckDB's `list_sum(list_transform(...))` fold order —
+  *     verified bit-identical;
+  *   - the LSH hyperplanes are derived from an integer LCG, so both
+  *     engines construct the exact same planes.
+  *
+  * Scale shape: the brute-force path is a broadcast nested-loop of a
+  * SMALL query set against the corpus — O(|Q|·N) work with no shuffle of
+  * the corpus, the honest exact baseline. The LSH path replaces the
+  * nested loop with an equi-join on (band, signature) keys: corpus and
+  * queries are both hashed to buckets and only bucket-mates are compared,
+  * so the plan is a hash join + re-rank, never a cartesian product.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (sequential fold, double). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with the exact operation sequence
+    * `dot / (sqrt(na) * sqrt(nb))` — keep this shape mirrored in any
+    * oracle SQL so the IEEE rounding steps are identical. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k of each query vector against the corpus.
+    * `queries` must be small (it is broadcast); self-matches (same id)
+    * are excluded. Output: (query_id, rank, neighbor_id, sim), rank 1..k
+    * with ties broken by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("__qe"), col(embCol)).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random value in [-1, 1): a 31-bit LCG on an
+    * integer index, exact in both Spark and DuckDB int64 arithmetic (and
+    * the final scaling is exact in double: numerator and denominator are
+    * < 2^31). */
+  private def lcgUnit(k: Column): Column =
+    ((lit(1103515245L) * k + lit(12345L)) % lit(2147483648L)).cast("double") /
+      lit(2147483648.0) * 2.0 - 1.0
+
+  /** Random-hyperplane signature: `nPlanes` sign bits of the dot product
+    * with LCG-derived hyperplanes. A sign bit flips across engines only
+    * if a dot product lands within 1 ulp of exactly 0 — and here both
+    * engines produce bit-identical dots, so the signatures match exactly. */
+  def hyperplaneSignature(emb: Column, nPlanes: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val terms = zip_with(emb, sequence(lit(0), lit(dim - 1)),
+        (x, j) => x.cast("double") *
+          lcgUnit(p.cast("long") * dim + j.cast("long")))
+      when(aggregate(terms, lit(0.0), (acc, t) => acc + t) >= 0, 1).otherwise(0)
+    })
+
+  /** (id, band, band_key) rows: the signature split into `nBands` bands
+    * of `bandBits` bits each, packed into a small int key. Exploded shape
+    * so candidate generation is a plain equi-join on (band, band_key). */
+  def bandedSignatures(df: DataFrame, idCol: String, embCol: String,
+                       nBands: Int, bandBits: Int, dim: Int): DataFrame = {
+    val sig = hyperplaneSignature(col(embCol), nBands * bandBits, dim)
+    val bandKeys = transform(sequence(lit(0), lit(nBands - 1)), b =>
+      aggregate(sequence(lit(0), lit(bandBits - 1)), lit(0),
+        (acc, i) => acc * 2 + element_at(col("__sig"), b * bandBits + i + 1)))
+    df.withColumn("__sig", sig)
+      .select(col(idCol), posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are corpus vectors that
+    * share at least one (band, band_key) bucket with the query; exact
+    * cosine re-rank within candidates. The physical plan is
+    * hash-join-shaped (broadcast of the small query band table), with no
+    * cartesian product — the 100 TB path. Recall is tunable via
+    * nBands × bandBits. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, k: Int,
+              nBands: Int, bandBits: Int, dim: Int): DataFrame = {
+    val corpusBands = bandedSignatures(corpus, idCol, embCol, nBands, bandBits, dim)
+    val queryBands = bandedSignatures(queries, idCol, embCol, nBands, bandBits, dim)
+      .withColumnRenamed(idCol, "query_id")
+    val candidates = corpusBands
+      .join(broadcast(queryBands), Seq("band", "band_key"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+      .distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
+    val scored = candidates
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qe"), col("__ce")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{ExactDedup, Multimodal, TextAnalysis => TA}
+import graft.ext.{ExactDedup, MinHash, Multimodal, Similarity, TextAnalysis => TA}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 
@@ -143,5 +143,99 @@ object ExtQueries {
                    CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
             FROM documents ORDER BY doc_id"""))
 
-  val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06)
+  /** Similarity search, exact baseline: brute-force cosine top-5 for a
+    * small query set (vec_id < 8) against the corpus. Broadcast
+    * nested-loop of the tiny query side; sims bit-identical to DuckDB
+    * (sequential double folds of exact float products — see
+    * [[graft.ext.Similarity]]). */
+  private val x07 = Q("x07_knn_exact",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+                 s AS (SELECT qid, vec_id AS nid,
+                         list_sum(list_transform(list_zip(qe, embedding),
+                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+                       FROM embeddings, q WHERE vec_id <> qid),
+                 r AS (SELECT qid, nid, sim,
+                         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+            SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, sim
+            FROM r WHERE rn <= 5 ORDER BY query_id, rank"""))
+
+  /** Near-dup dedup: MinHash (16 perms over word-3-gram shingles) + LSH
+    * banding (4 bands × 4 rows); candidate pairs from the band equi-join
+    * with estimated Jaccard ≥ 0.5. All integer arithmetic shared with
+    * DuckDB — see [[graft.ext.MinHash]]. */
+  private val x08 = Q("x08_neardup_minhash",
+    (s, d) => MinHash.nearDupPairs(documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                           FROM bands a JOIN bands b
+                             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) AS DOUBLE)/16 AS est_jaccard
+            FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+            WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8
+            ORDER BY doc_a, doc_b"""))
+
+  /** Similarity search, scale path: random-hyperplane LSH buckets
+    * (4 bands × 4 bits) + exact re-rank of bucket-mates — a hash-join
+    * plan with no cartesian product (see [[graft.ext.Similarity.lshTopK]]). */
+  private val x09 = Q("x09_knn_lsh",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nBands = 4, bandBits = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH sig AS (SELECT vec_id, embedding,
+                   list_transform(range(0,16), p -> CASE WHEN
+                     list_sum(list_transform(list_zip(embedding, range(0,64)),
+                       x -> CAST(x[1] AS DOUBLE) *
+                            (CAST((1103515245*(p*64 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                             / 2147483648.0 * 2 - 1))) >= 0
+                     THEN 1 ELSE 0 END) AS sg
+                 FROM embeddings),
+                 bands AS (SELECT vec_id, b,
+                             sg[4*b+1]*8 + sg[4*b+2]*4 + sg[4*b+3]*2 + sg[4*b+4] AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                          FROM bands q JOIN bands c ON q.b = c.b AND q.bk = c.bk
+                          WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+                 scored AS (SELECT query_id, neighbor_id,
+                     list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+                   FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+                             JOIN embeddings ce ON ce.vec_id = neighbor_id),
+                 r AS (SELECT query_id, neighbor_id, sim,
+                         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+                       FROM scored)
+            SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
+            FROM r WHERE rn <= 5 ORDER BY query_id, rank"""))
+
+  val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09)
 }

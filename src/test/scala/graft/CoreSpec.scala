@@ -1,0 +1,156 @@
+package graft
+
+import graft.core.{Dedup, Upsert}
+import graft.dim.DimDate
+import graft.metrics.Audit
+import graft.quality.{GateFailed, Gates}
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+final case class RawRow(symbol: String, trade_date: Date, close: Double,
+                        volume: Long, _ingest_ts: Long, _src_file: String)
+
+/** W1 latest-wins dedup: reference `4. merge_core.sql:72-81`. */
+class DedupSpec extends SparkSpec {
+  private def d(s: String) = Date.valueOf(s)
+  private val rows = Seq(
+    RawRow("AAPL", d("2024-01-02"), 100.0, 10L, 2L, "f1"), // newest ts wins
+    RawRow("AAPL", d("2024-01-02"), 101.0, 11L, 1L, "f9"),
+    RawRow("MSFT", d("2024-01-02"), 200.0, 20L, 5L, "a"),  // ts tie → file desc
+    RawRow("MSFT", d("2024-01-02"), 201.0, 21L, 5L, "b"),
+    RawRow("GOOG", d("2024-01-03"), 300.0, 30L, 1L, "x"))  // singleton
+
+  test("latest ingest wins per (symbol, trade_date)") {
+    val out = Dedup.latestIngestWins(df(rows)).collect()
+    assert(out.length == 3)
+    val bySym = out.map(r => r.getAs[String]("symbol") -> r.getAs[Double]("close")).toMap
+    assert(bySym("AAPL") == 100.0) // _ingest_ts 2 beats 1
+    assert(bySym("MSFT") == 201.0) // ts tie, _src_file "b" > "a"
+    assert(bySym("GOOG") == 300.0)
+  }
+
+  test("dedup is deterministic under input row permutation") {
+    val a = Dedup.latestIngestWins(df(rows)).orderBy("symbol").collect().toSeq
+    val b = Dedup.latestIngestWins(df(rows.reverse)).orderBy("symbol").collect().toSeq
+    assert(a == b)
+  }
+}
+
+/** §2.8 dialect traps: DOW off-by-one, 3-letter names, weekend flag. */
+class DimDateSpec extends SparkSpec {
+  private def calRow(s: String) = {
+    val out = DimDate.derive(
+      df(Seq(Tuple1(Date.valueOf(s)))).toDF("d"), "d").collect()
+    assert(out.length == 1); out.head
+  }
+
+  test("day_of_week uses Snowflake 0=Sunday..6=Saturday convention") {
+    assert(calRow("2024-01-07").getAs[Int]("day_of_week") == 0) // Sunday
+    assert(calRow("2024-01-08").getAs[Int]("day_of_week") == 1) // Monday
+    assert(calRow("2024-01-13").getAs[Int]("day_of_week") == 6) // Saturday
+  }
+
+  test("is_weekend matches the reference's IN (0,6) test") {
+    assert(calRow("2024-01-06").getAs[Boolean]("is_weekend"))   // Sat
+    assert(calRow("2024-01-07").getAs[Boolean]("is_weekend"))   // Sun
+    assert(!calRow("2024-01-08").getAs[Boolean]("is_weekend"))  // Mon
+  }
+
+  test("names are 3-letter abbreviations (Snowflake MONTHNAME/DAYNAME)") {
+    val r = calRow("2024-02-05")
+    assert(r.getAs[String]("month_name") == "Feb")
+    assert(r.getAs[String]("day_name") == "Mon")
+  }
+
+  test("date_sk is the yyyyMMdd integer") {
+    assert(calRow("2024-02-05").getAs[Int]("date_sk") == 20240205)
+    assert(DimDate.derive(df(Seq(Tuple1(Date.valueOf("1999-12-31")))).toDF("d"), "d")
+      .collect().head.getAs[Int]("date_sk") == 19991231)
+  }
+
+  test("duplicate input dates collapse to one calendar row") {
+    val dups = df(Seq.fill(5)(Tuple1(Date.valueOf("2024-03-01")))).toDF("d")
+    assert(DimDate.derive(dups, "d").count() == 1)
+  }
+}
+
+/** P2/A2 quality gates: reject-split completeness and the load gate. */
+class GatesSpec extends SparkSpec {
+  private val batch = df(Seq(
+    ("A", 10L), ("B", -1L), ("C", 0L), ("D", -999L), ("E", 5L)))
+    .toDF("symbol", "volume")
+
+  test("split is a partition: valid ∪ reject ≡ input, valid ∩ reject = ∅") {
+    val (valid, reject) = Gates.split(batch, Gates.negativeVolume)
+    assert(valid.count() + reject.count() == batch.count())
+    assert(valid.intersect(reject).count() == 0)
+    assert(valid.unionByName(reject).exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(valid.unionByName(reject)).count() == 0)
+  }
+
+  test("null predicate rows land in valid (reject only on true)") {
+    val withNull = df(Seq(("A", Some(1L)), ("B", None), ("C", Some(-1L))))
+      .toDF("symbol", "volume")
+    val (valid, reject) = Gates.split(withNull, Gates.negativeVolume)
+    assert(valid.count() == 2 && reject.count() == 1)
+  }
+
+  test("requireNonEmpty passes on data, fails typed on empty") {
+    Gates.requireNonEmpty(batch, "batch")
+    intercept[GateFailed] {
+      Gates.requireNonEmpty(batch.filter(lit(false)), "empty")
+    }
+  }
+}
+
+/** M1-M5 merge planner semantics + rerun idempotency. */
+class UpsertSpec extends SparkSpec {
+  private val target = df(Seq(("A", 1, "old"), ("B", 2, "old"))).toDF("k", "n", "v")
+  private val source = df(Seq(("B", 2, "new"), ("C", 3, "new"))).toDF("k", "n", "v")
+
+  test("insertOnly appends only absent keys") {
+    val out = Upsert.insertOnly(target, source, Seq("k")).orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("A", "old"), ("B", "old"), ("C", "new")))
+  }
+
+  test("merge: source wins on matched keys, target survives unmatched") {
+    val out = Upsert.merge(target, source, Seq("k")).orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("A", "old"), ("B", "new"), ("C", "new")))
+  }
+
+  test("merge is idempotent: applying the same source twice = once") {
+    val once = Upsert.merge(target, source, Seq("k"))
+    val twice = Upsert.merge(once, source, Seq("k"))
+    assert(twice.exceptAll(once).count() == 0 && once.exceptAll(twice).count() == 0)
+  }
+
+  test("insertOnly is idempotent") {
+    val once = Upsert.insertOnly(target, source, Seq("k"))
+    val twice = Upsert.insertOnly(once, source, Seq("k"))
+    assert(twice.exceptAll(once).count() == 0 && once.exceptAll(twice).count() == 0)
+  }
+}
+
+/** Q1 premerge invariant: est_inserts + est_updates = |distinct valid keys|
+  * (reference `3. premerge_metrics.sql:45-49`). */
+class AuditSpec extends SparkSpec {
+  private def d(s: String) = Date.valueOf(s)
+
+  test("premerge estimates partition the distinct valid key set") {
+    val raw = df(Seq(
+      ("aapl ", d("2024-01-02"), 10L), (" AAPL", d("2024-01-02"), 20L), // same key normalized
+      ("MSFT", d("2024-01-02"), -5L),                                   // reject
+      ("GOOG", d("2024-01-02"), 30L),
+      ("NVDA", d("2024-01-02"), 40L)))
+      .toDF("symbol", "trade_date", "volume")
+    val core = df(Seq(("AAPL", d("2024-01-02")), ("TSLA", d("2024-01-01"))))
+      .toDF("symbol", "trade_date")
+    val m = Audit.preMerge(raw, Gates.negativeVolume, core)
+    assert(m.rawCnt == 5 && m.rejectCnt == 1)
+    assert(m.estUpdates == 1)               // AAPL exists in core
+    assert(m.estInserts == 2)               // GOOG, NVDA
+    assert(m.estInserts + m.estUpdates == 3) // |distinct valid keys|
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ext.{MinHash, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH near-dup operator semantics + plan shape. */
+class MinHashSpec extends SparkSpec {
+  private val docs = df(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    // near dup of 1: one appended word → 15/16 signature match, 3 shared
+    // bands (deterministic given the fixed MinHash seed — verified)
+    (3L, "the quick brown fox jumps over the lazy dog again"),
+    (4L, "completely different content about spark engines and parquet files"),
+    (5L, "too short"),                                     // < 3 words → dropped
+    (6L, "")))                                             // empty → dropped
+    .toDF("doc_id", "text")
+
+  test("exact duplicates share all bands and estimate jaccard 1.0") {
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
+  test("near-duplicates are found; unrelated docs are not paired") {
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j == 15.0 / 16 })
+    assert(!pairs.exists { case (a, b, _) => b == 4L || a == 4L })
+  }
+
+  test("docs with <3 words produce no signature and never pair") {
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text", 3, 16, 4, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!pairs.exists { case (a, b) => a >= 5L || b >= 5L })
+  }
+
+  test("signature is invariant under input row order") {
+    def sigs(d: DataFrame) = d.select(col("doc_id"),
+        MinHash.signature(
+          transform(MinHash.shingles(col("text"), 3), MinHash.shingleHash(_)), 16)
+          .as("sig"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(sigs(docs) == sigs(df(Seq(
+      (4L, "completely different content about spark engines and parquet files"),
+      (3L, "the quick brown fox jumps over the lazy dog again"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (6L, ""), (5L, "too short")))
+      .toDF("doc_id", "text")))
+  }
+
+  test("plan has no cartesian product or nested-loop join") {
+    val plan = MinHash.nearDupPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
+
+/** Similarity-search operator semantics + plan shape. */
+class SimilaritySpec extends SparkSpec {
+  private val vecs = df(Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Seq(0.6f, 0.8f, 0.0f, 0.0f))))
+    .toDF("vec_id", "embedding")
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → −1") {
+    val sims = vecs.filter(col("vec_id") > 0).crossJoin(
+        vecs.filter(col("vec_id") === 0).select(col("embedding").as("q")))
+      .select(col("vec_id"), Similarity.cosine(col("q"), col("embedding")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sims(1L) == 1.0 && sims(2L) == 0.0 && sims(3L) == -1.0)
+    // float32 inputs: 0.6f/0.8f are not exact, so only ~1e-7 from 0.6
+    assert(math.abs(sims(4L) - 0.6) < 1e-6)
+  }
+
+  test("brute-force top-k ranks by sim desc with id tie-break, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSeq
+    assert(out == Seq((1, 1L), (2, 4L))) // identical first, then 0.6; no self
+  }
+
+  test("lsh top-k plan is hash-join shaped: no cartesian product") {
+    val plan = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 2, 4, 4, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("identical vectors always share every lsh bucket") {
+    val bands = Similarity.bandedSignatures(vecs, "vec_id", "embedding", 4, 4, 4)
+    val b0 = bands.filter(col("vec_id") === 0).select("band", "band_key")
+    val b1 = bands.filter(col("vec_id") === 1).select("band", "band_key")
+    assert(b0.exceptAll(b1).count() == 0)
+  }
+}
