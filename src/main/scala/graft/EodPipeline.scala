@@ -7,6 +7,7 @@ import graft.ingest.EodCsvSource
 import graft.metrics.{Audit, PostMergeMetrics, PreMergeMetrics}
 import graft.quality.Gates
 import graft.schema.Schemas
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -20,6 +21,11 @@ import org.apache.spark.sql.types.StructType
   * by `trade_date` where date-scoped (RAW/CORE/REJECT/FACT) so every
   * incremental run prunes to one partition and rewrites only it
   * (dynamic partition overwrite = the MERGE of SURVEY.md §2.5).
+  *
+  * Storage goes through the Hadoop `FileSystem` API, so the warehouse can
+  * live on any supported filesystem (file:/, hdfs:/, s3a:/ ...). One
+  * caveat is documented on [[EodPipeline.replace]]: the dim swap uses
+  * rename, which is atomic on HDFS/local but copy-based on object stores.
   */
 final case class RunResult(tradeDate: java.sql.Date,
                            pre: PreMergeMetrics, post: PostMergeMetrics)
@@ -28,45 +34,72 @@ class EodPipeline(spark: SparkSession, warehouseDir: String) {
   import EodPipeline._
 
   private def path(t: String) = s"$warehouseDir/$t"
+  private val fs: FileSystem =
+    new Path(warehouseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(p: String): Boolean = fs.exists(new Path(p))
 
   private def readOrEmpty(t: String, schema: StructType): DataFrame = {
     val p = path(t)
-    if (new java.io.File(p).exists())
-      spark.read.schema(schema).parquet(p)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (exists(p)) spark.read.schema(schema).parquet(p)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Run the full cascade for one trading date over a bronze CSV path. */
+  /** Run the full cascade for one trading date over a bronze CSV path.
+    *
+    * `forceReload = false` (default) gives COPY's load-history semantics
+    * (SURVEY.md §2.1 S7): bronze files whose name is already present in
+    * the RAW partition are skipped, so reruns are no-ops at the RAW layer
+    * too. `forceReload = true` reproduces the reference's literal
+    * `FORCE=TRUE` (`dags/sql/1. copy_to_raw.sql:39`): blind re-append —
+    * RAW then duplicates on rerun exactly as the reference's would, and
+    * downstream stays correct through the latest-wins dedup. */
   def run(bronzeCsvPath: String, runDate: java.sql.Date,
-          ingestTs: Option[java.sql.Timestamp] = None): RunResult = {
+          ingestTs: Option[java.sql.Timestamp] = None,
+          forceReload: Boolean = false): RunResult = {
     // t04.1 copy_to_raw (S5/S6) + t04.2 check (A2)
     val batch = EodCsvSource.forDate(
       EodCsvSource.read(spark, bronzeCsvPath, ingestTs), runDate)
     Gates.requireNonEmpty(batch, s"raw batch $runDate")
-    appendPartition(batch, path(RawTable))
+
+    // RAW is append-only per date: existing partition rows survive new
+    // files for the same date (the reference's RAW never drops rows).
+    val raw0 = readOrEmpty(RawTable, Schemas.raw)
+      .filter(col("trade_date") === lit(runDate))
+    val rawIncoming =
+      if (forceReload) batch
+      else batch.join(raw0.select("_src_file").distinct(), Seq("_src_file"), "left_anti")
+    writeDatePartition(raw0.unionByName(rawIncoming), RawTable, runDate)
 
     // t04.3 premerge metrics (Q1) — against CORE as it stands
     val core0 = readOrEmpty(CoreTable, Schemas.core)
-    val pre = Audit.preMerge(batch, Gates.negativeVolume, core0)
+    val pre = Audit.preMerge(batch, core0)
 
-    // t04.4 merge_core: reject quarantine (M1) + dedup (W1) + upsert (M2)
-    val (valid, rejects) = Gates.split(batch, Gates.negativeVolume)
+    // t04.4 merge_core: reject quarantine (M1) + dedup (W1) + upsert (M2).
+    // Symbols are normalized BEFORE the dedup window (the reference's
+    // src_raw CTE, `4. merge_core.sql:58`) so case/whitespace variants of
+    // one ticker collapse into one dedup group; same for the reject rows
+    // (`4. merge_core.sql:28`). Null-volume rows land in neither branch
+    // (reference three-valued `>= 0` / `< 0` — see Gates.referenceSplit).
+    val normalized = batch.withColumn("symbol", upper(trim(col("symbol"))))
+    val (valid, rejects) = Gates.referenceSplit(normalized)
     val reject0 = readOrEmpty(RejectTable, Schemas.reject)
+      .filter(col("trade_date") === lit(runDate))
     val rejectNew = Upsert.insertOnly(
       reject0, Gates.annotateReject(rejects, "NEGATIVE_VOLUME"),
       Seq("symbol", "trade_date"))
-    overwriteDate(rejectNew, path(RejectTable), runDate)
+    writeDatePartition(rejectNew, RejectTable, runDate)
 
     val loadTs = ingestTs.map(t => lit(t)).getOrElse(current_timestamp())
     val deduped = Dedup.latestIngestWins(valid)
-      .select(col("trade_date"), upper(trim(col("symbol"))).as("symbol"),
+      .select(col("trade_date"), col("symbol"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
       .withColumn("load_ts", loadTs)
     val coreNew = Upsert.merge(
       core0.filter(col("trade_date") === lit(runDate)), deduped,
       Seq("symbol", "trade_date"))
-    overwriteDate(coreNew, path(CoreTable), runDate)
+    writeDatePartition(coreNew, CoreTable, runDate)
 
     // t04.5 dims (M3/M4) — insert-only, not date-partitioned
     val dim0 = readOrEmpty(DimSecurityTable, Schemas.dimSecurity)
@@ -84,7 +117,7 @@ class EodPipeline(spark: SparkSession, warehouseDir: String) {
     val factNew = FactDailyPrice.build(core1,
       spark.read.parquet(path(DimSecurityTable)),
       spark.read.parquet(path(DimDateTable)))
-    overwriteDate(factNew, path(FactTable), runDate)
+    writeDatePartition(factNew, FactTable, runDate)
 
     // t04.7 postmerge metrics (Q2)
     val post = Audit.postMerge(
@@ -93,32 +126,34 @@ class EodPipeline(spark: SparkSession, warehouseDir: String) {
     RunResult(runDate, pre, post)
   }
 
-  /** RAW is append-only (FORCE=TRUE semantics, SURVEY.md §2.1 S7): but for
-    * rerun-idempotency of the round-trip we still scope appends to the run
-    * date partition via dynamic overwrite of that partition *plus* the
-    * already-present rows for it. Matching the reference exactly (blind
-    * append) would duplicate RAW on rerun — kept as overwrite for
-    * idempotency, which downstream MERGE makes observably identical. */
-  private def appendPartition(df: DataFrame, tablePath: String): Unit =
-    Upsert.overwriteDatePartition(spark, df, tablePath)
+  /** Overwrite one date partition with a result that was (lazily) derived
+    * from the SAME table. Writing a path that the plan also reads is a
+    * correctness hazard ("Cannot overwrite a path that is also being read
+    * from" at best, partial-read data loss at worst), so the result is
+    * first materialized to a scratch dir, re-read, and only then swapped
+    * into the target partition. Two writes of ONE date's slice — bounded,
+    * partition-pruned IO, safe on any filesystem. */
+  private def writeDatePartition(df: DataFrame, table: String, d: java.sql.Date): Unit = {
+    val scratch = s"$warehouseDir/_tmp/$table"
+    df.filter(col("trade_date") === lit(d))
+      .write.mode("overwrite").parquet(scratch)
+    Upsert.overwriteDatePartition(spark, spark.read.parquet(scratch), path(table))
+    fs.delete(new Path(scratch), true)
+    ()
+  }
 
-  private def overwriteDate(df: DataFrame, tablePath: String, d: java.sql.Date): Unit =
-    Upsert.overwriteDatePartition(spark, df.filter(col("trade_date") === lit(d)), tablePath)
-
-  /** Small non-partitioned tables (dims): full atomic rewrite via temp dir
-    * rename is overkill locally; plain overwrite-in-place suffices here
-    * because dims are tiny and rebuilt from (old ∪ new) each run. */
+  /** Small non-partitioned tables (dims): write to a scratch dir, then
+    * delete-and-rename into place via the Hadoop FileSystem API. Rename
+    * is atomic on HDFS/local but copy-based (non-atomic) on object
+    * stores; for the tiny dims the exposure window is milliseconds, and a
+    * production object-store deployment would point a catalog entry at
+    * the new dir instead (documented scope). */
   private def replace(df: DataFrame, tablePath: String): Unit = {
-    val tmp = tablePath + "__tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(tablePath)
-    if (target.exists()) {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
-      }
-      del(target)
-    }
-    new java.io.File(tmp).renameTo(target)
+    val tmp = new Path(tablePath + "__tmp")
+    val target = new Path(tablePath)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
     ()
   }
 }
@@ -130,4 +165,6 @@ object EodPipeline {
   val DimSecurityTable = "dim_security"
   val DimDateTable = "dim_date"
   val FactTable = "fact_daily_price"
+  val AllTables: Seq[String] =
+    Seq(RawTable, CoreTable, RejectTable, DimSecurityTable, DimDateTable, FactTable)
 }

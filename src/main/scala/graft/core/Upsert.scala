@@ -45,11 +45,13 @@ object Upsert {
 
   /** Write one date's slice of a date-partitioned parquet table with
     * dynamic partition overwrite — the physical realization of a
-    * date-scoped MERGE. Idempotent under reruns. */
+    * date-scoped MERGE. Idempotent under reruns. The overwrite mode is
+    * scoped to THIS writer via `.option(...)`, never the shared session
+    * conf (a session-conf mutation would leak into every other query). */
   def overwriteDatePartition(spark: SparkSession, df: DataFrame,
                              tablePath: String, partitionCol: String = "trade_date"): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .mode("overwrite")
       .parquet(tablePath)

@@ -17,16 +17,18 @@ final case class PostMergeMetrics(coreRows: Long, factRows: Long)
 
 object Audit {
 
-  /** Q1: given the raw batch (one date), its reject predicate, and the
-    * current CORE table, compute (raw_cnt, reject_cnt, est_inserts,
-    * est_updates). est_updates = |distinct valid keys ∩ core keys|;
-    * est_inserts = |distinct valid keys| − est_updates — the invariant
-    * est_inserts + est_updates = |distinct valid keys| holds by
-    * construction (reference `3. premerge_metrics.sql:45-49`). */
-  def preMerge(raw: DataFrame, rejectWhen: Column, core: DataFrame): PreMergeMetrics = {
+  /** Q1: given the raw batch (one date) and the current CORE table,
+    * compute (raw_cnt, reject_cnt, est_inserts, est_updates).
+    * est_updates = |distinct valid keys ∩ core keys|; est_inserts =
+    * |distinct valid keys| − est_updates — the invariant est_inserts +
+    * est_updates = |distinct valid keys| holds by construction
+    * (reference `3. premerge_metrics.sql:45-49`). Valid/reject use the
+    * reference's exact predicates (`VOLUME >= 0` / `VOLUME < 0`), under
+    * which null-volume rows count in neither. */
+  def preMerge(raw: DataFrame, core: DataFrame): PreMergeMetrics = {
     val rawCnt = raw.count()
-    val rejectCnt = raw.filter(coalesce(rejectWhen, lit(false))).count()
-    val validKeys = raw.filter(!coalesce(rejectWhen, lit(false)))
+    val rejectCnt = raw.filter(graft.quality.Gates.negativeVolume).count()
+    val validKeys = raw.filter(graft.quality.Gates.validVolume)
       .select(upper(trim(col("symbol"))).as("symbol"), col("trade_date"))
       .distinct()
     val existing = validKeys.join(

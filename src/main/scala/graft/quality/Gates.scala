@@ -30,6 +30,19 @@ object Gates {
     * (reference `dags/sql/4. merge_core.sql:35`). */
   val negativeVolume: Column = col("volume") < 0
 
+  /** The reference's valid-row rule (`4. merge_core.sql:65`,
+    * `3. premerge_metrics.sql:30`): `VOLUME >= 0`. NOTE this is NOT the
+    * complement of [[negativeVolume]] under SQL three-valued logic — a
+    * null volume satisfies neither, so the reference silently drops
+    * null-volume rows from BOTH core and reject. [[referenceSplit]]
+    * reproduces that exactly; [[split]] is the generic two-way partition. */
+  val validVolume: Column = col("volume") >= 0
+
+  /** The reference's exact (valid, reject) pair: `VOLUME >= 0` /
+    * `VOLUME < 0` — null-volume rows appear in neither. */
+  def referenceSplit(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(validVolume), df.filter(negativeVolume))
+
   /** Reject rows annotated with the constant reason column
     * (reference `dags/sql/4. merge_core.sql:30`). */
   def annotateReject(rejects: DataFrame, reason: String): DataFrame =

@@ -88,11 +88,19 @@ class GatesSpec extends SparkSpec {
     assert(batch.exceptAll(valid.unionByName(reject)).count() == 0)
   }
 
-  test("null predicate rows land in valid (reject only on true)") {
+  test("generic split: null predicate rows land in valid (reject only on true)") {
     val withNull = df(Seq(("A", Some(1L)), ("B", None), ("C", Some(-1L))))
       .toDF("symbol", "volume")
     val (valid, reject) = Gates.split(withNull, Gates.negativeVolume)
     assert(valid.count() == 2 && reject.count() == 1)
+  }
+
+  test("referenceSplit: null-volume rows land in NEITHER branch (>= 0 / < 0)") {
+    val withNull = df(Seq(("A", Some(1L)), ("B", None), ("C", Some(-1L)), ("D", Some(0L))))
+      .toDF("symbol", "volume")
+    val (valid, reject) = Gates.referenceSplit(withNull)
+    assert(valid.collect().map(_.getString(0)).sorted.toSeq == Seq("A", "D"))
+    assert(reject.collect().map(_.getString(0)).toSeq == Seq("C"))
   }
 
   test("requireNonEmpty passes on data, fails typed on empty") {
@@ -140,17 +148,18 @@ class AuditSpec extends SparkSpec {
 
   test("premerge estimates partition the distinct valid key set") {
     val raw = df(Seq(
-      ("aapl ", d("2024-01-02"), 10L), (" AAPL", d("2024-01-02"), 20L), // same key normalized
-      ("MSFT", d("2024-01-02"), -5L),                                   // reject
-      ("GOOG", d("2024-01-02"), 30L),
-      ("NVDA", d("2024-01-02"), 40L)))
+      ("aapl ", d("2024-01-02"), Some(10L)), (" AAPL", d("2024-01-02"), Some(20L)), // same key normalized
+      ("MSFT", d("2024-01-02"), Some(-5L)),                                         // reject
+      ("GOOG", d("2024-01-02"), Some(30L)),
+      ("NVDA", d("2024-01-02"), Some(40L)),
+      ("TSLA", d("2024-01-02"), None)))                                             // null: neither
       .toDF("symbol", "trade_date", "volume")
     val core = df(Seq(("AAPL", d("2024-01-02")), ("TSLA", d("2024-01-01"))))
       .toDF("symbol", "trade_date")
-    val m = Audit.preMerge(raw, Gates.negativeVolume, core)
-    assert(m.rawCnt == 5 && m.rejectCnt == 1)
+    val m = Audit.preMerge(raw, core)
+    assert(m.rawCnt == 6 && m.rejectCnt == 1)
     assert(m.estUpdates == 1)               // AAPL exists in core
-    assert(m.estInserts == 2)               // GOOG, NVDA
+    assert(m.estInserts == 2)               // GOOG, NVDA (TSLA null-volume excluded)
     assert(m.estInserts + m.estUpdates == 3) // |distinct valid keys|
   }
 }
