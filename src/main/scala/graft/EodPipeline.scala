@@ -58,9 +58,20 @@ class EodPipeline(spark: SparkSession, warehouseDir: String) {
   def run(bronzeCsvPath: String, runDate: java.sql.Date,
           ingestTs: Option[java.sql.Timestamp] = None,
           forceReload: Boolean = false): RunResult = {
-    // t04.1 copy_to_raw (S5/S6) + t04.2 check (A2)
+    // t04.1 copy_to_raw (S5/S6)
     val batch = EodCsvSource.forDate(
       EodCsvSource.read(spark, bronzeCsvPath, ingestTs), runDate)
+    runBatch(batch, runDate, ingestTs, forceReload)
+  }
+
+  /** The cascade from an already-read RAW-shaped batch (one run date).
+    * This is the entry point the streaming variant reuses per micro-batch
+    * (SURVEY.md §2.9) — stages t04.2..t04.7 are identical in batch and
+    * streaming. */
+  def runBatch(batch: DataFrame, runDate: java.sql.Date,
+               ingestTs: Option[java.sql.Timestamp] = None,
+               forceReload: Boolean = false): RunResult = {
+    // t04.2 check (A2)
     Gates.requireNonEmpty(batch, s"raw batch $runDate")
 
     // RAW is append-only per date: existing partition rows survive new
