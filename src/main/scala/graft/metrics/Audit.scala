@@ -43,4 +43,27 @@ object Audit {
     PostMergeMetrics(
       core.filter(col("trade_date") === lit(runDate)).count(),
       fact.filter(col("trade_date") === lit(runDate)).count())
+
+  /** Q3 summary formatting (reference `dags/get_securities_data.py:186-206`)
+    * — the run-summary text the reference posts to Slack, produced from
+    * the metrics case classes (the webhook itself is out of engine scope,
+    * SURVEY.md §2.1 S11). The reference has a latent NameError when the
+    * premerge row is missing (`reject_cnt` never initialized,
+    * `get_securities_data.py:186-194`); here absent metrics format as 0 —
+    * implement the intent, not the bug (SURVEY.md §2.7 Q3 note). */
+  def formatSummary(tradingDate: java.sql.Date,
+                    pre: Option[PreMergeMetrics],
+                    post: Option[PostMergeMetrics]): String = {
+    def fmt(n: Long): String = "%,d".formatLocal(java.util.Locale.US, n)
+    val p = pre.getOrElse(PreMergeMetrics(0, 0, 0, 0))
+    val q = post.getOrElse(PostMergeMetrics(0, 0))
+    s""":white_check_mark: *EOD Summary*
+       |• Trading Date: `$tradingDate`
+       |• RAW rows: `${fmt(p.rawCnt)}`
+       |• Reject rows: `${fmt(p.rejectCnt)}`
+       |• Estimated CORE inserts: `${fmt(p.estInserts)}`
+       |• Estimated CORE updates: `${fmt(p.estUpdates)}`
+       |• CORE rows after merge: `${fmt(q.coreRows)}`
+       |• FACT rows after merge: `${fmt(q.factRows)}`""".stripMargin
+  }
 }

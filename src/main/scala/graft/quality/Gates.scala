@@ -47,4 +47,14 @@ object Gates {
     * (reference `dags/sql/4. merge_core.sql:30`). */
   def annotateReject(rejects: DataFrame, reason: String): DataFrame =
     rejects.withColumn("reject_reason", lit(reason))
+
+  /** S9 file-existence gate (reference `dags/get_securities_data.py:74-96`):
+    * the staged file must exist before load; returns its size in bytes
+    * (the reference logs it) or fails the pipeline. */
+  def requireFileExists(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw GateFailed(s"file gate: $path does not exist")
+    fs.getFileStatus(p).getLen
+  }
 }

@@ -43,12 +43,17 @@ object Analytics {
   }
 
   /** W5: lag-based simple return `v / lag(v) - 1` per key (per-row double
-    * arithmetic — IEEE-deterministic). */
+    * arithmetic — IEEE-deterministic). A zero previous value yields a
+    * NULL return, matching DuckDB's `x / 0 → NULL` (under Spark's default
+    * ANSI mode a bare division would instead raise DIVIDE_BY_ZERO — the
+    * data has zero values at sf0.1). Null returns are then excluded by
+    * downstream volatility. */
   def lagReturn(df: DataFrame, key: String, order: Seq[Column],
                 valueCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(order: _*)
     df.withColumn("prev_value", lag(col(valueCol), 1).over(w))
-      .withColumn("ret", col(valueCol) / col("prev_value") - 1)
+      .withColumn("ret",
+        col(valueCol) / when(col("prev_value") === 0, lit(null)).otherwise(col("prev_value")) - 1)
   }
 
   /** A10: sample stddev of `ret` per key, bit-reproducible on any
