@@ -65,7 +65,16 @@ object MinHash {
     * the stages separate because each intermediate column is referenced
     * more than once. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int, numHashes: Int): DataFrame = {
+                 shingleN: Int, numHashes: Int): DataFrame =
+    shingleHashArrays(docs, idCol, textCol, shingleN)
+      .select(col(idCol), signature(col("__hh"), numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+
+  /** `(id, __hh)` — the staged shingle-hash pipeline shared by MinHash,
+    * [[SimHash]], and exact n-gram Jaccard (same staging rationale as
+    * [[signatures]]). */
+  def shingleHashArrays(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int): DataFrame = {
     val toks = regexp_extract_all(lower(trim(col(textCol))), lit("\\S+"), lit(0))
     docs.select(col(idCol), toks.as("__toks"))
       .select(col(idCol),
@@ -76,8 +85,6 @@ object MinHash {
           .as("__shingles"))
       .select(col(idCol),
         transform(col("__shingles"), s => shingleHash(s)).as("__hh"))
-      .select(col(idCol), signature(col("__hh"), numHashes).as("__sig"))
-      .filter(col("__sig").isNotNull)
   }
 
   /** (id, band, band_key) rows: signature split into `nBands` bands of
@@ -125,5 +132,28 @@ object MinHash {
           lit(0), (acc, m) => acc + m).cast("double") / numHashes)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** Find-then-confirm near-dup: candidate pairs from the LSH bands,
+    * confirmed with the EXACT n-gram Jaccard over distinct shingle-hash
+    * sets (set intersection/union sizes — exact small-integer ratio, so
+    * the double is engine-identical). This is the standard two-phase
+    * web-dedup pipeline: sketches find, exact verifies; still no
+    * all-pairs work anywhere. */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int, nBands: Int,
+                        minJaccard: Double): DataFrame = {
+    val hsets = shingleHashArrays(docs, idCol, textCol, shingleN)
+      .select(col(idCol), array_distinct(col("__hh")).as("__hset"))
+      .filter(size(col("__hset")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupPairs(docs, idCol, textCol, shingleN, numHashes, nBands, minJaccard = 0.0)
+      .select(col("doc_a"), col("doc_b"))
+      .join(hsets.select(col(idCol).as("doc_a"), col("__hset").as("__ha")), "doc_a")
+      .join(hsets.select(col(idCol).as("doc_b"), col("__hset").as("__hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("__ha"), col("__hb"))).cast("double")
+          / size(array_union(col("__ha"), col("__hb")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -122,4 +122,27 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** Embedding-cosine near-dup over the WHOLE corpus (no query set):
+    * candidate pairs share at least one LSH band; exact cosine confirms
+    * against `minCosine`. The self-join on (band, band_key) replaces the
+    * O(N²) all-pairs comparison — the only wide ops are one shuffle join
+    * on band keys and the id-joins to fetch vectors. Recall is the LSH
+    * trade-off and is tunable via nBands × bandBits. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+                   minCosine: Double, nBands: Int, bandBits: Int,
+                   dim: Int): DataFrame = {
+    val bands = bandedSignatures(corpus, idCol, embCol, nBands, bandBits, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
+      .distinct()
+    pairs
+      .join(corpus.select(col(idCol).as("vec_a"), col(embCol).as("__ea")), "vec_a")
+      .join(corpus.select(col(idCol).as("vec_b"), col(embCol).as("__eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("__ea"), col("__eb")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
 }

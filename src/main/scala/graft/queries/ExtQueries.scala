@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{ExactDedup, MinHash, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ext.{ExactDedup, MinHash, Multimodal, SimHash, Similarity, TextAnalysis => TA}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 
@@ -237,5 +237,99 @@ object ExtQueries {
             SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
             FROM r WHERE rn <= 5 ORDER BY query_id, rank"""))
 
-  val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09)
+  /** SimHash near-dup: 60-bit majority-vote fingerprint over shingle
+    * hashes, 4×15-bit bands (exhaustive for Hamming ≤ 3), pairs with
+    * Hamming distance ≤ 3 — see [[graft.ext.SimHash]]. */
+  private val x10 = Q("x10_neardup_simhash",
+    (s, d) => SimHash.nearDupPairs(documents(s, d), "doc_id", "text",
+        shingleN = 3, maxHamming = 3)
+      .orderBy("doc_a", "doc_b"),
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT)) AS hh
+                        FROM sh),
+                 fp AS (SELECT doc_id, list_sum(list_transform(range(0,60), j ->
+                          CASE WHEN list_sum(list_transform(hh, h ->
+                                 CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS f
+                        FROM hs WHERE len(hh) > 0),
+                 bands AS (SELECT doc_id, b, (f >> (15*b)) & 32767 AS bk
+                           FROM fp, (SELECT unnest(range(0,4)) AS b)),
+                 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                           FROM bands a JOIN bands b
+                             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, CAST(bit_count(xor(fa.f, fb.f)) AS INT) AS hamming
+            FROM pairs JOIN fp fa ON fa.doc_id = doc_a JOIN fp fb ON fb.doc_id = doc_b
+            WHERE bit_count(xor(fa.f, fb.f)) <= 3 ORDER BY doc_a, doc_b"""))
+
+  /** n-gram Jaccard near-dup, find-then-confirm: MinHash-band candidates
+    * confirmed with the EXACT distinct-shingle-set Jaccard ≥ 0.8. */
+  private val x11 = Q("x11_neardup_ngram_jaccard",
+    (s, d) => MinHash.exactJaccardPairs(documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.8)
+      .orderBy("doc_a", "doc_b"),
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hsraw AS (SELECT doc_id, list_transform(sgl, s ->
+                             CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT)) AS hraw
+                           FROM sh),
+                 hs AS (SELECT doc_id, list_transform(hraw, h -> h % 1000000007) AS hh FROM hsraw),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                           FROM bands a JOIN bands b
+                             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+                 hset AS (SELECT doc_id, list_distinct(hraw) AS hs FROM hsraw WHERE len(hraw) > 0)
+            SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+            FROM pairs JOIN hset a ON a.doc_id = doc_a JOIN hset b ON b.doc_id = doc_b
+            WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.8
+            ORDER BY doc_a, doc_b"""))
+
+  /** Embedding-cosine near-dup over the whole corpus: LSH-band candidate
+    * pairs + exact cosine ≥ 0.4 (the testdata plants no high-cosine
+    * pairs; 0.4 exercises the operator against real bucket-mates). */
+  private val x12 = Q("x12_neardup_embedding",
+    (s, d) => Similarity.nearDupPairs(embeddings(s, d), "vec_id", "embedding",
+        minCosine = 0.4, nBands = 4, bandBits = 4, dim = 64)
+      .orderBy("vec_a", "vec_b"),
+    Some("""WITH sig AS (SELECT vec_id, embedding,
+                   list_transform(range(0,16), p -> CASE WHEN
+                     list_sum(list_transform(list_zip(embedding, range(0,64)),
+                       x -> CAST(x[1] AS DOUBLE) *
+                            (CAST((1103515245*(p*64 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                             / 2147483648.0 * 2 - 1))) >= 0
+                     THEN 1 ELSE 0 END) AS sg
+                 FROM embeddings),
+                 bands AS (SELECT vec_id, b,
+                             sg[4*b+1]*8 + sg[4*b+2]*4 + sg[4*b+3]*2 + sg[4*b+4] AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                           FROM bands a JOIN bands b
+                             ON a.b = b.b AND a.bk = b.bk AND a.vec_id < b.vec_id),
+                 scored AS (SELECT vec_a, vec_b,
+                     list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+                   FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
+                              JOIN embeddings eb ON eb.vec_id = vec_b)
+            SELECT vec_a, vec_b, cos FROM scored
+            WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""))
+
+  val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{MinHash, Similarity}
+import graft.ext.{MinHash, SimHash, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,53 @@ class MinHashSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("exact jaccard confirms candidates: exact dup = 1.0, near dup in (0.8, 1)") {
+    val pairs = MinHash.exactJaccardPairs(docs, "doc_id", "text", 3, 16, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    val nd = pairs((1L, 3L)) // one appended word: 7 of 8 shingles shared
+    assert(nd == 7.0 / 8)
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}
+
+/** SimHash fingerprint + banded Hamming near-dup semantics. */
+class SimHashSpec extends SparkSpec {
+  private val docs = df(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup → hamming 0
+    (3L, "the quick brown fox jumps over the lazy dog again"),
+    (4L, "completely different content about spark engines and parquet files"),
+    (5L, "too short")))
+    .toDF("doc_id", "text")
+
+  test("exact duplicates have hamming 0 and always pair") {
+    val rows = SimHash.nearDupPairs(docs, "doc_id", "text", 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows.contains((1L, 2L, 0)))
+    assert(!rows.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("fingerprint is a 60-bit value, stable across row order") {
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      SimHash.fingerprints(d, "doc_id", "text", 3)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = fps(docs)
+    assert(a.forall { case (_, f) => f >= 0L && f < (1L << 60) })
+    assert(a == fps(df(docs.collect().reverse.map(r => (r.getLong(0), r.getString(1))).toSeq)
+      .toDF("doc_id", "text")))
+  }
+
+  test("banding is exhaustive for hamming <= 3: flipping 3 bits still pairs") {
+    // doc pair (1,2) is identical; a 3-bit perturbation of one fingerprint
+    // must still share at least one of the 4 bands (pigeonhole)
+    val f = SimHash.fingerprints(docs.filter(col("doc_id") === 1), "doc_id", "text", 3)
+      .collect().head.getLong(1)
+    val perturbed = f ^ ((1L << 2) | (1L << 20) | (1L << 45)) // bits in 3 different bands
+    val bandsOf = (x: Long) => (0 until 4).map(b => (b, (x >> (15 * b)) & 0x7FFF)).toSet
+    assert(bandsOf(f).intersect(bandsOf(perturbed)).nonEmpty)
+  }
 }
 
 /** Similarity-search operator semantics + plan shape. */
@@ -93,6 +140,16 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("embedding near-dup pairs identical vectors at cosine 1, no cartesian") {
+    val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      minCosine = 0.99, nBands = 4, bandBits = 4, dim = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.contains((0L, 1L, 1.0)))    // identical pair found via shared buckets
+    assert(!rows.exists(p => p._1 == 3L || p._2 == 3L)) // opposite vector never pairs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("identical vectors always share every lsh bucket") {
