@@ -30,8 +30,17 @@ object Dedup {
   }
 
   /** The reference's exact instance: key (symbol, trade_date), newest
-    * `_ingest_ts` wins, `_src_file` descending as tie-break. */
-  def latestIngestWins(raw: DataFrame): DataFrame =
+    * `_ingest_ts` wins, `_src_file` descending as tie-break — PLUS every
+    * remaining column (descending, name order) so the ordering is total
+    * up to fully-identical rows. The reference stops at `_src_file`
+    * (`4. merge_core.sql:74-76`), which silently picks an arbitrary
+    * winner when one file carries the same key twice with different
+    * values; found by the permutation-determinism property test. */
+  def latestIngestWins(raw: DataFrame): DataFrame = {
+    val explicit = Seq("symbol", "trade_date", "_ingest_ts", "_src_file")
+    val rest = raw.columns.filterNot(explicit.contains).sorted
+      .map(c => col(c).desc).toSeq
     latestWins(raw, Seq("symbol", "trade_date"),
-      Seq(col("_ingest_ts").desc, col("_src_file").desc))
+      Seq(col("_ingest_ts").desc, col("_src_file").desc) ++ rest)
+  }
 }
