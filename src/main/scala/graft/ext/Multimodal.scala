@@ -27,14 +27,48 @@ object Multimodal {
   /** The decode contract a real codec implements. */
   trait Codec extends Serializable {
     def decode(payload: Array[Byte]): (Int, Int, Int) // (width, height, frames)
+    /** Re-encode at target dimensions. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Extract one frame by index. */
+    def frame(payload: Array[Byte], idx: Int): Array[Byte]
+    /** Dense feature vector (the embedding a vision/audio model yields). */
+    def features(payload: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** STUB: deterministic fake decode derived from the byte content only —
-    * stands in for a real image/audio decoder (none available here). */
+  /** STUB: deterministic fakes derived from the byte content only — stand
+    * in for a real image/audio decoder (none available here). Each output
+    * has the SHAPE a real codec produces (sizes, frame counts, unit-norm
+    * embeddings) and is a pure function of the payload, so tests can pin
+    * behavior. */
   object FakeCodec extends Codec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length.toLong
       (((n % 640) + 1).toInt, (((n * 7) % 480) + 1).toInt, ((n % 16) + 1).toInt)
+    }
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // deterministic w·h·3 "pixel" buffer seeded by content
+      val out = new Array[Byte](w * h * 3)
+      var seed = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+      var i = 0
+      while (i < out.length) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        out(i) = (seed >>> 56).toByte
+        i += 1
+      }
+      out
+    }
+    def frame(payload: Array[Byte], idx: Int): Array[Byte] = {
+      val (w, h, _) = decode(payload)
+      resize(payload :+ idx.toByte, math.min(w, 16), math.min(h, 16))
+    }
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      var seed = payload.foldLeft(-3750763034362895579L)((a, b) => (a ^ b) * 1099511628211L)
+      val v = Array.tabulate(dim) { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        ((seed >>> 40).toInt / 8388608.0f) - 1.0f
+      }
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)).toFloat
+      if (n == 0f) v else v.map(_ / n)
     }
   }
 
@@ -66,5 +100,45 @@ object Multimodal {
           MediaMeta(id, payload.length.toLong, sha, w, h, f)
         }
       }
+  }
+
+  /** Resize: (id, payload) → (id, resized payload, width, height). Narrow
+    * per-partition transform, 1 row in → 1 row out; the codec is
+    * instantiated once per partition, not per row. */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String, binCol: String,
+             w: Int, h: Int, codec: Codec = FakeCodec): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, codec.resize(p, w, h), w, h) })
+      .toDF(idCol, "payload", "width", "height")
+  }
+
+  /** Frame sampling: (id, payload) → one row per sampled frame
+    * (id, frame_idx, frame). 1 row in → ≤ maxFrames rows out via
+    * `flatMap` inside the partition iterator — the batch shape video
+    * pipelines need (no driver involvement, no shuffle). */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+                   binCol: String, everyN: Int, maxFrames: Int,
+                   codec: Codec = FakeCodec): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        val (_, _, nFrames) = codec.decode(p)
+        (0 until nFrames by everyN).take(maxFrames)
+          .map(i => (id, i, codec.frame(p, i)))
+      })
+      .toDF(idCol, "frame_idx", "frame")
+  }
+
+  /** Feature extraction: (id, payload) → (id, embedding array<float>) —
+    * the bridge from multimodal payloads into the [[Similarity]] ANN
+    * operators. Output embeddings are unit-norm, ready for cosine. */
+  def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                      binCol: String, dim: Int,
+                      codec: Codec = FakeCodec): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, codec.features(p, dim)) })
+      .toDF(idCol, "embedding")
   }
 }

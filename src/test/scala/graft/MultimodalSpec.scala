@@ -1,0 +1,65 @@
+package graft
+
+import graft.ext.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schemas, batch shapes, determinism, and the
+  * bridge into the similarity operators. The decode itself is the
+  * documented FakeCodec stub; what is under test is everything a real
+  * codec would plug into. */
+class MultimodalSpec extends SparkSpec {
+  private val docs = df(Seq(
+    (1L, "a small payload"),
+    (2L, "another, somewhat longer, binary payload body"),
+    (3L, "x")))
+    .toDF("id", "text")
+    .withColumn("payload", col("text").cast("binary"))
+
+  test("decodeMeta matches the expression path (mapPartitions ≡ codegen metadata)") {
+    val exprPath = Multimodal.metaColumns(docs, "id", "payload")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val partPath = Multimodal.decodeMeta(spark, docs, "id", "payload").toDF()
+      .select("id", "n_bytes", "sha256", "width", "height", "n_frames")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(exprPath == partPath)
+  }
+
+  test("resize emits w·h·3 bytes per row, deterministically") {
+    val out = Multimodal.resize(spark, docs, "id", "payload", 8, 4)
+    assert(out.columns.toSeq == Seq("id", "payload", "width", "height"))
+    assert(out.count() == 3)
+    val sizes = out.select(length(col("payload"))).collect().map(_.getInt(0)).toSet
+    assert(sizes == Set(8 * 4 * 3))
+    val a = out.orderBy("id").collect().map(r => r.getAs[Array[Byte]]("payload").toSeq)
+    val b = Multimodal.resize(spark, docs, "id", "payload", 8, 4)
+      .orderBy("id").collect().map(r => r.getAs[Array[Byte]]("payload").toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("frame sampling explodes to at most maxFrames rows per doc, stride everyN") {
+    val frames = Multimodal.sampleFrames(spark, docs, "id", "payload",
+      everyN = 2, maxFrames = 4)
+    assert(frames.columns.toSeq == Seq("id", "frame_idx", "frame"))
+    val byDoc = frames.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc n_frames = len % 16 + 1 → stride-2 capped at 4
+    val expect = docs.select(col("id"), length(col("payload"))).collect()
+      .map(r => r.getLong(0) ->
+        math.min((r.getInt(1) % 16 + 1 + 1) / 2, 4).toLong).toMap
+    assert(byDoc == expect)
+    assert(frames.select("frame_idx").collect().map(_.getInt(0)).forall(i => i % 2 == 0))
+  }
+
+  test("extracted features are unit-norm and feed the ANN operators end-to-end") {
+    val emb = Multimodal.extractFeatures(spark, docs, "id", "payload", dim = 16)
+    assert(emb.columns.toSeq == Seq("id", "embedding"))
+    val norms = emb.select(Similarity.norm(col("embedding"))).collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-6))
+    // payload → features → brute-force knn: the multimodal-to-similarity bridge
+    val knn = Similarity.bruteForceTopK(
+      emb.withColumnRenamed("id", "vec_id"),
+      emb.withColumnRenamed("id", "vec_id").filter(col("vec_id") === 1),
+      "vec_id", "embedding", 2)
+    assert(knn.count() == 2)
+  }
+}
