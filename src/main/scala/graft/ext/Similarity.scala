@@ -123,6 +123,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Per-centroid cosine scores against `nCentroids` LCG-derived coarse
+    * centroids (IVF's codebook, made deterministic and engine-portable —
+    * a trained k-means codebook drops in by replacing `w`). Element k =
+    * dot(v, c_k) / ‖c_k‖ — a monotone proxy for cosine since ‖v‖ is
+    * constant within a row. */
+  def centroidScores(emb: Column, nCentroids: Int, dim: Int,
+                     seedOffset: Long): Column =
+    transform(sequence(lit(0), lit(nCentroids - 1)), k => {
+      def w(j: Column): Column =
+        lcgUnit(lit(seedOffset) + k.cast("long") * dim + j.cast("long"))
+      val dotC = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x.cast("double") * w(j)),
+        lit(0.0), (acc, t) => acc + t)
+      val normC = sqrt(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, j) => acc + w(j) * w(j)))
+      dotC / normC
+    })
+
+  /** IVF-style approximate top-k: the second scale path next to
+    * [[lshTopK]]. Corpus vectors are assigned to their nearest coarse
+    * centroid (narrow, per-row); each query probes its `nProbe` best
+    * centroids; candidates are the corpus vectors in probed cells; exact
+    * cosine re-ranks. The plan is a broadcast hash join on the centroid
+    * id — at 100 TB the corpus side would additionally be PARTITIONED BY
+    * centroid so a probe prunes file partitions instead of scanning. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, k: Int,
+              nCentroids: Int, nProbe: Int, dim: Int,
+              seedOffset: Long = 100000L): DataFrame = {
+    val scores = centroidScores(col(embCol), nCentroids, dim, seedOffset)
+    // argmax with lowest-index tie-break: first position of the max score
+    val assigned = corpus
+      .withColumn("__scores", scores)
+      .withColumn("__centroid",
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
+      .drop("__scores")
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__score").desc, col("__centroid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("__qe"),
+        posexplode(scores).as(Seq("__centroid", "__score")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qe"), col("__centroid"))
+    val scored = assigned.join(broadcast(probes), Seq("__centroid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("__qe"), col(embCol)).as("sim"))
+      .distinct() // a neighbor can sit in several probed cells
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup over the WHOLE corpus (no query set):
     * candidate pairs share at least one LSH band; exact cosine confirms
     * against `minCosine`. The self-join on (band, band_key) replaces the

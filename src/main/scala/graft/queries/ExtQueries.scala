@@ -331,5 +331,51 @@ object ExtQueries {
             SELECT vec_a, vec_b, cos FROM scored
             WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""))
 
-  val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
+  /** Similarity search, IVF scale path: LCG coarse centroids, corpus
+    * assigned to nearest cell, queries probe their 4 best of 16 cells,
+    * exact cosine re-rank — see [[graft.ext.Similarity.ivfTopK]]. */
+  private val x13 = Q("x13_knn_ivf",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH sc AS (SELECT vec_id, embedding,
+                   list_transform(range(0,16), kk ->
+                     list_sum(list_transform(list_zip(embedding, range(0,64)),
+                       x -> CAST(x[1] AS DOUBLE) *
+                            (CAST((1103515245*(100000 + kk*64 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                             / 2147483648.0 * 2 - 1)))
+                     / sqrt(list_sum(list_transform(range(0,64), j ->
+                         (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                          / 2147483648.0 * 2 - 1)
+                         * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                            / 2147483648.0 * 2 - 1))))) AS scores
+                 FROM embeddings),
+                 assigned AS (SELECT vec_id, embedding,
+                                CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS centroid
+                              FROM sc),
+                 probes AS (SELECT query_id, qe, centroid FROM (
+                     SELECT vec_id AS query_id, embedding AS qe, CAST(j AS INT) AS centroid,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY scores[j+1] DESC, j) AS pr
+                     FROM sc, (SELECT unnest(range(0,16)) AS j)
+                     WHERE vec_id < 8)
+                   WHERE pr <= 4),
+                 scored AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
+                     list_sum(list_transform(list_zip(p.qe, a.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+                   FROM probes p JOIN assigned a
+                     ON a.centroid = p.centroid AND a.vec_id <> p.query_id),
+                 r AS (SELECT query_id, neighbor_id, sim,
+                         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+                       FROM scored)
+            SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
+            FROM r WHERE rn <= 5 ORDER BY query_id, rank"""))
+
+  val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
+    x11, x12, x13)
 }

@@ -152,6 +152,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ivf top-k: identical vector lands in the same cell and ranks first; no cartesian") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 8, dim = 4)
+    // probing ALL cells makes IVF exhaustive → must equal brute force
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3)
+    assert(out.orderBy("rank").collect().map(_.toSeq).toSeq ==
+      brute.orderBy("rank").collect().map(_.toSeq).toSeq)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("identical vectors always share every lsh bucket") {
     val bands = Similarity.bandedSignatures(vecs, "vec_id", "embedding", 4, 4, 4)
     val b0 = bands.filter(col("vec_id") === 0).select("band", "band_key")
