@@ -38,8 +38,12 @@ object Similarity {
 
   /** Cosine similarity with the exact operation sequence
     * `dot / (sqrt(na) * sqrt(nb))` — keep this shape mirrored in any
-    * oracle SQL so the IEEE rounding steps are identical. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+    * oracle SQL so the IEEE rounding steps are identical. Delegates to
+    * the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression (same fold order bit-for-bit; the HOF formulation
+    * `dot(a,b) / (norm(a) * norm(b))` is ~50× slower interpreted). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact cosine top-k of each query vector against the corpus.
     * `queries` must be small (it is broadcast); self-matches (same id)
