@@ -168,6 +168,42 @@ object AnalyticsQueries {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id"""))
 
+  /** W3+W4 composed — the dashboard's actual "liquidity rank 30 days"
+    * column (reference `dashboard/securities_market_report1.jpg` footer):
+    * per entity, the trailing-30-day rolling average of traded value at
+    * its LATEST event, ranked descending. Exact decimal rolling sums; the
+    * avg's single decimal→double division is engine-identical (values
+    * stay far below 2^53). */
+  private val q27 = Q("q27_liquidity_rank_30d",
+    (s, d) => {
+      val withDay = events(s, d).withColumn("day_num",
+        datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))))
+      val rolled = Analytics.rollingDays(withDay, "user_id", "day_num", "value", 30, "30d")
+      val latest = rolled.withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("sum_30d"), col("n_30d"),
+          (col("sum_30d").cast("double") / col("n_30d")).as("avg_30d"))
+      latest.withColumn("liq_rank",
+          rank().over(Window.orderBy(col("avg_30d").desc)).cast("int"))
+        .orderBy("user_id")
+    },
+    Some("""WITH r AS (SELECT user_id, event_id, ts,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_30d,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_30d
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+                              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)),
+                 l AS (SELECT user_id, sum_30d, n_30d,
+                         CAST(sum_30d AS DOUBLE) / n_30d AS avg_30d,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM r)
+            SELECT user_id, sum_30d, n_30d, avg_30d,
+                   CAST(rank() OVER (ORDER BY avg_30d DESC) AS INT) AS liq_rank
+            FROM l WHERE rn = 1 ORDER BY user_id"""))
+
   /** W4: rank with ties on a discrete measure (liquidity rank). */
   private val q24 = Q("q24_rank",
     (s, d) => events(s, d)
@@ -221,5 +257,5 @@ object AnalyticsQueries {
                    CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS INT) AS k
             FROM events ORDER BY event_id"""))
 
-  val qs: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+  val qs: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }

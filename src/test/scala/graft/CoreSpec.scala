@@ -141,6 +141,30 @@ class UpsertSpec extends SparkSpec {
   }
 }
 
+/** Salted skew join ≡ plain join, with the hot key spread over salts. */
+class SkewJoinSpec extends SparkSpec {
+  import graft.core.SkewJoin
+  private val large = df((1 to 200).map(i =>
+    (if (i <= 150) "HOT" else s"K$i", i.toLong))).toDF("k", "v")   // 75% one key
+  private val small = df(Seq(("HOT", "a"), ("K151", "b"), ("K160", "c"), ("MISS", "d")))
+    .toDF("k", "w")
+
+  test("salted inner join returns exactly the plain join's rows") {
+    val plain = large.join(small, Seq("k")).orderBy("k", "v").collect().map(_.toSeq).toSeq
+    val salted = SkewJoin.saltedInnerJoin(large, small, Seq("k"), saltFactor = 8)
+      .select(large.columns.map(col).toIndexedSeq :+ col("w"): _*)
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("the hot key actually spreads across salts") {
+    val salts = large.withColumn("__salt",
+        pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(8)).cast("int"))
+      .filter(col("k") === "HOT").select("__salt").distinct().count()
+    assert(salts > 4) // 150 distinct rows of one key → nearly all 8 salts hit
+  }
+}
+
 /** Q1 premerge invariant: est_inserts + est_updates = |distinct valid keys|
   * (reference `3. premerge_metrics.sql:45-49`). */
 class AuditSpec extends SparkSpec {
