@@ -164,8 +164,11 @@ class EodPipeline(spark: SparkSession, warehouseDir: String) {
     val target = new Path(tablePath)
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
-    ()
+    // rename signals failure via its return value, not an exception — an
+    // ignored false here would silently destroy the table we just deleted
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"rename $tmp -> $target failed; new table preserved at $tmp")
   }
 }
 

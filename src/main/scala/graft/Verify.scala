@@ -25,6 +25,10 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
         errors(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
+        // a stale dump from an earlier run must not pass as this run's output
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(s"$outDir/$name"), true)
+        ()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -143,12 +143,22 @@ object MinHash {
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int, nBands: Int,
                         minJaccard: Double): DataFrame = {
-    val hsets = shingleHashArrays(docs, idCol, textCol, shingleN)
-      .select(col(idCol), array_distinct(col("__hh")).as("__hset"))
-      .filter(size(col("__hset")) > 0)
+    val rowsPerBand = numHashes / nBands
+    // ONE shingle/hash pipeline feeds both the signature-band candidate
+    // generation and the exact hash-set confirms (persisted because it is
+    // consumed three times; evicted LRU — at warehouse scale this is the
+    // materialized signatures table)
+    val hashes = shingleHashArrays(docs, idCol, textCol, shingleN)
+      .filter(size(col("__hh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nearDupPairs(docs, idCol, textCol, shingleN, numHashes, nBands, minJaccard = 0.0)
-      .select(col("doc_a"), col("doc_b"))
+    val sigs = hashes.select(col(idCol), signature(col("__hh"), numHashes).as("__sig"))
+    val bands = bandedSignature(sigs, idCol, "__sig", nBands, rowsPerBand)
+    val pairs = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val hsets = hashes.select(col(idCol), array_distinct(col("__hh")).as("__hset"))
+    pairs
       .join(hsets.select(col(idCol).as("doc_a"), col("__hset").as("__ha")), "doc_a")
       .join(hsets.select(col(idCol).as("doc_b"), col("__hset").as("__hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

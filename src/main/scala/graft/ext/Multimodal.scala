@@ -120,6 +120,8 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
                    binCol: String, everyN: Int, maxFrames: Int,
                    codec: Codec = FakeCodec): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    require(maxFrames >= 0, s"maxFrames must be non-negative, got $maxFrames")
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>

@@ -32,10 +32,16 @@ object EodCsvSink {
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(tmp)
     val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val part = fs.globStatus(new Path(s"$tmp/part-*.csv"))(0).getPath
+    val parts = fs.globStatus(new Path(s"$tmp/part-*.csv"))
+    if (parts == null || parts.isEmpty)
+      throw new java.io.IOException(
+        s"no part file written under $tmp (no rows for $date?)")
     val target = new Path(finalPath)
     if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
+    // rename failure must surface BEFORE the tmp cleanup deletes the only copy
+    if (!fs.rename(parts(0).getPath, target))
+      throw new java.io.IOException(
+        s"rename ${parts(0).getPath} -> $target failed; file preserved in $tmp")
     fs.delete(new Path(tmp), true)
     finalPath
   }

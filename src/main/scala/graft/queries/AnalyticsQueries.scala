@@ -178,7 +178,9 @@ object AnalyticsQueries {
     (s, d) => {
       val withDay = events(s, d).withColumn("day_num",
         datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))))
-      val rolled = Analytics.rollingDays(withDay, "user_id", "day_num", "value", 30, "30d")
+      // 29 PRECEDING + current day = a true trailing 30-CALENDAR-DAY
+      // window (q21/q22 use 30 PRECEDING and honestly label it 31d)
+      val rolled = Analytics.rollingDays(withDay, "user_id", "day_num", "value", 29, "30d")
       val latest = rolled.withColumn("__rn", row_number().over(
           Window.partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)))
         .filter(col("__rn") === 1)
@@ -194,7 +196,7 @@ object AnalyticsQueries {
                  FROM events
                  WINDOW w AS (PARTITION BY user_id
                               ORDER BY CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
-                              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)),
+                              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)),
                  l AS (SELECT user_id, sum_30d, n_30d,
                          CAST(sum_30d AS DOUBLE) / n_30d AS avg_30d,
                          row_number() OVER (PARTITION BY user_id
@@ -238,7 +240,8 @@ object AnalyticsQueries {
                          CAST(SUM(CAST(CAST(m AS DECIMAL(19,0)) * m AS DECIMAL(33,0))) AS DECIMAL(33,0)) AS sx2
                   FROM r WHERE m IS NOT NULL GROUP BY user_id),
             v AS (SELECT user_id, n_rets,
-                         CAST(CAST(n_rets AS DECIMAL(4,0)) * sx2 - CAST(sx AS DECIMAL(19,0)) * sx AS HUGEINT) AS num
+                         CAST(n_rets AS HUGEINT) * CAST(sx2 AS HUGEINT)
+                           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS num
                   FROM g WHERE n_rets >= 2)
             SELECT user_id, n_rets,
                    sqrt((CAST(num // 1099511627776 AS DOUBLE) * 1099511627776.0 + CAST(num % 1099511627776 AS DOUBLE))

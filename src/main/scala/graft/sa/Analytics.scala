@@ -82,8 +82,12 @@ object Analytics {
         sum(col("__m")).cast(DecimalType(18, 0)).as("__sx"),
         sum((col("__m") * col("__m")).cast(DecimalType(33, 0))).cast(DecimalType(33, 0)).as("__sx2"))
       .filter(col("n_rets") >= 2)
+      // n as DECIMAL(10,0): groups up to 1e10 returns (DECIMAL(4,0) would
+      // overflow under ANSI at 10k rows/group — a 100 TB-scale cliff).
+      // The product's declared type caps at decimal(38,0); the VALUES stay
+      // exact (n·Σm² ≤ ~1e33 for |ret|·10⁶ ≤ 2e10 and n ≤ 1e6).
       .select(col(key), col("n_rets"),
-        (sqrt((col("n_rets").cast(DecimalType(4, 0)) * col("__sx2")
+        (sqrt((col("n_rets").cast(DecimalType(10, 0)) * col("__sx2")
             - col("__sx").cast(DecimalType(19, 0)) * col("__sx")).cast("double")
           / (col("n_rets") * (col("n_rets") - 1))) / lit(1000000.0)).as("vol"))
   }

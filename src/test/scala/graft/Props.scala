@@ -107,7 +107,7 @@ object PipelineProps extends Properties("pipeline") {
     }
 
   property("surrogate ids stay dense and unique across incremental merges") =
-    Prop.forAll(Gen.listOfN(3, Gen.someOf(symGen.sample.toList.flatMap(_ => Nil) ++
+    Prop.forAll(Gen.listOfN(3, Gen.someOf(
       List("AAPL", "MSFT", "GOOG", "NVDA", "IBM", "TSLA")))) { waves =>
       val s = spark
       import s.implicits._

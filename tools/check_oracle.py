@@ -18,7 +18,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # bit-exact: the engine's contract is identical IEEE doubles, and
+        # rounding here would mask drift the driver's hash compare catches
+        return v.hex()
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):
@@ -38,8 +40,15 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:
+        run_errors = json.load(open(f"{out_dir}/_errors.json"))
+    except Exception:
+        run_errors = {}
     fails, passes = [], []
     for name in sorted(oracle):
+        if name in run_errors:
+            fails.append((name, f"verify run error: {run_errors[name]}"))
+            continue
         sql = oracle[name]
         try:
             odf = con.execute(sql).fetch_arrow_table()
