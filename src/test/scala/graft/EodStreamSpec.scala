@@ -64,6 +64,22 @@ class EodStreamSpec extends SparkSpec {
     }
   }
 
+  test("maxFilesPerTrigger drains a backlog over several micro-batches to the same state") {
+    val bronze = Fixtures.tempDir("bronze").toString
+    val wh = Fixtures.tempDir("wh").toString
+    val ckpt = Fixtures.tempDir("ckpt").toString
+    Fixtures.writeStandard(bronze, "2026-08-10")
+    Fixtures.writeStandard(bronze, "2026-08-11")
+
+    // bound each micro-batch to one file → two cascades, two batches
+    EodStream.start(spark, s"$bronze/eod/*/*/*/*.csv", wh, ckpt, Some(ts1),
+        maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    val core = spark.read.parquet(s"$wh/${EodPipeline.CoreTable}")
+    assert(core.count() == 10)
+    assert(spark.read.parquet(s"$wh/${EodPipeline.FactTable}").count() == 10)
+  }
+
   test("one micro-batch spanning two dates runs one cascade per date") {
     val bronze = Fixtures.tempDir("bronze").toString
     val wh = Fixtures.tempDir("wh").toString
