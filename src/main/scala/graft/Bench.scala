@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness: runs every registered query twice and reports the
   * SECOND run's wall time, so JVM/codegen warm-up is not attributed to

@@ -1,6 +1,6 @@
 package graft.metrics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Pre/post-merge audit metrics (SURVEY.md §2.7 Q1/Q2; reference

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sa.Analytics
 import graft.util.Tables._
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._

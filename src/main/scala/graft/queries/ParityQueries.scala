@@ -2,9 +2,8 @@ package graft.queries
 
 import graft.core.{Dedup, Upsert}
 import graft.dim.{DimDate, DimSecurity}
-import graft.quality.Gates
 import graft.util.Tables._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
