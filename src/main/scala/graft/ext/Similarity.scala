@@ -158,12 +158,10 @@ object Similarity {
               nCentroids: Int, nProbe: Int, dim: Int,
               seedOffset: Long = 100000L): DataFrame = {
     val scores = centroidScores(col(embCol), nCentroids, dim, seedOffset)
-    // argmax with lowest-index tie-break: first position of the max score
-    val assigned = corpus
-      .withColumn("__scores", scores)
-      .withColumn("__centroid",
-        (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
-      .drop("__scores")
+    // corpus side: native codegen'd argmax (bit-identical to the HOF
+    // scores — see NearestCentroid); this is the row count that scales
+    val assigned = corpus.withColumn("__centroid",
+      graft.functions.NearestCentroid(col(embCol), nCentroids, dim, seedOffset))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("__score").desc, col("__centroid"))
     val probes = queries
