@@ -92,6 +92,17 @@ object Analytics {
           / (col("n_rets") * (col("n_rets") - 1))) / lit(1000000.0)).as("vol"))
   }
 
+  /** A7 scale path: approximate distinct counts via HLL++ sketches —
+    * the 100 TB replacement for exact countDistinct (which must shuffle
+    * every distinct value; the sketch is a few KB per group, merged
+    * map-side). Deterministic for fixed data (no randomness in HLL++),
+    * but sketch-dependent, so checked by error-bound tests rather than a
+    * cross-engine oracle. */
+  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    df.agg(
+      approx_count_distinct(col(cols.head), rsd).as(s"approx_${cols.head}"),
+      cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"approx_$c")): _*)
+
   /** A9: per-group share of total: exact decimal group sums, grand total
     * via an unpartitioned window sum (still exact), share in double. */
   def shareOfTotal(df: DataFrame, groupCol: String, revenue: Column): DataFrame = {

@@ -165,6 +165,23 @@ class SkewJoinSpec extends SparkSpec {
   }
 }
 
+/** A7 scale path: HLL++ approximate distinct counts within the rsd bound. */
+class ApproxDistinctSpec extends SparkSpec {
+  test("approx distinct is within the requested relative error of exact") {
+    val sf = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = li.select(
+        countDistinct(col("l_partkey")), countDistinct(col("l_orderkey")))
+      .collect().head
+    val approx = graft.sa.Analytics.approxDistinct(li, Seq("l_partkey", "l_orderkey"), 0.05)
+      .collect().head
+    Seq(0, 1).foreach { i =>
+      val (e, a) = (exact.getLong(i).toDouble, approx.getLong(i).toDouble)
+      assert(math.abs(a - e) / e < 0.15, s"col $i: approx $a vs exact $e") // 3× rsd
+    }
+  }
+}
+
 /** Q1 premerge invariant: est_inserts + est_updates = |distinct valid keys|
   * (reference `3. premerge_metrics.sql:45-49`). */
 class AuditSpec extends SparkSpec {
