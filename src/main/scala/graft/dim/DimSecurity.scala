@@ -44,4 +44,33 @@ object DimSecurity {
   def empty(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       graft.schema.Schemas.dimSecurity)
+
+  // Deterministic synthetic attribute vocabularies for [[enrich]] — in a
+  // live deployment these come from a reference-data feed; the dashboards
+  // only need the COLUMNS to exist with stable values.
+  private val Sectors = Seq("Technology", "Financials", "Health Care",
+    "Energy", "Industrials", "Consumer", "Utilities", "Materials")
+  private val Industries = Seq("Software", "Banks", "Pharma", "Oil & Gas",
+    "Machinery", "Retail", "Electric", "Chemicals", "Semiconductors",
+    "Insurance", "Biotech", "Mining")
+  private val Types = Seq("Equity", "ETF", "Unit")
+
+  /** Derive the dashboard's richer dimension columns
+    * ([[graft.schema.Schemas.dimSecurityRich]]) from the maintained
+    * (security_id, symbol) rows: pure deterministic expressions (crc32 of
+    * the symbol picks stable vocabulary entries), so enrichment is
+    * idempotent, engine-reproducible, and free to recompute. */
+  def enrich(dim: DataFrame): DataFrame = {
+    def pick(vocab: Seq[String], salt: String): org.apache.spark.sql.Column =
+      element_at(typedLit(vocab),
+        (pmod(crc32(concat(col("symbol"), lit(salt)).cast("binary")),
+          lit(vocab.size)) + 1).cast("int"))
+    dim
+      .withColumn("security_name", initcap(lower(col("symbol"))))
+      .withColumn("sector", pick(Sectors, "|sector"))
+      .withColumn("industry", pick(Industries, "|industry"))
+      .withColumn("security_type", pick(Types, "|type"))
+      .withColumn("is_watchlist",
+        pmod(crc32(concat(col("symbol"), lit("|wl")).cast("binary")), lit(5)) === 0)
+  }
 }

@@ -60,6 +60,21 @@ object Schemas {
     StructField("symbol", StringType)
   ))
 
+  /** The RICHER security dimension the reference's dashboards join on
+    * (name, sector, industry, security type, watchlist flag — visible in
+    * `dashboard/securities_market_report1.jpg` table headers/legends but
+    * maintained outside the repo's SQL; SURVEY.md §1.2 note). The engine
+    * models it so serving-layer queries have the columns; the MERGE
+    * maintains only (security_id, symbol) exactly as the reference does,
+    * and [[graft.dim.DimSecurity.enrich]] derives the rest. */
+  val dimSecurityRich: StructType = StructType(dimSecurity.fields ++ Seq(
+    StructField("security_name", StringType),
+    StructField("sector", StringType),
+    StructField("industry", StringType),
+    StructField("security_type", StringType),
+    StructField("is_watchlist", BooleanType)
+  ))
+
   /** Calendar dimension (reference `dags/sql/6. dm_dim_date.sql:19-30`).
     * day_of_week keeps the Snowflake convention 0=Sunday..6=Saturday
     * (the reference's own comment at `6. dm_dim_date.sql:28`). */

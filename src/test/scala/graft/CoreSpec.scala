@@ -165,6 +165,22 @@ class SkewJoinSpec extends SparkSpec {
   }
 }
 
+/** §1.2 richer dim: deterministic enrichment to the dashboard's columns. */
+class DimSecurityEnrichSpec extends SparkSpec {
+  import graft.dim.DimSecurity
+  test("enrich adds the dashboard columns, deterministically and idempotently") {
+    val dim = df(Seq((1L, "AAPL"), (2L, "MSFT"), (3L, "SPY"))).toDF("security_id", "symbol")
+    val rich = DimSecurity.enrich(dim)
+    assert(rich.schema.fieldNames.toSeq ==
+      graft.schema.Schemas.dimSecurityRich.fieldNames.toSeq)
+    val a = rich.orderBy("security_id").collect().map(_.toSeq).toSeq
+    val b = DimSecurity.enrich(dim).orderBy("security_id").collect().map(_.toSeq).toSeq
+    assert(a == b) // pure function of symbol
+    assert(rich.filter(col("sector").isNull || col("security_type").isNull).count() == 0)
+    assert(a.head(2) == "Aapl") // initcap name
+  }
+}
+
 /** A7 scale path: HLL++ approximate distinct counts within the rsd bound. */
 class ApproxDistinctSpec extends SparkSpec {
   test("approx distinct is within the requested relative error of exact") {
