@@ -1,13 +1,21 @@
 package graft
 
-/** Benchmark harness: runs every registered query twice and reports the
-  * SECOND run's wall time, so JVM/codegen warm-up is not attributed to
-  * whichever query happens to run first. A query that throws is reported
-  * with value -1 and its error in the `errors` map — never a fake timing.
+/** Benchmark harness: warms the JVM/codegen caches with a full pass over
+  * every query at a SMALL scale factor (sf0.001 by default — same code
+  * paths, same codegen cache keys, ~100× less data), then reports the
+  * measured pass at the target scale factor. A full-sized warm-up pass
+  * (round 2) doubled wall-clock to ~9 min and blew the driver's budget
+  * (BENCH_r02 rc=124); the small-SF warm-up keeps end-to-end under the
+  * budget while still keeping first-query JIT/codegen cost out of the
+  * measurements. Set SPARK_GRAFT_WARM_DIR="" to skip warm-up entirely, or
+  * point it at the target dir for the old two-pass behavior. A query that
+  * throws is reported with value -1 and its error in the `errors` map —
+  * never a fake timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.util.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,17 +26,17 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def once(name: String): Double = {
+    def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { SparkEntry.queries(name)(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
         -1.0
       }
     }
-    names.foreach(once(_)) // warm-up pass (JIT, codegen cache, FS cache)
+    if (warmDir.nonEmpty) names.foreach(once(_, warmDir)) // small-SF warm-up
     errors.clear()         // only the measured pass's errors are reported
-    val results = names.map(n => n -> once(n))
+    val results = names.map(n => n -> once(n, sfDir))
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }

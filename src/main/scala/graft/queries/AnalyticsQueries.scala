@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   */
 object AnalyticsQueries {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def dec32(c: Column): Column = c.cast(DecimalType(3, 2))
+  // Engine-proof quantizers — never a raw double→decimal cast in a
+  // checked query (Spark HALF_UP vs DuckDB HALF_EVEN; see Analytics.qdec2).
+  private def qdec2(c: Column): Column = Analytics.qdec2(c)
+  private def qdec32(c: Column): Column = Analytics.qdec32(c)
   private val one = lit(1).cast(DecimalType(3, 2))
 
   /** A1/A6/A8: pricing summary — grouped sums/averages/counts over exact
@@ -26,25 +28,25 @@ object AnalyticsQueries {
       .filter(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("2001-03-31")))
       .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (one - dec32(col("l_discount"))))
+        sum(qdec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(qdec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(qdec2(col("l_extendedprice")) * (one - qdec32(col("l_discount"))))
           .cast(DecimalType(38, 4)).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (one - dec32(col("l_discount"))) * (one + dec32(col("l_tax"))))
+        sum(qdec2(col("l_extendedprice")) * (one - qdec32(col("l_discount"))) * (one + qdec32(col("l_tax"))))
           .cast(DecimalType(38, 6)).as("sum_charge"),
-        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
-        (sum(dec32(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        (sum(qdec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(qdec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(qdec32(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("returnflag", "linestatus"),
-    Some("""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
-              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
-              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
-              CAST(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
+    Some(s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+              CAST(SUM(${Sql.qdec2("l_quantity")}) AS DECIMAL(38,2)) AS sum_qty,
+              CAST(SUM(${Sql.qdec2("l_extendedprice")}) AS DECIMAL(38,2)) AS sum_base_price,
+              CAST(SUM(${Sql.qdec2("l_extendedprice")} * (CAST(1 AS DECIMAL(3,2)) - ${Sql.qdec32("l_discount")})) AS DECIMAL(38,4)) AS sum_disc_price,
+              CAST(SUM(${Sql.qdec2("l_extendedprice")} * (CAST(1 AS DECIMAL(3,2)) - ${Sql.qdec32("l_discount")}) * (CAST(1 AS DECIMAL(3,2)) + ${Sql.qdec32("l_tax")})) AS DECIMAL(38,6)) AS sum_charge,
+              CAST(CAST(SUM(${Sql.qdec2("l_quantity")}) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+              CAST(CAST(SUM(${Sql.qdec2("l_extendedprice")}) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+              CAST(CAST(SUM(${Sql.qdec32("l_discount")}) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
               CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem
             WHERE CAST(l_shipdate AS DATE) <= DATE '2001-03-31'
@@ -59,12 +61,12 @@ object AnalyticsQueries {
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       Analytics.shareOfTotal(joined, "n_name",
-        dec2(col("l_extendedprice")) * (one - dec32(col("l_discount"))))
+        qdec2(col("l_extendedprice")) * (one - qdec32(col("l_discount"))))
         .orderBy("n_name")
     },
-    Some("""WITH r AS (
+    Some(s"""WITH r AS (
               SELECT n_name,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS rev
+                CAST(SUM(${Sql.qdec2("l_extendedprice")} * (CAST(1 AS DECIMAL(3,2)) - ${Sql.qdec32("l_discount")})) AS DECIMAL(38,4)) AS rev
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -90,10 +92,10 @@ object AnalyticsQueries {
     * tie-break. */
   private val q19 = Q("q19_top_n_global",
     (s, d) => orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"), qdec2(col("o_totalprice")).as("totalprice"))
       .orderBy(col("totalprice").desc, col("o_orderkey"))
       .limit(10),
-    Some("""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+    Some(s"""SELECT o_orderkey, o_custkey, ${Sql.qdec2("o_totalprice")} AS totalprice
             FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 10"""))
 
   /** W6 (per-group top-N): top 3 line items per return flag via
@@ -101,18 +103,18 @@ object AnalyticsQueries {
   private val q20 = Q("q20_top_n_per_group",
     (s, d) => {
       val w = Window.partitionBy("l_returnflag")
-        .orderBy(dec2(col("l_extendedprice")).desc, col("l_orderkey"), col("l_linenumber"))
+        .orderBy(qdec2(col("l_extendedprice")).desc, col("l_orderkey"), col("l_linenumber"))
       lineitem(s, d)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("l_returnflag").as("returnflag"), col("rnk"),
-          col("l_orderkey"), col("l_linenumber"), dec2(col("l_extendedprice")).as("price"))
+          col("l_orderkey"), col("l_linenumber"), qdec2(col("l_extendedprice")).as("price"))
         .orderBy("returnflag", "rnk")
     },
-    Some("""SELECT l_returnflag AS returnflag, rnk, l_orderkey, l_linenumber,
-                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    Some(s"""SELECT l_returnflag AS returnflag, rnk, l_orderkey, l_linenumber,
+                   ${Sql.qdec2("l_extendedprice")} AS price
             FROM (SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
-                    ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_orderkey, l_linenumber) AS INT) AS rnk
+                    ORDER BY ${Sql.qdec2("l_extendedprice")} DESC, l_orderkey, l_linenumber) AS INT) AS rnk
                   FROM lineitem)
             WHERE rnk <= 3 ORDER BY returnflag, rnk"""))
 
@@ -123,10 +125,10 @@ object AnalyticsQueries {
         Seq(col("ts"), col("event_id")), "value", 30, "30")
       .select(col("event_id"), col("user_id"), col("sum_30"), col("n_30"), col("avg_30"))
       .orderBy("event_id"),
-    Some("""SELECT event_id, user_id,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_30,
+    Some(s"""SELECT event_id, user_id,
+                   CAST(SUM(${Sql.qdec2("value")}) OVER w AS DECIMAL(38,2)) AS sum_30,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_30,
-                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS DOUBLE) AS avg_30
+                   CAST(CAST(SUM(${Sql.qdec2("value")}) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS DOUBLE) AS avg_30
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
@@ -143,9 +145,9 @@ object AnalyticsQueries {
           col("sum_31d"), col("n_31d"))
         .orderBy("event_id")
     },
-    Some("""SELECT event_id, user_id,
+    Some(s"""SELECT event_id, user_id,
                    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS day_num,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_31d,
+                   CAST(SUM(${Sql.qdec2("value")}) OVER w AS DECIMAL(38,2)) AS sum_31d,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_31d
             FROM events
             WINDOW w AS (PARTITION BY user_id
@@ -190,8 +192,8 @@ object AnalyticsQueries {
           rank().over(Window.orderBy(col("avg_30d").desc)).cast("int"))
         .orderBy("user_id")
     },
-    Some("""WITH r AS (SELECT user_id, event_id, ts,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_30d,
+    Some(s"""WITH r AS (SELECT user_id, event_id, ts,
+                   CAST(SUM(${Sql.qdec2("value")}) OVER w AS DECIMAL(38,2)) AS sum_30d,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_30d
                  FROM events
                  WINDOW w AS (PARTITION BY user_id

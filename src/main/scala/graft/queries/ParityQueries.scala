@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   */
 object ParityQueries {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  // Engine-proof quantizer — never a raw double→decimal cast in a
+  // checked query (Spark HALF_UP vs DuckDB HALF_EVEN; see Analytics.qdec2).
+  private def qdec2(c: Column): Column = graft.sa.Analytics.qdec2(c)
   private val cutoff = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
 
   /** S5/P4: typed scan with casts + required-field null filter
@@ -24,16 +26,16 @@ object ParityQueries {
     (s, d) => lineitem(s, d)
       .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
       .select(col("l_orderkey"), col("l_linenumber"),
-        dec2(col("l_quantity")).as("quantity"),
-        dec2(col("l_extendedprice")).as("price"),
+        qdec2(col("l_quantity")).as("quantity"),
+        qdec2(col("l_extendedprice")).as("price"),
         col("l_returnflag").as("returnflag"))
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
       // (11,785 dup pairs at sf0.01) — order by every output column so
       // the ordering is total up to fully-identical rows.
       .orderBy("l_orderkey", "l_linenumber", "quantity", "price", "returnflag"),
-    Some("""SELECT l_orderkey, l_linenumber,
-            CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
-            CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+    Some(s"""SELECT l_orderkey, l_linenumber,
+            ${Sql.qdec2("l_quantity")} AS quantity,
+            ${Sql.qdec2("l_extendedprice")} AS price,
             l_returnflag AS returnflag
             FROM lineitem
             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
@@ -167,7 +169,7 @@ object ParityQueries {
   private val q10 = Q("q10_merge_upsert",
     (s, d) => {
       val o = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
-        dec2(col("o_totalprice")).as("totalprice"),
+        qdec2(col("o_totalprice")).as("totalprice"),
         col("o_orderdate").cast("date").as("order_date"))
       def latest(df: DataFrame) = Dedup.latestWins(df, Seq("o_custkey"),
         Seq(col("order_date").desc, col("o_orderkey").desc))
@@ -175,8 +177,8 @@ object ParityQueries {
       val source = latest(o.filter(col("order_date") >= lit(java.sql.Date.valueOf("1998-01-01"))))
       Upsert.merge(target, source, Seq("o_custkey")).orderBy("o_custkey")
     },
-    Some("""WITH o AS (SELECT o_custkey, o_orderkey,
-                  CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+    Some(s"""WITH o AS (SELECT o_custkey, o_orderkey,
+                  ${Sql.qdec2("o_totalprice")} AS totalprice,
                   CAST(o_orderdate AS DATE) AS order_date FROM orders),
             t AS (SELECT o_custkey, o_orderkey, totalprice, order_date FROM
                    (SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -248,14 +250,14 @@ object ParityQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("c_custkey"),
           col("n_name"),
           DimDate.dateSk(col("o_orderdate").cast("date")).as("date_sk"),
-          dec2(col("l_extendedprice")).as("price"))
+          qdec2(col("l_extendedprice")).as("price"))
         // total order up to identical rows — see q01 note
         .orderBy("l_orderkey", "l_linenumber", "c_custkey", "n_name", "date_sk", "price")
     },
-    Some("""SELECT l_orderkey, l_linenumber, c_custkey, n_name,
+    Some(s"""SELECT l_orderkey, l_linenumber, c_custkey, n_name,
                    CAST(year(CAST(o_orderdate AS DATE))*10000 + month(CAST(o_orderdate AS DATE))*100
                         + day(CAST(o_orderdate AS DATE)) AS INT) AS date_sk,
-                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+                   ${Sql.qdec2("l_extendedprice")} AS price
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey

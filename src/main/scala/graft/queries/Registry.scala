@@ -21,6 +21,23 @@ final case class Q(name: String,
                    fn: (SparkSession, String) => DataFrame,
                    oracle: Option[String])
 
+/** DuckDB-SQL twins of the engine-proof quantizers in
+  * [[graft.sa.Analytics]] — interpolated into oracle texts so the Spark
+  * and oracle sides can never drift. See [[graft.sa.Analytics.qdec2]]
+  * for why checked queries must not cast fractional doubles to decimal.
+  */
+object Sql {
+  /** floor(x·100)·0.01 as DECIMAL(18,2) — twin of `Analytics.qdec2`.
+    * `floor` of a double is an integer-valued double, so the inner
+    * decimal cast is exact (no rounding mode exercised). */
+  def qdec2(x: String): String =
+    s"CAST(CAST(floor(($x) * 100) AS DECIMAL(16,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2))"
+
+  /** Twin of `Analytics.qdec32` (rates in [0,1] → DECIMAL(3,2)). */
+  def qdec32(x: String): String =
+    s"CAST(CAST(floor(($x) * 100) AS DECIMAL(3,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(3,2))"
+}
+
 object Registry {
   lazy val all: Seq[Q] = ParityQueries.qs ++ AnalyticsQueries.qs ++ ExtQueries.qs
 

@@ -19,13 +19,33 @@ import org.apache.spark.sql.types._
   */
 object Analytics {
 
-  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Engine-proof DOUBLE → DECIMAL(18,2) quantization. A direct
+    * `CAST(double AS DECIMAL)` rounds half-way values HALF_UP in Spark
+    * but HALF_EVEN in (some versions of) DuckDB, so checked queries must
+    * never cast a fractional double to decimal. Instead: `floor(x·100)`
+    * (tie-free, bit-identical on every engine — the multiply is one IEEE
+    * op and floor of a double is exact), carried as an exact integer
+    * decimal and scaled by the exact literal 0.01 — integer-only decimal
+    * arithmetic end-to-end, so no rounding mode is ever exercised. Same
+    * pattern as [[volatility]]'s `floor(ret·10⁶)`, which is the one
+    * formulation that has passed the driver gate across engine versions.
+    * Oracle-SQL twin: [[graft.queries.Sql.qdec2]].
+    */
+  def qdec2(c: Column): Column =
+    (floor(c * 100).cast(DecimalType(16, 0)) * lit(new java.math.BigDecimal("0.01")))
+      .cast(DecimalType(18, 2))
+
+  /** [[qdec2]] for small rates (discount/tax ∈ [0,1]) → DECIMAL(3,2).
+    * Oracle-SQL twin: [[graft.queries.Sql.qdec32]]. */
+  def qdec32(c: Column): Column =
+    (floor(c * 100).cast(DecimalType(3, 0)) * lit(new java.math.BigDecimal("0.01")))
+      .cast(DecimalType(3, 2))
 
   /** W3: trailing N-row rolling sum/count/avg of `valueCol` per key. */
   def rollingRows(df: DataFrame, key: String, order: Seq[Column],
                   valueCol: String, n: Int, prefix: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(order: _*).rowsBetween(-(n - 1), 0)
-    df.withColumn(s"sum_$prefix", sum(dec2(col(valueCol))).over(w).cast(DecimalType(38, 2)))
+    df.withColumn(s"sum_$prefix", sum(qdec2(col(valueCol))).over(w).cast(DecimalType(38, 2)))
       .withColumn(s"n_$prefix", count(lit(1)).over(w))
       .withColumn(s"avg_$prefix",
         col(s"sum_$prefix").cast("double") / col(s"n_$prefix"))
@@ -38,7 +58,7 @@ object Analytics {
                   valueCol: String, days: Int, prefix: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(dayNumCol))
       .rangeBetween(-days, 0)
-    df.withColumn(s"sum_$prefix", sum(dec2(col(valueCol))).over(w).cast(DecimalType(38, 2)))
+    df.withColumn(s"sum_$prefix", sum(qdec2(col(valueCol))).over(w).cast(DecimalType(38, 2)))
       .withColumn(s"n_$prefix", count(lit(1)).over(w))
   }
 

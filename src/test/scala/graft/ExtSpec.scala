@@ -58,6 +58,20 @@ class MinHashSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("native MinHashSig expression is bit-identical to the HOF formulation") {
+    val both = MinHash.shingleHashArrays(docs, "doc_id", "text", 3)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("__hh"), 16).as("native"),
+        MinHash.signature(col("__hh"), 16).as("hof"))
+      .collect()
+    assert(both.length == docs.count())
+    both.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch for doc ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"sig mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("exact jaccard confirms candidates: exact dup = 1.0, near dup in (0.8, 1)") {
     val pairs = MinHash.exactJaccardPairs(docs, "doc_id", "text", 3, 16, 4, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -93,6 +107,20 @@ class SimHashSpec extends SparkSpec {
     assert(a.forall { case (_, f) => f >= 0L && f < (1L << 60) })
     assert(a == fps(df(docs.collect().reverse.map(r => (r.getLong(0), r.getString(1))).toSeq)
       .toDF("doc_id", "text")))
+  }
+
+  test("native SimHash60 expression is bit-identical to the HOF formulation") {
+    val both = MinHash.shingleHashArrays(docs, "doc_id", "text", 3)
+      .select(col("doc_id"),
+        graft.functions.SimHash60(col("__hh")).as("native"),
+        SimHash.simhash(col("__hh")).as("hof"))
+      .collect()
+    assert(both.length == docs.count())
+    both.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch for doc ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2), s"fingerprint mismatch for doc ${r.getLong(0)}")
+    }
   }
 
   test("banding is exhaustive for hamming <= 3: flipping 3 bits still pairs") {
