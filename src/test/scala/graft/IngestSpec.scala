@@ -1,7 +1,7 @@
 package graft
 
-import graft.ingest.{EodCsvSink, EodCsvSource, TradingDay}
-import graft.metrics.{Audit, PostMergeMetrics, PreMergeMetrics}
+import graft.ingest.{EodCsvSink, EodCsvSource, RestEodSource, TradingDay}
+import graft.metrics.{Audit, PostMergeMetrics, PreMergeMetrics, SlackSink}
 import graft.quality.{GateFailed, Gates}
 import org.apache.spark.sql.functions._
 import java.sql.Date
@@ -37,6 +37,60 @@ class TradingDaySpec extends SparkSpec {
   }
 }
 
+/** S1 REST extract seam: resolve-and-fetch walk-back, JSON→typed rows,
+  * end-to-end staging through the CSV sink. No network IO — the fetch is
+  * a canned-body function, as the seam is designed for. */
+class RestEodSourceSpec extends SparkSpec {
+  private val today = LocalDate.of(2026, 8, 10)
+  private val body =
+    """{"queryCount": 3, "resultsCount": 2, "adjusted": true, "results": [
+      |  {"T": "AAPL", "v": 51234567, "vw": 232.12, "o": 231.15, "c": 233.1,
+      |   "h": 233.9, "l": 230.4, "t": 1754856000000, "n": 100},
+      |  {"T": "MSFT", "v": 23456789, "o": 410.0, "c": 411.8, "h": 412.5, "l": 408.2}
+      |], "status": "OK"}""".stripMargin
+  private val dry = """{"queryCount": 0, "resultsCount": 0, "results": [], "status": "OK"}"""
+
+  test("walks back past dry days and fetches each date at most once") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[LocalDate]
+    val got = RestEodSource.resolveAndFetch(today, 10) { d =>
+      calls += d
+      if (d == today.minusDays(2)) Some(body)
+      else if (d == today) Some(dry)
+      else throw new RuntimeException("HTTP 500") // request failure → continue
+    }
+    assert(got.map(_.tradingDate).contains(today.minusDays(2)))
+    assert(got.exists(_.body == body))
+    assert(calls.toSeq == calls.distinct.toSeq, "each date fetched at most once")
+    assert(RestEodSource.resolveAndFetch(today, 2)(_ => Some(dry)).isEmpty)
+  }
+
+  test("parses T,o,h,l,c,v to the bronze layout with exact decimals") {
+    val rows = RestEodSource.parse(spark, today, body)
+    assert(rows.columns.toSeq == EodCsvSink.Columns)
+    val aapl = rows.filter(col("symbol") === "AAPL").collect().head
+    assert(aapl.getDate(0) == Date.valueOf("2026-08-10"))
+    assert(aapl.getDecimal(2).compareTo(new java.math.BigDecimal("231.15")) == 0) // o→open
+    assert(aapl.getDecimal(3).compareTo(new java.math.BigDecimal("233.9")) == 0)  // h→high
+    assert(aapl.getDecimal(4).compareTo(new java.math.BigDecimal("230.4")) == 0)  // l→low
+    assert(aapl.getDecimal(5).compareTo(new java.math.BigDecimal("233.1")) == 0)  // c→close
+    assert(aapl.getDecimal(6).longValueExact() == 51234567L)                      // v→volume
+  }
+
+  test("extract stages the resolved day as the pipeline's bronze CSV") {
+    val base = Fixtures.tempDir("rest").toString
+    val got = RestEodSource.extract(spark, base, today, 10)(d =>
+      if (d == today.minusDays(3)) Some(body) else Some(dry))
+    val (d, path) = got.get
+    assert(d == today.minusDays(3))
+    assert(path.endsWith("/eod/2026/08/07/eod_prices_2026-08-07.csv"))
+    val back = EodCsvSource.read(spark, path,
+      Some(java.sql.Timestamp.valueOf("2026-08-07 21:05:00")))
+    assert(back.count() == 2)
+    assert(back.select("trade_date").distinct().collect()
+      .head.getDate(0) == Date.valueOf("2026-08-07"))
+  }
+}
+
 /** S3/S8 CSV sink ↔ S5 source round-trip + S9 file gate + Q3 formatter. */
 class SinkGateSummarySpec extends SparkSpec {
   private val d1 = Date.valueOf("2026-08-10")
@@ -66,6 +120,43 @@ class SinkGateSummarySpec extends SparkSpec {
     intercept[GateFailed] {
       Gates.requireFileExists(spark, "/tmp/definitely/not/here.csv")
     }
+  }
+
+  test("slack sink: payload shape, missing-url and transport-failure semantics") {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val url = SlackSink.webhookUrl("https", "hooks.slack.com/services", "T00/B00/secret")
+    assert(url == "https://hooks.slack.com/services/T00/B00/secret")
+
+    val sink = SlackSink.viaTransport(Some(url), (u, b) => sent += (u -> b))
+    assert(sink.post("line1\nwith \"quotes\""))
+    assert(sent.size == 1 && sent.head._1 == url)
+    assert(sent.head._2 == """{"text": "line1\nwith \"quotes\""}""")
+
+    // missing URL → false without a send (slack_utils.py:39-42)
+    assert(!SlackSink.viaTransport(None, (_, _) => fail("must not send")).post("x"))
+    // transport exception → false (slack_utils.py:46-48)
+    assert(!SlackSink.viaTransport(Some(url),
+      (_, _) => throw new RuntimeException("timeout")).post("x"))
+  }
+
+  test("failure-callback message matches the reference shape; error truncated to 300") {
+    val m = SlackSink.failureMessage("get_securities_data", "merge_core",
+      "manual__2026-08-10", "x" * 400, "https://airflow/logs/1")
+    assert(m.startsWith(":x: *Airflow task failed*\n"))
+    assert(m.contains("• DAG: `get_securities_data`  • Task: `merge_core`\n"))
+    assert(m.contains("• Run: `manual__2026-08-10`\n"))
+    assert(m.contains("• Error: `" + "x" * 300 + "`\n"))
+    assert(m.endsWith("• <https://airflow/logs/1|Logs>"))
+    // no log URL → no Logs line (the reference's conditional suffix)
+    assert(!SlackSink.failureMessage("d", "t", "r", "e").contains("|Logs>"))
+  }
+
+  test("postSummary posts the Q3 summary through the sink") {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sink = SlackSink.viaTransport(Some("u"), (_, b) => sent += b)
+    assert(SlackSink.postSummary(sink, d1,
+      Some(PreMergeMetrics(12345, 10, 6000, 227)), None))
+    assert(sent.head.contains("*EOD Summary*") && sent.head.contains("12,345"))
   }
 
   test("summary formatter renders the reference's message shape, bug-free on empties") {
