@@ -1,7 +1,6 @@
 package graft.dim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Surrogate-key security dimension maintenance (SURVEY.md §2.3 A4,
@@ -16,13 +15,41 @@ import org.apache.spark.sql.functions._
   *      ordered, gap-free (`:27`). NOT `monotonically_increasing_id` (that
   *      is non-dense and would violate the reference's id semantics).
   *
-  * Scale: the global ROW_NUMBER is a single-partition sort, fine at dim
-  * cardinality (~12k symbols in the reference). If the *daily delta* of
-  * new keys ever approached RAW scale, switch to the two-pass
-  * per-partition-count + offset (zipWithIndex-shaped) assigner; the dense
-  * ordered contract is preserved either way.
+  * Scale: id assignment runs through [[assignDenseIds]] — a two-pass
+  * per-partition-count + offset (zipWithIndex-shaped) assigner over
+  * range-partitioned sorted keys, so no single-partition global sort even
+  * when the daily delta of new keys approaches RAW scale. It produces
+  * EXACTLY the values of `ROW_NUMBER() OVER (ORDER BY symbol) + base − 1`
+  * (property-pinned in DimSecuritySpec, incl. at 10⁵ keys); the window
+  * formulation remains the W2 semantic reference (q08).
   */
 object DimSecurity {
+
+  /** Dense ordered id assignment at scale: ids `base, base+1, …` in
+    * `keyCol` order. Two passes, no global single-partition sort:
+    *   1. `repartitionByRange(keyCol).sortWithinPartitions(keyCol)` — a
+    *      range shuffle, so partition p's keys all precede partition
+    *      p+1's and each partition is internally sorted (Spark's binary
+    *      UTF8String ordering, identical to the window formulation's);
+    *   2. `zipWithIndex` — one job counting rows per partition, then a
+    *      narrow map adding each partition's cumulative offset.
+    * Equivalent to `row_number() OVER (ORDER BY keyCol) + base − 1` for
+    * distinct keys, but parallel: the sort is distributed and the only
+    * driver-side state is one count per partition. */
+  def assignDenseIds(keys: DataFrame, base: Long, keyCol: String = "symbol"): DataFrame = {
+    val spark = keys.sparkSession
+    val sorted = keys.select(col(keyCol))
+      .repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("security_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.StringType)))
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(base + i, r.getString(0))
+    }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** Merge new symbols into an existing (security_id, symbol) dim. */
   def merge(dim: DataFrame, incomingSymbols: DataFrame, symbolCol: String = "symbol"): DataFrame = {
@@ -33,11 +60,7 @@ object DimSecurity {
       .filter(col("symbol").isNotNull && col("symbol") =!= "")
       .distinct()
     val newSymbols = normalized.join(dim.select("symbol"), Seq("symbol"), "left_anti")
-    val w = Window.orderBy(col("symbol"))
-    val assigned = newSymbols.select(
-      (row_number().over(w) + lit(nextId - 1L)).cast("long").as("security_id"),
-      col("symbol"))
-    dim.unionByName(assigned)
+    dim.unionByName(assignDenseIds(newSymbols, nextId))
   }
 
   /** An empty dim with the right schema, to bootstrap a warehouse. */

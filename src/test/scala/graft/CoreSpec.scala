@@ -166,6 +166,26 @@ class SkewJoinSpec extends SparkSpec {
 }
 
 /** §1.2 richer dim: deterministic enrichment to the dashboard's columns. */
+/** W2 scale path: the two-pass zipWithIndex-shaped assigner must produce
+  * exactly the window formulation's ids at a cardinality where the
+  * single-partition sort would be the bottleneck. */
+class DimSecurityAssignSpec extends SparkSpec {
+  test("assignDenseIds matches window row_number bit-for-bit at 100k keys") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 100000L
+    val keys = spark.range(n)
+      .select(concat(lit("SYM"), md5(col("id").cast("string"))).as("symbol"))
+    val a = graft.dim.DimSecurity.assignDenseIds(keys, 1L)
+    val w = keys.select(
+      row_number().over(Window.orderBy("symbol")).cast("long").as("security_id"),
+      col("symbol"))
+    assert(a.exceptAll(w).isEmpty && w.exceptAll(a).isEmpty)
+    val stats = a.agg(min("security_id"), max("security_id"),
+      countDistinct("security_id")).collect().head
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == n && stats.getLong(2) == n)
+  }
+}
+
 class DimSecurityEnrichSpec extends SparkSpec {
   import graft.dim.DimSecurity
   test("enrich adds the dashboard columns, deterministically and idempotently") {

@@ -106,6 +106,21 @@ object PipelineProps extends Properties("pipeline") {
         once.count() == once.select("k1", "k2").distinct().count()
     }
 
+  property("assignDenseIds equals the window formulation on arbitrary key sets") =
+    Prop.forAll(Gen.listOf(Gen.resize(8, Gen.alphaNumStr).suchThat(_.nonEmpty)),
+                Gen.chooseNum(1L, 1000L)) { (keys, base) =>
+      val s = spark
+      import s.implicits._
+      val df = keys.distinct.toDF("symbol")
+      val a = DimSecurity.assignDenseIds(df, base)
+      val w = df.select(
+        (org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("symbol")) + base - 1)
+          .cast("long").as("security_id"),
+        org.apache.spark.sql.functions.col("symbol"))
+      a.exceptAll(w).isEmpty && w.exceptAll(a).isEmpty
+    }
+
   property("surrogate ids stay dense and unique across incremental merges") =
     Prop.forAll(Gen.listOfN(3, Gen.someOf(
       List("AAPL", "MSFT", "GOOG", "NVDA", "IBM", "TSLA")))) { waves =>
