@@ -1,0 +1,140 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.EodPipeline
+import org.apache.spark.sql.functions._
+
+/** End-to-end cascade check (SURVEY.md §3.1; M2/M5 through the PIPELINE
+  * code path, not the operator proxies): two bronze files with
+  * overlapping keys for one trading date run through the REAL
+  * `EodPipeline` cascade (typed scan → load history → reject split →
+  * normalize → latest-wins dedup → CORE upsert → dim merges → fact
+  * build), and the resulting fact partition is compared against a DuckDB
+  * oracle that replicates the whole composition from the same literal
+  * rows (reference `4. merge_core.sql` + `5. merge_dim_security.sql` +
+  * `7. merge_fact_daily_price.sql`).
+  *
+  * The fixture is self-contained (the query writes its two bronze CSVs
+  * to a fresh temp dir and runs the pipeline against a temp warehouse —
+  * driver-side setup IO, one date's slice, exactly the per-day envelope
+  * the reference runs at). Rows exercise: duplicate key in one file
+  * (dedup tie broken by the rest-columns ordering), case/whitespace
+  * symbol variants (normalization), a null-volume row (three-valued
+  * split: neither CORE nor reject), negative volumes (reject), an
+  * overlapping-key second file (upsert source-wins), and a brand-new
+  * symbol in file 2 (dim id continues from MAX). `load_ts` is excluded
+  * from the checked columns (lineage, nondeterministic by design —
+  * SURVEY.md §2.5 note).
+  */
+object PipelineQueries {
+
+  private val D = "1997-06-15"
+  private val header = "trade_date,symbol,open,high,low,close,volume"
+
+  /** File 1: clean rows + dup key + case variants + null volume + two of
+    * the reference's verbatim fault rows (`eod_data_downloader.py:65-76`). */
+  private val file1Rows = Seq(
+    s"$D,AAPL,231.15,233.90,230.40,233.10,51234567",
+    s"$D,MSFT,410.00,412.50,408.20,411.80,23456789",
+    s"$D,GOOG,138.50,139.90,137.80,139.20,18765432",
+    s"$D,NVDA,1140.00,1152.00,1133.00,1149.50,34567890",
+    s"$D,IBM,186.00,188.00,185.00,187.50,7654321",
+    s"$D,AAPL,230.00,232.00,229.00,231.00,50000000", // dup key, same file
+    s"$D, msft ,409.00,411.00,407.00,410.00,23000000", // normalizes to MSFT
+    s"$D,TSLA,252.00,258.00,251.00,257.00,",            // null volume: neither branch
+    s"$D,AAPL_X,192.3,195.6,191.8,194.1,-1500000",      // reject
+    s"$D,GOOGL_X,138.2,140.5,137.6,139.8,-980000")      // reject
+
+  /** File 2, same date: updates for AAPL/MSFT, a new symbol, a reject. */
+  private val file2Rows = Seq(
+    s"$D,AAPL,232.00,234.50,231.00,234.00,52000000",
+    s"$D,MSFT,411.00,413.00,409.00,412.00,24000000",
+    s"$D,ORCL,55.10,56.20,54.80,56.00,9876543",
+    s"$D,BAD_X,10.00,11.00,9.00,10.50,-1000")           // reject
+
+  private val q28 = Q("q28_pipeline_cascade",
+    (s, _) => {
+      val tmp = Files.createTempDirectory("graft_q28_")
+      def write(name: String, rows: Seq[String]): String = {
+        val f = tmp.resolve(name)
+        Files.writeString(f, (header +: rows).mkString("\n"))
+        f.toString
+      }
+      val f1 = write(s"eod_prices_$D.csv", file1Rows)
+      val f2 = write(s"eod_prices_${D}_v2.csv", file2Rows)
+      val p = new EodPipeline(s, tmp.resolve("wh").toString)
+      val date = java.sql.Date.valueOf(D)
+      p.run(f1, date, Some(java.sql.Timestamp.valueOf(s"$D 21:00:00")))
+      p.run(f2, date, Some(java.sql.Timestamp.valueOf(s"$D 22:00:00")))
+      val fact = s.read.parquet(tmp.resolve("wh/" + EodPipeline.FactTable).toString)
+      val dim = s.read.parquet(tmp.resolve("wh/" + EodPipeline.DimSecurityTable).toString)
+      fact.join(broadcast(dim), "security_id")
+        .select(col("security_id"), col("symbol"), col("date_sk"),
+          col("trade_date"), col("open"), col("high"), col("low"),
+          col("close"), col("volume"))
+        .orderBy("symbol")
+    },
+    // The same cascade in DuckDB SQL from the same literal rows. The
+    // within-file dedup ordering is Dedup.latestIngestWins's total order:
+    // (_ingest_ts, _src_file) are constant within a file, so the
+    // effective tie-break is the remaining columns descending in name
+    // order: close, high, low, open, volume.
+    Some(s"""WITH f1(symbol, open, high, low, close, volume) AS (VALUES
+              ('AAPL','231.15','233.90','230.40','233.10','51234567'),
+              ('MSFT','410.00','412.50','408.20','411.80','23456789'),
+              ('GOOG','138.50','139.90','137.80','139.20','18765432'),
+              ('NVDA','1140.00','1152.00','1133.00','1149.50','34567890'),
+              ('IBM','186.00','188.00','185.00','187.50','7654321'),
+              ('AAPL','230.00','232.00','229.00','231.00','50000000'),
+              (' msft ','409.00','411.00','407.00','410.00','23000000'),
+              ('TSLA','252.00','258.00','251.00','257.00',NULL),
+              ('AAPL_X','192.3','195.6','191.8','194.1','-1500000'),
+              ('GOOGL_X','138.2','140.5','137.6','139.8','-980000')),
+            f2(symbol, open, high, low, close, volume) AS (VALUES
+              ('AAPL','232.00','234.50','231.00','234.00','52000000'),
+              ('MSFT','411.00','413.00','409.00','412.00','24000000'),
+              ('ORCL','55.10','56.20','54.80','56.00','9876543'),
+              ('BAD_X','10.00','11.00','9.00','10.50','-1000')),
+            t1 AS (SELECT upper(trim(symbol)) AS symbol,
+                          CAST(open AS DECIMAL(18,6)) AS open,
+                          CAST(high AS DECIMAL(18,6)) AS high,
+                          CAST(low AS DECIMAL(18,6)) AS low,
+                          CAST(close AS DECIMAL(18,6)) AS close,
+                          CAST(volume AS DECIMAL(38,0)) AS volume
+                   FROM f1 WHERE CAST(volume AS DECIMAL(38,0)) >= 0),
+            t2 AS (SELECT upper(trim(symbol)) AS symbol,
+                          CAST(open AS DECIMAL(18,6)) AS open,
+                          CAST(high AS DECIMAL(18,6)) AS high,
+                          CAST(low AS DECIMAL(18,6)) AS low,
+                          CAST(close AS DECIMAL(18,6)) AS close,
+                          CAST(volume AS DECIMAL(38,0)) AS volume
+                   FROM f2 WHERE CAST(volume AS DECIMAL(38,0)) >= 0),
+            d1 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY symbol
+                     ORDER BY close DESC, high DESC, low DESC, open DESC, volume DESC) AS rn
+                   FROM t1) WHERE rn = 1),
+            d2 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY symbol
+                     ORDER BY close DESC, high DESC, low DESC, open DESC, volume DESC) AS rn
+                   FROM t2) WHERE rn = 1),
+            core AS (SELECT symbol, open, high, low, close, volume FROM d2
+                     UNION ALL
+                     SELECT symbol, open, high, low, close, volume FROM d1
+                     WHERE symbol NOT IN (SELECT symbol FROM d2)),
+            dim1 AS (SELECT CAST(row_number() OVER (ORDER BY symbol) AS BIGINT) AS security_id,
+                            symbol
+                     FROM (SELECT DISTINCT symbol FROM d1)),
+            dim2 AS (SELECT security_id, symbol FROM dim1
+                     UNION ALL
+                     SELECT CAST(row_number() OVER (ORDER BY symbol)
+                              + (SELECT max(security_id) FROM dim1) AS BIGINT), symbol
+                     FROM (SELECT DISTINCT symbol FROM d2
+                           WHERE symbol NOT IN (SELECT symbol FROM dim1)))
+            SELECT dim2.security_id, core.symbol,
+                   CAST(19970615 AS INT) AS date_sk,
+                   DATE '$D' AS trade_date,
+                   core.open, core.high, core.low, core.close, core.volume
+            FROM core JOIN dim2 ON core.symbol = dim2.symbol
+            ORDER BY core.symbol"""))
+
+  val qs: Seq[Q] = Seq(q28)
+}
