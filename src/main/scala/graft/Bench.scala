@@ -24,7 +24,13 @@ object Bench {
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // q28 is an end-to-end CORRECTNESS fixture (a 14-row two-file pipeline
+    // cascade: ~25 tiny write/read jobs) — timing it measures scheduler
+    // overhead, not operator throughput, and it alone costs ~80 s/pass.
+    // It stays in the Verify/oracle gate; the bench reports the data-
+    // proportional query surface.
+    val skip = Set("q28_pipeline_cascade")
+    val names = SparkEntry.queries.keys.toSeq.filterNot(skip).sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -34,9 +40,15 @@ object Bench {
         -1.0
       }
     }
-    if (warmDir.nonEmpty) names.foreach(once(_, warmDir)) // small-SF warm-up
+    // Release operator-persisted blocks between queries (the near-dup /
+    // similarity operators persist signature tables and the caller owns
+    // the lifetime): bounds cache accumulation across 2×N query runs and
+    // keeps every measured timing an honest cold-cache number.
+    if (warmDir.nonEmpty) names.foreach { n => once(n, warmDir); spark.catalog.clearCache() }
     errors.clear()         // only the measured pass's errors are reported
-    val results = names.map(n => n -> once(n, sfDir))
+    val results = names.map { n =>
+      val r = n -> once(n, sfDir); spark.catalog.clearCache(); r
+    }
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }

@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions._
   * anywhere: the only wide ops are an equi self-join on (band, band_key)
   * and a distinct — the standard web-scale near-dup plan.
   *
+  * Cache ownership: the pair-finding operators `persist()` their narrow
+  * signature tables (consumed ≥3× by the returned plan), and the CALLER
+  * owns the cache lifetime — the blocks must outlive the returned
+  * (lazy) DataFrame's evaluation, so the operator cannot safely
+  * unpersist them itself. Release them with `spark.catalog.clearCache()`
+  * (as `graft.Bench` does between queries) or by keeping a handle to the
+  * input session; under memory pressure MEMORY_AND_DISK blocks are
+  * LRU-evicted, so an unreleased cache degrades to recompute, never to
+  * failure. Same contract for [[SimHash]] and [[Similarity]].
+  *
   * Every step is deterministic integer arithmetic shared with DuckDB
   * (md5 prefix → int64, LCG permutation parameters, mod 1e9+7), so the
   * whole operator is oracle-checkable bit-for-bit.
@@ -79,16 +89,14 @@ object MinHash {
     * [[signatures]]). */
   def shingleHashArrays(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int): DataFrame = {
+    // tokenization stays a Spark expression (regex + Unicode lowercasing
+    // must match the DuckDB oracle); the shingle build + md5 runs in the
+    // native ShingleMd5 expression — one fused loop per doc instead of
+    // two interpreted lambdas per shingle (MinHashSpec pins the parity
+    // with the [[shingles]]+[[shingleHash]] HOF chain)
     val toks = regexp_extract_all(lower(trim(col(textCol))), lit("\\S+"), lit(0))
-    docs.select(col(idCol), toks.as("__toks"))
-      .select(col(idCol),
-        when(size(col("__toks")) < shingleN, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("__toks")) - shingleN),
-            i => concat_ws(" ",
-              (0 until shingleN).map(o => element_at(col("__toks"), i + o + 1)): _*)))
-          .as("__shingles"))
-      .select(col(idCol),
-        transform(col("__shingles"), s => shingleHash(s)).as("__hh"))
+    docs.select(col(idCol),
+      graft.functions.ShingleMd5(toks, shingleN).as("__hh"))
   }
 
   /** (id, band, band_key) rows: signature split into `nBands` bands of
@@ -155,7 +163,8 @@ object MinHash {
     val hashes = shingleHashArrays(docs, idCol, textCol, shingleN)
       .filter(size(col("__hh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = hashes.select(col(idCol), signature(col("__hh"), numHashes).as("__sig"))
+    val sigs = hashes.select(col(idCol),
+      graft.functions.MinHashSig(col("__hh"), numHashes).as("__sig"))
     val bands = bandedSignature(sigs, idCol, "__sig", nBands, rowsPerBand)
     val pairs = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))

@@ -225,7 +225,11 @@ object AnalyticsQueries {
     * oracle converts the >2⁵³ numerator to double via an exact hi/lo
     * split (hi·2⁴⁰ + lo, one rounded add = correctly rounded) because
     * DuckDB's native int128→double cast is NOT correctly rounded, while
-    * Spark's BigDecimal cast is. */
+    * Spark's BigDecimal cast is. The split is exact only while the hi
+    * limb itself is exactly representable: hi = num // 2⁴⁰ < 2⁵³, i.e.
+    * num < 2⁹³ — far above the testdata's actual envelope, which
+    * VolatilityBoundSpec asserts at sf0.1 (and any deployment at a data
+    * scale approaching 2⁹³ must re-derive the split width). */
   private val q25 = Q("q25_volatility",
     (s, d) => {
       val rets = Analytics.lagReturn(events(s, d), "user_id",

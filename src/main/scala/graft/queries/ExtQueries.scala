@@ -376,6 +376,25 @@ object ExtQueries {
             SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
             FROM r WHERE rn <= 5 ORDER BY query_id, rank"""))
 
+  /** Multimodal → ANN bridge (the claim at
+    * [[graft.ext.Multimodal.extractFeatures]]): opaque payloads →
+    * per-partition feature extraction (`mapPartitions`, codec instantiated
+    * once per partition) → LSH-bucketed similarity search over the
+    * extracted embeddings. No SQL oracle: the codec closure is not
+    * SQL-expressible (the driver records the rows-only check); the bridge
+    * SEMANTICS are pinned by MultimodalSpec instead — identical payloads
+    * yield identical embeddings whose top-1 neighbor is the twin at
+    * sim ≈ 1, and the plan stays cartesian-free. */
+  private val x14 = Q("x14_multimodal_ann",
+    (s, d) => {
+      val docs = documents(s, d).withColumn("payload", col("text").cast("binary"))
+      val emb = Multimodal.extractFeatures(s, docs, "doc_id", "payload", dim = 16)
+      Similarity.lshTopK(emb, emb.filter(col("doc_id") < 8),
+          "doc_id", "embedding", k = 5, nBands = 4, bandBits = 4, dim = 16)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13)
+    x11, x12, x13, x14)
 }

@@ -240,3 +240,33 @@ class AuditSpec extends SparkSpec {
     assert(m.estInserts + m.estUpdates == 3) // |distinct valid keys|
   }
 }
+
+/** Pins the q25 oracle's numeric precondition: the DuckDB-side hi/lo
+  * int128→double split (hi·2⁴⁰ + lo) is correctly rounded only while the
+  * hi limb is exactly representable, i.e. num = n·Σm² − (Σm)² < 2⁹³.
+  * Asserted against the real sf0.1 events data (the largest gate SF). */
+class VolatilityBoundSpec extends SparkSpec {
+  test("variance numerator stays below 2^93 on sf0.1 events") {
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir + "/events.parquet").exists)
+    import org.apache.spark.sql.types.DecimalType
+    val rets = graft.sa.Analytics.lagReturn(graft.util.Tables.events(spark, dir),
+      "user_id", Seq(col("ts"), col("event_id")), "value")
+    val m = floor(col("ret") * lit(1000000.0)).cast(DecimalType(13, 0))
+    val g = rets.filter(col("ret").isNotNull)
+      .select(col("user_id"), m.as("m"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("m")).cast(DecimalType(18, 0)).as("sx"),
+        sum((col("m") * col("m")).cast(DecimalType(33, 0))).cast(DecimalType(33, 0)).as("sx2"))
+      .collect()
+    assert(g.nonEmpty)
+    val bound = BigInt(2).pow(93)
+    val maxNum = g.map { r =>
+      BigInt(r.getLong(1)) * BigInt(r.getDecimal(3).toBigInteger) -
+        BigInt(r.getDecimal(2).toBigInteger).pow(2)
+    }.max
+    assert(maxNum >= 0 && maxNum < bound,
+      s"num=$maxNum breaches 2^93: the q25 oracle's hi/lo split would double-round")
+  }
+}

@@ -58,6 +58,27 @@ class MinHashSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("native ShingleMd5 expression is bit-identical to the HOF shingle chain") {
+    val data = df(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "too short"),
+      (3L, ""),
+      (4L, "  Padded   WHITESPACE\ttabs and\nnewlines here  "),
+      (5L, "中文 文本 带有 非 ASCII 字符 混合 tokens here"),
+      (6L, "exactly three tokens")))
+      .toDF("doc_id", "text")
+    val toks = regexp_extract_all(lower(trim(col("text"))), lit("\\S+"), lit(0))
+    val both = data.select(col("doc_id"),
+        graft.functions.ShingleMd5(toks, 3).as("native"),
+        transform(MinHash.shingles(col("text"), 3), MinHash.shingleHash(_)).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"shingle hashes mismatch for doc ${r.getLong(0)}")
+    }
+    assert(both.count(_.getSeq[Long](1).nonEmpty) == 4) // docs 2,3 too short
+  }
+
   test("native MinHashSig expression is bit-identical to the HOF formulation") {
     val both = MinHash.shingleHashArrays(docs, "doc_id", "text", 3)
       .select(col("doc_id"),

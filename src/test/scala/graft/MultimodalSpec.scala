@@ -62,4 +62,26 @@ class MultimodalSpec extends SparkSpec {
       "vec_id", "embedding", 2)
     assert(knn.count() == 2)
   }
+
+  test("x14 bridge: twin payloads embed identically and LSH top-1 finds the twin") {
+    // identical payloads MUST produce identical embeddings (pure function
+    // of bytes), land in the same LSH buckets, and re-rank to sim ≈ 1
+    val twins = df(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // byte-twin of 1
+      (3L, "another, somewhat longer, binary payload body"),
+      (4L, "completely different content about spark engines")))
+      .toDF("id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val emb = Multimodal.extractFeatures(spark, twins, "id", "payload", dim = 16)
+    val e = emb.orderBy("id").collect().map(_.getSeq[Float](1))
+    assert(e(0) == e(1), "byte-identical payloads must embed identically")
+    val top = Similarity.lshTopK(emb, emb.filter(col("id") === 1),
+      "id", "embedding", k = 1, nBands = 4, bandBits = 4, dim = 16)
+    val best = top.collect().head
+    assert(best.getLong(2) == 2L, "top-1 neighbor of doc 1 must be its twin")
+    assert(best.getDouble(3) > 0.999999)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
