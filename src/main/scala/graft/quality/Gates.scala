@@ -57,4 +57,21 @@ object Gates {
     if (!fs.exists(p)) throw GateFailed(s"file gate: $path does not exist")
     fs.getFileStatus(p).getLen
   }
+
+  /** Connectivity smoke probe — the engine analog of the reference's
+    * manual-trigger connection-test DAGs: `test_aws_conn.py:28-32` lists
+    * the staging bucket, `test_snowflake_conn.py:13-25` runs a trivial
+    * session query; here both boundaries are Hadoop-FS paths, so the
+    * probe is "the root exists, is a directory, and is listable".
+    * Returns the entry count (the S3ListOperator analog); fails typed
+    * when unreachable. (The Slack smoke — `test_slack_conn.py:14-20` —
+    * is `SlackSink.post` of a test line over the injected transport.) */
+  def warehouseReachable(spark: org.apache.spark.sql.SparkSession, rootPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw GateFailed(s"connectivity: $rootPath does not exist")
+    if (!fs.getFileStatus(p).isDirectory)
+      throw GateFailed(s"connectivity: $rootPath is not a directory")
+    fs.listStatus(p).length
+  }
 }

@@ -122,6 +122,16 @@ class SinkGateSummarySpec extends SparkSpec {
     }
   }
 
+  test("connectivity probe: listable root passes, missing or non-dir roots fail typed") {
+    val base = Fixtures.tempDir("conn").toString
+    assert(Gates.warehouseReachable(spark, base) == 0) // empty but listable
+    val f = Fixtures.writeBronze(base, "2026-08-10",
+      Seq("2026-08-10,AAPL,1,1,1,1,1"))
+    assert(Gates.warehouseReachable(spark, base) == 1) // the eod/ subtree
+    intercept[GateFailed](Gates.warehouseReachable(spark, s"$base/nope"))
+    intercept[GateFailed](Gates.warehouseReachable(spark, f)) // file, not dir
+  }
+
   test("slack sink: payload shape, missing-url and transport-failure semantics") {
     val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val url = SlackSink.webhookUrl("https", "hooks.slack.com/services", "T00/B00/secret")
