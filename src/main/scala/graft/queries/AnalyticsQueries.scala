@@ -98,15 +98,16 @@ object AnalyticsQueries {
     Some(s"""SELECT o_orderkey, o_custkey, ${Sql.qdec2("o_totalprice")} AS totalprice
             FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 10"""))
 
-  /** W6 (per-group top-N): top 3 line items per return flag via
-    * ROW_NUMBER ≤ N. */
+  /** W6 (per-group top-N): top 3 line items per return flag. Runs
+    * through [[Analytics.topNPerGroup]] — the salted two-phase window
+    * that avoids the 3-partition global sort a naive
+    * `PARTITION BY l_returnflag` would be at 100 TB (the ordering is
+    * total, so the result is bit-identical to the one-phase oracle). */
   private val q20 = Q("q20_top_n_per_group",
     (s, d) => {
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(qdec2(col("l_extendedprice")).desc, col("l_orderkey"), col("l_linenumber"))
-      lineitem(s, d)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      val ordering = Seq(qdec2(col("l_extendedprice")).desc,
+        col("l_orderkey"), col("l_linenumber"))
+      Analytics.topNPerGroup(lineitem(s, d), Seq("l_returnflag"), ordering, 3)
         .select(col("l_returnflag").as("returnflag"), col("rnk"),
           col("l_orderkey"), col("l_linenumber"), qdec2(col("l_extendedprice")).as("price"))
         .orderBy("returnflag", "rnk")

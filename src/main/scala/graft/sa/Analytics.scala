@@ -123,6 +123,31 @@ object Analytics {
       approx_count_distinct(col(cols.head), rsd).as(s"approx_${cols.head}"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"approx_$c")): _*)
 
+  /** W6 scale path: per-group top-N via a salted two-phase window.
+    *
+    * A single `row_number() OVER (PARTITION BY group)` puts each group's
+    * ENTIRE data through one partition's sort — with few groups (q20's 3
+    * return flags) that is a 3-task sort of the whole table at any scale.
+    * Instead: phase 1 takes the top-N within (group, salt) — `salts`×
+    * smaller sorts spread across the cluster — and phase 2 re-ranks only
+    * the ≤ `salts`·n survivors per group. The global top-N of a group is
+    * always contained in the union of its per-salt top-Ns, so the result
+    * is IDENTICAL to the one-phase window for any total `ordering`
+    * (TopNPerGroupSpec pins the equivalence on skewed data). The salt is
+    * a content hash (deterministic, no rand()).
+    */
+  def topNPerGroup(df: DataFrame, group: Seq[String], ordering: Seq[Column],
+                   n: Int, rankCol: String = "rnk", salts: Int = 32): DataFrame = {
+    require(n > 0 && salts > 0)
+    val saltCol = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+    val w1 = Window.partitionBy((group.map(col) :+ saltCol): _*).orderBy(ordering: _*)
+    val survivors = df.withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= n).drop("__rn1")
+    val w2 = Window.partitionBy(group.map(col): _*).orderBy(ordering: _*)
+    survivors.withColumn(rankCol, row_number().over(w2))
+      .filter(col(rankCol) <= n)
+  }
+
   /** A9: per-group share of total: exact decimal group sums, grand total
     * via an unpartitioned window sum (still exact), share in double. */
   def shareOfTotal(df: DataFrame, groupCol: String, revenue: Column): DataFrame = {

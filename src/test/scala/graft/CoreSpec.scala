@@ -270,3 +270,37 @@ class VolatilityBoundSpec extends SparkSpec {
       s"num=$maxNum breaches 2^93: the q25 oracle's hi/lo split would double-round")
   }
 }
+
+/** W6 scale path: the salted two-phase top-N must equal the naive
+  * one-phase window for any total ordering, including heavy skew. */
+class TopNPerGroupSpec extends SparkSpec {
+  import org.apache.spark.sql.expressions.Window
+
+  test("two-phase top-N equals the one-phase window under 90% skew") {
+    val s = spark; import s.implicits._
+    // 900 rows in group HOT, ~100 spread over 10 groups; values collide
+    // across groups and within (ties broken by id — total ordering)
+    val rows = (1 to 1000).map { i =>
+      val g = if (i <= 900) "HOT" else s"G${i % 10}"
+      (g, (i * 37) % 97, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id")
+    val ordering = Seq(col("v").desc, col("id"))
+    val fast = graft.sa.Analytics.topNPerGroup(df, Seq("g"), ordering, 5)
+      .select("g", "rnk", "v", "id")
+    val w = Window.partitionBy("g").orderBy(ordering: _*)
+    val naive = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("g", "rnk", "v", "id")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() == naive.count() && fast.count() > 0)
+  }
+
+  test("n larger than the group keeps every row, ranked") {
+    val s = spark; import s.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L)).toDF("g", "id")
+    val out = graft.sa.Analytics.topNPerGroup(df, Seq("g"), Seq(col("id")), 10)
+    assert(out.count() == 3)
+    assert(out.filter(col("g") === "A").select("rnk").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+}
