@@ -66,16 +66,13 @@ object TextAnalysis {
     substring(sha2(normalize(text).cast("binary"), 256), 1, 16)
 
   /** Polynomial rolling hash (Rabin–Karp, base 257 mod 2^61−1) over the
-    * normalized text bytes — the classic content-defined fingerprint.
-    * Expressed as an ordered fold over character codes (HOF `aggregate`,
-    * sequential and deterministic). Engine-portable only where 128-bit
-    * intermediates exist, so this one is library+test surface, not an
-    * oracle query. */
-  def rollingHash(text: Column): Column = {
-    val codes = transform(
-      sequence(lit(1), length(normalize(text))),
-      i => ascii(substring(normalize(text), i, lit(1))).cast("long"))
-    aggregate(codes, lit(0L),
-      (acc, c) => pmod(acc * 257L + c, lit(2305843009213693951L)))
-  }
+    * normalized text's code points — the classic content-defined
+    * fingerprint, as the native LINEAR [[graft.functions.RollingHash]]
+    * expression (the earlier HOF fold re-sliced the string per character
+    * — O(n²) — and overflowed int64 under ANSI once the accumulator
+    * passed 2⁶³/257; see the expression's scaladoc for the overflow-free
+    * Mersenne-rotate arithmetic). Library surface, not an oracle query
+    * (the 61-bit ring is not portable to the DuckDB oracle). */
+  def rollingHash(text: Column): Column =
+    graft.functions.RollingHash(normalize(text))
 }

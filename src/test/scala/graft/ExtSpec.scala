@@ -220,3 +220,31 @@ class SimilaritySpec extends SparkSpec {
     assert(b0.exceptAll(b1).count() == 0)
   }
 }
+
+/** Text fingerprinting: the native rolling hash must equal the exact
+  * mathematical fold, stay linear, and survive ANSI on long inputs. */
+class TextAnalysisSpec extends SparkSpec {
+  test("rollingHash equals the BigInt fold, incl. unicode and long inputs") {
+    val s = spark; import s.implicits._
+    val texts = Seq(
+      "",
+      "a",
+      "The Quick  Brown fox",      // normalization lowers + collapses ws
+      "中文 text with UNICODE ±",
+      "x" * 5000)                  // the old HOF fold overflowed here (ANSI)
+    val out = texts.toDF("text")
+      .select(graft.ext.TextAnalysis.rollingHash(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    val P = BigInt("2305843009213693951")
+    def ref(t: String): Long = {
+      val norm = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      var acc = BigInt(0)
+      norm.codePoints().toArray.foreach { cp => acc = (acc * 257 + cp) % P }
+      acc.toLong
+    }
+    texts.zip(out).foreach { case (t, h) =>
+      assert(h == ref(t), s"rolling-hash mismatch for '${t.take(20)}'")
+    }
+    assert(out.distinct.length == out.length - 0) // all sample hashes distinct
+  }
+}
