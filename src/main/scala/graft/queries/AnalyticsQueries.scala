@@ -209,12 +209,19 @@ object AnalyticsQueries {
                    CAST(rank() OVER (ORDER BY avg_30d DESC) AS INT) AS liq_rank
             FROM l WHERE rn = 1 ORDER BY user_id"""))
 
-  /** W4: rank with ties on a discrete measure (liquidity rank). */
+  /** W4: rank with ties on a discrete measure (liquidity rank). Runs
+    * through [[Analytics.scalableRank]] — the distinct-value prefix-sum
+    * path that avoids the single-partition sort of an unpartitioned
+    * `rank()` window when the ranked population outgrows dim cardinality
+    * (the window formulation stays as the semantic reference in q27). */
   private val q24 = Q("q24_rank",
-    (s, d) => events(s, d)
-      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
-      .withColumn("rnk", rank().over(Window.orderBy(col("n_events").desc)).cast("int"))
-      .orderBy("user_id"),
+    (s, d) => {
+      val grouped = events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      Analytics.scalableRank(grouped, "n_events", ascending = false)
+        .select(col("user_id"), col("n_events"), col("rnk").cast("int").as("rnk"))
+        .orderBy("user_id")
+    },
     Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(rank() OVER (ORDER BY count(*) DESC) AS INT) AS rnk
             FROM events GROUP BY user_id ORDER BY user_id"""))

@@ -148,6 +148,43 @@ object Analytics {
       .filter(col(rankCol) <= n)
   }
 
+  /** W4 scale path: global rank over a value column without the
+    * single-partition sort of `rank() OVER (ORDER BY v)`.
+    *
+    * rank(row) = 1 + Σ counts of STRICTLY better values, so it only needs
+    * per-VALUE counts: groupBy(value) → range-partition the (far smaller)
+    * distinct-value table in rank order → two-pass prefix sum (partition
+    * totals to the driver, then a running offset per partition — the
+    * zipWithIndex shape of [[graft.dim.DimSecurity.assignDenseIds]]) →
+    * join the rank back on the value. Ties share a rank and gaps follow,
+    * exactly `rank()`'s semantics (RankSpec pins the equivalence).
+    * Values must be non-null (rank a null-filtered frame). */
+  def scalableRank(df: DataFrame, valueCol: String, ascending: Boolean = true,
+                   rankCol: String = "rnk"): DataFrame = {
+    val spark = df.sparkSession
+    val order = if (ascending) col(valueCol).asc else col(valueCol).desc
+    val ordered = df.groupBy(valueCol).agg(count(lit(1)).as("__cnt"))
+      .repartitionByRange(order).sortWithinPartitions(order)
+      .select(col(valueCol), col("__cnt"))
+    val rdd = ordered.rdd
+    val partSums = rdd.mapPartitions(it =>
+      Iterator.single(it.map(_.getLong(1)).sum)).collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var before = offsets(pid)
+      it.map { r =>
+        val rank = before + 1L
+        before += r.getLong(1)
+        org.apache.spark.sql.Row(r.get(0), rank)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      ordered.schema.head,
+      org.apache.spark.sql.types.StructField(rankCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    df.join(spark.createDataFrame(ranked, schema), Seq(valueCol))
+  }
+
   /** A9: per-group share of total: exact decimal group sums, grand total
     * via an unpartitioned window sum (still exact), share in double. */
   def shareOfTotal(df: DataFrame, groupCol: String, revenue: Column): DataFrame = {

@@ -304,3 +304,22 @@ class TopNPerGroupSpec extends SparkSpec {
       .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
   }
 }
+
+/** W4 scale path: distinct-value prefix-sum rank ≡ the rank() window
+  * (ties share a rank, gaps follow), both directions. */
+class RankSpec extends SparkSpec {
+  import org.apache.spark.sql.expressions.Window
+
+  test("scalableRank equals rank() over an unpartitioned window, with ties") {
+    val s = spark; import s.implicits._
+    val df = (1 to 500).map(i => (s"u$i", (i * 13) % 29L)).toDF("id", "v")
+    for (asc <- Seq(true, false)) {
+      val fast = graft.sa.Analytics.scalableRank(df, "v", ascending = asc)
+        .select(col("id"), col("v"), col("rnk").cast("int").as("rnk"))
+      val w = Window.orderBy(if (asc) col("v").asc else col("v").desc)
+      val naive = df.withColumn("rnk", rank().over(w)).select("id", "v", "rnk")
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+        s"rank mismatch (ascending=$asc)")
+    }
+  }
+}
