@@ -70,3 +70,52 @@ class StreamAnalyticsSpec extends SparkSpec {
     assert(last.close == 110.0) // latest event time wins close
   }
 }
+
+/** Streaming exact dedup: first occurrence wins across micro-batches;
+  * the watermarked variant expires fingerprint state past the horizon. */
+class StreamDedupSpec extends SparkSpec {
+  import graft.streaming.StreamDedup
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("dropDuplicates keeps the first occurrence across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = StreamDedup.exactDedupStream(in.toDF().toDF("doc_id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    in.addData((1L, "the quick brown fox"), (2L, "unique document one"))
+    q.processAllAvailable()
+    // batch 2: an exact dup (normalizes equal: case + whitespace noise) + a new doc
+    in.addData((3L, "  The   QUICK brown fox "), (4L, "unique document two"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"dup doc 3 must be dropped, got $ids")
+  }
+
+  test("watermarked dedup: dups within the horizon dropped; state expires beyond it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamDedup.exactDedupStreamWatermarked(
+      in.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("sdedupw").outputMode("append").start()
+    in.addData((1L, ts("2026-08-10 10:00:00"), "alpha doc"))
+    q.processAllAvailable()
+    // within the horizon: dropped
+    in.addData((2L, ts("2026-08-10 10:30:00"), "alpha doc"))
+    q.processAllAvailable()
+    // advance the watermark far past the fingerprint's expiry…
+    in.addData((3L, ts("2026-08-12 10:00:00"), "beta doc"))
+    q.processAllAvailable()
+    // …then the same content again: state expired → re-emitted
+    in.addData((4L, ts("2026-08-12 10:05:00"), "alpha doc"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedupw").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L), s"expected 2 dropped, 4 re-admitted after expiry, got $ids")
+  }
+}
