@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table maintenance (SURVEY.md §4): the storage-side shuffle
+  * eliminator for the engine's recurring join/dedup keys.
+  *
+  * Writing CORE bucketed by `symbol` (and the band/signature tables by
+  * their band keys) means every downstream equi-join, latest-wins dedup
+  * window, or groupBy on that key reads already-co-partitioned,
+  * already-sorted buckets — Catalyst drops the `Exchange` entirely (the
+  * narrow in-bucket `Sort` additionally disappears when each bucket is
+  * one file, e.g. after a compaction pass). At 100 TB this converts the daily
+  * CORE merge and the fact build from full-table shuffles into narrow
+  * per-bucket work; BucketingSpec pins the no-Exchange plan.
+  *
+  * Bucketed writes go through the session catalog (`saveAsTable` —
+  * bucket metadata lives in the catalog, not the parquet files), which
+  * is how a warehouse deployment manages these tables anyway.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, per-bucket-sorted catalog table. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}
