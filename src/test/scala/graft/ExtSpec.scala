@@ -248,3 +248,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.distinct.length == out.length - 0) // all sample hashes distinct
   }
 }
+
+/** Dup-cluster resolution: pairs → connected components, min-id canon. */
+class DupClustersSpec extends SparkSpec {
+  import graft.ext.DupClusters
+
+  test("chains and separate clusters resolve to min-id canonicals") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3-4-5 (tests multi-round propagation) + island {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = DupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("empty pair set yields empty clusters") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DupClusters.connectedComponents(empty).count() == 0)
+  }
+}
