@@ -436,6 +436,20 @@ object ExtQueries {
             SELECT u AS doc_id, least(u, min(v)) AS canonical_id
             FROM reach GROUP BY u ORDER BY doc_id"""))
 
+  /** Deterministic stratified sampling (the data-mixing recipe step):
+    * per-language rates, keep/drop decided by a stable md5-bucket of the
+    * doc id — reproducible across engines/partitionings/retries (no
+    * rand()). See [[graft.ext.Sampling]]. */
+  private val x15 = Q("x15_stratified_sample",
+    (s, d) => graft.ext.Sampling.stratified(documents(s, d), "lang", "doc_id",
+        Map("en" -> 0.8, "zh" -> 0.3), defaultRate = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, source FROM documents
+            WHERE CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000
+                  < (CASE WHEN lang = 'en' THEN 8000 WHEN lang = 'zh' THEN 3000 ELSE 5000 END)
+            ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x16)
+    x11, x12, x13, x14, x15, x16)
 }

@@ -270,3 +270,32 @@ class DupClustersSpec extends SparkSpec {
     assert(DupClusters.connectedComponents(empty).count() == 0)
   }
 }
+
+/** Deterministic sampling: reproducibility, rate accuracy, stratum rates. */
+class SamplingSpec extends SparkSpec {
+  import graft.ext.Sampling
+
+  test("bernoulli sample is deterministic and near the nominal rate") {
+    val s = spark; import s.implicits._
+    val df = (1L to 10000L).toDF("id")
+    val a = Sampling.bernoulli(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b)                              // reproducible
+    assert(math.abs(a.size - 3000) < 200, s"got ${a.size}")  // ~rate
+    // monotone: a lower rate selects a subset of a higher rate
+    val lower = Sampling.bernoulli(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(lower.subsetOf(a))
+  }
+
+  test("stratified rates apply per stratum with the default as fallback") {
+    val s = spark; import s.implicits._
+    val df = (1L to 9000L).map(i =>
+      (i, Seq("en", "zh", "other")((i % 3).toInt))).toDF("id", "lang")
+    val out = Sampling.stratified(df, "lang", "id",
+      Map("en" -> 0.9, "zh" -> 0.1), defaultRate = 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("en") - 2700) < 150, out.toString)    // 3000 * .9
+    assert(math.abs(out("zh") - 300) < 150, out.toString)     // 3000 * .1
+    assert(math.abs(out("other") - 1500) < 150, out.toString) // 3000 * .5
+  }
+}
