@@ -274,5 +274,44 @@ object AnalyticsQueries {
                    CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS INT) AS k
             FROM events ORDER BY event_id"""))
 
-  val qs: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+  /** A-family extension: exact discrete percentiles (p50/p90/p99 of the
+    * quantized price per return flag) via the rank formula — value at
+    * row ceil(p·n) in sort order, integer arithmetic on both engines
+    * (Spark's `percentile`/DuckDB's `quantile_cont` interpolate in
+    * double and are not bit-portable; the discrete pick is). The picked
+    * VALUE is tie-insensitive, so no tie-break is needed in the sort.
+    * Scale path: `approx_percentile` (KLL-sketch, map-side merged) —
+    * error-bound-tested in PercentileSpec; the exact window form here is
+    * per-group single-partition like any exact percentile. */
+  private val q29 = Q("q29_percentiles",
+    (s, d) => {
+      val b = lineitem(s, d).select(col("l_returnflag").as("returnflag"),
+        qdec2(col("l_extendedprice")).as("price"))
+      val wOrd = Window.partitionBy("returnflag").orderBy("price")
+      val wAll = Window.partitionBy("returnflag")
+      b.withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("returnflag")
+        .agg(
+          max(when(col("rn") === expr("(n + 1) div 2"), col("price"))).as("p50"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("price"))).as("p90"),
+          max(when(col("rn") === expr("(99 * n + 99) div 100"), col("price"))).as("p99"),
+          max(col("n")).as("n"))
+        .orderBy("returnflag")
+    },
+    Some(s"""WITH b AS (SELECT l_returnflag AS returnflag,
+                    ${Sql.qdec2("l_extendedprice")} AS price FROM lineitem),
+             r AS (SELECT returnflag, price,
+                     row_number() OVER (PARTITION BY returnflag ORDER BY price) AS rn,
+                     count(*) OVER (PARTITION BY returnflag) AS n
+                   FROM b)
+            SELECT returnflag,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN price END) AS p50,
+                   max(CASE WHEN rn = (9 * n + 9) // 10 THEN price END) AS p90,
+                   max(CASE WHEN rn = (99 * n + 99) // 100 THEN price END) AS p99,
+                   CAST(max(n) AS BIGINT) AS n
+            FROM r GROUP BY returnflag ORDER BY returnflag"""))
+
+  val qs: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
+    q26, q27, q29)
 }

@@ -351,3 +351,21 @@ class BucketingSpec extends SparkSpec {
     }
   }
 }
+
+/** A-family percentiles: the approx sketch (the 100 TB path) must land
+  * within its accuracy bound of the exact rank-formula percentile. */
+class PercentileSpec extends SparkSpec {
+  test("approx_percentile is within the KLL accuracy bound of exact p50/p90") {
+    val s = spark; import s.implicits._
+    val df = (1 to 20000).map(i => ((i * 7919) % 20011).toDouble).toDF("v")
+    val Seq(a50, a90) = df.select(
+      expr("approx_percentile(v, array(0.5, 0.9), 10000)")).collect()
+      .head.getSeq[Double](0).toSeq
+    val sorted = df.collect().map(_.getDouble(0)).sorted
+    def exact(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+    // accuracy 10000 → rank error <= n/10000 = 2; allow the value delta
+    // of a few ranks around a dense uniform domain
+    assert(math.abs(a50 - exact(0.5)) <= 10.0, s"p50 $a50 vs ${exact(0.5)}")
+    assert(math.abs(a90 - exact(0.9)) <= 10.0, s"p90 $a90 vs ${exact(0.9)}")
+  }
+}
