@@ -184,8 +184,12 @@ object AnalyticsQueries {
       // 29 PRECEDING + current day = a true trailing 30-CALENDAR-DAY
       // window (q21/q22 use 30 PRECEDING and honestly label it 31d)
       val rolled = Analytics.rollingDays(withDay, "user_id", "day_num", "value", 29, "30d")
+      // order by the µs ts (what the oracle sees), NOT ts_ns: DuckDB
+      // truncates the nano timestamps to µs at read time, so a ns-refined
+      // ordering could pick a different "latest" row than the oracle if
+      // a user ever logged two events in one µs (event_id disambiguates)
       val latest = rolled.withColumn("__rn", row_number().over(
-          Window.partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)))
+          Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
         .filter(col("__rn") === 1)
         .select(col("user_id"), col("sum_30d"), col("n_30d"),
           (col("sum_30d").cast("double") / col("n_30d")).as("avg_30d"))

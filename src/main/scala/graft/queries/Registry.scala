@@ -40,7 +40,8 @@ object Sql {
 
 object Registry {
   lazy val all: Seq[Q] =
-    ParityQueries.qs ++ AnalyticsQueries.qs ++ PipelineQueries.qs ++ ExtQueries.qs
+    ParityQueries.qs ++ AnalyticsQueries.qs ++ TemporalQueries.qs ++
+      PipelineQueries.qs ++ ExtQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -25,10 +25,13 @@ object Tables {
     * legacy conf (runtime-settable) and derive a microsecond `ts` with
     * integer division — `ts/1000` through DOUBLE would lose precision at
     * 1.7e18 (53-bit mantissa), so it must be `DIV`. The raw nanos stay
-    * available as `ts_ns` for total orderings. DuckDB reads the same file
-    * natively as TIMESTAMP_NS; every nano value in the testdata is
-    * µs-aligned (verified: ns % 1000 == 0 for all rows), so the two
-    * engines see identical instants. */
+    * available as `ts_ns` for total orderings. DuckDB truncates the same
+    * file to microsecond TIMESTAMPs at read time, and the raw nanos are
+    * NOT µs-aligned (only ~0.1% of rows have ns % 1000 == 0) — so a
+    * checked query may compare instants across engines ONLY at µs
+    * granularity (`ts` here, `ts DIV 1000` arithmetic); `ts_ns` is a
+    * Spark-side-only tie-breaker and must never feed an oracle-visible
+    * ordering or value. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, d, "events")
