@@ -14,43 +14,62 @@ import org.apache.spark.sql.types._
   */
 object AnalyticsQueries {
 
-  // Engine-proof quantizers — never a raw double→decimal cast in a
-  // checked query (Spark HALF_UP vs DuckDB HALF_EVEN; see Analytics.qdec2).
-  private def qdec2(c: Column): Column = Analytics.qdec2(c)
-  private def qdec32(c: Column): Column = Analytics.qdec32(c)
-  private val one = lit(1).cast(DecimalType(3, 2))
+  // Oracle-visible numbers stay in DOUBLE; accumulation runs in exact
+  // integer decimals (cents / percent) — see Analytics.qdbl2 for the
+  // driver-compare representation contract that forbids decimal outputs.
+  private def qdbl2(c: Column): Column = Analytics.qdbl2(c)
+  private def cents2(c: Column): Column = Analytics.cents2(c)
+  private def pct(c: Column): Column = Analytics.pct(c)
+  private val hundred = lit(100).cast(DecimalType(3, 0))
+  /** Σ(exact integer decimal) → double, mirrored by `Sql.dbl` + `/scale`. */
+  private def sumDbl(c: Column, scale: Double): Column =
+    sum(c).cast(DecimalType(38, 0)).cast("double") / lit(scale)
 
   /** A1/A6/A8: pricing summary — grouped sums/averages/counts over exact
-    * decimal accumulation (TPC-H Q1 shape; the dashboard's traded-value
-    * and average cards). */
+    * integer accumulation (TPC-H Q1 shape; the dashboard's traded-value
+    * and average cards). Cents × integer percents keep every addend
+    * exact; the one double conversion per measure happens on the final
+    * sum (`Sql.dbl` hi/lo split on the oracle side — sum_charge exceeds
+    * 2⁵³ at sf0.1, where DuckDB's native int128→double cast is not
+    * correctly rounded). */
   private val q16 = Q("q16_pricing_summary",
-    (s, d) => lineitem(s, d)
-      .filter(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("2001-03-31")))
-      .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
-      .agg(
-        sum(qdec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(qdec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
-        sum(qdec2(col("l_extendedprice")) * (one - qdec32(col("l_discount"))))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
-        sum(qdec2(col("l_extendedprice")) * (one - qdec32(col("l_discount"))) * (one + qdec32(col("l_tax"))))
-          .cast(DecimalType(38, 6)).as("sum_charge"),
-        (sum(qdec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(qdec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
-        (sum(qdec32(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy("returnflag", "linestatus"),
-    Some(s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-              CAST(SUM(${Sql.qdec2("l_quantity")}) AS DECIMAL(38,2)) AS sum_qty,
-              CAST(SUM(${Sql.qdec2("l_extendedprice")}) AS DECIMAL(38,2)) AS sum_base_price,
-              CAST(SUM(${Sql.qdec2("l_extendedprice")} * (CAST(1 AS DECIMAL(3,2)) - ${Sql.qdec32("l_discount")})) AS DECIMAL(38,4)) AS sum_disc_price,
-              CAST(SUM(${Sql.qdec2("l_extendedprice")} * (CAST(1 AS DECIMAL(3,2)) - ${Sql.qdec32("l_discount")}) * (CAST(1 AS DECIMAL(3,2)) + ${Sql.qdec32("l_tax")})) AS DECIMAL(38,6)) AS sum_charge,
-              CAST(CAST(SUM(${Sql.qdec2("l_quantity")}) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
-              CAST(CAST(SUM(${Sql.qdec2("l_extendedprice")}) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
-              CAST(CAST(SUM(${Sql.qdec32("l_discount")}) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
+    (s, d) => {
+      val qc = cents2(col("l_quantity"))
+      val pc = cents2(col("l_extendedprice"))
+      val dp = pct(col("l_discount"))
+      val tp = pct(col("l_tax"))
+      lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("2001-03-31")))
+        .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+        .agg(
+          sumDbl(qc, 100.0).as("sum_qty"),
+          sumDbl(pc, 100.0).as("sum_base_price"),
+          sumDbl(pc * (hundred - dp), 10000.0).as("sum_disc_price"),
+          sumDbl(pc * (hundred - dp) * (hundred + tp), 1000000.0).as("sum_charge"),
+          (sumDbl(qc, 100.0) / count(lit(1))).as("avg_qty"),
+          (sumDbl(pc, 100.0) / count(lit(1))).as("avg_price"),
+          (sumDbl(dp, 100.0) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("returnflag", "linestatus")
+    },
+    Some({
+      val qc = Sql.cents2("l_quantity")
+      val pc = s"CAST(${Sql.cents2("l_extendedprice")} AS HUGEINT)"
+      val dp = s"CAST(${Sql.pct("l_discount")} AS HUGEINT)"
+      val tp = s"CAST(${Sql.pct("l_tax")} AS HUGEINT)"
+      s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+              (${Sql.dbl(s"SUM($qc)")} / 100.0) AS sum_qty,
+              (${Sql.dbl(s"SUM($pc)")} / 100.0) AS sum_base_price,
+              (${Sql.dbl(s"SUM($pc * (100 - $dp))")} / 10000.0) AS sum_disc_price,
+              (${Sql.dbl(s"SUM($pc * (100 - $dp) * (100 + $tp))")} / 1000000.0) AS sum_charge,
+              (${Sql.dbl(s"SUM($qc)")} / 100.0 / count(*)) AS avg_qty,
+              (${Sql.dbl(s"SUM($pc)")} / 100.0 / count(*)) AS avg_price,
+              (${Sql.dbl(s"SUM(${Sql.pct("l_discount")})")} / 100.0 / count(*)) AS avg_disc,
               CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem
             WHERE CAST(l_shipdate AS DATE) <= DATE '2001-03-31'
-            GROUP BY 1, 2 ORDER BY returnflag, linestatus"""))
+            GROUP BY 1, 2 ORDER BY returnflag, linestatus"""
+    }))
 
   /** A9/A6: revenue contribution share per nation — group-by revenue over
     * the star join with an unpartitioned window sum as denominator. */
@@ -61,20 +80,26 @@ object AnalyticsQueries {
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       Analytics.shareOfTotal(joined, "n_name",
-        qdec2(col("l_extendedprice")) * (one - qdec32(col("l_discount"))))
+        cents2(col("l_extendedprice")) * (hundred - pct(col("l_discount"))),
+        scale = 10000.0)
         .orderBy("n_name")
     },
-    Some(s"""WITH r AS (
-              SELECT n_name,
-                CAST(SUM(${Sql.qdec2("l_extendedprice")} * (CAST(1 AS DECIMAL(3,2)) - ${Sql.qdec32("l_discount")})) AS DECIMAL(38,4)) AS rev
+    Some({
+      val pc = s"CAST(${Sql.cents2("l_extendedprice")} AS HUGEINT)"
+      val dp = s"CAST(${Sql.pct("l_discount")} AS HUGEINT)"
+      s"""WITH r AS (
+              SELECT n_name, SUM($pc * (100 - $dp)) AS revs
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
               GROUP BY n_name)
-            SELECT n_name, rev,
-                   CAST(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS DOUBLE) AS share
-            FROM r ORDER BY n_name"""))
+            SELECT n_name,
+                   (${Sql.dbl("revs")} / 10000.0) AS rev,
+                   ((${Sql.dbl("revs")} / 10000.0)
+                     / (${Sql.dbl("SUM(revs) OVER ()")} / 10000.0)) AS share
+            FROM r ORDER BY n_name"""
+    }))
 
   /** A7: exact distinct counts (the "Total Symbol" card; at 100 TB the
     * approx_count_distinct variant is the scale path — see x-queries). */
@@ -92,10 +117,10 @@ object AnalyticsQueries {
     * tie-break. */
   private val q19 = Q("q19_top_n_global",
     (s, d) => orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"), qdec2(col("o_totalprice")).as("totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"), qdbl2(col("o_totalprice")).as("totalprice"))
       .orderBy(col("totalprice").desc, col("o_orderkey"))
       .limit(10),
-    Some(s"""SELECT o_orderkey, o_custkey, ${Sql.qdec2("o_totalprice")} AS totalprice
+    Some(s"""SELECT o_orderkey, o_custkey, ${Sql.qdbl2("o_totalprice")} AS totalprice
             FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 10"""))
 
   /** W6 (per-group top-N): top 3 line items per return flag. Runs
@@ -105,17 +130,17 @@ object AnalyticsQueries {
     * total, so the result is bit-identical to the one-phase oracle). */
   private val q20 = Q("q20_top_n_per_group",
     (s, d) => {
-      val ordering = Seq(qdec2(col("l_extendedprice")).desc,
+      val ordering = Seq(qdbl2(col("l_extendedprice")).desc,
         col("l_orderkey"), col("l_linenumber"))
       Analytics.topNPerGroup(lineitem(s, d), Seq("l_returnflag"), ordering, 3)
         .select(col("l_returnflag").as("returnflag"), col("rnk"),
-          col("l_orderkey"), col("l_linenumber"), qdec2(col("l_extendedprice")).as("price"))
+          col("l_orderkey"), col("l_linenumber"), qdbl2(col("l_extendedprice")).as("price"))
         .orderBy("returnflag", "rnk")
     },
     Some(s"""SELECT l_returnflag AS returnflag, rnk, l_orderkey, l_linenumber,
-                   ${Sql.qdec2("l_extendedprice")} AS price
+                   ${Sql.qdbl2("l_extendedprice")} AS price
             FROM (SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
-                    ORDER BY ${Sql.qdec2("l_extendedprice")} DESC, l_orderkey, l_linenumber) AS INT) AS rnk
+                    ORDER BY ${Sql.qdbl2("l_extendedprice")} DESC, l_orderkey, l_linenumber) AS INT) AS rnk
                   FROM lineitem)
             WHERE rnk <= 3 ORDER BY returnflag, rnk"""))
 
@@ -127,9 +152,9 @@ object AnalyticsQueries {
       .select(col("event_id"), col("user_id"), col("sum_30"), col("n_30"), col("avg_30"))
       .orderBy("event_id"),
     Some(s"""SELECT event_id, user_id,
-                   CAST(SUM(${Sql.qdec2("value")}) OVER w AS DECIMAL(38,2)) AS sum_30,
+                   (${Sql.dbl(s"SUM(${Sql.cents2("value")}) OVER w")} / 100.0) AS sum_30,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_30,
-                   CAST(CAST(SUM(${Sql.qdec2("value")}) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS DOUBLE) AS avg_30
+                   ((${Sql.dbl(s"SUM(${Sql.cents2("value")}) OVER w")} / 100.0) / (COUNT(*) OVER w)) AS avg_30
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
@@ -148,7 +173,7 @@ object AnalyticsQueries {
     },
     Some(s"""SELECT event_id, user_id,
                    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS day_num,
-                   CAST(SUM(${Sql.qdec2("value")}) OVER w AS DECIMAL(38,2)) AS sum_31d,
+                   (${Sql.dbl(s"SUM(${Sql.cents2("value")}) OVER w")} / 100.0) AS sum_31d,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_31d
             FROM events
             WINDOW w AS (PARTITION BY user_id
@@ -192,20 +217,20 @@ object AnalyticsQueries {
           Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
         .filter(col("__rn") === 1)
         .select(col("user_id"), col("sum_30d"), col("n_30d"),
-          (col("sum_30d").cast("double") / col("n_30d")).as("avg_30d"))
+          (col("sum_30d") / col("n_30d")).as("avg_30d"))
       latest.withColumn("liq_rank",
           rank().over(Window.orderBy(col("avg_30d").desc)).cast("int"))
         .orderBy("user_id")
     },
     Some(s"""WITH r AS (SELECT user_id, event_id, ts,
-                   CAST(SUM(${Sql.qdec2("value")}) OVER w AS DECIMAL(38,2)) AS sum_30d,
+                   (${Sql.dbl(s"SUM(${Sql.cents2("value")}) OVER w")} / 100.0) AS sum_30d,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_30d
                  FROM events
                  WINDOW w AS (PARTITION BY user_id
                               ORDER BY CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
                               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)),
                  l AS (SELECT user_id, sum_30d, n_30d,
-                         CAST(sum_30d AS DOUBLE) / n_30d AS avg_30d,
+                         sum_30d / n_30d AS avg_30d,
                          row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) AS rn
                        FROM r)
@@ -290,7 +315,7 @@ object AnalyticsQueries {
   private val q29 = Q("q29_percentiles",
     (s, d) => {
       val b = lineitem(s, d).select(col("l_returnflag").as("returnflag"),
-        qdec2(col("l_extendedprice")).as("price"))
+        qdbl2(col("l_extendedprice")).as("price"))
       val wOrd = Window.partitionBy("returnflag").orderBy("price")
       val wAll = Window.partitionBy("returnflag")
       b.withColumn("rn", row_number().over(wOrd))
@@ -304,7 +329,7 @@ object AnalyticsQueries {
         .orderBy("returnflag")
     },
     Some(s"""WITH b AS (SELECT l_returnflag AS returnflag,
-                    ${Sql.qdec2("l_extendedprice")} AS price FROM lineitem),
+                    ${Sql.qdbl2("l_extendedprice")} AS price FROM lineitem),
              r AS (SELECT returnflag, price,
                      row_number() OVER (PARTITION BY returnflag ORDER BY price) AS rn,
                      count(*) OVER (PARTITION BY returnflag) AS n

@@ -15,9 +15,9 @@ import org.apache.spark.sql.types._
   */
 object ParityQueries {
 
-  // Engine-proof quantizer — never a raw double→decimal cast in a
-  // checked query (Spark HALF_UP vs DuckDB HALF_EVEN; see Analytics.qdec2).
-  private def qdec2(c: Column): Column = graft.sa.Analytics.qdec2(c)
+  // Oracle-visible money stays in DOUBLE (half-up cent quantization) —
+  // decimals never leave a checked query (see Analytics.qdbl2).
+  private def qdbl2(c: Column): Column = graft.sa.Analytics.qdbl2(c)
   private val cutoff = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
 
   /** S5/P4: typed scan with casts + required-field null filter
@@ -26,16 +26,16 @@ object ParityQueries {
     (s, d) => lineitem(s, d)
       .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
       .select(col("l_orderkey"), col("l_linenumber"),
-        qdec2(col("l_quantity")).as("quantity"),
-        qdec2(col("l_extendedprice")).as("price"),
+        qdbl2(col("l_quantity")).as("quantity"),
+        qdbl2(col("l_extendedprice")).as("price"),
         col("l_returnflag").as("returnflag"))
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
       // (11,785 dup pairs at sf0.01) — order by every output column so
       // the ordering is total up to fully-identical rows.
       .orderBy("l_orderkey", "l_linenumber", "quantity", "price", "returnflag"),
     Some(s"""SELECT l_orderkey, l_linenumber,
-            ${Sql.qdec2("l_quantity")} AS quantity,
-            ${Sql.qdec2("l_extendedprice")} AS price,
+            ${Sql.qdbl2("l_quantity")} AS quantity,
+            ${Sql.qdbl2("l_extendedprice")} AS price,
             l_returnflag AS returnflag
             FROM lineitem
             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
@@ -169,7 +169,7 @@ object ParityQueries {
   private val q10 = Q("q10_merge_upsert",
     (s, d) => {
       val o = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
-        qdec2(col("o_totalprice")).as("totalprice"),
+        qdbl2(col("o_totalprice")).as("totalprice"),
         col("o_orderdate").cast("date").as("order_date"))
       def latest(df: DataFrame) = Dedup.latestWins(df, Seq("o_custkey"),
         Seq(col("order_date").desc, col("o_orderkey").desc))
@@ -178,7 +178,7 @@ object ParityQueries {
       Upsert.merge(target, source, Seq("o_custkey")).orderBy("o_custkey")
     },
     Some(s"""WITH o AS (SELECT o_custkey, o_orderkey,
-                  ${Sql.qdec2("o_totalprice")} AS totalprice,
+                  ${Sql.qdbl2("o_totalprice")} AS totalprice,
                   CAST(o_orderdate AS DATE) AS order_date FROM orders),
             t AS (SELECT o_custkey, o_orderkey, totalprice, order_date FROM
                    (SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -250,14 +250,14 @@ object ParityQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("c_custkey"),
           col("n_name"),
           DimDate.dateSk(col("o_orderdate").cast("date")).as("date_sk"),
-          qdec2(col("l_extendedprice")).as("price"))
+          qdbl2(col("l_extendedprice")).as("price"))
         // total order up to identical rows — see q01 note
         .orderBy("l_orderkey", "l_linenumber", "c_custkey", "n_name", "date_sk", "price")
     },
     Some(s"""SELECT l_orderkey, l_linenumber, c_custkey, n_name,
                    CAST(year(CAST(o_orderdate AS DATE))*10000 + month(CAST(o_orderdate AS DATE))*100
                         + day(CAST(o_orderdate AS DATE)) AS INT) AS date_sk,
-                   ${Sql.qdec2("l_extendedprice")} AS price
+                   ${Sql.qdbl2("l_extendedprice")} AS price
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey

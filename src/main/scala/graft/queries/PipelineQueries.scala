@@ -69,10 +69,18 @@ object PipelineQueries {
       p.run(f2, date, Some(java.sql.Timestamp.valueOf(s"$D 22:00:00")))
       val fact = s.read.parquet(tmp.resolve("wh/" + EodPipeline.FactTable).toString)
       val dim = s.read.parquet(tmp.resolve("wh/" + EodPipeline.DimSecurityTable).toString)
+      // warehouse columns are DECIMAL (exact storage); the CHECKED view
+      // casts to DOUBLE/BIGINT — oracle-visible decimals stringify
+      // differently across engines (see Q's determinism contract). The
+      // decimal→double conversion is correctly rounded in both engines
+      // (scaled ints ≪ 2⁵³ here).
       fact.join(broadcast(dim), "security_id")
         .select(col("security_id"), col("symbol"), col("date_sk"),
-          col("trade_date"), col("open"), col("high"), col("low"),
-          col("close"), col("volume"))
+          col("trade_date"), col("open").cast("double").as("open"),
+          col("high").cast("double").as("high"),
+          col("low").cast("double").as("low"),
+          col("close").cast("double").as("close"),
+          col("volume").cast("long").as("volume"))
         .orderBy("symbol")
     },
     // The same cascade in DuckDB SQL from the same literal rows. The
@@ -132,7 +140,11 @@ object PipelineQueries {
             SELECT dim2.security_id, core.symbol,
                    CAST(19970615 AS INT) AS date_sk,
                    DATE '$D' AS trade_date,
-                   core.open, core.high, core.low, core.close, core.volume
+                   CAST(core.open AS DOUBLE) AS open,
+                   CAST(core.high AS DOUBLE) AS high,
+                   CAST(core.low AS DOUBLE) AS low,
+                   CAST(core.close AS DOUBLE) AS close,
+                   CAST(core.volume AS BIGINT) AS volume
             FROM core JOIN dim2 ON core.symbol = dim2.symbol
             ORDER BY core.symbol"""))
 

@@ -19,66 +19,75 @@ import org.apache.spark.sql.types._
   */
 object TemporalQueries {
 
-  private def qdec2(c: Column): Column = Analytics.qdec2(c)
+  private def cents2(c: Column): Column = Analytics.cents2(c)
 
   /** As-of join: each purchase event looks up the latest view event of
     * the same user at-or-before its time ("price as of the trade"). The
     * quote's event_id breaks same-instant ties (greatest wins);
-    * purchases with no preceding view keep null quote columns. */
+    * purchases with no preceding view keep null quote columns.
+    *
+    * All oracle-visible times are MICROSECONDS (`ts_ns div 1000`, the
+    * same truncation DuckDB applies reading the nano parquet — see
+    * [[graft.util.Tables.events]]): the raw nanos are not µs-aligned, so
+    * any ns-derived value or ordering diverges from what the oracle can
+    * see. µs + event_id is a total order on this data; the as-of pick,
+    * the probe time, and the age are all µs-exact on both engines. */
   private val q30 = Q("q30_asof_join",
     (s, d) => {
       val ev = events(s, d)
       val probes = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_ns"))
-      val quotes = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts_ns"), col("event_id"), col("value"))
-      AsOfJoin.asOf(probes, quotes, Seq("user_id"),
-          probeTime = "ts_ns", quoteTime = "ts_ns", tieBreak = "event_id",
-          carry = Seq("event_id", "value", "ts_ns"))
         .select(col("event_id"), col("user_id"),
-          col("ts_ns").as("p_ts_ns"),
+          expr("ts_ns div 1000").as("ts_us"))
+      val quotes = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+      AsOfJoin.asOf(probes, quotes, Seq("user_id"),
+          probeTime = "ts_us", quoteTime = "ts_us", tieBreak = "event_id",
+          carry = Seq("event_id", "value", "ts_us"))
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("p_ts_us"),
           col("quote_event_id"),
           col("quote_value"),
-          // age in µs; integer div (ns values exceed double's mantissa)
-          expr("(ts_ns - quote_ts_ns) div 1000").as("age_us"))
+          (col("ts_us") - col("quote_ts_us")).as("age_us"))
         .orderBy("event_id")
     },
-    Some("""WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
                        FROM events WHERE event_type = 'purchase'),
-                 q AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, value
+                 q AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value
                        FROM events WHERE event_type = 'view'),
-                 j AS (SELECT p.event_id, p.user_id, p.tns,
-                              q.event_id AS qid, q.value AS qv, q.tns AS qtns,
+                 j AS (SELECT p.event_id, p.user_id, p.tus,
+                              q.event_id AS qid, q.value AS qv, q.tus AS qtus,
                               row_number() OVER (PARTITION BY p.event_id
-                                ORDER BY q.tns DESC, q.event_id DESC) AS rn
+                                ORDER BY q.tus DESC, q.event_id DESC) AS rn
                        FROM p LEFT JOIN q
-                         ON q.user_id = p.user_id AND q.tns <= p.tns)
-            SELECT event_id, user_id, tns AS p_ts_ns,
+                         ON q.user_id = p.user_id AND q.tus <= p.tus)
+            SELECT event_id, user_id, tus AS p_ts_us,
                    qid AS quote_event_id, qv AS quote_value,
-                   CASE WHEN qtns IS NULL THEN NULL
-                        ELSE (tns - qtns) // 1000 END AS age_us
+                   tus - qtus AS age_us
             FROM j WHERE rn = 1 ORDER BY event_id"""))
 
   /** Range join: each signup opens a 1-hour attribution window; count
-    * and sum the same user's clicks inside it (inclusive bounds).
-    * Signups with no clicks keep count 0 / null sum. Bucket width =
-    * the window span, so each interval explodes to ≤ 2 buckets. */
+    * and sum the same user's clicks inside it (inclusive bounds, µs
+    * granularity on both sides — see q30's note). Signups with no
+    * clicks keep count 0 / null sum (NaN in both engines' pandas view).
+    * Bucket width = the window span, so each interval explodes to ≤ 2
+    * buckets. Click values accumulate as exact cents, emitted DOUBLE. */
   private val q31 = Q("q31_range_join",
     (s, d) => {
-      val hourNs = 3600L * 1000000000L
+      val hourUs = 3600L * 1000000L
       val ev = events(s, d)
       val iv = ev.filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"), col("user_id"),
-          col("ts_ns").as("lo"))
-        .withColumn("hi", col("lo") + lit(hourNs))
+          expr("ts_ns div 1000").as("lo"))
+        .withColumn("hi", col("lo") + lit(hourUs))
       val pts = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_ns").as("pt"),
-          col("event_id").as("click_id"), qdec2(col("value")).as("qv"))
+        .select(col("user_id"), expr("ts_ns div 1000").as("pt"),
+          col("event_id").as("click_id"), cents2(col("value")).as("qc"))
       val hits = RangeJoin.joinRange(iv, pts, Seq("user_id"),
-          "lo", "hi", "pt", bucketWidth = hourNs)
+          "lo", "hi", "pt", bucketWidth = hourUs)
         .groupBy("signup_id")
         .agg(count(lit(1)).as("n_clicks"),
-          sum(col("qv")).cast(DecimalType(38, 2)).as("sum_value"))
+          (sum(col("qc")).cast(DecimalType(38, 0)).cast("double") / lit(100.0)).as("sum_value"))
       iv.join(hits, Seq("signup_id"), "left")
         .select(col("signup_id"), col("user_id"),
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
@@ -86,13 +95,13 @@ object TemporalQueries {
         .orderBy("signup_id")
     },
     Some(s"""WITH s AS (SELECT event_id AS signup_id, user_id,
-                          epoch_ns(ts) AS lo, epoch_ns(ts) + 3600000000000 AS hi
+                          epoch_us(ts) AS lo, epoch_us(ts) + 3600000000 AS hi
                         FROM events WHERE event_type = 'signup'),
-                 c AS (SELECT user_id, epoch_ns(ts) AS pt,
-                          ${Sql.qdec2("value")} AS qv
+                 c AS (SELECT user_id, epoch_us(ts) AS pt,
+                          ${Sql.cents2("value")} AS qc
                        FROM events WHERE event_type = 'click'),
                  g AS (SELECT s.signup_id, count(*) AS cnt,
-                              CAST(SUM(c.qv) AS DECIMAL(38,2)) AS sv
+                              (${Sql.dbl("SUM(c.qc)")} / 100.0) AS sv
                        FROM s JOIN c
                          ON c.user_id = s.user_id AND c.pt BETWEEN s.lo AND s.hi
                        GROUP BY s.signup_id)

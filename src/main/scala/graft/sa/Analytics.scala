@@ -41,24 +41,58 @@ object Analytics {
     (floor(c * 100).cast(DecimalType(3, 0)) * lit(new java.math.BigDecimal("0.01")))
       .cast(DecimalType(3, 2))
 
-  /** W3: trailing N-row rolling sum/count/avg of `valueCol` per key. */
+  /** Per-row half-up cent quantization that STAYS IN DOUBLE:
+    * `floor(x·100 + 0.5) / 100.0` — three IEEE ops, identical on every
+    * engine. This (not [[qdec2]]) is the form for ORACLE-VISIBLE columns:
+    * the driver's compare stringifies pandas values, and a Spark parquet
+    * DECIMAL arrives as `Decimal('912.10')` while DuckDB's fetchdf gives
+    * float `912.1` — equal values, unequal strings (the actual root cause
+    * of the r1–r3 hash-fail cluster; rounding modes were never the
+    * discriminator, q19/q20 passed with the same quantizer by luck of
+    * their 10 values having no trailing-zero cents). DECIMAL remains the
+    * right type for order-independent ACCUMULATION ([[cents2]]); only the
+    * final, oracle-visible value must be double.
+    * Oracle-SQL twin: [[graft.queries.Sql.qdbl2]]. */
+  def qdbl2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)) / lit(100.0)
+
+  /** Exact integer cents (half-up) as DECIMAL(18,0) — the accumulation
+    * form: decimal sums are exact and order-independent under any
+    * partitioning/AQE re-plan. Convert the SUM (not the addends) to
+    * double once at the end. Oracle-SQL twin: [[graft.queries.Sql.cents2]]. */
+  def cents2(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.5)).cast(DecimalType(18, 0))
+
+  /** A rate in [0,1] as an exact integer percent 0..100 (DECIMAL(3,0)) —
+    * lets discount/tax products stay in exact integer arithmetic.
+    * Oracle-SQL twin: [[graft.queries.Sql.pct]]. */
+  def pct(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.5)).cast(DecimalType(3, 0))
+
+  /** W3: trailing N-row rolling sum/count/avg of `valueCol` per key.
+    * Accumulates exact integer cents in decimal (order-independent),
+    * emits DOUBLE (`Σcents → double / 100.0`, exact below 2⁵³ cents —
+    * the conversion both engines agree on; see [[qdbl2]] for why no
+    * decimal may leave the query). */
   def rollingRows(df: DataFrame, key: String, order: Seq[Column],
                   valueCol: String, n: Int, prefix: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(order: _*).rowsBetween(-(n - 1), 0)
-    df.withColumn(s"sum_$prefix", sum(qdec2(col(valueCol))).over(w).cast(DecimalType(38, 2)))
+    df.withColumn(s"sum_$prefix",
+        sum(cents2(col(valueCol))).over(w).cast(DecimalType(38, 0)).cast("double") / lit(100.0))
       .withColumn(s"n_$prefix", count(lit(1)).over(w))
       .withColumn(s"avg_$prefix",
-        col(s"sum_$prefix").cast("double") / col(s"n_$prefix"))
+        col(s"sum_$prefix") / col(s"n_$prefix"))
   }
 
   /** W3 (calendar flavor): trailing `days`-day RANGE frame keyed on an
     * integer day number — calendar-day semantics independent of row
-    * density, deterministic under ties (peers share the frame). */
+    * density, deterministic under ties (peers share the frame). Same
+    * exact-cents-then-double policy as [[rollingRows]]. */
   def rollingDays(df: DataFrame, key: String, dayNumCol: String,
                   valueCol: String, days: Int, prefix: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(dayNumCol))
       .rangeBetween(-days, 0)
-    df.withColumn(s"sum_$prefix", sum(qdec2(col(valueCol))).over(w).cast(DecimalType(38, 2)))
+    df.withColumn(s"sum_$prefix",
+        sum(cents2(col(valueCol))).over(w).cast(DecimalType(38, 0)).cast("double") / lit(100.0))
       .withColumn(s"n_$prefix", count(lit(1)).over(w))
   }
 
@@ -185,13 +219,23 @@ object Analytics {
     df.join(spark.createDataFrame(ranked, schema), Seq(valueCol))
   }
 
-  /** A9: per-group share of total: exact decimal group sums, grand total
-    * via an unpartitioned window sum (still exact), share in double. */
-  def shareOfTotal(df: DataFrame, groupCol: String, revenue: Column): DataFrame = {
+  /** A9: per-group share of total. `scaledRevenue` must be an exact
+    * INTEGER-decimal expression (e.g. `cents2(price) · (100 − pct(disc))`,
+    * scale 10⁴): group sums and the grand total accumulate exactly in
+    * decimal (order-independent), and only the final values convert to
+    * double — `rev = Σ/scale`, `share = rev / tot` with the identical op
+    * sequence on both engines. The grand total is an unpartitioned window
+    * sum over the GROUPED rows (group-cardinality input, not a scan). */
+  def shareOfTotal(df: DataFrame, groupCol: String, scaledRevenue: Column,
+                   scale: Double): DataFrame = {
     val grouped = df.groupBy(groupCol)
-      .agg(sum(revenue).cast(DecimalType(38, 4)).as("rev"))
-    grouped.withColumn("share",
-      col("rev").cast("double") /
-        sum(col("rev")).over(Window.partitionBy()).cast("double"))
+      .agg(sum(scaledRevenue).cast(DecimalType(38, 0)).as("__revs"))
+    grouped
+      .withColumn("__tots",
+        sum(col("__revs")).over(Window.partitionBy()).cast(DecimalType(38, 0)))
+      .select(col(groupCol),
+        (col("__revs").cast("double") / lit(scale)).as("rev"),
+        ((col("__revs").cast("double") / lit(scale)) /
+          (col("__tots").cast("double") / lit(scale))).as("share"))
   }
 }
