@@ -32,7 +32,7 @@ object Multimodal {
     /** Extract one frame by index. */
     def frame(payload: Array[Byte], idx: Int): Array[Byte]
     /** Dense feature vector (the embedding a vision/audio model yields). */
-    def features(payload: Array[Byte], dim: Int): Array[Float]
+    def features(payload: Array[Byte], dim: Int): Array[Double]
   }
 
   /** STUB: deterministic fakes derived from the byte content only — stand
@@ -61,14 +61,34 @@ object Multimodal {
       val (w, h, _) = decode(payload)
       resize(payload :+ idx.toByte, math.min(w, 16), math.min(h, 16))
     }
-    def features(payload: Array[Byte], dim: Int): Array[Float] = {
-      var seed = payload.foldLeft(-3750763034362895579L)((a, b) => (a ^ b) * 1099511628211L)
-      val v = Array.tabulate(dim) { _ =>
-        seed = seed * 6364136223846793005L + 1442695040888963407L
-        ((seed >>> 40).toInt / 8388608.0f) - 1.0f
+    /** Double-precision unit-norm embedding, every step exact/portable
+      * integer or IEEE-double arithmetic so an external engine (the
+      * DuckDB oracle for x14) reproduces it bit-for-bit:
+      *   seed = (integer value of the first 15 hex chars of
+      *           md5(payload)) mod 2³¹          — the shared cross-engine
+      *                                            hash primitive;
+      *   raw_j = lcgUnit(seed + j)              — the same 31-bit LCG the
+      *                                            LSH hyperplanes use
+      *                                            ([[Similarity]]); exact
+      *                                            in int64 (seed+j < 2³¹,
+      *                                            product < 2⁶¹);
+      *   out_j = raw_j / ‖raw‖                  — norm is a sequential
+      *                                            left-to-right fold of
+      *                                            squares (`list_sum`
+      *                                            order in DuckDB).
+      */
+    def features(payload: Array[Byte], dim: Int): Array[Double] = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+      val seed = ((h << 4) | ((d(7) >> 4) & 0xFL)) % 2147483648L
+      val v = Array.tabulate(dim) { j =>
+        ((1103515245L * (seed + j) + 12345L) % 2147483648L).toDouble /
+          2147483648.0 * 2.0 - 1.0
       }
-      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)).toFloat
-      if (n == 0f) v else v.map(_ / n)
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      if (n == 0) v else v.map(_ / n)
     }
   }
 

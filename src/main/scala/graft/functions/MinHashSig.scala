@@ -107,11 +107,7 @@ object MinHashSig {
   def permA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % (P - 1) + 1
   def permB(i: Int): Long = (1103515245L * (i + 101) + 12345L) % P
 
-  def apply(shingleHashes: Column, numHashes: Int): Column = {
-    val name = s"minhash_sig_$numHashes"
-    SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name,
-        exprs => MinHashSig(exprs.head, numHashes), "scala_udf")
-    call_function(name, shingleHashes)
-  }
+  def apply(shingleHashes: Column, numHashes: Int): Column =
+    Natives.callRegistered(s"minhash_sig_$numHashes",
+      exprs => MinHashSig(exprs.head, numHashes), shingleHashes)
 }

@@ -107,11 +107,7 @@ object NearestCentroid {
     (w, norms)
   }
 
-  def apply(emb: Column, nCentroids: Int, dim: Int, seedOffset: Long): Column = {
-    val name = s"nearest_centroid_${nCentroids}_${dim}_$seedOffset"
-    SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name,
-        exprs => NearestCentroid(exprs.head, nCentroids, dim, seedOffset), "scala_udf")
-    call_function(name, emb)
-  }
+  def apply(emb: Column, nCentroids: Int, dim: Int, seedOffset: Long): Column =
+    Natives.callRegistered(s"nearest_centroid_${nCentroids}_${dim}_$seedOffset",
+      exprs => NearestCentroid(exprs.head, nCentroids, dim, seedOffset), emb)
 }

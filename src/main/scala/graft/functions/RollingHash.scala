@@ -84,10 +84,7 @@ object RollingHash {
   /** Mersenne prime 2⁶¹ − 1. */
   val P: Long = 2305843009213693951L
 
-  def apply(text: Column): Column = {
-    SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction("rolling_hash",
-        exprs => RollingHash(exprs.head), "scala_udf")
-    call_function("rolling_hash", text)
-  }
+  def apply(text: Column): Column =
+    Natives.callRegistered("rolling_hash",
+      exprs => RollingHash(exprs.head), text)
 }

@@ -114,11 +114,7 @@ case class ShingleMd5(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShingleMd5 {
-  def apply(tokens: Column, n: Int): Column = {
-    val name = s"shingle_md5_$n"
-    SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name,
-        exprs => ShingleMd5(exprs.head, n), "scala_udf")
-    call_function(name, tokens)
-  }
+  def apply(tokens: Column, n: Int): Column =
+    Natives.callRegistered(s"shingle_md5_$n",
+      exprs => ShingleMd5(exprs.head, n), tokens)
 }

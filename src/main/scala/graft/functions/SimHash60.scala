@@ -93,10 +93,7 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 }
 
 object SimHash60 {
-  def apply(shingleHashes: Column): Column = {
-    SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction("simhash60",
-        exprs => SimHash60(exprs.head), "scala_udf")
-    call_function("simhash60", shingleHashes)
-  }
+  def apply(shingleHashes: Column): Column =
+    Natives.callRegistered("simhash60",
+      exprs => SimHash60(exprs.head), shingleHashes)
 }

@@ -380,11 +380,12 @@ object ExtQueries {
     * [[graft.ext.Multimodal.extractFeatures]]): opaque payloads →
     * per-partition feature extraction (`mapPartitions`, codec instantiated
     * once per partition) → LSH-bucketed similarity search over the
-    * extracted embeddings. No SQL oracle: the codec closure is not
-    * SQL-expressible (the driver records the rows-only check); the bridge
-    * SEMANTICS are pinned by MultimodalSpec instead — identical payloads
-    * yield identical embeddings whose top-1 neighbor is the twin at
-    * sim ≈ 1, and the plan stays cartesian-free. */
+    * extracted embeddings. The stub codec's embedding is double-precision
+    * md5-seeded LCG arithmetic (see [[graft.ext.Multimodal.FakeCodec]]),
+    * so the WHOLE bridge — including the imperative mapPartitions decode
+    * path — is reproduced by the oracle bit-for-bit; the `emb` CTE below
+    * is the SQL twin of `FakeCodec.features`, and the LSH stages mirror
+    * x09's proven text. */
   private val x14 = Q("x14_multimodal_ann",
     (s, d) => {
       val docs = documents(s, d).withColumn("payload", col("text").cast("binary"))
@@ -393,7 +394,44 @@ object ExtQueries {
           "doc_id", "embedding", k = 5, nBands = 4, bandBits = 4, dim = 16)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""WITH raw AS (SELECT doc_id,
+                   list_transform(range(0,16), j ->
+                     CAST((1103515245*((CAST(CAST('0x'||substr(md5(text),1,15) AS UBIGINT) AS BIGINT)
+                                        % 2147483648) + j) + 12345) % 2147483648 AS DOUBLE)
+                     / 2147483648.0 * 2 - 1) AS v
+                 FROM documents),
+                 emb AS (SELECT doc_id,
+                           CASE WHEN n = 0 THEN v
+                                ELSE list_transform(v, x -> x / n) END AS e
+                         FROM (SELECT doc_id, v,
+                                 sqrt(list_sum(list_transform(v, y -> y*y))) AS n
+                               FROM raw)),
+                 sig AS (SELECT doc_id, e,
+                   list_transform(range(0,16), p -> CASE WHEN
+                     list_sum(list_transform(list_zip(e, range(0,16)),
+                       x -> CAST(x[1] AS DOUBLE) *
+                            (CAST((1103515245*(p*16 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                             / 2147483648.0 * 2 - 1))) >= 0
+                     THEN 1 ELSE 0 END) AS sg
+                 FROM emb),
+                 bands AS (SELECT doc_id, b,
+                             sg[4*b+1]*8 + sg[4*b+2]*4 + sg[4*b+3]*2 + sg[4*b+4] AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS neighbor_id
+                          FROM bands q JOIN bands c ON q.b = c.b AND q.bk = c.bk
+                          WHERE q.doc_id < 8 AND c.doc_id <> q.doc_id),
+                 scored AS (SELECT query_id, neighbor_id,
+                     list_sum(list_transform(list_zip(qe.e, ce.e),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qe.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(ce.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+                   FROM cand JOIN emb qe ON qe.doc_id = query_id
+                             JOIN emb ce ON ce.doc_id = neighbor_id),
+                 r AS (SELECT query_id, neighbor_id, sim,
+                         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+                       FROM scored)
+            SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
+            FROM r WHERE rn <= 5 ORDER BY query_id, rank"""))
 
   /** Duplicate-cluster resolution: the near-dup PAIRS (x08's MinHash/LSH
     * output) resolved into connected components with a min-id canonical

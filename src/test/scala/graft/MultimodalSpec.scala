@@ -74,7 +74,7 @@ class MultimodalSpec extends SparkSpec {
       .toDF("id", "text")
       .withColumn("payload", col("text").cast("binary"))
     val emb = Multimodal.extractFeatures(spark, twins, "id", "payload", dim = 16)
-    val e = emb.orderBy("id").collect().map(_.getSeq[Float](1))
+    val e = emb.orderBy("id").collect().map(_.getSeq[Double](1))
     assert(e(0) == e(1), "byte-identical payloads must embed identically")
     val top = Similarity.lshTopK(emb, emb.filter(col("id") === 1),
       "id", "embedding", k = 1, nBands = 4, bandBits = 4, dim = 16)
