@@ -2,23 +2,35 @@ package graft
 
 /** Benchmark harness: warms the JVM/codegen caches with a full pass over
   * every query at a SMALL scale factor (sf0.001 by default — same code
-  * paths, same codegen cache keys, ~100× less data), then reports the
-  * measured pass at the target scale factor. A full-sized warm-up pass
-  * (round 2) doubled wall-clock to ~9 min and blew the driver's budget
-  * (BENCH_r02 rc=124); the small-SF warm-up keeps end-to-end under the
-  * budget while still keeping first-query JIT/codegen cost out of the
-  * measurements. Set SPARK_GRAFT_WARM_DIR="" to skip warm-up entirely, or
-  * point it at the target dir for the old two-pass behavior. A query that
-  * throws is reported with value -1 and its error in the `errors` map —
-  * never a fake timing.
+  * paths, same codegen cache keys, ~100× less data), then times each
+  * query REPS times (default 3) at the target scale factor and reports
+  * the per-query MEDIAN (plus the min, for drill-down). A full-sized
+  * warm-up pass (round 2) doubled wall-clock to ~9 min and blew the
+  * driver's budget (BENCH_r02 rc=124); the small-SF warm-up keeps
+  * end-to-end under the budget while still keeping first-query
+  * JIT/codegen cost out of the measurements.
+  *
+  * Why median-of-N: this sandbox is contended — three consecutive
+  * rounds' single-sample artifacts each contained one phantom multi-10×
+  * outlier (r05: x16 recorded 38.26 s vs 2.45 s re-measured minutes
+  * later, same code, same data). A median over 3 samples makes a single
+  * descheduled run invisible and a REAL regression visible; the honest
+  * full pass is ~27 s, so 3× fits any driver budget.
+  *
+  * Set SPARK_GRAFT_WARM_DIR="" to skip warm-up, SPARK_GRAFT_REPS to
+  * change the sample count. A query that throws in any measured rep is
+  * reported with value -1 and its error in the `errors` map — never a
+  * fake timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = graft.util.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Sessions.quietKnownWarnings()
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
@@ -28,7 +40,7 @@ object Bench {
     // cascade: ~25 tiny write/read jobs) — timing it measures scheduler
     // overhead, not operator throughput, and it alone costs ~80 s/pass.
     // It stays in the Verify/oracle gate; the bench reports the data-
-    // proportional query surface.
+    // proportional query surface (incl. q32, the data-proportional MERGE).
     val skip = Set("q28_pipeline_cascade")
     val names = SparkEntry.queries.keys.toSeq.filterNot(skip).sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -40,22 +52,28 @@ object Bench {
         -1.0
       }
     }
-    // Release operator-persisted blocks between queries (the near-dup /
+    // Release operator-persisted blocks between runs (the near-dup /
     // similarity operators persist signature tables and the caller owns
-    // the lifetime): bounds cache accumulation across 2×N query runs and
-    // keeps every measured timing an honest cold-cache number.
+    // the lifetime): bounds cache accumulation across (1+reps)×N query
+    // runs and keeps every measured timing an honest cold-cache number.
     if (warmDir.nonEmpty) names.foreach { n => once(n, warmDir); spark.catalog.clearCache() }
-    errors.clear()         // only the measured pass's errors are reported
-    val results = names.map { n =>
-      val r = n -> once(n, sfDir); spark.catalog.clearCache(); r
+    errors.clear()         // only the measured passes' errors are reported
+    val samples = names.map { n =>
+      n -> (1 to reps).map { _ =>
+        val t = once(n, sfDir); spark.catalog.clearCache(); t
+      }.sorted
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(ts: Seq[Double]): Double =
+      if (ts.head < 0) -1.0                     // any failed rep poisons the query
+      else ts((ts.size - 1) / 2)                // lower median of the sorted reps
+    val med = samples.map { case (n, ts) => n -> median(ts) }
+    val mins = samples.map { case (n, ts) => n -> (if (ts.head < 0) -1.0 else ts.head) }
+    def jm(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val ok = results.filter(_._2 >= 0)
-    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = med.filter(_._2 >= 0).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jm(med)},"queries_min":${jm(mins)},"reps":$reps,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

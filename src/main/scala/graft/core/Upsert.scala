@@ -43,6 +43,21 @@ object Upsert {
     target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(source)
 
+  /** [[merge]] over BUCKETED target/source tables (both bucketed and
+    * sorted on `keys`, same bucket count — see [[Bucketing]]): the
+    * sort-merge strategy is pinned via the join hint so the anti join
+    * reads co-partitioned buckets in place — no Exchange on either side
+    * (an unhinted plan may broadcast the distinct key set instead, which
+    * also avoids a shuffle but proves nothing about the storage layout
+    * at a scale where the key set outgrows the broadcast threshold).
+    * This is the zero-shuffle daily CORE merge at 100 TB: the only data
+    * movement is the narrow in-bucket read. q33 checks it end-to-end;
+    * PlanSpec pins the shuffle-free plan. */
+  def mergeBucketed(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(source.select(keys.map(col): _*).distinct().hint("merge"),
+      keys, "left_anti")
+      .unionByName(source)
+
   /** Write one date's slice of a date-partitioned parquet table with
     * dynamic partition overwrite — the physical realization of a
     * date-scoped MERGE. Idempotent under reruns. The overwrite mode is

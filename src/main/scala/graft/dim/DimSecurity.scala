@@ -38,8 +38,7 @@ object DimSecurity {
     * driver-side state is one count per partition. */
   def assignDenseIds(keys: DataFrame, base: Long, keyCol: String = "symbol"): DataFrame = {
     val spark = keys.sparkSession
-    val sorted = keys.select(col(keyCol))
-      .repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+    val sorted = rangeSorted(keys, keyCol)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("security_id",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -50,6 +49,14 @@ object DimSecurity {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** The distributed-sort stage of [[assignDenseIds]], exposed so
+    * PlanSpec can pin its physical shape: the Exchange must be a RANGE
+    * partitioning over `keyCol` (every partition works), never a
+    * SinglePartition collapse — the property the scale path exists for. */
+  private[graft] def rangeSorted(keys: DataFrame, keyCol: String): DataFrame =
+    keys.select(col(keyCol))
+      .repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
 
   /** Merge new symbols into an existing (security_id, symbol) dim. */
   def merge(dim: DataFrame, incomingSymbols: DataFrame, symbolCol: String = "symbol"): DataFrame = {

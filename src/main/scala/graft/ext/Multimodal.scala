@@ -152,9 +152,12 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "frame")
   }
 
-  /** Feature extraction: (id, payload) → (id, embedding array<float>) —
-    * the bridge from multimodal payloads into the [[Similarity]] ANN
-    * operators. Output embeddings are unit-norm, ready for cosine. */
+  /** Feature extraction: (id, payload) → (id, embedding array<double>,
+    * per [[FakeCodec.features]]) — the bridge from multimodal payloads
+    * into the [[Similarity]] ANN operators, all of which dispatch on the
+    * element type (float or double) via [[graft.functions.CosineSimilarity]]
+    * / [[graft.functions.NearestCentroid]]. Output embeddings are
+    * unit-norm, ready for cosine. */
   def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String,
                       binCol: String, dim: Int,
                       codec: Codec = FakeCodec): DataFrame = {

@@ -4,9 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over an embedding column (`array<float>`): exact
-  * brute-force cosine top-k as the baseline, and a random-hyperplane
-  * LSH-bucketed variant as the scale path.
+/** Similarity search over an embedding column (`array<float>`, or
+  * `array<double>` for computed embeddings such as the multimodal
+  * feature bridge — [[graft.functions.CosineSimilarity]] and
+  * [[graft.functions.NearestCentroid]] dispatch on the element type):
+  * exact brute-force cosine top-k as the baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
   *
   * All arithmetic is pure `Column` expressions (higher-order functions,
   * no UDFs) and is engine-portable bit-for-bit:

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native IVF coarse-quantizer assignment: index of the centroid with the
   * highest `dot(v, c_k) / ‖c_k‖` (first index on ties) over the
@@ -29,11 +29,18 @@ case class NearestCentroid(child: Expression, nCentroids: Int, dim: Int,
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
 
+  // same element-type dispatch as [[CosineSimilarity]]: float embeddings
+  // widen exactly to double; double embeddings (the multimodal feature
+  // bridge) pass through unchanged — so ivfTopK serves both
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float>, got ${t.sql}")
+      s"$prettyName requires array<float> or array<double>, got ${t.sql}")
   }
+
+  private lazy val floatElements: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   @transient private lazy val (weights, norms) =
     NearestCentroid.codebook(nCentroids, dim, seedOffset)
@@ -45,7 +52,10 @@ case class NearestCentroid(child: Expression, nCentroids: Int, dim: Int,
     var k = 0
     while (k < nCentroids) {
       var dot = 0.0; var j = 0
-      while (j < n) { dot += a.getFloat(j).toDouble * weights(k * dim + j); j += 1 }
+      while (j < n) {
+        val x = if (floatElements) a.getFloat(j).toDouble else a.getDouble(j)
+        dot += x * weights(k * dim + j); j += 1
+      }
       val s = dot / norms(k)
       if (s > bestS) { bestS = s; bestK = k } // strict > keeps FIRST max (tie rule)
       k += 1
@@ -57,6 +67,7 @@ case class NearestCentroid(child: Expression, nCentroids: Int, dim: Int,
     val w = ctx.addReferenceObj("weights", weights, "double[]")
     val nm = ctx.addReferenceObj("norms", norms, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
+      val get = if (floatElements) "getFloat" else "getDouble"
       val n = ctx.freshName("n"); val k = ctx.freshName("k")
       val j = ctx.freshName("j"); val dot = ctx.freshName("dot")
       val s = ctx.freshName("s"); val bestK = ctx.freshName("bestK")
@@ -67,7 +78,7 @@ case class NearestCentroid(child: Expression, nCentroids: Int, dim: Int,
          |for (int $k = 0; $k < $nCentroids; $k++) {
          |  double $dot = 0.0;
          |  for (int $j = 0; $j < $n; $j++) {
-         |    $dot += ((double) $a.getFloat($j)) * $w[$k * $dim + $j];
+         |    $dot += ((double) $a.$get($j)) * $w[$k * $dim + $j];
          |  }
          |  double $s = $dot / $nm[$k];
          |  if ($s > $bestS) { $bestS = $s; $bestK = $k; }

@@ -46,10 +46,16 @@ object AnalyticsQueries {
           sumDbl(pc, 100.0).as("sum_base_price"),
           sumDbl(pc * (hundred - dp), 10000.0).as("sum_disc_price"),
           sumDbl(pc * (hundred - dp) * (hundred + tp), 1000000.0).as("sum_charge"),
-          (sumDbl(qc, 100.0) / count(lit(1))).as("avg_qty"),
-          (sumDbl(pc, 100.0) / count(lit(1))).as("avg_price"),
-          (sumDbl(dp, 100.0) / count(lit(1))).as("avg_disc"),
+          sumDbl(dp, 100.0).as("__sum_disc"),
           count(lit(1)).as("count_order"))
+        // averages derive from the aggregated sums (same `sum/count` IEEE
+        // division as aggregating twice, without duplicate aggregates)
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .withColumn("avg_disc", col("__sum_disc") / col("count_order"))
+        .select(col("returnflag"), col("linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          col("avg_qty"), col("avg_price"), col("avg_disc"), col("count_order"))
         .orderBy("returnflag", "linestatus")
     },
     Some({

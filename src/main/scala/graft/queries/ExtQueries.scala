@@ -488,6 +488,44 @@ object ExtQueries {
                   < (CASE WHEN lang = 'en' THEN 8000 WHEN lang = 'zh' THEN 3000 ELSE 5000 END)
             ORDER BY doc_id"""))
 
+  /** Streaming exact dedup under the oracle (SURVEY.md §2.9 × x01): the
+    * documents table is staged as a file-source arrival directory, run
+    * through the REAL watermarked streaming dedup
+    * ([[graft.streaming.StreamDedup.exactDedupStreamWatermarked]] —
+    * `dropDuplicatesWithinWatermark` state, the bounded-state 100 TB
+    * continuous-ingest path) with `Trigger.AvailableNow`, and the sink
+    * is compared against the batch first-wins oracle. This is the
+    * reference's operational core — "as files land, upsert exactly once
+    * per key" (`dags/get_securities_data.py:40-42`) — executed by a real
+    * streaming query, not a unit test.
+    *
+    * Determinism: WHICH duplicate row survives depends on arrival order,
+    * so the checked output is the surviving KEY SET (one `fp` per
+    * distinct fingerprint — arrival-order-free), ordered. The derived
+    * event time (epoch + doc_id seconds) spans < 1 hour per 3.6k docs;
+    * the 365-day watermark delay keeps every fingerprint's state live
+    * across micro-batches, so dedup is exact over the whole run. */
+  private val x17 = Q("x17_stream_dedup",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-x17-")
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val staged = documents(s, d).withColumn("event_ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      staged.write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema(staged.schema).parquet(in)
+      val job = graft.streaming.StreamDedup
+        .exactDedupStreamWatermarked(stream, "text", "event_ts", "365 days")
+        .select("fp")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      job.awaitTermination()
+      s.read.parquet(out).select("fp").orderBy("fp")
+    },
+    Some("""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents ORDER BY fp"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16)
+    x11, x12, x13, x14, x15, x16, x17)
 }

@@ -3,6 +3,9 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.EodPipeline
+import graft.core.{Bucketing, Dedup, Upsert}
+import graft.util.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end cascade check (SURVEY.md §3.1; M2/M5 through the PIPELINE
@@ -148,5 +151,83 @@ object PipelineQueries {
             FROM core JOIN dim2 ON core.symbol = dim2.symbol
             ORDER BY core.symbol"""))
 
-  val qs: Seq[Q] = Seq(q28)
+  private def qdbl2(c: Column): Column = graft.sa.Analytics.qdbl2(c)
+  private val cutoff = java.sql.Date.valueOf("1998-01-01")
+
+  /** M2 at data scale, bench-tracked: the full-table upsert MERGE
+    * (reference `4. merge_core.sql:53-96`) as ONE data-proportional
+    * query — target = the whole orders table, source = a restated slice
+    * (every order from the cutoff on, with a price adjustment), merged
+    * on the unique order key via [[Upsert.merge]] (anti-join + union,
+    * exactly the M2 shape q10 checks on the latest-per-customer
+    * embodiment). q28 checks the same operation through the full
+    * pipeline cascade but is scheduler-bound (~25 tiny jobs) and so
+    * excluded from the bench; THIS query gives the reference's
+    * signature operation a timing series proportional to table size.
+    * Scale: the anti join shuffles both sides on the merge key once —
+    * at 100 TB the same merge reads only the affected date partitions
+    * (partition pruning) or runs shuffle-free on bucketed storage
+    * (q33). */
+  private val q32 = Q("q32_merge_bench",
+    (s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        qdbl2(col("o_totalprice")).as("totalprice"),
+        col("o_orderdate").cast("date").as("order_date"))
+      // the restatement: +1.00 is one IEEE add on both engines
+      val source = o.filter(col("order_date") >= lit(cutoff))
+        .withColumn("totalprice", col("totalprice") + lit(1.0))
+      Upsert.merge(o, source, Seq("o_orderkey")).orderBy("o_orderkey")
+    },
+    Some(s"""WITH o AS (SELECT o_orderkey, o_custkey,
+                  ${Sql.qdbl2("o_totalprice")} AS totalprice,
+                  CAST(o_orderdate AS DATE) AS order_date FROM orders),
+            s AS (SELECT o_orderkey, o_custkey, totalprice + 1.0 AS totalprice,
+                         order_date
+                  FROM o WHERE order_date >= DATE '1998-01-01')
+            SELECT * FROM (
+              SELECT * FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+              UNION ALL SELECT * FROM s)
+            ORDER BY o_orderkey"""))
+
+  /** M2 on BUCKETED storage — q10's latest-per-customer merge computed
+    * over catalog tables bucketed+sorted on the merge key
+    * ([[Bucketing.writeBucketed]] → [[Upsert.mergeBucketed]]), so the
+    * anti join runs with NO shuffle Exchange on either side (PlanSpec
+    * pins it: the only Exchange in the merge plan is the final ORDER BY's
+    * range partition). Same oracle as q10 — the storage layout must not
+    * change the answer. This is the demonstrated (not just documented)
+    * form of the 100 TB daily-merge story: recurring merges against a
+    * symbol-bucketed CORE pay zero data movement for the join. */
+  private val q33 = Q("q33_bucketed_merge",
+    (s, d) => {
+      val o = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        qdbl2(col("o_totalprice")).as("totalprice"),
+        col("o_orderdate").cast("date").as("order_date"))
+      def latest(df: DataFrame) = Dedup.latestWins(df, Seq("o_custkey"),
+        Seq(col("order_date").desc, col("o_orderkey").desc))
+      val target = latest(o.filter(col("order_date") < lit(cutoff)))
+      val source = latest(o.filter(col("order_date") >= lit(cutoff)))
+      Bucketing.writeBucketed(target, "q33_core_target", Seq("o_custkey"), 8)
+      Bucketing.writeBucketed(source, "q33_core_source", Seq("o_custkey"), 8)
+      Upsert.mergeBucketed(s.table("q33_core_target"),
+          s.table("q33_core_source"), Seq("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    Some(s"""WITH o AS (SELECT o_custkey, o_orderkey,
+                  ${Sql.qdbl2("o_totalprice")} AS totalprice,
+                  CAST(o_orderdate AS DATE) AS order_date FROM orders),
+            t AS (SELECT o_custkey, o_orderkey, totalprice, order_date FROM
+                   (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY order_date DESC, o_orderkey DESC) AS rn
+                    FROM o WHERE order_date < DATE '1998-01-01') WHERE rn = 1),
+            s AS (SELECT o_custkey, o_orderkey, totalprice, order_date FROM
+                   (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY order_date DESC, o_orderkey DESC) AS rn
+                    FROM o WHERE order_date >= DATE '1998-01-01') WHERE rn = 1)
+            SELECT * FROM (
+              SELECT * FROM t WHERE o_custkey NOT IN (SELECT o_custkey FROM s)
+              UNION ALL SELECT * FROM s)
+            ORDER BY o_custkey"""))
+
+  val qs: Seq[Q] = Seq(q28, q32, q33)
 }

@@ -196,10 +196,7 @@ object Analytics {
   def scalableRank(df: DataFrame, valueCol: String, ascending: Boolean = true,
                    rankCol: String = "rnk"): DataFrame = {
     val spark = df.sparkSession
-    val order = if (ascending) col(valueCol).asc else col(valueCol).desc
-    val ordered = df.groupBy(valueCol).agg(count(lit(1)).as("__cnt"))
-      .repartitionByRange(order).sortWithinPartitions(order)
-      .select(col(valueCol), col("__cnt"))
+    val ordered = orderedCounts(df, valueCol, ascending)
     val rdd = ordered.rdd
     val partSums = rdd.mapPartitions(it =>
       Iterator.single(it.map(_.getLong(1)).sum)).collect()
@@ -217,6 +214,18 @@ object Analytics {
       org.apache.spark.sql.types.StructField(rankCol,
         org.apache.spark.sql.types.LongType, nullable = false)))
     df.join(spark.createDataFrame(ranked, schema), Seq(valueCol))
+  }
+
+  /** The distributed-sort stage of [[scalableRank]] (distinct values +
+    * counts, range-partitioned in rank order), exposed so PlanSpec can
+    * pin its physical shape: the Exchanges must be hash (the groupBy)
+    * and RANGE (the rank order) — never a SinglePartition collapse. */
+  private[graft] def orderedCounts(df: DataFrame, valueCol: String,
+                                   ascending: Boolean): DataFrame = {
+    val order = if (ascending) col(valueCol).asc else col(valueCol).desc
+    df.groupBy(valueCol).agg(count(lit(1)).as("__cnt"))
+      .repartitionByRange(order).sortWithinPartitions(order)
+      .select(col(valueCol), col("__cnt"))
   }
 
   /** A9: per-group share of total. `scaledRevenue` must be an exact

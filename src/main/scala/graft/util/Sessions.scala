@@ -17,6 +17,10 @@ object Sessions {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // catalog tables (the bucketed CORE/band tables, q33) land in a
+      // fresh temp dir, never the harness cwd
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       // deterministic wall-clock-independent semantics
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); Spark 4 rejects it without this
@@ -27,4 +31,30 @@ object Sessions {
       // skew-join splitting, and join-strategy re-planning
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+
+  /** Route the known-benign `WindowExec: No Partition Defined` WARN to
+    * ERROR in harness (Bench/Verify) sessions. The warning fires for the
+    * deliberately-unpartitioned dim-cardinality windows — q08's
+    * 25-symbol surrogate-id window, q27's 150-group rank, q17's
+    * grand-total over grouped rows — each of which is the SEMANTIC
+    * reference form with a checked scale twin that avoids the
+    * single-partition sort (q12's [[graft.dim.DimSecurity.assignDenseIds]],
+    * q24's [[graft.sa.Analytics.scalableRank]]; PlanSpec pins those
+    * plans). At dim cardinality the single partition is correct and
+    * cheap; the per-execution WARN only made artifact tails look
+    * alarming. Scoped to the window package so every other warning
+    * still surfaces. */
+  def quietKnownWarnings(): Unit = {
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    // x17's streaming run logs "Disabling AQE … not supported in stateful
+    // workloads" twice per micro-batch (MicroBatchExecution +
+    // ResolveWriteToStream) — expected Spark behavior for
+    // dropDuplicatesWithinWatermark, not a harness problem
+    Seq("org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream")
+      .foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
+        _, org.apache.logging.log4j.Level.ERROR))
+  }
 }

@@ -52,17 +52,77 @@ class PlanSpec extends SparkSpec {
 
   test("x01 exact dedup shuffles fingerprints, not document bodies") {
     // the pre-shuffle projection must not carry the text column
-    val executed = Registry.queries("x01_dedup_exact")(spark, sf)
-      .queryExecution.executedPlan
+    val exchanges = shuffles(Registry.queries("x01_dedup_exact")(spark, sf))
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e =>
+      assert(!e.child.output.map(_.name).contains("text")))
+  }
+
+  // ---- scale-path pins: the round-3 rewrites must never silently
+  // regress to a single-partition Exchange ----
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame) = {
+    val executed = df.queryExecution.executedPlan
     val root = executed match { // unwrap AQE so collect() sees the exchanges
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
       case p => p
     }
-    val exchanges = root.collect {
+    root.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(exchanges.nonEmpty)
-    exchanges.foreach(e =>
-      assert(!e.child.output.map(_.name).contains("text")))
+  }
+  private def noSinglePartition(
+      es: Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec],
+      what: String): Unit =
+    es.foreach { e =>
+      assert(!e.outputPartitioning.toString.contains("SinglePartition"),
+        s"$what collapsed to a single partition: ${e.outputPartitioning}")
+    }
+
+  test("q12 scale path: assignDenseIds sorts by RANGE partitioning, no single-partition collapse") {
+    val keys = Registry.queries("q04_distinct_keys")(spark, sf).select("segment")
+    val staged = graft.dim.DimSecurity.rangeSorted(keys, "segment")
+    val es = shuffles(staged)
+    assert(es.exists(_.outputPartitioning.toString.toLowerCase.contains("range")),
+      "assignDenseIds must range-partition the keys")
+    noSinglePartition(es, "assignDenseIds")
+  }
+
+  test("q24 scale path: scalableRank's distinct-count sort is range-partitioned, no single-partition collapse") {
+    val grouped = graft.util.Tables.events(spark, sf)
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+    val staged = graft.sa.Analytics.orderedCounts(grouped, "n_events", ascending = false)
+    val es = shuffles(staged)
+    assert(es.exists(_.outputPartitioning.toString.toLowerCase.contains("range")),
+      "scalableRank must range-partition the distinct values")
+    noSinglePartition(es, "scalableRank")
+  }
+
+  test("q20 salted top-N keeps two window stages and no single-partition exchange") {
+    val df = Registry.queries("q20_top_n_per_group")(spark, sf)
+    val executed = df.queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val windows = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2,
+      s"expected the salted (phase-1) + re-rank (phase-2) windows, got ${windows.size}")
+    noSinglePartition(shuffles(df), "q20 salted top-N")
+  }
+
+  test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
+    val df = Registry.queries("q33_bucketed_merge")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("Bucketed: true"), p.take(1200))
+    val es = shuffles(df)
+    es.foreach { e =>
+      assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"bucketed merge must not shuffle for the join: ${e.outputPartitioning}")
+    }
   }
 }
