@@ -3,6 +3,7 @@ package graft.queries
 import graft.ext.{ExactDedup, MinHash, Multimodal, SimHash, Similarity, TextAnalysis => TA}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** North-star training-data-pipeline operators (BASELINE.json
   * `north_star`): deduplication, text analysis, multimodal plumbing,
@@ -526,6 +527,53 @@ object ExtQueries {
     Some("""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
             FROM documents ORDER BY fp"""))
 
+  /** Watermarked event-time windowed aggregation under the oracle
+    * (SURVEY.md §2.9, the windowed-agg leg): the events table streams
+    * through [[graft.streaming.StreamAnalytics.windowedTradedValue]] —
+    * tumbling 1-day windows, APPEND output mode, so a window only emits
+    * once the watermark passes its end (the bounded-state exactly-once
+    * shape) — and the parquet sink is compared against the batch
+    * GROUP BY day oracle.
+    *
+    * Determinism: the staged input is ONE file (single micro-batch, so
+    * the watermark cannot drop a late row mid-run), values are
+    * pre-quantized to exact integer cents (decimal sums are
+    * order-independent; a raw double sum would be arrival-order bits),
+    * and a far-future SENTINEL row (user_id −1, excluded from output)
+    * pushes the final watermark past every real window's end so append
+    * mode flushes them all before `AvailableNow` terminates. */
+  private val x18 = Q("x18_stream_windowed_agg",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-x18-")
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val ev = events(s, d).select(col("user_id"), col("ts"),
+        graft.sa.Analytics.cents2(col("value")).as("value_c"))
+      val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+        to_timestamp(lit("2024-12-31 00:00:00")).as("ts"),
+        graft.sa.Analytics.cents2(lit(0.0)).as("value_c"))
+      ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema(ev.schema).parquet(in)
+      val job = graft.streaming.StreamAnalytics
+        .windowedTradedValue(stream, "user_id", "ts", "value_c", "1 day", "1 minute")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      job.awaitTermination()
+      s.read.parquet(out)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("window_start").cast("date").as("window_day"),
+          (col("total_value").cast(DecimalType(38, 0)).cast("double") / lit(100.0))
+            .as("total_value"),
+          col("n_events"))
+        .orderBy("user_id", "window_day")
+    },
+    Some(s"""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS window_day,
+                   (${Sql.dbl(s"SUM(${Sql.cents2("value")})")} / 100.0) AS total_value,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY user_id, window_day"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17)
+    x11, x12, x13, x14, x15, x16, x17, x18)
 }

@@ -293,6 +293,28 @@ object ParityQueries {
     Some("""SELECT CAST((SELECT count(*) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01') AS BIGINT) AS core_rows,
                    CAST((SELECT count(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01') AS BIGINT) AS fact_rows"""))
 
+  /** J1 under skew (SURVEY.md §4 scale utility, checked): the salted
+    * equi-join — the hot-key mitigation for the cases AQE's runtime
+    * skew splitting cannot reach (see [[graft.core.SkewJoin]]). The
+    * large side gets a deterministic content-hash salt, the small side
+    * explodes to every salt value, and the join runs on (key, salt) so
+    * a hot supplier spreads over 8 tasks instead of one. The oracle is
+    * the PLAIN inner join — salting must never change the answer
+    * (PlanSpec pins that the salt actually reaches the join keys). */
+  private val q34 = Q("q34_skew_join",
+    (s, d) => {
+      val large = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey").as("suppkey"), qdbl2(col("l_extendedprice")).as("price"))
+      val small = supplier(s, d).select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.core.SkewJoin.saltedInnerJoin(large, small, Seq("suppkey"), 8)
+        // total order up to identical rows — see q01 note
+        .orderBy("l_orderkey", "l_linenumber", "suppkey", "price", "s_name")
+    },
+    Some(s"""SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey,
+                   ${Sql.qdbl2("l_extendedprice")} AS price, s_name
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY l_orderkey, l_linenumber, suppkey, price, s_name"""))
+
   val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15)
+    q11, q12, q13, q14, q15, q34)
 }

@@ -114,6 +114,12 @@ class PlanSpec extends SparkSpec {
     noSinglePartition(shuffles(df), "q20 salted top-N")
   }
 
+  test("q34 salted skew join actually joins on the salt (hot key spreads over tasks)") {
+    val p = plan("q34_skew_join")
+    assert(p.contains("__salt"), "salt column must reach the join keys")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
