@@ -41,7 +41,9 @@ object Bench {
     // overhead, not operator throughput, and it alone costs ~80 s/pass.
     // It stays in the Verify/oracle gate; the bench reports the data-
     // proportional query surface (incl. q32, the data-proportional MERGE).
-    val skip = Set("q28_pipeline_cascade")
+    // q35 is the same fixture driven through the streaming cascade —
+    // same reasoning.
+    val skip = Set("q28_pipeline_cascade", "q35_stream_cascade")
     val names = SparkEntry.queries.keys.toSeq.filterNot(skip).sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(name: String, dir: String): Double = {

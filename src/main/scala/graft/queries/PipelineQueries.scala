@@ -56,42 +56,86 @@ object PipelineQueries {
     s"$D,ORCL,55.10,56.20,54.80,56.00,9876543",
     s"$D,BAD_X,10.00,11.00,9.00,10.50,-1000")           // reject
 
+  /** Write the two fixture files into `dir`, returning their paths
+    * (file1 first — its mtime is set older so the streaming file source
+    * also picks it up first). */
+  private def writeFixtureFiles(dir: java.nio.file.Path): (String, String) = {
+    def write(name: String, rows: Seq[String], mtimeMs: Long): String = {
+      val f = dir.resolve(name)
+      Files.writeString(f, (header +: rows).mkString("\n"))
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      f.toString
+    }
+    (write(s"eod_prices_$D.csv", file1Rows, 1000000000000L),
+      write(s"eod_prices_${D}_v2.csv", file2Rows, 1000000060000L))
+  }
+
+  /** The checked view of the cascade's warehouse output: fact ⋈ dim.
+    * Warehouse columns are DECIMAL (exact storage); the CHECKED view
+    * casts to DOUBLE/BIGINT — oracle-visible decimals stringify
+    * differently across engines (see Q's determinism contract). The
+    * decimal→double conversion is correctly rounded in both engines
+    * (scaled ints ≪ 2⁵³ here). */
+  private def checkedFact(s: org.apache.spark.sql.SparkSession,
+                          wh: java.nio.file.Path): DataFrame = {
+    val fact = s.read.parquet(wh.resolve(EodPipeline.FactTable).toString)
+    val dim = s.read.parquet(wh.resolve(EodPipeline.DimSecurityTable).toString)
+    fact.join(broadcast(dim), "security_id")
+      .select(col("security_id"), col("symbol"), col("date_sk"),
+        col("trade_date"), col("open").cast("double").as("open"),
+        col("high").cast("double").as("high"),
+        col("low").cast("double").as("low"),
+        col("close").cast("double").as("close"),
+        col("volume").cast("long").as("volume"))
+      .orderBy("symbol")
+  }
+
   private val q28 = Q("q28_pipeline_cascade",
     (s, _) => {
       val tmp = Files.createTempDirectory("graft_q28_")
-      def write(name: String, rows: Seq[String]): String = {
-        val f = tmp.resolve(name)
-        Files.writeString(f, (header +: rows).mkString("\n"))
-        f.toString
-      }
-      val f1 = write(s"eod_prices_$D.csv", file1Rows)
-      val f2 = write(s"eod_prices_${D}_v2.csv", file2Rows)
+      val (f1, f2) = writeFixtureFiles(tmp)
       val p = new EodPipeline(s, tmp.resolve("wh").toString)
       val date = java.sql.Date.valueOf(D)
       p.run(f1, date, Some(java.sql.Timestamp.valueOf(s"$D 21:00:00")))
       p.run(f2, date, Some(java.sql.Timestamp.valueOf(s"$D 22:00:00")))
-      val fact = s.read.parquet(tmp.resolve("wh/" + EodPipeline.FactTable).toString)
-      val dim = s.read.parquet(tmp.resolve("wh/" + EodPipeline.DimSecurityTable).toString)
-      // warehouse columns are DECIMAL (exact storage); the CHECKED view
-      // casts to DOUBLE/BIGINT — oracle-visible decimals stringify
-      // differently across engines (see Q's determinism contract). The
-      // decimal→double conversion is correctly rounded in both engines
-      // (scaled ints ≪ 2⁵³ here).
-      fact.join(broadcast(dim), "security_id")
-        .select(col("security_id"), col("symbol"), col("date_sk"),
-          col("trade_date"), col("open").cast("double").as("open"),
-          col("high").cast("double").as("high"),
-          col("low").cast("double").as("low"),
-          col("close").cast("double").as("close"),
-          col("volume").cast("long").as("volume"))
-        .orderBy("symbol")
+      checkedFact(s, tmp.resolve("wh"))
     },
-    // The same cascade in DuckDB SQL from the same literal rows. The
-    // within-file dedup ordering is Dedup.latestIngestWins's total order:
-    // (_ingest_ts, _src_file) are constant within a file, so the
-    // effective tie-break is the remaining columns descending in name
-    // order: close, high, low, open, volume.
-    Some(s"""WITH f1(symbol, open, high, low, close, volume) AS (VALUES
+    Some(cascadeOracle))
+
+  /** §2.9: the STREAMING cascade twin of q28 — the same two bronze files
+    * arrive through [[graft.streaming.EodStream]]'s file source
+    * (`maxFilesPerTrigger=1`, so each file is its own micro-batch in
+    * mtime order, exactly the reference's one-scheduled-run-per-file
+    * cadence) and run the UNCHANGED per-date merge cascade via
+    * `foreachBatch`. Checked against the SAME oracle as q28: batch and
+    * streaming execution must land the identical warehouse state —
+    * upserted exactly once per key, dim ids continuing from MAX across
+    * micro-batches. Like q28 this is a correctness fixture (dozens of
+    * tiny jobs), so it is excluded from the bench. */
+  private val q35 = Q("q35_stream_cascade",
+    (s, _) => {
+      val tmp = Files.createTempDirectory("graft_q35_")
+      val bronze = Files.createDirectories(tmp.resolve("bronze"))
+      writeFixtureFiles(bronze)
+      val job = graft.streaming.EodStream.start(s,
+        bronze.toString + "/*.csv",
+        tmp.resolve("wh").toString, tmp.resolve("chk").toString,
+        ingestTs = Some(java.sql.Timestamp.valueOf(s"$D 21:00:00")),
+        maxFilesPerTrigger = Some(1))
+      job.awaitTermination()
+      checkedFact(s, tmp.resolve("wh"))
+    },
+    Some(cascadeOracle))
+
+  // The same cascade in DuckDB SQL from the same literal rows (shared by
+  // q28 and its streaming twin q35 — both must land the identical
+  // warehouse state). The within-file dedup ordering is
+  // Dedup.latestIngestWins's total order: (_ingest_ts, _src_file) are
+  // constant within a file, so the effective tie-break is the remaining
+  // columns descending in name order: close, high, low, open, volume.
+  private lazy val cascadeOracle =
+    s"""WITH f1(symbol, open, high, low, close, volume) AS (VALUES
               ('AAPL','231.15','233.90','230.40','233.10','51234567'),
               ('MSFT','410.00','412.50','408.20','411.80','23456789'),
               ('GOOG','138.50','139.90','137.80','139.20','18765432'),
@@ -149,7 +193,7 @@ object PipelineQueries {
                    CAST(core.close AS DOUBLE) AS close,
                    CAST(core.volume AS BIGINT) AS volume
             FROM core JOIN dim2 ON core.symbol = dim2.symbol
-            ORDER BY core.symbol"""))
+            ORDER BY core.symbol"""
 
   private def qdbl2(c: Column): Column = graft.sa.Analytics.qdbl2(c)
   private val cutoff = java.sql.Date.valueOf("1998-01-01")
@@ -229,5 +273,5 @@ object PipelineQueries {
               UNION ALL SELECT * FROM s)
             ORDER BY o_custkey"""))
 
-  val qs: Seq[Q] = Seq(q28, q32, q33)
+  val qs: Seq[Q] = Seq(q28, q32, q33, q35)
 }
