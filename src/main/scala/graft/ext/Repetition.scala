@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+  * Language Models", table A1 — the public repetition filters): per
+  * document, the fraction of n-gram occurrences that belong to a
+  * duplicated n-gram, and the fraction claimed by the single most
+  * frequent n-gram. High values flag boilerplate / spam / degenerate
+  * text for pre-training filtering.
+  *
+  * Shape at 100 TB: gram explosion is map-side; the only shuffles are
+  * the (doc, gram) count and the per-doc roll-up — both keyed on the
+  * document id, so the second aggregate is a near-no-op after the
+  * first (same key prefix). Counts are integers end to end; the only
+  * rounded ops are the final int/int → double divisions, which are
+  * single-IEEE-op deterministic.
+  */
+object Repetition {
+
+  /** Per-doc stats for one n: (id, n_grams_{n}, dup_frac_{n},
+    * top_frac_{n}). Docs shorter than n tokens get 0 grams and 0.0
+    * fractions. */
+  def ngramStats(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame = {
+    val suffix = s"_$n"
+    val counts = docs
+      .select(col(idCol),
+        explode(Ngrams.ngrams(Ngrams.normTokens(col(textCol)), n)).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.groupBy(idCol)
+      .agg(sum("cnt").as("total"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup"),
+        max("cnt").as("top"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total"), lit(0L)).as(s"n_grams$suffix"),
+        when(coalesce(col("total"), lit(0L)) === 0, 0.0)
+          .otherwise(col("dup").cast("double") / col("total")).as(s"dup_frac$suffix"),
+        when(coalesce(col("total"), lit(0L)) === 0, 0.0)
+          .otherwise(col("top").cast("double") / col("total")).as(s"top_frac$suffix"))
+  }
+
+  /** The combined 2-gram + 3-gram signal table (one row per doc). */
+  def signals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    ngramStats(docs, idCol, textCol, 2)
+      .join(ngramStats(docs, idCol, textCol, 3), Seq(idCol))
+}

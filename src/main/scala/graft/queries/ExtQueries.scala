@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{ExactDedup, MinHash, Multimodal, SimHash, Similarity, TextAnalysis => TA}
+import graft.ext.{Decontaminate, ExactDedup, MinHash, Multimodal, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -574,6 +574,108 @@ object ExtQueries {
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2 ORDER BY user_id, window_day"""))
 
+  /** Shared oracle prelude: normalized whitespace tokens per doc (the
+    * SQL twin of [[graft.ext.Ngrams.normTokens]] — lowering first makes
+    * collapse-then-split and split-directly identical token lists). */
+  private val tokSql =
+    """toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+               FROM documents)"""
+
+  /** Train/eval decontamination (the GPT-3/Pile/FineWeb n-gram-overlap
+    * hygiene sweep): eval split = doc_id % 10 = 0, word 8-grams, train
+    * docs sharing any gram with the eval set — see
+    * [[graft.ext.Decontaminate]] for the 100 TB join shape (distinct
+    * gram-md5 equi-join, no cartesian, no text on the wire). */
+  private val x19 = Q("x19_decontaminate",
+    (s, d) => Decontaminate.contaminated(documents(s, d), "doc_id", "text",
+        col("doc_id") % 10 === 0, n = 8)
+      .orderBy("doc_id"),
+    Some(s"""WITH $tokSql,
+             g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+                      i -> array_to_string(w[i:i+7], ' '))) AS gram
+                   FROM toks WHERE len(w) >= 8),
+             dg AS (SELECT DISTINCT doc_id, md5(gram) AS gram_fp FROM g),
+             ev AS (SELECT DISTINCT md5(gram) AS gram_fp FROM g WHERE doc_id % 10 = 0),
+             tr AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
+             tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
+             sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                    FROM tr JOIN ev USING (gram_fp) GROUP BY 1)
+             SELECT s.doc_id, t.n_grams, s.n_shared,
+                    CAST(s.n_shared AS DOUBLE) / t.n_grams AS contamination
+             FROM sh s JOIN tot t USING (doc_id) ORDER BY doc_id"""))
+
+  /** Gopher-style repetition quality signals (duplicate / top n-gram
+    * occurrence fractions for n=2,3) — see [[graft.ext.Repetition]].
+    * Integer counts end to end; the fractions are single-division
+    * doubles, so the oracle compare is exact. */
+  private val x20 = Q("x20_repetition_quality",
+    (s, d) => Repetition.signals(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""WITH $tokSql,
+             ${Seq(2, 3).map(repetitionCteSql).mkString(",\n             ")}
+             SELECT doc_id, n_grams_2, dup_frac_2, top_frac_2,
+                    n_grams_3, dup_frac_3, top_frac_3
+             FROM s_2 JOIN s_3 USING (doc_id) ORDER BY doc_id"""))
+
+  private def repetitionCteSql(n: Int): String =
+    s"""g_$n AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-${n - 1}),
+                    i -> array_to_string(w[i:i+${n - 1}], ' '))) AS gram
+                 FROM toks WHERE len(w) >= $n),
+             c_$n AS (SELECT doc_id, gram, count(*) AS cnt FROM g_$n GROUP BY 1, 2),
+             a_$n AS (SELECT doc_id, sum(cnt) AS total,
+                        sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup,
+                        max(cnt) AS top
+                      FROM c_$n GROUP BY 1),
+             s_$n AS (SELECT t.doc_id,
+                        CAST(coalesce(a.total, 0) AS BIGINT) AS n_grams_$n,
+                        CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
+                             ELSE CAST(a.dup AS DOUBLE) / CAST(a.total AS DOUBLE) END AS dup_frac_$n,
+                        CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
+                             ELSE CAST(a.top AS DOUBLE) / CAST(a.total AS DOUBLE) END AS top_frac_$n
+                      FROM (SELECT DISTINCT doc_id FROM toks) t
+                      LEFT JOIN a_$n a USING (doc_id))"""
+
+  /** Corpus-level passage dedup (the no-newline analogue of web-crawl
+    * line/paragraph dedup): 10-token chunks, keep the globally first
+    * occurrence of each distinct passage, reassemble surviving text —
+    * see [[graft.ext.PassageDedup]] for the fingerprint-shuffle shape. */
+  private val x21 = Q("x21_passage_dedup",
+    (s, d) => PassageDedup.dedup(documents(s, d), "doc_id", "text",
+        chunkTokens = 10)
+      .orderBy("doc_id"),
+    Some(s"""WITH $tokSql,
+             p AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN ['']
+                     ELSE list_transform(generate_series(0, CAST((len(w)-1)//10 AS INT)),
+                            c -> array_to_string(w[c*10+1:c*10+10], ' ')) END AS ps
+                   FROM toks),
+             e AS (SELECT doc_id, u.e.i AS idx, u.e.p AS passage
+                   FROM p, unnest(list_transform(generate_series(1, len(ps)),
+                          i -> {'i': i-1, 'p': ps[i]})) AS u(e)),
+             r AS (SELECT doc_id, idx, passage,
+                     row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, idx) AS rn
+                   FROM e)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+                    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                    coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY idx), '') AS text_kept
+             FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Per-doc salient terms by integer-exact TF/DF rank (the portable
+    * core of TF-IDF keyword extraction — no transcendental in the
+    * checked result; see [[graft.ext.TopTerms]]). */
+  private val x22 = Q("x22_top_terms",
+    (s, d) => TopTerms.topTerms(documents(s, d), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank"),
+    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                   FROM documents),
+             tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+             df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             r AS (SELECT doc_id, term, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, term ASC) AS rank
+                   FROM tf JOIN df USING (term))
+             SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
+             FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
 }
