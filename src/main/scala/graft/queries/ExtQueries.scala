@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Decontaminate, ExactDedup, MinHash, Multimodal, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms}
+import graft.ext.{Decontaminate, ExactDedup, MinHash, Multimodal, KMeans, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -676,6 +676,39 @@ object ExtQueries {
              SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
              FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** Distributed Lloyd's k-means (k=8, 2 assignment rounds) over the
+    * embeddings table — integer-quantized so every distance, sum, and
+    * centroid update is exact int64 arithmetic and the DuckDB replay
+    * lands on identical clusters; see [[graft.ext.KMeans]] for the
+    * broadcast-assign / (cluster,pos)-sum shapes. */
+  private val x23 = Q("x23_kmeans",
+    (s, d) => KMeans.lloyd(embeddings(s, d), "vec_id", "embedding",
+        k = 8, rounds = 2)
+      .orderBy("vec_id"),
+    Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+                      v -> CAST(floor(CAST(v AS DOUBLE)*1048576 + 0.5) AS BIGINT) + 2097152) AS u
+                    FROM embeddings),
+             ql AS (SELECT vec_id, e.e.i AS pos, e.e.x AS x
+                    FROM q, unnest(list_transform(generate_series(1, len(u)),
+                           i -> {'i': i-1, 'x': u[i]})) AS e(e)),
+             c0 AS (SELECT vec_id AS cid, pos, x AS c FROM ql WHERE vec_id < 8),
+             d1 AS (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
+                    FROM ql JOIN c0 USING (pos) GROUP BY 1, 2),
+             a1 AS (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d1),
+             m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+             c1 AS (SELECT m1.cid, ql.pos,
+                      CAST((2*sum(ql.x) + count(*)) // (2*count(*)) AS BIGINT) AS c
+                    FROM ql JOIN m1 USING (vec_id) GROUP BY 1, 2),
+             d2 AS (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
+                    FROM ql JOIN c1 USING (pos) GROUP BY 1, 2),
+             a2 AS (SELECT vec_id, cid, dist,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d2)
+             SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
+             FROM a2 WHERE rn = 1 ORDER BY vec_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23)
 }
