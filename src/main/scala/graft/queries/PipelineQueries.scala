@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.EodPipeline
 import graft.core.{Bucketing, Dedup, Upsert}
+import graft.dim.Scd2
 import graft.util.Tables._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -273,5 +274,63 @@ object PipelineQueries {
               UNION ALL SELECT * FROM s)
             ORDER BY o_custkey"""))
 
-  val qs: Seq[Q] = Seq(q28, q32, q33, q35)
+  /** SCD2 dimension history ([[graft.dim.Scd2]] — the full-history
+    * extension of the reference's insert-only dim maintenance,
+    * `5. merge_dim_security.sql:17-36`): snapshot 1 = the customer
+    * dimension as-is; snapshot 2 = a deterministic restatement (every
+    * custkey % 7 == 0 changes segment and balance) plus brand-new keys
+    * (custkey % 11 == 0 re-registered at +1,000,000). The checked
+    * result is the complete history — carried open rows, closed-out
+    * versions, and newly opened versions — so all four SCD2 branches
+    * are under the oracle at once. */
+  private val q36 = Q("q36_scd2_dim",
+    (s, d) => {
+      val snap1 = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment").as("segment"), qdbl2(col("c_acctbal")).as("acctbal"))
+      val changed = snap1.withColumn("segment",
+          when(col("c_custkey") % 7 === 0,
+            concat(lit("SEG"), (col("c_custkey") % 5).cast("string")))
+            .otherwise(col("segment")))
+        .withColumn("acctbal",
+          when(col("c_custkey") % 7 === 0, col("acctbal") + lit(10.0))
+            .otherwise(col("acctbal")))
+      val newKeys = snap1.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_nationkey"),
+          lit("NEW").as("segment"), col("acctbal"))
+      val snap2 = changed.unionByName(newKeys)
+      val history = Scd2.init(snap1, "2024-01-01")
+      Scd2.apply(history, snap2, Seq("c_custkey"),
+          Seq("c_nationkey", "segment", "acctbal"), "2024-06-01")
+        .orderBy("c_custkey", "effective_from")
+    },
+    Some(s"""WITH s1 AS (SELECT c_custkey, c_nationkey, c_mktsegment AS segment,
+                    ${Sql.qdbl2("c_acctbal")} AS acctbal FROM customer),
+            s2 AS (SELECT c_custkey, c_nationkey,
+                     CASE WHEN c_custkey % 7 = 0
+                          THEN 'SEG' || CAST(c_custkey % 5 AS VARCHAR)
+                          ELSE segment END AS segment,
+                     CASE WHEN c_custkey % 7 = 0 THEN acctbal + 10.0
+                          ELSE acctbal END AS acctbal
+                   FROM s1
+                   UNION ALL
+                   SELECT c_custkey + 1000000, c_nationkey, 'NEW', acctbal
+                   FROM s1 WHERE c_custkey % 11 = 0),
+            chg AS (SELECT o.c_custkey FROM s1 o JOIN s2 n USING (c_custkey)
+                    WHERE o.segment IS DISTINCT FROM n.segment
+                       OR o.acctbal IS DISTINCT FROM n.acctbal
+                       OR o.c_nationkey IS DISTINCT FROM n.c_nationkey)
+            SELECT * FROM (
+              SELECT *, DATE '2024-01-01' AS effective_from,
+                     DATE '9999-12-31' AS effective_to
+              FROM s1 WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+              UNION ALL
+              SELECT *, DATE '2024-01-01', DATE '2024-06-01'
+              FROM s1 WHERE c_custkey IN (SELECT c_custkey FROM chg)
+              UNION ALL
+              SELECT *, DATE '2024-06-01', DATE '9999-12-31'
+              FROM s2 WHERE c_custkey IN (SELECT c_custkey FROM chg)
+                 OR c_custkey NOT IN (SELECT c_custkey FROM s1))
+            ORDER BY c_custkey, effective_from"""))
+
+  val qs: Seq[Q] = Seq(q28, q32, q33, q35, q36)
 }
