@@ -581,6 +581,47 @@ object ExtQueries {
     """toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
                FROM documents)"""
 
+  /** Stream-static enrichment join under the oracle (SURVEY.md §2.9,
+    * the dimension-enrichment leg): the events table streams through a
+    * file source and each micro-batch broadcast-joins a STATIC
+    * dimension (event_type → derived category), via
+    * [[graft.streaming.StreamAnalytics.enrich]] — the stream never
+    * shuffles for the join. Checked against the identical batch join.
+    * Determinism: a per-row projection + inner join on a total key set
+    * (every event_id survives), value pre-quantized to cents, ordered
+    * output — arrival order cannot influence any cell. */
+  private val x24 = Q("x24_stream_enrich",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-x24-")
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        graft.sa.Analytics.cents2(col("value")).as("value_c"))
+      ev.coalesce(1).write.mode("overwrite").parquet(in)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("category",
+          concat(upper(col("event_type")), lit("-"),
+            length(col("event_type")).cast("string")))
+      val stream = s.readStream.schema(ev.schema).parquet(in)
+      val job = graft.streaming.StreamAnalytics.enrich(stream, dim, "event_type")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      job.awaitTermination()
+      s.read.parquet(out)
+        .select(col("event_id"), col("event_type"), col("category"),
+          (col("value_c").cast(DecimalType(38, 0)).cast("double") / lit(100.0))
+            .as("value_q"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH dim AS (SELECT DISTINCT event_type,
+                    upper(event_type) || '-' || CAST(length(event_type) AS VARCHAR) AS category
+                  FROM events)
+             SELECT event_id, event_type, category,
+                    (${Sql.dbl(Sql.cents2("value"))} / 100.0) AS value_q
+             FROM events JOIN dim USING (event_type)
+             ORDER BY event_id"""))
+
   /** Train/eval decontamination (the GPT-3/Pile/FineWeb n-gram-overlap
     * hygiene sweep): eval split = doc_id % 10 = 0, word 8-grams, train
     * docs sharing any gram with the eval set — see
@@ -710,5 +751,5 @@ object ExtQueries {
              FROM a2 WHERE rn = 1 ORDER BY vec_id"""))
 
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24)
 }

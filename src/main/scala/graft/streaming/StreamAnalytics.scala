@@ -36,6 +36,14 @@ object StreamAnalytics {
       .select(col(keyCol), col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("total_value"), col("n_events"))
 
+  /** Stream-static enrichment join: each micro-batch hash-joins against
+    * the static dimension, broadcast because dims are small relative to
+    * the stream (the 100 TB shape: the stream never shuffles for the
+    * join; Spark re-plans the static side per micro-batch, so a
+    * refreshed dim snapshot is picked up without restarting the query). */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol))
+
   final case class Tick(symbol: String, ts: java.sql.Timestamp, price: Double)
   final case class Ohlc(symbol: String, open: Double, high: Double,
                         low: Double, close: Double, n: Long,
