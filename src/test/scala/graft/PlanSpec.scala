@@ -120,6 +120,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x19 decontamination meets in hash joins on gram fingerprints — no cartesian, no text on the wire") {
+    val df = Registry.queries("x19_decontaminate")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // every exchange carries at most (id, 32-char fp) — never document text
+    shuffles(df).foreach(e =>
+      assert(!e.child.output.map(_.name).contains("text"),
+        "a decontamination shuffle carries document text"))
+  }
+
+  test("x22 top-terms window is partitioned by doc id (no global window, no cartesian)") {
+    val p = plan("x22_top_terms")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x23 k-means assignment broadcasts the centroids (the one intended nested loop)") {
+    val p = plan("x23_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroids must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q36 SCD2: Catalyst specializes the full-outer per branch into one-sided hash joins") {
+    // the three branch filters push into the logical full outer join and
+    // degrade it to LeftOuter / Inner / RightOuter hash joins — cheaper
+    // than any full-outer shuffle; pin that this specialization holds
+    val p = plan("q36_scd2_dim")
+    assert(p.contains("LeftOuter") && p.contains("RightOuter"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -1,0 +1,166 @@
+package graft
+
+import graft.dim.Scd2
+import graft.ext.{Decontaminate, KMeans, Ngrams, PassageDedup, Repetition, TopTerms}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-6 training-data operators: n-gram/passage
+  * generation, decontamination, repetition signals, passage dedup,
+  * top-terms ranking, quantized k-means, and SCD2 history. */
+class NgramsSpec extends SparkSpec {
+  private def grams(text: String, n: Int): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("t")
+      .select(Ngrams.ngrams(Ngrams.normTokens(col("t")), n).as("g"))
+      .collect().head.getSeq[String](0)
+  }
+
+  test("ngrams slide over normalized tokens") {
+    assert(grams("A  b c D", 2) == Seq("a b", "b c", "c d"))
+    assert(grams("a b c", 3) == Seq("a b c"))
+  }
+
+  test("docs shorter than n yield no grams, not nulls") {
+    assert(grams("a b", 3) == Seq())
+    assert(grams("", 2) == Seq())
+  }
+
+  test("passages chunk with a short tail and survive empty docs") {
+    val s = spark
+    import s.implicits._
+    def p(text: String) = Seq(text).toDF("t")
+      .select(Ngrams.passages(Ngrams.normTokens(col("t")), 2).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(p("a b c d e") == Seq("a b", "c d", "e"))
+    assert(p("") == Seq(""))
+  }
+}
+
+class DecontaminateSpec extends SparkSpec {
+  // doc 0 is "eval" (id % 2 == 0 over {0,1,3} → just 0); doc 1 shares a
+  // 3-gram with it; doc 3 shares nothing.
+  private val docs = df(Seq(
+    (0L, "alpha beta gamma delta"),
+    (1L, "x y alpha beta gamma z"),
+    (3L, "totally unrelated words here"))).toDF("doc_id", "text")
+
+  test("train docs sharing an n-gram with eval are flagged with counts") {
+    val out = Decontaminate.contaminated(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 has 4 distinct 3-grams, one of them ("alpha beta gamma") eval's
+    assert(out == Seq((1L, 4L, 1L)))
+  }
+
+  test("an uncontaminated corpus yields no rows") {
+    val clean = df(Seq((0L, "a b c"), (1L, "d e f"))).toDF("doc_id", "text")
+    assert(Decontaminate.contaminated(clean, "doc_id", "text",
+      col("doc_id") % 2 === 0, n = 3).count() == 0)
+  }
+}
+
+class RepetitionSpec extends SparkSpec {
+  test("duplicate and top n-gram fractions match hand counts") {
+    val docs = df(Seq((1L, "a b a b"), (2L, "p q r s"))).toDF("doc_id", "text")
+    val out = Repetition.ngramStats(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    // doc 1 2-grams: "a b","b a","a b" → total 3, dup 2, top 2
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 2.0 / 3)
+    assert(out(0).getDouble(3) == 2.0 / 3)
+    // doc 2: all distinct
+    assert(out(1).getDouble(2) == 0.0)
+  }
+
+  test("docs shorter than n get zero grams and 0.0 fractions") {
+    val docs = df(Seq((1L, "single"))).toDF("doc_id", "text")
+    val r = Repetition.ngramStats(docs, "doc_id", "text", 2).collect().head
+    assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+  }
+}
+
+class PassageDedupSpec extends SparkSpec {
+  test("globally repeated passages keep only the first occurrence") {
+    // chunk=2: doc 1 = ["a b","c d"]; doc 2 = ["a b","x y"] → doc 2
+    // drops "a b" (doc 1 idx 0 wins), keeps "x y"
+    val docs = df(Seq((1L, "a b c d"), (2L, "a b x y"))).toDF("doc_id", "text")
+    val out = PassageDedup.dedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) == "a b c d" && out(0).getLong(2) == 0L)
+    assert(out(1).getString(3) == "x y" && out(1).getLong(2) == 1L)
+  }
+
+  test("a fully duplicated doc reassembles to the empty string") {
+    val docs = df(Seq((1L, "a b"), (2L, "a b"))).toDF("doc_id", "text")
+    val out = PassageDedup.dedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    assert(out(1).getString(3) == "" && out(1).getLong(2) == 1L)
+  }
+}
+
+class TopTermsSpec extends SparkSpec {
+  test("rank is tf desc, then rarer-in-corpus (df asc), then term asc") {
+    val docs = df(Seq(
+      (1L, "zz zz aa bb"),   // zz tf=2; aa/bb tf=1 — aa in 2 docs, bb only here
+      (2L, "aa cc"))).toDF("doc_id", "text")
+    val out = TopTerms.topTerms(docs, "doc_id", "text", 3)
+      .filter(col("doc_id") === 1).orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    // bb (df=1) outranks aa (df=2) at equal tf
+    assert(out == Seq((1, "zz"), (2, "bb"), (3, "aa")))
+  }
+}
+
+class KMeansSpec extends SparkSpec {
+  // two tight groups in 2-d; ids 0 and 1 (the k lowest) seed one group each
+  private val vecs = df(Seq(
+    (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)),
+    (2L, Seq(0.01f, 0.0f)), (3L, Seq(0.0f, 0.01f)),
+    (4L, Seq(0.99f, 1.0f)), (5L, Seq(1.0f, 0.99f)))).toDF("vec_id", "embedding")
+
+  test("lloyd separates the two groups with exact integer distances") {
+    val out = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, rounds = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((0L, 0), (1L, 1), (2L, 0), (3L, 0), (4L, 1), (5L, 1)))
+  }
+
+  test("result is invariant under input partitioning") {
+    def run(parts: Int) =
+      KMeans.lloyd(vecs.repartition(parts), "vec_id", "embedding", 2, 2)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+}
+
+class Scd2Spec extends SparkSpec {
+  private val snap1 = df(Seq(
+    (1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))).toDF("k", "seg", "bal")
+  // key 1 unchanged, key 2 changed, key 3 missing (no delete), key 4 new
+  private val snap2 = df(Seq(
+    (1L, "A", 10.0), (2L, "B2", 21.0), (4L, "D", 40.0))).toDF("k", "seg", "bal")
+
+  test("apply produces carried, closed, reopened, and new versions") {
+    val h1 = Scd2.init(snap1, "2024-01-01")
+    val out = Scd2.apply(h1, snap2, Seq("k"), Seq("seg", "bal"), "2024-06-01")
+      .orderBy("k", "effective_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(3).toString, r.getDate(4).toString)).toSeq
+    assert(out == Seq(
+      (1L, "A", "2024-01-01", "9999-12-31"),    // carried
+      (2L, "B", "2024-01-01", "2024-06-01"),    // closed out
+      (2L, "B2", "2024-06-01", "9999-12-31"),   // reopened version
+      (3L, "C", "2024-01-01", "9999-12-31"),    // unmatched: carried
+      (4L, "D", "2024-06-01", "9999-12-31")))   // brand new
+  }
+
+  test("closed history passes through untouched on a second apply") {
+    val h1 = Scd2.init(snap1, "2024-01-01")
+    val h2 = Scd2.apply(h1, snap2, Seq("k"), Seq("seg", "bal"), "2024-06-01")
+    val h3 = Scd2.apply(h2, snap2, Seq("k"), Seq("seg", "bal"), "2024-12-01")
+    // idempotent: re-applying the same snapshot changes nothing
+    assert(h3.orderBy("k", "effective_from").collect().map(_.toSeq).toSeq
+      == h2.orderBy("k", "effective_from").collect().map(_.toSeq).toSeq)
+  }
+}
