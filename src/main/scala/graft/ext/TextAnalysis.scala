@@ -39,17 +39,53 @@ object TextAnalysis {
         / size(toks))
   }
 
-  /** Non-ASCII character ratio (CJK/diacritic signal for language-ID). */
+  /** Non-ASCII character ratio (CJK/diacritic signal for language-ID):
+    * stripping the printable-ASCII range leaves exactly the non-ASCII
+    * characters, so the ratio is remaining/total. (The pre-round-6 form
+    * computed `(total - remaining)/total` — the ASCII ratio — which made
+    * the zh signal 1.0 on every ASCII document and the argmax always
+    * pick zh; caught when x25's funnel counted zero 'en' survivors.) */
   def nonAsciiRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
-      (length(text) - length(regexp_replace(text, "[ -~]", ""))).cast("double")
-        / length(text))
+      length(regexp_replace(text, "[ -~]", "")).cast("double") / length(text))
 
   // Minimal per-language stopword profiles (public common-word lists).
   val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
   val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
   val stopEs = Seq("el", "la", "que", "y", "en", "un", "es", "los", "se", "del")
   val stopFr = Seq("le", "la", "et", "un", "que", "pour", "dans", "ce", "une", "sur")
+
+  /** Per-language scores in the x02 argmax order: stopword-hit ratios
+    * for de/en/es/fr plus the non-ASCII charset signal for zh. */
+  def langScores(text: Column): Seq[(String, Column)] = Seq(
+    "de" -> stopwordRatio(text, stopDe),
+    "en" -> stopwordRatio(text, stopEn),
+    "es" -> stopwordRatio(text, stopEs),
+    "fr" -> stopwordRatio(text, stopFr),
+    "zh" -> nonAsciiRatio(text))
+
+  /** Argmax language with the x02 tie-break (first language in
+    * [[langScores]] order whose score reaches the maximum). */
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    val g = greatest(scores.map(_._2): _*)
+    scores.init.foldRight(lit(scores.last._1): Column) {
+      case ((l, s), acc) => when(s >= g, l).otherwise(acc)
+    }
+  }
+
+  /** The x03 combined quality score as one expression (0.4·stopword +
+    * 0.3·capped-avg-token-length + 0.3·(1−digit-ratio) — identical op
+    * order to the x03 checked columns, so the doubles are bit-equal). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("long")
+    val nTokens = size(wsTokens(text)).cast("long")
+    val avgLen = when(nTokens === 0, 0.0)
+      .otherwise((nChars - nTokens + 1).cast("double") / nTokens)
+    lit(0.4) * stopwordRatio(text, stopEn) +
+      lit(0.3) * (least(avgLen, lit(10.0)) / 10.0) +
+      lit(0.3) * (lit(1.0) - digitRatio(text))
+  }
 
   /** Digit-character ratio. */
   def digitRatio(text: Column): Column =

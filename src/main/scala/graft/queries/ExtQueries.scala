@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Decontaminate, ExactDedup, MinHash, Multimodal, KMeans, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms}
+import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Multimodal, KMeans, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -50,7 +50,7 @@ object ExtQueries {
                ${langScoreSql("s_es", "'el','la','que','y','en','un','es','los','se','del'")},
                ${langScoreSql("s_fr", "'le','la','et','un','que','pour','dans','ce','une','sur'")},
                CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE CAST(length(text) - length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE) / length(text)
                END AS s_zh
              FROM t)
              SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
@@ -750,6 +750,57 @@ object ExtQueries {
              SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
              FROM a2 WHERE rn = 1 ORDER BY vec_id"""))
 
+  /** The full curation funnel (raw → language → quality → exact dedup →
+    * deterministic sample) as one checked query reporting per-stage
+    * survivor counts — the composition the public pre-training recipes
+    * (C4/Gopher/FineWeb) run; see [[graft.ext.Curation]]. The oracle
+    * re-derives every stage from the same formulas the x02/x03/x01/x15
+    * oracles already pin. */
+  private val x25 = Q("x25_curation_funnel",
+    (s, d) => Curation.funnel(documents(s, d), "doc_id", "text",
+        qualityMin = 0.46, sampleRate = 0.8)
+      .orderBy("stage_no"),
+    Some(s"""WITH t0 AS (SELECT doc_id, text,
+                    regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+             sc AS (SELECT doc_id, text,
+               ${langScoreSql("s_de", "'der','die','das','und','ist','nicht','mit','ein','zu','den'")},
+               ${langScoreSql("s_en", "'the','a','of','and','to','in','is','it','for','on'")},
+               ${langScoreSql("s_es", "'el','la','que','y','en','un','es','los','se','del'")},
+               ${langScoreSql("s_fr", "'le','la','et','un','que','pour','dans','ce','une','sur'")},
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE) / length(text)
+               END AS s_zh
+             FROM t0),
+             l AS (SELECT doc_id, text FROM
+                     (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM sc)
+                   WHERE NOT (s_de >= g) AND s_en >= g),
+             qf AS (SELECT doc_id, text FROM
+                     (SELECT doc_id, text,
+                        CAST(length(text) AS BIGINT) AS n_chars_calc,
+                        CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                        CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio,
+                        CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                    x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                                  / len(regexp_extract_all(lower(text), '[a-z]+')) END AS stop_ratio
+                      FROM l)
+                   WHERE 0.4 * stop_ratio
+                         + 0.3 * (least(CASE WHEN n_tokens = 0 THEN 0.0
+                                  ELSE CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / n_tokens END, 10.0) / 10.0)
+                         + 0.3 * (1.0 - digit_ratio) >= 0.46),
+             d AS (SELECT min(doc_id) AS doc_id FROM qf
+                   GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+             smp AS (SELECT doc_id FROM d
+                     WHERE CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 8000)
+             SELECT * FROM (
+               SELECT 1 AS stage_no, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+               UNION ALL SELECT 2, 'lang_en', CAST(count(*) AS BIGINT) FROM l
+               UNION ALL SELECT 3, 'quality', CAST(count(*) AS BIGINT) FROM qf
+               UNION ALL SELECT 4, 'dedup', CAST(count(*) AS BIGINT) FROM d
+               UNION ALL SELECT 5, 'sample', CAST(count(*) AS BIGINT) FROM smp)
+             ORDER BY stage_no"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25)
 }
