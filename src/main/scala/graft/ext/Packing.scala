@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing for pre-training batch assembly: lay the corpus out
+  * in a deterministic document order (concat-and-chunk, the GPT-style
+  * packing), and compute for every document its global token offset and
+  * the context-window bins it lands in. The core is an EXCLUSIVE prefix
+  * sum of token counts over the document order — computed with the same
+  * two-pass distributed shape as [[graft.sa.Analytics.scalableRank]]:
+  * range-partition by the order key, per-partition totals to the driver
+  * (one long per partition — algorithm state, not data), then a running
+  * offset per partition. No single-partition window anywhere, so the
+  * layout computation scales to any corpus a sort scales to.
+  */
+object Packing {
+
+  /** @return (id, n_tokens, offset, bin_start, bin_end) — `offset` the
+    *         document's first-token position in the global concatenated
+    *         stream, `bin_*` the first/last `windowTokens`-sized context
+    *         windows it touches (empty docs: bin_end = bin_start). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val spark = docs.sparkSession
+    val counted = docs.select(col(idCol),
+        size(Ngrams.normTokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol).asc)
+      .sortWithinPartitions(col(idCol).asc)
+    val rdd = counted.rdd
+    val partSums = rdd.mapPartitions(it =>
+      Iterator.single(it.map(_.getLong(1)).sum)).collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val withOffset = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var before = offsets(pid)
+      it.map { r =>
+        val off = before
+        before += r.getLong(1)
+        Row(r.get(0), r.getLong(1), off)
+      }
+    }
+    val schema = StructType(counted.schema.fields ++
+      Seq(StructField("offset", LongType, nullable = false)))
+    spark.createDataFrame(withOffset, schema)
+      .withColumn("bin_start", expr(s"offset DIV $windowTokens"))
+      .withColumn("bin_end",
+        when(col("n_tokens") === 0, col("bin_start"))
+          .otherwise(expr(s"(offset + n_tokens - 1) DIV $windowTokens")))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Multimodal, KMeans, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms}
+import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Multimodal, KMeans, Packing, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -801,6 +801,71 @@ object ExtQueries {
                UNION ALL SELECT 5, 'sample', CAST(count(*) AS BIGINT) FROM smp)
              ORDER BY stage_no"""))
 
+  /** Sequence packing (concat-and-chunk batch layout): every document's
+    * global token offset and the 512-token context windows it spans,
+    * via the two-pass distributed prefix sum — see
+    * [[graft.ext.Packing]]. The oracle's single-partition window is the
+    * semantic spec; the engine computes the same numbers without one. */
+  private val x26 = Q("x26_sequence_packing",
+    (s, d) => Packing.packSequences(documents(s, d), "doc_id", "text",
+        windowTokens = 512)
+      .orderBy("doc_id"),
+    Some(s"""WITH $tokSql,
+             c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+             p AS (SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+                   FROM c)
+             SELECT doc_id, n_tokens, "offset",
+                    "offset" // 512 AS bin_start,
+                    CASE WHEN n_tokens = 0 THEN "offset" // 512
+                         ELSE ("offset" + n_tokens - 1) // 512 END AS bin_end
+             FROM p ORDER BY doc_id"""))
+
+  /** Stream-stream interval join under the oracle (SURVEY.md §2.9, the
+    * two-stream leg): clicks and purchases stream independently from
+    * the staged events table and meet in
+    * [[graft.streaming.StreamAnalytics.intervalJoin]] — watermarks on
+    * both sides + the time-range condition bound the join state.
+    * Checked against the identical batch interval join in DuckDB.
+    * Determinism: an INNER join's match set is arrival-order-free once
+    * both sides are fully processed (single staged file each; the
+    * watermark only governs state cleanup), and every output cell is a
+    * key or an integer µs difference. */
+  private val x27 = Q("x27_stream_interval_join",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-x27-")
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      ev.coalesce(1).write.mode("overwrite").parquet(in)
+      def stream = s.readStream.schema(ev.schema).parquet(in)
+      val clicks = stream.filter(col("event_type") === "click")
+      val purchases = stream.filter(col("event_type") === "purchase")
+      val joined = graft.streaming.StreamAnalytics
+        .intervalJoin(clicks, purchases, "user_id", "ts", "1 HOUR", "30 days")
+        .select(col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id"),
+          col("l.user_id").as("user_id"),
+          (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
+      val job = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      job.awaitTermination()
+      s.read.parquet(out).orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+                   a.user_id AS user_id,
+                   CAST(epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+             AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+            ORDER BY click_id, purchase_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
+    x26, x27)
 }

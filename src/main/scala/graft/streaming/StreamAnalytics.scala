@@ -44,6 +44,22 @@ object StreamAnalytics {
   def enrich(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol))
 
+  /** Stream-stream interval join: right-side events matching a left
+    * event's key within `[l.ts, l.ts + within]`. Watermarks on BOTH
+    * sides plus the time-range join condition are what let Spark expire
+    * join state (without them a stream-stream join buffers forever —
+    * the 100 TB continuous-ingest requirement). Inner-join matches are
+    * emitted as soon as both rows have arrived; the watermark governs
+    * state cleanup and late-data eviction only. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, within: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    l.join(r, col(s"l.$keyCol") === col(s"r.$keyCol") &&
+      col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+      col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
+  }
+
   final case class Tick(symbol: String, ts: java.sql.Timestamp, price: Double)
   final case class Ohlc(symbol: String, open: Double, high: Double,
                         low: Double, close: Double, n: Long,
