@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Multimodal, KMeans, Packing, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms}
+import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Multimodal, KMeans, Packing, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -865,7 +865,31 @@ object ExtQueries {
              AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
             ORDER BY click_id, purchase_id"""))
 
+  /** Vocabulary build + per-doc OOV rates (the relational core of
+    * tokenizer training; see [[graft.ext.Vocab]] for the TakeOrdered +
+    * broadcast-membership shape). K=20 over this corpus's 31 distinct
+    * terms, so the rates are nontrivial. */
+  private val x28 = Q("x28_vocab_oov",
+    (s, d) => Vocab.oovRates(documents(s, d), "doc_id", "text", k = 20)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                   FROM documents),
+             c AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2),
+             v AS (SELECT term FROM (SELECT term, sum(n) AS cnt FROM c GROUP BY 1)
+                   ORDER BY cnt DESC, term ASC LIMIT 20),
+             p AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN term NOT IN (SELECT term FROM v)
+                                   THEN n ELSE 0 END) AS BIGINT) AS n_oov
+                   FROM c GROUP BY 1)
+             SELECT d.doc_id,
+                    coalesce(n_tokens, 0) AS n_tokens,
+                    coalesce(n_oov, 0) AS n_oov,
+                    CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+                         ELSE CAST(n_oov AS DOUBLE) / n_tokens END AS oov_rate
+             FROM (SELECT DISTINCT doc_id FROM documents) d
+             LEFT JOIN p USING (doc_id) ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27)
+    x26, x27, x28)
 }

@@ -134,6 +134,61 @@ class KMeansSpec extends SparkSpec {
   }
 }
 
+class CurationSpec extends SparkSpec {
+  test("funnel stages are monotone non-increasing and start at the corpus size") {
+    val docs = df(Seq(
+      (1L, "the cat is on the mat for a while"),
+      (2L, "the cat is on the mat for a while"),   // exact dup of 1
+      (3L, "der hund ist nicht mit der katze"),    // german
+      (4L, "1234 5678 90123 456"))).toDF("doc_id", "text") // digit junk
+    val out = graft.ext.Curation.funnel(docs, "doc_id", "text",
+        qualityMin = 0.1, sampleRate = 1.0)
+      .orderBy("stage_no").collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out.head == ("raw", 4L))
+    assert(out.map(_._2) == out.map(_._2).sorted.reverse, s"not monotone: $out")
+    // the german doc fails the language gate; the dup dies in dedup
+    assert(out(1)._2 <= 3L && out(3)._2 < out(1)._2)
+  }
+}
+
+class PackingSpec extends SparkSpec {
+  private val docs = df(Seq(
+    (1L, "a b c"), (2L, ""), (3L, "d e f g"), (4L, "h"))).toDF("doc_id", "text")
+
+  test("offsets are the exclusive prefix sum in doc order; bins split on the window") {
+    val out = graft.ext.Packing.packSequences(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L, 0L),    // tokens 0-2 in bin 0
+      (2L, 0L, 3L, 0L, 0L),    // empty doc anchors at its offset's bin
+      (3L, 4L, 3L, 0L, 1L),    // tokens 3-6 straddle bins 0 and 1
+      (4L, 1L, 7L, 1L, 1L)))
+  }
+
+  test("layout is invariant under input partitioning") {
+    def run(parts: Int) = graft.ext.Packing
+      .packSequences(docs.repartition(parts), "doc_id", "text", 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(5))
+  }
+}
+
+class VocabSpec extends SparkSpec {
+  test("topK cuts on count desc then term asc; oov counts occurrences") {
+    val docs = df(Seq(
+      (1L, "aa aa bb cc"), (2L, "aa bb zz"))).toDF("doc_id", "text")
+    // counts: aa=3, bb=2, cc=1, zz=1 → k=2 vocab = {aa, bb}
+    val v = graft.ext.Vocab.topK(docs, "text", 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(v == Seq("aa", "bb"))
+    val rates = graft.ext.Vocab.oovRates(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rates == Seq((1L, 4L, 1L, 0.25), (2L, 3L, 1L, 1.0 / 3)))
+  }
+}
+
 class Scd2Spec extends SparkSpec {
   private val snap1 = df(Seq(
     (1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))).toDF("k", "seg", "bal")
