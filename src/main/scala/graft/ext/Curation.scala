@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * public pre-training recipes (C4, Gopher, FineWeb) are exactly such
   * funnels.
   *
-  * Shape at 100 TB: the three filters are narrow codegen'd expressions
-  * sitting directly on the scan (language, quality, and the md5 sample
-  * bucket are all per-row); the only shuffle in the whole funnel is the
-  * dedup's fingerprint groupBy. Stage counts are partial-aggregated
-  * map-side. Nothing here widens a row beyond (id, fingerprint).
+  * Shape at 100 TB: one narrow projection computes the language and
+  * quality gates plus the dedup fingerprint per row (every regex runs
+  * ONCE per document, all codegen'd); the raw/language/quality stage
+  * counts come from a single conditional aggregate over that scan, and
+  * the dedup + sample counts from one fingerprint groupBy — the
+  * funnel's only shuffle. Nothing ever widens a row beyond
+  * (fingerprint, id, two booleans).
   */
 object Curation {
 
@@ -23,23 +25,33 @@ object Curation {
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              qualityMin: Double, sampleRate: Double): DataFrame = {
     val t = col(textCol)
-    val base = docs.select(col(idCol), t)
-    val lang = base.filter(TextAnalysis.predictedLang(t) === "en")
-    val qual = lang.filter(TextAnalysis.qualityScore(t) >= qualityMin)
-    val dedup = qual
-      .groupBy(TextAnalysis.fingerprintMd5(t).as("fp"))
-      .agg(min(col(idCol)).as(idCol))
-    val sampled = dedup.filter(
-      Sampling.hashBucket(col(idCol)) < math.round(sampleRate * Sampling.Denom))
+    val flags = docs.select(col(idCol),
+      TextAnalysis.fingerprintMd5(t).as("fp"),
+      (TextAnalysis.predictedLang(t) === "en").as("lang_ok"),
+      (TextAnalysis.qualityScore(t) >= qualityMin).as("qual_ok"))
 
-    def stage(no: Int, name: String, d: DataFrame): DataFrame =
-      d.agg(count(lit(1)).as("n_docs"))
-        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_docs"))
+    val scanStages = flags.agg(
+        count(lit(1)).as("raw"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("lang_en"),
+        sum(when(col("lang_ok") && col("qual_ok"), 1L).otherwise(0L)).as("quality"))
 
-    stage(1, "raw", base)
-      .unionByName(stage(2, "lang_en", lang))
-      .unionByName(stage(3, "quality", qual))
-      .unionByName(stage(4, "dedup", dedup))
-      .unionByName(stage(5, "sample", sampled))
+    // dedup over the quality survivors; the sample bucket is a function
+    // of the canonical (min) id, so both counts fall out of one groupBy
+    val canon = flags.filter(col("lang_ok") && col("qual_ok"))
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+    val dedupStages = canon.agg(
+      count(lit(1)).as("dedup"),
+      sum(when(Sampling.hashBucket(col(idCol))
+        < math.round(sampleRate * Sampling.Denom), 1L).otherwise(0L)).as("sample"))
+
+    def stage(no: Int, name: String, src: DataFrame): DataFrame =
+      src.select(lit(no).as("stage_no"), lit(name).as("stage"),
+        col(name).as("n_docs"))
+
+    stage(1, "raw", scanStages)
+      .unionByName(stage(2, "lang_en", scanStages))
+      .unionByName(stage(3, "quality", scanStages))
+      .unionByName(stage(4, "dedup", dedupStages))
+      .unionByName(stage(5, "sample", dedupStages))
   }
 }

@@ -8,21 +8,26 @@ import org.apache.spark.sql.functions._
   * hygiene sweep (n-gram-overlap decontamination as published for GPT-3 /
   * The Pile / FineWeb).
   *
-  * Shape at 100 TB: both sides explode to DISTINCT (doc, gram-md5) pairs
-  * — 16-byte fingerprints, never gram text — and meet in a hash
-  * equi-join on the fingerprint, followed by a count-aggregate on the
-  * train doc id. No cartesian, no broadcast of the (large) eval gram
-  * set, and the gram explosion is map-side until the distinct. The
+  * Shape at 100 TB: the split predicate partitions the corpus FIRST, so
+  * each side is tokenized exactly once; gram fingerprints come from the
+  * native codegen'd [[graft.functions.ShingleMd5]] (one fused
+  * digest loop per document — no gram string is ever materialized, no
+  * interpreted HOF lambda), reduce to DISTINCT 8-byte longs per side,
+  * and meet in ONE left hash equi-join followed by ONE count-aggregate
+  * on the train doc id (total and shared grams counted in the same
+  * pass). No cartesian, no broadcast of the (large) eval gram set; the
   * only shuffles are on gram-hash and doc-id keys.
   */
 object Decontaminate {
 
-  /** Per-doc distinct gram fingerprints: (id, gram_fp). */
-  private def docGrams(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int): DataFrame =
-    docs.select(col(idCol),
-        explode(Ngrams.ngrams(Ngrams.normTokens(col(textCol)), n)).as("gram"))
-      .select(col(idCol), md5(col("gram")).as("gram_fp"))
+  // tokenization is PROJECTED before the shingle expression — inlining
+  // it would re-run the regex per output element under a HOF, and even
+  // under the native expression the projection keeps the plan readable
+  private def grams(docs: DataFrame, textCol: String, n: Int,
+                    extraCols: Column*): DataFrame =
+    docs.select(extraCols :+ Ngrams.normTokens(col(textCol)).as("__toks"): _*)
+      .select(extraCols :+
+        explode(graft.functions.ShingleMd5(col("__toks"), n)).as("gram_fp"): _*)
       .distinct()
 
   /** Training docs contaminated by the eval split, with overlap counts.
@@ -35,20 +40,15 @@ object Decontaminate {
     */
   def contaminated(docs: DataFrame, idCol: String, textCol: String,
                    evalPred: Column, n: Int): DataFrame = {
-    val grams = docGrams(docs, idCol, textCol, n)
-    val evalGrams = docs.filter(evalPred)
-      .select(col(idCol), explode(Ngrams.ngrams(Ngrams.normTokens(col(textCol)), n)).as("gram"))
-      .select(md5(col("gram")).as("gram_fp"))
-      .distinct()
-    val train = docs.filter(!evalPred).select(col(idCol))
-    val trainGrams = grams.join(train, Seq(idCol))
-    val totals = trainGrams.groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"))
-    val shared = trainGrams
-      .join(evalGrams, Seq("gram_fp"))
+    val trainGrams = grams(docs.filter(!evalPred), textCol, n, col(idCol))
+    val evalGrams = grams(docs.filter(evalPred), textCol, n)
+      .withColumn("__hit", lit(1))
+    trainGrams
+      .join(evalGrams, Seq("gram_fp"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shared"))
-    shared.join(totals, Seq(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
       .select(col(idCol), col("n_grams"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
   }

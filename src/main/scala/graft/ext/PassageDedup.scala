@@ -28,8 +28,12 @@ object PassageDedup {
     *         duplicate of an earlier doc's). */
   def dedup(docs: DataFrame, idCol: String, textCol: String,
             chunkTokens: Int): DataFrame = {
-    val passages = docs.select(col(idCol),
-        posexplode(Ngrams.passages(Ngrams.normTokens(col(textCol)), chunkTokens))
+    // tokens projected first: a HOF lambda re-evaluates free
+    // subexpressions per element (see Decontaminate.grams)
+    val passages = docs
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(Ngrams.passages(col("__toks"), chunkTokens))
           .as(Seq("idx", "passage")))
       .withColumn("fp", md5(col("passage")))
     val firstWins = passages.withColumn("rn",

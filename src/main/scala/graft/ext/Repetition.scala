@@ -25,9 +25,11 @@ object Repetition {
   def ngramStats(docs: DataFrame, idCol: String, textCol: String,
                  n: Int): DataFrame = {
     val suffix = s"_$n"
+    // tokens projected first: a HOF lambda re-evaluates free
+    // subexpressions per element (see Decontaminate.grams)
     val counts = docs
-      .select(col(idCol),
-        explode(Ngrams.ngrams(Ngrams.normTokens(col(textCol)), n)).as("gram"))
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(Ngrams.ngrams(col("__toks"), n)).as("gram"))
       .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     val stats = counts.groupBy(idCol)

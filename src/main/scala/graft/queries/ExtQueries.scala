@@ -633,10 +633,10 @@ object ExtQueries {
       .orderBy("doc_id"),
     Some(s"""WITH $tokSql,
              g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
-                      i -> array_to_string(w[i:i+7], ' '))) AS gram
+                      i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
                    FROM toks WHERE len(w) >= 8),
-             dg AS (SELECT DISTINCT doc_id, md5(gram) AS gram_fp FROM g),
-             ev AS (SELECT DISTINCT md5(gram) AS gram_fp FROM g WHERE doc_id % 10 = 0),
+             dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
+             ev AS (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
              tr AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
              tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
              sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
