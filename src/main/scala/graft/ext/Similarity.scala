@@ -77,8 +77,15 @@ object Similarity {
   /** Random-hyperplane signature: `nPlanes` sign bits of the dot product
     * with LCG-derived hyperplanes. A sign bit flips across engines only
     * if a dot product lands within 1 ulp of exactly 0 — and here both
-    * engines produce bit-identical dots, so the signatures match exactly. */
+    * engines produce bit-identical dots, so the signatures match exactly.
+    * Computed by the native fused [[graft.functions.HyperplaneSig]]
+    * (bit-parity with [[hyperplaneSignatureHof]] pinned by spec). */
   def hyperplaneSignature(emb: Column, nPlanes: Int, dim: Int): Column =
+    graft.functions.HyperplaneSig(emb, nPlanes, dim)
+
+  /** The interpreted HOF formulation hyperplaneSignature replaced — kept
+    * as the readable semantic spec and the parity-test reference. */
+  private[graft] def hyperplaneSignatureHof(emb: Column, nPlanes: Int, dim: Int): Column =
     transform(sequence(lit(0), lit(nPlanes - 1)), p => {
       val terms = zip_with(emb, sequence(lit(0), lit(dim - 1)),
         (x, j) => x.cast("double") *

@@ -219,6 +219,21 @@ class SimilaritySpec extends SparkSpec {
     val b1 = bands.filter(col("vec_id") === 1).select("band", "band_key")
     assert(b0.exceptAll(b1).count() == 0)
   }
+
+  test("native hyperplane signature is bit-identical to the HOF formulation (float + double)") {
+    val real = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def both(df: org.apache.spark.sql.DataFrame, embCol: String) = {
+      val out = df.select(col("vec_id"),
+          Similarity.hyperplaneSignature(col(embCol), 16, 64).as("nat"),
+          Similarity.hyperplaneSignatureHof(col(embCol), 16, 64).as("hof"))
+        .collect()
+      out.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"signature mismatch for vec ${r.getLong(0)}"))
+    }
+    both(real, "embedding")
+    both(real.withColumn("emb_d",
+      expr("transform(embedding, x -> cast(x as double))")), "emb_d")
+  }
 }
 
 /** Text fingerprinting: the native rolling hash must equal the exact
