@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Multimodal, KMeans, Packing, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
+import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -889,7 +889,52 @@ object ExtQueries {
              FROM (SELECT DISTINCT doc_id FROM documents) d
              LEFT JOIN p USING (doc_id) ORDER BY doc_id"""))
 
+  /** Data-mixture balancing: per-language sampling rates flattening the
+    * corpus to a uniform token mixture (`min_tokens / tokens_lang`,
+    * exact int64 counts → one correctly-rounded division) — the step
+    * between corpus stats and [[graft.ext.Sampling.stratified]]; see
+    * [[graft.ext.Mixing]]. */
+  private val x29 = Q("x29_mix_weights",
+    (s, d) => Mixing.uniformRates(documents(s, d), "lang", "text")
+      .orderBy("lang"),
+    Some("""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+'))) AS BIGINT) AS n_tokens
+                  FROM documents GROUP BY 1)
+             SELECT lang, n_docs, n_tokens,
+                    CAST((SELECT min(n_tokens) FROM s) AS DOUBLE) / n_tokens AS mix_rate
+             FROM s ORDER BY lang"""))
+
+  /** Z-order layout check ([[graft.core.ZOrder]]): Morton-interleave
+    * (user_id, value-cents mod 2¹⁶) over events, bucket by the key's
+    * high bits, and report each bucket's row count and per-dimension
+    * min/max envelope — the bounded rectangles that make z-ordered
+    * files prunable on EITHER dimension. Pure integer bit arithmetic,
+    * bit-identical in the oracle. */
+  private val x30 = Q("x30_zorder_layout",
+    (s, d) => {
+      val x = col("user_id")
+      val y = pmod(graft.sa.Analytics.cents2(col("value")).cast("long"), lit(65536L))
+      events(s, d)
+        .select(x.as("x"), y.as("y"),
+          graft.core.ZOrder.zkey2(x, y, 16).as("zkey"))
+        .groupBy(expr("zkey DIV 67108864").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH e AS (SELECT user_id AS x,
+                    ((${Sql.cents2("value")} % 65536) + 65536) % 65536 AS y
+                  FROM events),
+             z AS (SELECT x, y,
+                     ${graft.core.ZOrder.zkey2Sql("x", "CAST(y AS BIGINT)", 16)} AS zkey
+                   FROM e)
+             SELECT zkey // 67108864 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                    CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+                    CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+             FROM z GROUP BY 1 ORDER BY bucket"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28)
+    x26, x27, x28, x29, x30)
 }

@@ -189,6 +189,44 @@ class VocabSpec extends SparkSpec {
   }
 }
 
+class MixingSpec extends SparkSpec {
+  test("uniform rates hit the smallest stratum exactly and never upsample") {
+    val docs = df(Seq(
+      (1L, "en", "a b c d"), (2L, "en", "e f"),     // en: 6 tokens
+      (3L, "de", "x y z"))).toDF("doc_id", "lang", "text") // de: 3 tokens
+    val out = graft.ext.Mixing.uniformRates(docs, "lang", "text")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(("de", 1L, 3L, 1.0), ("en", 2L, 6L, 0.5)))
+  }
+}
+
+class ZOrderSpec extends SparkSpec {
+  test("zkey2 interleaves bits (x even positions, y odd)") {
+    val out = df(Seq((3L, 0L), (0L, 3L), (1L, 1L), (2L, 1L)))
+      .toDF("x", "y")
+      .select(graft.core.ZOrder.zkey2(col("x"), col("y"), 4).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x=3,y=0 → 0b0101=5; x=0,y=3 → 0b1010=10; x=1,y=1 → 0b11=3;
+    // x=2,y=1 → x bit1→pos2, y bit0→pos1 → 0b110=6
+    assert(out == Seq(5L, 10L, 3L, 6L))
+  }
+
+  test("sorting by zkey bounds both dimensions within contiguous runs") {
+    val s = spark
+    import s.implicits._
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val sorted = spark.createDataset(pts).toDF("x", "y")
+      .orderBy(graft.core.ZOrder.zkey2(col("x"), col("y"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every aligned run of 64 keys is one 8x8 tile: both dims bounded
+    sorted.grouped(64).foreach { tile =>
+      assert(tile.map(_._1).max - tile.map(_._1).min <= 7)
+      assert(tile.map(_._2).max - tile.map(_._2).min <= 7)
+    }
+  }
+}
+
 class Scd2Spec extends SparkSpec {
   private val snap1 = df(Seq(
     (1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))).toDF("k", "seg", "bal")
