@@ -934,7 +934,31 @@ object ExtQueries {
                     CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
              FROM z GROUP BY 1 ORDER BY bucket"""))
 
+  /** Frame sampling under the oracle (the video-pipeline leg of
+    * [[graft.ext.Multimodal]]): the imperative per-partition flatMap
+    * path (1 payload row → ≤ maxFrames frame rows, codec instantiated
+    * per partition) runs for real, and the checked columns — which
+    * frames were sampled and each frame's byte size — are pure
+    * arithmetic of the payload length, so DuckDB reproduces them
+    * exactly. everyN=2, maxFrames=4 → indices {0,2,4,6} capped by the
+    * decoded frame count. */
+  private val x31 = Q("x31_frame_sample",
+    (s, d) => Multimodal.sampleFrames(s,
+        documents(s, d).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", everyN = 2, maxFrames = 4)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"))
+      .orderBy("doc_id", "frame_idx"),
+    Some("""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+             d AS (SELECT doc_id, n % 640 + 1 AS w, (n*7) % 480 + 1 AS h,
+                     n % 16 + 1 AS f FROM m),
+             fr AS (SELECT doc_id, unnest(range(0, least(f, 8), 2)) AS frame_idx, w, h
+                    FROM d)
+             SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                    CAST(least(w, 16) * least(h, 16) * 3 AS BIGINT) AS frame_bytes
+             FROM fr ORDER BY doc_id, frame_idx"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30)
+    x26, x27, x28, x29, x30, x31)
 }
