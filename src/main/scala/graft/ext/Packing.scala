@@ -17,6 +17,17 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Packing {
 
+  /** The distributed-sort stage of the prefix sum (token counts,
+    * range-partitioned in document order), exposed so PlanSpec can pin
+    * its physical shape: the Exchange must be RANGE — never a
+    * SinglePartition collapse. */
+  private[graft] def orderedTokenCounts(docs: DataFrame, idCol: String,
+                                        textCol: String): DataFrame =
+    docs.select(col(idCol),
+        size(Ngrams.normTokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol).asc)
+      .sortWithinPartitions(col(idCol).asc)
+
   /** @return (id, n_tokens, offset, bin_start, bin_end) — `offset` the
     *         document's first-token position in the global concatenated
     *         stream, `bin_*` the first/last `windowTokens`-sized context
@@ -25,10 +36,7 @@ object Packing {
                     windowTokens: Int): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     val spark = docs.sparkSession
-    val counted = docs.select(col(idCol),
-        size(Ngrams.normTokens(col(textCol))).cast("long").as("n_tokens"))
-      .repartitionByRange(col(idCol).asc)
-      .sortWithinPartitions(col(idCol).asc)
+    val counted = orderedTokenCounts(docs, idCol, textCol)
     val rdd = counted.rdd
     val partSums = rdd.mapPartitions(it =>
       Iterator.single(it.map(_.getLong(1)).sum)).collect()

@@ -152,6 +152,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x26 packing prefix-sum stage is range-partitioned, no single-partition collapse") {
+    val staged = graft.ext.Packing.orderedTokenCounts(
+      graft.util.Tables.documents(spark, sf), "doc_id", "text")
+    val es = shuffles(staged)
+    assert(es.exists(_.outputPartitioning.toString.toLowerCase.contains("range")),
+      "packing must range-partition by the document order")
+    noSinglePartition(es, "packing prefix sum")
+  }
+
+  test("x28 vocab cut is a TakeOrdered and the membership test broadcasts") {
+    val p = plan("x28_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), "top-K vocab must not global-sort")
+    assert(p.contains("BroadcastHashJoin"), "vocab membership must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
