@@ -189,6 +189,45 @@ class VocabSpec extends SparkSpec {
   }
 }
 
+class EdgeCaseSpec extends SparkSpec {
+  test("vocab k larger than the vocabulary yields zero OOV everywhere") {
+    val docs = df(Seq((1L, "aa bb"), (2L, "aa"))).toDF("doc_id", "text")
+    val out = graft.ext.Vocab.oovRates(docs, "doc_id", "text", 100)
+      .collect().map(_.getLong(2)).toSeq
+    assert(out.forall(_ == 0L))
+  }
+
+  test("k-means with rounds=1 assigns against the seed centroids only") {
+    val vecs = df(Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(0.9f))))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.KMeans.lloyd(vecs, "vec_id", "embedding", 2, 1)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((0L, 0), (1L, 1), (2L, 1)))
+  }
+
+  test("packing with a 1-token window makes bin_start the offset itself") {
+    val docs = df(Seq((1L, "a b"), (2L, "c"))).toDF("doc_id", "text")
+    val out = graft.ext.Packing.packSequences(docs, "doc_id", "text", 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq((0L, 0L, 1L), (2L, 2L, 2L)))
+  }
+
+  test("SCD2 supports composite keys") {
+    val s1 = df(Seq((1L, "us", "A"), (1L, "eu", "B"))).toDF("k", "region", "seg")
+    val s2 = df(Seq((1L, "us", "A2"), (1L, "eu", "B"))).toDF("k", "region", "seg")
+    val out = graft.dim.Scd2.apply(graft.dim.Scd2.init(s1, "2024-01-01"), s2,
+        Seq("k", "region"), Seq("seg"), "2024-06-01")
+      .orderBy("region", "effective_from").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getDate(4).toString)).toSeq
+    // eu carried open; us closed + reopened as A2
+    assert(out == Seq(
+      ("eu", "B", "9999-12-31"),
+      ("us", "A", "2024-06-01"),
+      ("us", "A2", "9999-12-31")))
+  }
+}
+
 class MixingSpec extends SparkSpec {
   test("uniform rates hit the smallest stratum exactly and never upsample") {
     val docs = df(Seq(
