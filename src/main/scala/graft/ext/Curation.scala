@@ -30,10 +30,13 @@ object Curation {
       (TextAnalysis.predictedLang(t) === "en").as("lang_ok"),
       (TextAnalysis.qualityScore(t) >= qualityMin).as("qual_ok"))
 
+    // coalesce: sum over an EMPTY corpus is NULL, but a funnel must
+    // publish 0 at every stage (the oracle's count(*) does)
     val scanStages = flags.agg(
         count(lit(1)).as("raw"),
-        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("lang_en"),
-        sum(when(col("lang_ok") && col("qual_ok"), 1L).otherwise(0L)).as("quality"))
+        coalesce(sum(when(col("lang_ok"), 1L).otherwise(0L)), lit(0L)).as("lang_en"),
+        coalesce(sum(when(col("lang_ok") && col("qual_ok"), 1L).otherwise(0L)),
+          lit(0L)).as("quality"))
 
     // dedup over the quality survivors; the sample bucket is a function
     // of the canonical (min) id, so both counts fall out of one groupBy
@@ -41,8 +44,9 @@ object Curation {
       .groupBy("fp").agg(min(col(idCol)).as(idCol))
     val dedupStages = canon.agg(
       count(lit(1)).as("dedup"),
-      sum(when(Sampling.hashBucket(col(idCol))
-        < math.round(sampleRate * Sampling.Denom), 1L).otherwise(0L)).as("sample"))
+      coalesce(sum(when(Sampling.hashBucket(col(idCol))
+          < math.round(sampleRate * Sampling.Denom), 1L).otherwise(0L)),
+        lit(0L)).as("sample"))
 
     def stage(no: Int, name: String, src: DataFrame): DataFrame =
       src.select(lit(no).as("stage_no"), lit(name).as("stage"),

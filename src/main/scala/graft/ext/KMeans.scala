@@ -67,8 +67,14 @@ object KMeans {
             k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val q = vecs.select(col(idCol), quantize(col(embCol)).as("u"))
-    var centroids = q.filter(col(idCol) < k)
-      .select(col(idCol).cast("int").as("cid"), col("u").as("c"))
+    // the k lowest ids regardless of the id space (a TakeOrdered of k
+    // rows, not an `id < k` guess that breaks for 1-based or sparse
+    // ids), numbered 0..k-1 in id order — a k-row local window
+    var centroids = q.orderBy(col(idCol).asc).limit(k)
+      .select((org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(idCol).asc)) - 1)
+          .as("cid"),
+        col("u").as("c"))
     var assigned = assign(q, idCol, centroids)
     for (_ <- 2 to rounds) {
       centroids = update(q, idCol, assigned)

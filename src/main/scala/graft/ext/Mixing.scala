@@ -23,17 +23,25 @@ import org.apache.spark.sql.functions._
 object Mixing {
 
   /** @return (stratum, n_docs, n_tokens, mix_rate) — one row per
-    *         stratum, `mix_rate` in (0, 1]. */
+    *         stratum, `mix_rate` in (0, 1]. The uniform target is the
+    *         smallest POSITIVE stratum (an empty stratum has no tokens
+    *         to contribute — it must not zero everyone else's budget)
+    *         and token-less strata get rate 1.0 (keep all of nothing). */
   def uniformRates(docs: DataFrame, stratumCol: String,
                    textCol: String): DataFrame = {
     val stats = docs
       .select(col(stratumCol),
-        size(Ngrams.normTokens(col(textCol))).cast("long").as("__nt"))
+        coalesce(size(Ngrams.normTokens(col(textCol))).cast("long"), lit(0L))
+          .as("__nt"))
       .groupBy(stratumCol)
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
     stats
-      .withColumn("__min", min("n_tokens").over(Window.partitionBy()))
+      .withColumn("__min",
+        min(when(col("n_tokens") > 0, col("n_tokens")))
+          .over(Window.partitionBy()))
       .select(col(stratumCol), col("n_docs"), col("n_tokens"),
-        (col("__min").cast("double") / col("n_tokens")).as("mix_rate"))
+        when(col("n_tokens") === 0, 1.0)
+          .otherwise(col("__min").cast("double") / col("n_tokens"))
+          .as("mix_rate"))
   }
 }

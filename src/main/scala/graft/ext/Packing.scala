@@ -24,7 +24,11 @@ object Packing {
   private[graft] def orderedTokenCounts(docs: DataFrame, idCol: String,
                                         textCol: String): DataFrame =
     docs.select(col(idCol),
-        size(Ngrams.normTokens(col(textCol))).cast("long").as("n_tokens"))
+        // NULL text → 0 tokens, not a null that the prefix-sum closures
+        // would unbox into an NPE (sibling operators null-propagate;
+        // a layout computation must instead keep every document)
+        coalesce(size(Ngrams.normTokens(col(textCol))).cast("long"), lit(0L))
+          .as("n_tokens"))
       .repartitionByRange(col(idCol).asc)
       .sortWithinPartitions(col(idCol).asc)
 

@@ -40,14 +40,16 @@ object TextAnalysis {
   }
 
   /** Non-ASCII character ratio (CJK/diacritic signal for language-ID):
-    * stripping the printable-ASCII range leaves exactly the non-ASCII
-    * characters, so the ratio is remaining/total. (The pre-round-6 form
-    * computed `(total - remaining)/total` — the ASCII ratio — which made
-    * the zh signal 1.0 on every ASCII document and the argmax always
-    * pick zh; caught when x25's funnel counted zero 'en' survivors.) */
+    * stripping the full ASCII range (\x00-\x7F, so tabs/newlines in
+    * plain ASCII text do NOT count as foreign) leaves exactly the
+    * non-ASCII characters; the ratio is remaining/total. (The
+    * pre-round-6 form computed `(total - remaining)/total` — the ASCII
+    * ratio — which made the zh signal 1.0 on every ASCII document and
+    * the argmax always pick zh; caught when x25's funnel counted zero
+    * 'en' survivors.) */
   def nonAsciiRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
-      length(regexp_replace(text, "[ -~]", "")).cast("double") / length(text))
+      length(regexp_replace(text, "[\\x00-\\x7F]", "")).cast("double") / length(text))
 
   // Minimal per-language stopword profiles (public common-word lists).
   val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
@@ -64,15 +66,19 @@ object TextAnalysis {
     "fr" -> stopwordRatio(text, stopFr),
     "zh" -> nonAsciiRatio(text))
 
-  /** Argmax language with the x02 tie-break (first language in
-    * [[langScores]] order whose score reaches the maximum). */
-  def predictedLang(text: Column): Column = {
-    val scores = langScores(text)
+  /** Argmax over (label, score) pairs with the x02 tie-break: first
+    * label in sequence order whose score reaches the maximum. The ONE
+    * implementation of the language decision — x02 applies it to its
+    * selected score columns, the funnel to freshly computed ones. */
+  def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val g = greatest(scores.map(_._2): _*)
     scores.init.foldRight(lit(scores.last._1): Column) {
       case ((l, s), acc) => when(s >= g, l).otherwise(acc)
     }
   }
+
+  /** Argmax language of a text column (see [[argmaxLang]]). */
+  def predictedLang(text: Column): Column = argmaxLang(langScores(text))
 
   /** The x03 combined quality score as one expression (0.4·stopword +
     * 0.3·capped-avg-token-length + 0.3·(1−digit-ratio) — identical op

@@ -33,7 +33,13 @@ object Vocab {
     val counts = docs
       .select(col(idCol), explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("n"))
-    val vocab = topK(docs, textCol, k).select(col("term"), lit(1).as("in_vocab"))
+    // the vocabulary derives from the SAME (doc, term) counts — one
+    // tokenize+explode of the corpus, not two (the corpus-proportional
+    // stage must not run twice for one answer)
+    val vocab = counts.groupBy("term").agg(sum("n").as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), lit(1).as("in_vocab"))
     val perDoc = counts
       .join(broadcast(vocab), Seq("term"), "left")
       .groupBy(idCol)

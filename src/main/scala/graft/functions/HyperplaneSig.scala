@@ -24,6 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * the order here is the same, so signatures are bit-identical.
   * Float elements widen exactly; double elements pass through.
   *
+  * Precondition (same as [[CosineSimilarity]]): embeddings are
+  * non-null arrays of exactly `dim` non-null elements. Parity with the
+  * HOF holds on that domain; malformed rows (short arrays, null
+  * elements) are NOT normalized identically — the HOF null-poisons the
+  * whole dot (every bit 0) where this computes a partial dot.
+  *
   * Why native: the signature is the corpus-proportional cost of every
   * embedding LSH operator (x09/x12/x14) — nPlanes·dim interpreted
   * lambda calls per row become one fused whole-stage-codegen loop.

@@ -29,17 +29,11 @@ object ExtQueries {
   private val x02 = Q("x02_langid",
     (s, d) => {
       val t = col("text")
-      val scored = documents(s, d).select(col("doc_id"),
-        TA.stopwordRatio(t, TA.stopDe).as("s_de"),
-        TA.stopwordRatio(t, TA.stopEn).as("s_en"),
-        TA.stopwordRatio(t, TA.stopEs).as("s_es"),
-        TA.stopwordRatio(t, TA.stopFr).as("s_fr"),
-        TA.nonAsciiRatio(t).as("s_zh"))
-      val g = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
+      val scores = TA.langScores(t)
+      val scored = documents(s, d).select(
+        col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }: _*)
       scored.withColumn("predicted",
-        when(col("s_de") >= g, "de").when(col("s_en") >= g, "en")
-          .when(col("s_es") >= g, "es").when(col("s_fr") >= g, "fr")
-          .otherwise("zh"))
+          TA.argmaxLang(scores.map { case (l, _) => l -> col(s"s_$l") }))
         .orderBy("doc_id")
     },
     Some(s"""WITH t AS (SELECT doc_id, text,
@@ -50,7 +44,7 @@ object ExtQueries {
                ${langScoreSql("s_es", "'el','la','que','y','en','un','es','los','se','del'")},
                ${langScoreSql("s_fr", "'le','la','et','un','que','pour','dans','ce','une','sur'")},
                CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE CAST(length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS DOUBLE) / length(text)
                END AS s_zh
              FROM t)
              SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
@@ -768,7 +762,7 @@ object ExtQueries {
                ${langScoreSql("s_es", "'el','la','que','y','en','un','es','los','se','del'")},
                ${langScoreSql("s_fr", "'le','la','et','un','que','pour','dans','ce','une','sur'")},
                CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE CAST(length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS DOUBLE) / length(text)
                END AS s_zh
              FROM t0),
              l AS (SELECT doc_id, text FROM
@@ -901,7 +895,9 @@ object ExtQueries {
                     CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+'))) AS BIGINT) AS n_tokens
                   FROM documents GROUP BY 1)
              SELECT lang, n_docs, n_tokens,
-                    CAST((SELECT min(n_tokens) FROM s) AS DOUBLE) / n_tokens AS mix_rate
+                    CASE WHEN n_tokens = 0 THEN 1.0
+                         ELSE CAST((SELECT min(n_tokens) FROM s WHERE n_tokens > 0) AS DOUBLE) / n_tokens
+                    END AS mix_rate
              FROM s ORDER BY lang"""))
 
   /** Z-order layout check ([[graft.core.ZOrder]]): Morton-interleave

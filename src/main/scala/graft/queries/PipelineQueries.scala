@@ -279,7 +279,9 @@ object PipelineQueries {
     * `5. merge_dim_security.sql:17-36`): snapshot 1 = the customer
     * dimension as-is; snapshot 2 = a deterministic restatement (every
     * custkey % 7 == 0 changes segment and balance) plus brand-new keys
-    * (custkey % 11 == 0 re-registered at +1,000,000). The checked
+    * (custkey % 11 == 0 re-registered at key −(custkey+1) — the negated
+    * space can never collide with an organic non-negative key at ANY
+    * scale factor). The checked
     * result is the complete history — carried open rows, closed-out
     * versions, and newly opened versions — so all four SCD2 branches
     * are under the oracle at once. */
@@ -295,7 +297,7 @@ object PipelineQueries {
           when(col("c_custkey") % 7 === 0, col("acctbal") + lit(10.0))
             .otherwise(col("acctbal")))
       val newKeys = snap1.filter(col("c_custkey") % 11 === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_nationkey"),
+        .select((-(col("c_custkey") + 1L)).as("c_custkey"), col("c_nationkey"),
           lit("NEW").as("segment"), col("acctbal"))
       val snap2 = changed.unionByName(newKeys)
       val history = Scd2.init(snap1, "2024-01-01")
@@ -313,7 +315,7 @@ object PipelineQueries {
                           ELSE acctbal END AS acctbal
                    FROM s1
                    UNION ALL
-                   SELECT c_custkey + 1000000, c_nationkey, 'NEW', acctbal
+                   SELECT -(c_custkey + 1), c_nationkey, 'NEW', acctbal
                    FROM s1 WHERE c_custkey % 11 = 0),
             chg AS (SELECT o.c_custkey FROM s1 o JOIN s2 n USING (c_custkey)
                     WHERE o.segment IS DISTINCT FROM n.segment

@@ -213,6 +213,47 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out == Seq((0L, 0L, 1L), (2L, 2L, 2L)))
   }
 
+  test("k-means seeds from the k lowest ids even when ids are not zero-based") {
+    val vecs = df(Seq((100L, Seq(0.0f)), (101L, Seq(1.0f)), (102L, Seq(0.9f))))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.KMeans.lloyd(vecs, "vec_id", "embedding", 2, 1)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((100L, 0), (101L, 1), (102L, 1)))
+  }
+
+  test("packing tolerates NULL text as zero tokens") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, Some("a b")), (2L, None: Option[String]), (3L, Some("c")))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Packing.packSequences(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((2L, 0L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("funnel reports 0 (never NULL) at every stage on an empty corpus") {
+    val empty = df(Seq((1L, "x"))).toDF("doc_id", "text").filter(col("doc_id") < 0)
+    val out = graft.ext.Curation.funnel(empty, "doc_id", "text", 0.5, 1.0)
+      .collect().map(r => r.isNullAt(2) -> r.getLong(2)).toSeq
+    assert(out == Seq.fill(5)(false -> 0L))
+  }
+
+  test("a zero-token stratum neither zeroes others' budgets nor goes NULL") {
+    val docs = df(Seq((1L, "en", "a b"), (2L, "zz", ""))).toDF("doc_id", "lang", "text")
+    val out = graft.ext.Mixing.uniformRates(docs, "lang", "text")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(out == Seq(("en", 1.0), ("zz", 1.0)))
+  }
+
+  test("control characters in plain ASCII text do not count as non-ASCII") {
+    val s = spark
+    import s.implicits._
+    val r = Seq("12\n34\t56").toDF("t")
+      .select(graft.ext.TextAnalysis.nonAsciiRatio(col("t"))).collect().head.getDouble(0)
+    assert(r == 0.0)
+  }
+
   test("SCD2 supports composite keys") {
     val s1 = df(Seq((1L, "us", "A"), (1L, "eu", "B"))).toDF("k", "region", "seg")
     val s2 = df(Seq((1L, "us", "A2"), (1L, "eu", "B"))).toDF("k", "region", "seg")
