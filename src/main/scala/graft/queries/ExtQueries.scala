@@ -954,7 +954,59 @@ object ExtQueries {
                     CAST(least(w, 16) * least(h, 16) * 3 AS BIGINT) AS frame_bytes
              FROM fr ORDER BY doc_id, frame_idx"""))
 
+  /** `mapGroupsWithState` under the oracle (SURVEY.md §2.9, the
+    * custom-state leg — the last streaming surface that was unit-only):
+    * the events table streams as ticks through
+    * [[graft.streaming.StreamAnalytics.runningOhlc]] (one state object
+    * per key, update mode via foreachBatch), and the final per-key OHLC
+    * is compared against the batch first/last/min/max oracle.
+    *
+    * Determinism: one staged file → one micro-batch → one output row
+    * per key. Within a batch the fold sorts by (ms, price) but updates
+    * open/close through full-precision event-time comparisons, so the
+    * net semantics are exactly "open = price at (min ts, tie→min
+    * price), close = price at (max ts, tie→max price)" — the oracle's
+    * two row_number orders. Prices are pre-quantized doubles. */
+  private val x32 = Q("x32_stream_ohlc",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-x32-")
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val ev = events(s, d).select(
+        col("user_id").cast("string").as("symbol"), col("ts"),
+        graft.sa.Analytics.qdbl2(col("value")).as("price"))
+      ev.coalesce(1).write.mode("overwrite").parquet(in)
+      import s.implicits._
+      val ticks = s.readStream.schema(ev.schema).parquet(in)
+        .as[graft.streaming.StreamAnalytics.Tick]
+      val job = graft.streaming.StreamAnalytics.runningOhlc(ticks)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamAnalytics.Ohlc],
+                         _: Long) =>
+          b.write.mode("overwrite").parquet(out): Unit
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      job.awaitTermination()
+      s.read.parquet(out)
+        .select(col("symbol"), col("open"), col("high"), col("low"),
+          col("close"), col("n").as("n_events"))
+        .orderBy("symbol")
+    },
+    Some(s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS symbol,
+                    CAST(ts AS TIMESTAMP) AS ts, ${Sql.qdbl2("value")} AS price
+                  FROM events),
+             r AS (SELECT symbol, price,
+                     row_number() OVER (PARTITION BY symbol ORDER BY ts ASC, price ASC) AS ra,
+                     row_number() OVER (PARTITION BY symbol ORDER BY ts DESC, price DESC) AS rd
+                   FROM e)
+             SELECT symbol, max(CASE WHEN ra = 1 THEN price END) AS "open",
+                    max(price) AS high, min(price) AS low,
+                    max(CASE WHEN rd = 1 THEN price END) AS "close",
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM r GROUP BY symbol ORDER BY symbol"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31)
+    x26, x27, x28, x29, x30, x31, x32)
 }
