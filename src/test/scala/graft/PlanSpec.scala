@@ -152,6 +152,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("partitioned-parquet reads prune to the filtered partition (the 100 TB date-slice path)") {
+    // the layout EodPipeline/Curation write at scale: partition directories
+    // keyed by the slice column; a filtered read must list ONLY matching
+    // directories (PartitionFilters), never scan-and-discard
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-").toString
+    graft.util.Tables.documents(spark, sf)
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang filter must prune partitions, plan:\n${p.take(1200)}")
+    // and the pruned scan returns exactly the en slice
+    assert(read.count() ==
+      graft.util.Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
+
   test("x26 packing prefix-sum stage is range-partitioned, no single-partition collapse") {
     val staged = graft.ext.Packing.orderedTokenCounts(
       graft.util.Tables.documents(spark, sf), "doc_id", "text")
