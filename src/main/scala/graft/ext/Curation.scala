@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   * public pre-training recipes (C4, Gopher, FineWeb) are exactly such
   * funnels.
   *
-  * Shape at 100 TB: one narrow projection computes the language and
-  * quality gates plus the dedup fingerprint per row (every regex runs
-  * ONCE per document, all codegen'd); the raw/language/quality stage
-  * counts come from a single conditional aggregate over that scan, and
-  * the dedup + sample counts from one fingerprint groupBy — the
-  * funnel's only shuffle. Nothing ever widens a row beyond
-  * (fingerprint, id, two booleans).
+  * Shape at 100 TB: the per-doc features (language scores, quality
+  * features, dedup fingerprint) are STAGED as columns in one narrow
+  * projection — each regex/score expression evaluates once per
+  * document — and the gate decisions in a second projection reference
+  * only those columns. Inlining the argmax over the raw score
+  * expressions instead would copy every score subtree into each
+  * when-branch, where codegen subexpression elimination cannot reach
+  * (measured 1.6 s → 5 s at sf0.1; Catalyst's CollapseProject refuses
+  * to merge the two projections for exactly that reason). The
+  * raw/language/quality stage counts come from a single conditional
+  * aggregate over that scan, and the dedup + sample counts from one
+  * fingerprint groupBy — the funnel's only shuffle.
   */
 object Curation {
 
@@ -25,10 +30,37 @@ object Curation {
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              qualityMin: Double, sampleRate: Double): DataFrame = {
     val t = col(textCol)
-    val flags = docs.select(col(idCol),
-      TextAnalysis.fingerprintMd5(t).as("fp"),
-      (TextAnalysis.predictedLang(t) === "en").as("lang_ok"),
-      (TextAnalysis.qualityScore(t) >= qualityMin).as("qual_ok"))
+    // stage every feature once; gate decisions reference columns only
+    val feats = docs.select(
+      col(idCol) +:
+        TextAnalysis.fingerprintMd5(t).as("fp") +:
+        length(t).cast("long").as("__nc") +:
+        size(TextAnalysis.wsTokens(t)).cast("long").as("__nt") +:
+        TextAnalysis.digitRatio(t).as("__digit") +:
+        TextAnalysis.nonAsciiRatio(t).as("__s_zh") +:
+        Seq("de", "en", "es", "fr").map(l =>
+          TextAnalysis.stopwordRatio(t,
+            Map("de" -> TextAnalysis.stopDe, "en" -> TextAnalysis.stopEn,
+              "es" -> TextAnalysis.stopEs, "fr" -> TextAnalysis.stopFr)(l))
+            .as(s"__s_$l")): _*)
+    val avgLen = when(col("__nt") === 0, 0.0)
+      .otherwise((col("__nc") - col("__nt") + 1).cast("double") / col("__nt"))
+    val score = lit(0.4) * col("__s_en") +
+      lit(0.3) * (least(avgLen, lit(10.0)) / 10.0) +
+      lit(0.3) * (lit(1.0) - col("__digit"))
+    // persisted (caller-owned lifetime, the MinHash signature-table
+    // pattern): without materialization, predicate pushdown rewrites the
+    // dedup branch's filter in terms of the RAW score trees — every
+    // regex re-evaluated per row inside a Filter where subexpression
+    // elimination cannot reach (measured 6.8 s for that branch alone at
+    // sf0.1 vs ~0.5 s from the cached flags). The cached row is just
+    // (id, 16-byte fp, two booleans) — far smaller than the corpus.
+    val flags = feats.select(col(idCol), col("fp"),
+      (TextAnalysis.argmaxLang(
+        Seq("de", "en", "es", "fr", "zh").map(l => l -> col(s"__s_$l")))
+        === "en").as("lang_ok"),
+      (score >= qualityMin).as("qual_ok"))
+      .persist()
 
     // coalesce: sum over an EMPTY corpus is NULL, but a funnel must
     // publish 0 at every stage (the oracle's count(*) does)
@@ -48,14 +80,19 @@ object Curation {
           < math.round(sampleRate * Sampling.Denom), 1L).otherwise(0L)),
         lit(0L)).as("sample"))
 
-    def stage(no: Int, name: String, src: DataFrame): DataFrame =
-      src.select(lit(no).as("stage_no"), lit(name).as("stage"),
-        col(name).as("n_docs"))
-
-    stage(1, "raw", scanStages)
-      .unionByName(stage(2, "lang_en", scanStages))
-      .unionByName(stage(3, "quality", scanStages))
-      .unionByName(stage(4, "dedup", dedupStages))
-      .unionByName(stage(5, "sample", dedupStages))
+    // ONE row with all five counts, exploded into stage rows — a union
+    // of five single-row aggregates instead would give every branch its
+    // own full corpus scan (no exchange to reuse; measured 5 scans / ~5 s
+    // at sf0.1 vs 2 scans here: one for the flag counts, one feeding the
+    // dedup groupBy)
+    scanStages.crossJoin(dedupStages)
+      .select(explode(array(
+        struct(lit(1).as("stage_no"), lit("raw").as("stage"), col("raw").as("n_docs")),
+        struct(lit(2).as("stage_no"), lit("lang_en").as("stage"), col("lang_en").as("n_docs")),
+        struct(lit(3).as("stage_no"), lit("quality").as("stage"), col("quality").as("n_docs")),
+        struct(lit(4).as("stage_no"), lit("dedup").as("stage"), col("dedup").as("n_docs")),
+        struct(lit(5).as("stage_no"), lit("sample").as("stage"), col("sample").as("n_docs"))))
+        .as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"))
   }
 }

@@ -31,8 +31,19 @@ object TextAnalysis {
   def bpeIshTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
-  /** Stopword hit ratio for one language list. */
+  /** Stopword hit ratio for one language list — hit counting via the
+    * native fused [[graft.functions.StopwordHits]] (the HOF twin below
+    * is the parity-test reference; the argmax runs four lists, so every
+    * token paid four interpreted lambda calls before the fusion). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = wordTokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      graft.functions.StopwordHits(toks, stopwords).cast("double") / size(toks))
+  }
+
+  /** The interpreted HOF formulation stopwordRatio replaced — kept as
+    * the readable semantic spec and the parity-test reference. */
+  private[graft] def stopwordRatioHof(text: Column, stopwords: Seq[String]): Column = {
     val toks = wordTokens(text)
     when(size(toks) === 0, lit(0.0)).otherwise(
       size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double")

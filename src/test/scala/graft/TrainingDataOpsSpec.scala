@@ -246,6 +246,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out == Seq(("en", 1.0), ("zz", 1.0)))
   }
 
+  test("native stopword counter is bit-identical to the HOF formulation over real docs") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val TA = graft.ext.TextAnalysis
+    Seq(TA.stopEn, TA.stopDe, TA.stopEs, TA.stopFr).foreach { words =>
+      val out = docs.select(col("doc_id"),
+          TA.stopwordRatio(col("text"), words).as("nat"),
+          TA.stopwordRatioHof(col("text"), words).as("hof"))
+        .collect()
+      out.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+        s"ratio mismatch for doc ${r.getLong(0)}"))
+    }
+  }
+
   test("control characters in plain ASCII text do not count as non-ASCII") {
     val s = spark
     import s.implicits._
