@@ -88,7 +88,13 @@ object TextAnalysis {
     }
   }
 
-  /** Argmax language of a text column (see [[argmaxLang]]). */
+  /** Argmax language of a text column (see [[argmaxLang]]) — a
+    * convenience one-liner. In a FILTER on a large corpus, stage
+    * [[langScores]] as columns first and argmax over the references
+    * instead: predicate pushdown rewrites a filter in terms of the raw
+    * score trees, re-running every regex per row where subexpression
+    * elimination cannot reach (see [[Curation]], which does exactly
+    * that staging). */
   def predictedLang(text: Column): Column = argmaxLang(langScores(text))
 
   /** The x03 combined quality score as one expression (0.4·stopword +

@@ -246,6 +246,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out == Seq(("en", 1.0), ("zz", 1.0)))
   }
 
+  test("one-liner predictedLang/qualityScore equal the staged x02/x03 formulations") {
+    val TA = graft.ext.TextAnalysis
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = col("text")
+    val staged = docs.select(
+        col("doc_id") +: TA.langScores(t).map { case (l, c) => c.as(s"s_$l") }: _*)
+      .select(col("doc_id"),
+        TA.argmaxLang(Seq("de", "en", "es", "fr", "zh").map(l => l -> col(s"s_$l")))
+          .as("staged"))
+    val inline = docs.select(col("doc_id"), TA.predictedLang(t).as("inline"))
+    staged.join(inline, "doc_id").collect().foreach(r =>
+      assert(r.getString(1) == r.getString(2)))
+    // qualityScore equals the x03 column-staged score
+    val x03 = graft.queries.Registry.queries("x03_quality_score")(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("score"))
+    val one = docs.select(col("doc_id"), TA.qualityScore(t).as("q"))
+    x03.join(one, "doc_id").collect().foreach(r =>
+      assert(r.getDouble(1) == r.getDouble(2)))
+  }
+
   test("native stopword counter is bit-identical to the HOF formulation over real docs") {
     val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
     val TA = graft.ext.TextAnalysis
