@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * language-ID (stopword/charset heuristic), quality scoring, token
   * counting (whitespace + BPE-ish regex), and document fingerprinting.
   *
-  * Everything here is a pure `Column` expression built from codegen'd
-  * built-ins (no UDFs): narrow, shuffle-free, whole-stage-codegen
-  * friendly — exactly what a 100 TB text sweep needs. The primitives
-  * (regex, md5/sha2, integer arithmetic) are engine-portable, which is
-  * what makes these oracle-checkable bit-for-bit.
+  * Everything here is a pure `Column` expression (no UDFs): narrow,
+  * shuffle-free, whole-stage-codegen friendly — exactly what a 100 TB
+  * text sweep needs. Hot counting paths use the repo's native
+  * codegen'd expressions ([[graft.functions.StopwordHits]],
+  * [[graft.functions.RollingHash]]); the rest are codegen'd built-ins.
+  * The primitives (regex, md5/sha2, integer arithmetic) are
+  * engine-portable, which is what makes these oracle-checkable
+  * bit-for-bit.
   */
 object TextAnalysis {
 
