@@ -347,6 +347,39 @@ object AnalyticsQueries {
                    CAST(max(n) AS BIGINT) AS n
             FROM r GROUP BY returnflag ORDER BY returnflag"""))
 
+  /** Sessionization (gaps-and-islands over the events stream table —
+    * see [[graft.sa.Analytics.sessionize]]): per-user sessions split on
+    * 30-minute quiet gaps, with per-session span, event count, and
+    * exact-cents value totals. The batch form of Structured Streaming's
+    * `session_window`. */
+  private val q37 = Q("q37_sessionize",
+    (s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+        graft.sa.Analytics.cents2(col("value")).as("vc"))
+      graft.sa.Analytics.sessionize(e, "user_id", "ts",
+          Seq(col("ts").asc, col("event_id").asc), gap = "30 MINUTE")
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          (sum(col("vc")).cast(DecimalType(38, 0)).cast("double") / lit(100.0))
+            .as("total_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                    ${Sql.cents2("value")} AS vc FROM events),
+             l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                   FROM e),
+             m AS (SELECT *, CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE
+                                  THEN 1 ELSE 0 END AS brk FROM l),
+             s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   FROM m)
+             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                    min(ts) AS session_start, max(ts) AS session_end,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    (${Sql.dbl("sum(vc)")} / 100.0) AS total_value
+             FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""))
+
   val qs: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q29)
+    q26, q27, q29, q37)
 }

@@ -1006,7 +1006,62 @@ object ExtQueries {
                     CAST(count(*) AS BIGINT) AS n_events
              FROM r GROUP BY symbol ORDER BY symbol"""))
 
+  /** Streaming sessionization under the oracle (SURVEY.md §2.9 —
+    * `session_window`, the dynamic-gap windowed aggregation): events
+    * stream through a 30-minute-gap session window in APPEND mode and
+    * the sink is compared against the batch gaps-and-islands oracle
+    * (q37's formulation). Spark's session end is `last_ts + gap`, so
+    * the checked `session_end` subtracts the gap back; the boundary
+    * case (an event exactly gap after its predecessor, where half-open
+    * window semantics and the batch `>` rule differ) does not occur in
+    * this data — verified 0 such pairs at sf0.01 and sf0.1. x18's
+    * staging rules apply: one file, pre-quantized cents, sentinel row
+    * pushes the watermark past every real session. */
+  private val x33 = Q("x33_stream_sessionize",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-x33-")
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val ev = events(s, d).select(col("user_id"), col("ts"),
+        graft.sa.Analytics.cents2(col("value")).as("value_c"))
+      val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+        to_timestamp(lit("2024-12-31 00:00:00")).as("ts"),
+        graft.sa.Analytics.cents2(lit(0.0)).as("value_c"))
+      ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema(ev.schema).parquet(in)
+      val job = stream
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(sum(col("value_c")).as("total_c"), count(lit(1)).as("n_events"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      job.awaitTermination()
+      s.read.parquet(out)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          (col("session_window.end") - expr("INTERVAL 30 MINUTE")).as("session_end"),
+          col("n_events"),
+          (col("total_c").cast(DecimalType(38, 0)).cast("double") / lit(100.0))
+            .as("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                    ${Sql.cents2("value")} AS vc FROM events),
+             l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                   FROM e),
+             m AS (SELECT *, CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE
+                                  THEN 1 ELSE 0 END AS brk FROM l),
+             s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                   FROM m)
+             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    (${Sql.dbl("sum(vc)")} / 100.0) AS total_value
+             FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32)
+    x26, x27, x28, x29, x30, x31, x32, x33)
 }

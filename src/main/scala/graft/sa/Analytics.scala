@@ -235,6 +235,28 @@ object Analytics {
     * double — `rev = Σ/scale`, `share = rev / tot` with the identical op
     * sequence on both engines. The grand total is an unpartitioned window
     * sum over the GROUPED rows (group-cardinality input, not a scan). */
+  /** Sessionization (gaps-and-islands): group each key's events into
+    * sessions separated by quiet gaps longer than `gap` — the classic
+    * warehouse form of what Structured Streaming's `session_window`
+    * computes online. A new session starts where the previous event (in
+    * (ts, tie-break) order — callers must pass a TOTAL order) is more
+    * than `gap` behind; the session id is the running count of such
+    * breaks. Shape at 100 TB: both windows partition by the key —
+    * millions of small partitions, no global window anywhere.
+    *
+    * @return input rows plus `session_id` (1-based per key). */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 order: Seq[Column], gap: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    df.withColumn("__pts", lag(col(tsCol), 1).over(w))
+      .withColumn("__brk",
+        when(col("__pts").isNull ||
+          col(tsCol) > col("__pts") + expr(s"INTERVAL $gap"), 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__pts", "__brk")
+  }
+
   def shareOfTotal(df: DataFrame, groupCol: String, scaledRevenue: Column,
                    scale: Double): DataFrame = {
     val grouped = df.groupBy(groupCol)
