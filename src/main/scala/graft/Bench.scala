@@ -76,6 +76,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = med.filter(_._2 >= 0).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jm(med)},"queries_min":${jm(mins)},"reps":$reps,"errors":$es,"sf":"$sfDir"}""")
+    // A second, SHORT summary line that survives the driver's 2000-char
+    // artifact tail (round 6's big line lost its leading total to the
+    // truncation). Splits the real streaming executions — whose ~1-5 s
+    // each is fixed checkpoint/state-store setup, not data-proportional
+    // operator time — from the batch surface, so a batch regression is
+    // never drowned by streaming fixed cost.
+    val streamingQs = Set("x17_stream_dedup", "x18_stream_windowed_agg",
+      "x24_stream_enrich", "x27_stream_interval_join", "x32_stream_ohlc",
+      "x33_stream_sessionize")
+    val (streamMed, batchMed) = med.filter(_._2 >= 0).partition(m => streamingQs(m._1))
+    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    println(s"""{"metric":"summary","total":$total,"batch_total":${batchMed.map(_._2).sum},"streaming_total":${streamMed.map(_._2).sum},"n_queries":${med.size},"n_errors":${errors.size},"slowest":${jm(slowest)},"unit":"sec","reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,8 +48,9 @@ object Curation {
     val score = lit(0.4) * col("__s_en") +
       lit(0.3) * (least(avgLen, lit(10.0)) / 10.0) +
       lit(0.3) * (lit(1.0) - col("__digit"))
-    // persisted (caller-owned lifetime, the MinHash signature-table
-    // pattern): without materialization, predicate pushdown rewrites the
+    // persisted for the duration of this call (released before return —
+    // the eager localCheckpoint below materializes the result first):
+    // without materialization, predicate pushdown rewrites the
     // dedup branch's filter in terms of the RAW score trees — every
     // regex re-evaluated per row inside a Filter where subexpression
     // elimination cannot reach (measured 6.8 s for that branch alone at
@@ -85,7 +86,7 @@ object Curation {
     // own full corpus scan (no exchange to reuse; measured 5 scans / ~5 s
     // at sf0.1 vs 2 scans here: one for the flag counts, one feeding the
     // dedup groupBy)
-    scanStages.crossJoin(dedupStages)
+    val out = scanStages.crossJoin(dedupStages)
       .select(explode(array(
         struct(lit(1).as("stage_no"), lit("raw").as("stage"), col("raw").as("n_docs")),
         struct(lit(2).as("stage_no"), lit("lang_en").as("stage"), col("lang_en").as("n_docs")),
@@ -94,5 +95,14 @@ object Curation {
         struct(lit(5).as("stage_no"), lit("sample").as("stage"), col("sample").as("n_docs"))))
         .as("s"))
       .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"))
+      // eager: the whole funnel runs here and only the 5 result rows are
+      // retained, which lets this operator release its own cache — the
+      // flags table is internal (no caller ever sees it), so unlike the
+      // MinHash/Packing signature tables there is no caller to own the
+      // lifetime, and repeated funnel() calls must not accumulate
+      // CacheManager entries for the session's lifetime
+      .localCheckpoint(true)
+    flags.unpersist()
+    out
   }
 }

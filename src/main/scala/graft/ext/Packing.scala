@@ -41,7 +41,21 @@ object Packing {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     val spark = docs.sparkSession
     val counted = orderedTokenCounts(docs, idCol, textCol)
-    val rdd = counted.rdd
+    // Persisted across the two passes (per-partition totals, then the
+    // running-offset map) so the tokenize + range shuffle runs ONCE and
+    // — more importantly — both passes see the SAME partition contents:
+    // without materialization the offset pass re-executes the lineage,
+    // and a nondeterministic input could range-partition differently
+    // than the pass the totals were collected from, silently skewing
+    // every offset. MEMORY_AND_DISK spills instead of evicting, so the
+    // blocks never fall back to recompute. Persisting the DATAFRAME
+    // (not the derived RDD) keeps the cache in the CacheManager, so the
+    // caller-owned release is `spark.catalog.clearCache()` (the
+    // [[MinHash]] signature-table contract; a raw `rdd.persist` would
+    // be invisible to it). The returned (lazy) plan reads these blocks,
+    // so release only after the result is materialized.
+    val cached = counted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = cached.rdd
     val partSums = rdd.mapPartitions(it =>
       Iterator.single(it.map(_.getLong(1)).sum)).collect()
     val offsets = partSums.scanLeft(0L)(_ + _)

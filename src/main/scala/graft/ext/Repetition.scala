@@ -46,8 +46,46 @@ object Repetition {
           .otherwise(col("top").cast("double") / col("total")).as(s"top_frac$suffix"))
   }
 
-  /** The combined 2-gram + 3-gram signal table (one row per doc). */
-  def signals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    ngramStats(docs, idCol, textCol, 2)
-      .join(ngramStats(docs, idCol, textCol, 3), Seq(idCol))
+  /** The combined 2-gram + 3-gram signal table (one row per doc),
+    * computed in ONE corpus pass: tokenize once, explode every n's
+    * grams as (n, gram)-tagged rows, count per (doc, n, gram), and
+    * roll up per doc with conditional aggregates — the same
+    * share-the-expensive-stage fix [[Vocab.oovRates]] got (joining two
+    * [[ngramStats]] calls instead re-runs `normTokens` — the regex
+    * tokenization, the corpus-proportional cost — once per n, and adds
+    * a doc-keyed join). Output schema/order matches the joined form. */
+  def signals(docs: DataFrame, idCol: String, textCol: String,
+              ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns == ns.distinct, s"ns must be distinct, got $ns")
+    // __toks is referenced by every per-n lambda, so CollapseProject
+    // keeps the tokenization staged as a real column (see ngramStats)
+    val tagged = concat(ns.map(n =>
+      transform(Ngrams.ngrams(col("__toks"), n),
+        g => struct(lit(n).as("n"), g.as("gram")))): _*)
+    val counts = docs
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(tagged).as("g"))
+      .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val aggs = ns.flatMap { n =>
+      Seq(
+        sum(when(col("n") === n, col("cnt")).otherwise(lit(0L))).as(s"total_$n"),
+        sum(when(col("n") === n && col("cnt") > 1, col("cnt"))
+          .otherwise(lit(0L))).as(s"dup_$n"),
+        max(when(col("n") === n, col("cnt"))).as(s"top_$n"))
+    }
+    val stats = counts.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol) +: ns.flatMap { n =>
+        val total = coalesce(col(s"total_$n"), lit(0L))
+        Seq(total.as(s"n_grams_$n"),
+          when(total === 0, 0.0)
+            .otherwise(col(s"dup_$n").cast("double") / col(s"total_$n"))
+            .as(s"dup_frac_$n"),
+          when(total === 0, 0.0)
+            .otherwise(col(s"top_$n").cast("double") / col(s"total_$n"))
+            .as(s"top_frac_$n"))
+      }: _*)
+  }
 }

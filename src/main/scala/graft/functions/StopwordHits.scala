@@ -73,8 +73,19 @@ case class StopwordHits(child: Expression, words: Seq[String])
 }
 
 object StopwordHits {
+  /** Registered-name key: md5 over the NUL-joined word list (content
+    * addressed). The session registry replaces only on first use of a
+    * name, so a 32-bit `hashCode` key could let two distinct lists
+    * collide and silently resolve to the first list's expression — a
+    * 128-bit content hash makes that practically impossible. */
+  private def nameFor(words: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(words.mkString("\u0000").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    s"stopword_hits_$hex"
+  }
+
   def apply(tokens: Column, words: Seq[String]): Column =
     Natives.callRegistered(
-      s"stopword_hits_${java.lang.Integer.toHexString(words.hashCode)}",
-      exprs => StopwordHits(exprs.head, words), tokens)
+      nameFor(words), exprs => StopwordHits(exprs.head, words), tokens)
 }

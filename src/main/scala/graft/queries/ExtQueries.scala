@@ -1011,10 +1011,13 @@ object ExtQueries {
     * stream through a 30-minute-gap session window in APPEND mode and
     * the sink is compared against the batch gaps-and-islands oracle
     * (q37's formulation). Spark's session end is `last_ts + gap`, so
-    * the checked `session_end` subtracts the gap back; the boundary
-    * case (an event exactly gap after its predecessor, where half-open
-    * window semantics and the batch `>` rule differ) does not occur in
-    * this data — verified 0 such pairs at sf0.01 and sf0.1. x18's
+    * the checked `session_end` subtracts the gap back; unlike q37's
+    * batch rule (`ts > pts + gap` continues a session), this oracle
+    * breaks at `ts >= pts + gap`, matching `session_window`'s half-open
+    * [start, last+gap) merge semantics exactly — so the check holds on
+    * ANY data, including exact-gap event pairs (none exist at
+    * sf0.01/sf0.1, which is why both formulations agreed through
+    * round 6; the semantic twin removes that data dependence). x18's
     * staging rules apply: one file, pre-quantized cents, sentinel row
     * pushes the watermark past every real session. */
   private val x33 = Q("x33_stream_sessionize",
@@ -1051,7 +1054,7 @@ object ExtQueries {
                     ${Sql.cents2("value")} AS vc FROM events),
              l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
                    FROM e),
-             m AS (SELECT *, CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE
+             m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
                                   THEN 1 ELSE 0 END AS brk FROM l),
              s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid

@@ -30,6 +30,18 @@ object Sessions {
       // AQE (default-on in Spark 4, pinned here): runtime coalescing,
       // skew-join splitting, and join-strategy re-planning
       .config("spark.sql.adaptive.enabled", "true")
+      // Streaming state lives in RocksDB, not on the executor heap. The
+      // default HDFS-backed provider keeps every key in JVM memory —
+      // fine for windowed aggregates whose watermark bounds state, fatal
+      // for the continuous-ingest dedup state math
+      // ([[graft.streaming.StreamDedup]]: ~1.6 TB of fingerprint state
+      // per 10¹¹ docs): at that size state must be out-of-heap and
+      // disk-backed. RocksDB bounds executor memory (changelog
+      // checkpointing to the store dir), and every streaming query here
+      // runs under it — the six real `Trigger.AvailableNow` executions
+      // in the Verify gate are the proof it carries the same answers.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   /** Route the known-benign `WindowExec: No Partition Defined` WARN to

@@ -14,6 +14,10 @@ object TestSpark {
     // catalog tables (BucketingSpec) land in a temp dir, not the repo
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
+    // same state-store provider as graft.util.Sessions.builder: the
+    // streaming specs exercise the store the engine actually ships with
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
