@@ -1,0 +1,111 @@
+package graft.ext
+
+import graft.core.Bucketing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus deduplication — the production shape of the
+  * near-dup suite: a continuously-ingested corpus keeps a PERSISTED
+  * MinHash signature store, and each new shard (a day's crawl, a new
+  * source dump) is deduplicated against everything already ingested by
+  * joining the shard's freshly-computed signatures to the store —
+  * WITHOUT recomputing a single old signature. First-wins over the
+  * union: store documents were ingested earlier, so a new document
+  * matching any store document is the duplicate and drops; the store
+  * never changes retroactively.
+  *
+  * Storage layout: one row per (band, doc) — `(band, band_key, id,
+  * __sig)` — written as a catalog table bucketed AND sorted by
+  * `(band, band_key)` ([[graft.core.Bucketing.writeBucketed]]). The
+  * denormalized signature (numHashes longs, ~128 B × nBands per doc)
+  * rides along so the confirm step needs no second store access. The
+  * dedup join on `(band, band_key)` then reads the store's buckets IN
+  * PLACE: the only Exchange in the join is the new shard's — zero
+  * shuffle, zero recompute on the store side, exactly the q33 bucketed-
+  * merge story applied to dedup (PlanSpec pins the store-side subtree
+  * Exchange-free). At 100 TB the store is appended shard-by-shard
+  * (surviving rows' bands land in the same bucket layout), so the cost
+  * of deduplicating a shard is proportional to the SHARD, never to the
+  * corpus.
+  *
+  * Intra-shard duplicates are the batch operators' job ([[MinHash]] /
+  * [[ExactDedup]] / [[DupClusters]] within the shard); this operator is
+  * the cross-shard piece those operators cannot express without
+  * re-signing the whole corpus.
+  *
+  * Same integer arithmetic as [[MinHash]] end to end, so the whole
+  * incremental path is oracle-checkable bit-for-bit (x34).
+  */
+object IncrementalDedup {
+
+  /** Banded signature rows `(band, band_key, id, __sig)` for a corpus —
+    * the persistable store layout (and the shape a new shard computes
+    * for itself before joining). Docs with no signature (fewer than
+    * `shingleN` words) have nothing to collide on and are absent. */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, nBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / nBands
+    MinHash.signatures(docs, idCol, textCol, shingleN, numHashes)
+      .select(col(idCol), col("__sig"),
+        posexplode(MinHash.bandKeys(col("__sig"), nBands, rowsPerBand))
+          .as(Seq("band", "band_key")))
+      .select(col("band"), col("band_key"), col(idCol), col("__sig"))
+  }
+
+  /** Compute and persist the signature store for `docs` as the bucketed
+    * catalog table `table` (bucketed+sorted by `(band, band_key)`). At
+    * warehouse scale this runs once per ingested shard (append); the
+    * test harness overwrites. */
+  def writeSignatureStore(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, numHashes: Int, nBands: Int,
+                          table: String, buckets: Int): Unit =
+    Bucketing.writeBucketed(
+      bandedSignatures(docs, idCol, textCol, shingleN, numHashes, nBands),
+      table, Seq("band", "band_key"), buckets)
+
+  /** Deduplicate a NEW shard against a persisted signature `store`
+    * (a table written by [[writeSignatureStore]] with the SAME
+    * `shingleN`/`numHashes`/`nBands`).
+    *
+    * Candidate pairs come from the `(band, band_key)` equi-join of the
+    * shard's banded signatures against the store (the store side reads
+    * bucketed, shuffle-free; the merge hint pins the sort-merge
+    * strategy so a small test-scale shard cannot silently broadcast and
+    * bypass the layout being proven — [[graft.core.Upsert.mergeBucketed]]'s
+    * rationale). A pair is a duplicate when its signature agreement
+    * `n_match/numHashes ≥ minJaccard` — the same estimate as
+    * [[MinHash.nearDupPairs]], compared in exact integers.
+    *
+    * @return one row per new-shard doc: `(id, kept, n_store_matches,
+    *         dup_of)` — `kept` when no store doc matched, `dup_of` the
+    *         smallest matching store id (null when kept). */
+  def dedupAgainstStore(newDocs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int, nBands: Int,
+                        store: DataFrame, minJaccard: Double): DataFrame = {
+    val minMatches = math.ceil(minJaccard * numHashes).toInt
+    val shard = bandedSignatures(newDocs, idCol, textCol,
+      shingleN, numHashes, nBands)
+    // several bands can agree for one (new, store) pair: collapse to the
+    // pair grain first (n_match is pair-constant, max() just picks it),
+    // then roll up per new doc — two doc-keyed aggregates over the
+    // candidate set, which is collision-sized, not corpus-sized
+    val pairs = shard.as("n")
+      .join(store.as("s").hint("merge"), Seq("band", "band_key"))
+      .filter(col(s"n.$idCol") =!= col(s"s.$idCol"))
+      .select(col(s"n.$idCol").as("new_id"), col(s"s.$idCol").as("store_id"),
+        aggregate(zip_with(col("n.__sig"), col("s.__sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).as("n_match"))
+      .groupBy("new_id", "store_id")
+      .agg(max("n_match").as("n_match"))
+      .filter(col("n_match") >= minMatches)
+    val perDoc = pairs.groupBy(col("new_id").as(idCol))
+      .agg(count(lit(1)).as("n_store_matches"), min("store_id").as("dup_of"))
+    newDocs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        col("dup_of").isNull.as("kept"),
+        coalesce(col("n_store_matches"), lit(0L)).as("n_store_matches"),
+        col("dup_of"))
+  }
+}

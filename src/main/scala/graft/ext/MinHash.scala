@@ -99,17 +99,24 @@ object MinHash {
       graft.functions.ShingleMd5(toks, shingleN).as("__hh"))
   }
 
+  /** The per-band string keys of a signature (array of `nBands`
+    * strings) — the one definition shared by [[bandedSignature]] and
+    * the persisted-store layout in [[IncrementalDedup]], so the two
+    * can never drift. */
+  def bandKeys(sigCol: Column, nBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)), b =>
+      concat_ws("-", (0 until rowsPerBand).map(r =>
+        element_at(sigCol, b * rowsPerBand + r + 1).cast("string")): _*))
+
   /** (id, band, band_key) rows: signature split into `nBands` bands of
     * `rowsPerBand` values, joined into a string key. Docs with no
     * signature (fewer than n words) are dropped. */
   def bandedSignature(df: DataFrame, idCol: String, sigCol: String,
-                      nBands: Int, rowsPerBand: Int): DataFrame = {
-    val bandKeys = transform(sequence(lit(0), lit(nBands - 1)), b =>
-      concat_ws("-", (0 until rowsPerBand).map(r =>
-        element_at(col(sigCol), b * rowsPerBand + r + 1).cast("string")): _*))
+                      nBands: Int, rowsPerBand: Int): DataFrame =
     df.filter(col(sigCol).isNotNull)
-      .select(col(idCol), posexplode(bandKeys).as(Seq("band", "band_key")))
-  }
+      .select(col(idCol),
+        posexplode(bandKeys(col(sigCol), nBands, rowsPerBand))
+          .as(Seq("band", "band_key")))
 
   /** End-to-end candidate-pair near-dup detection: for every unordered
     * pair of docs agreeing on at least one LSH band, the estimated

@@ -1064,7 +1064,63 @@ object ExtQueries {
                     (${Sql.dbl("sum(vc)")} / 100.0) AS total_value
              FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
 
+  /** Incremental dedup against a persisted bucketed signature store
+    * ([[graft.ext.IncrementalDedup]]): the corpus is split
+    * deterministically into an already-ingested store shard
+    * (doc_id % 5 ≠ 4) and a new shard (doc_id % 5 = 4); the store's
+    * banded MinHash signatures (x08's parameters) are WRITTEN as a
+    * catalog table bucketed by (band, band_key), and the new shard is
+    * deduplicated against that table — first-wins over the union, the
+    * store side read shuffle-free and never recomputed (PlanSpec pins
+    * the store subtree Exchange-free). The oracle replays the same
+    * integer MinHash pipeline over the union and keeps exactly the
+    * cross-shard matches. */
+  private val x34 = Q("x34_incremental_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      val store = docs.filter(col("doc_id") % 5 =!= 4)
+      val fresh = docs.filter(col("doc_id") % 5 === 4)
+      graft.ext.IncrementalDedup.writeSignatureStore(store, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, table = "x34_sig_store",
+        buckets = 8)
+      graft.ext.IncrementalDedup.dedupAgainstStore(fresh, "doc_id", "text",
+          shingleN = 3, numHashes = 16, nBands = 4,
+          store = s.table("x34_sig_store"), minJaccard = 0.5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 pairs AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                           FROM bands n JOIN bands s ON n.b = s.b AND n.bk = s.bk
+                           WHERE n.doc_id % 5 = 4 AND s.doc_id % 5 <> 4),
+                 m AS (SELECT new_id, store_id
+                       FROM pairs JOIN sig sa ON sa.doc_id = new_id
+                                  JOIN sig sb ON sb.doc_id = store_id
+                       WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
+                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
+                                min(store_id) AS dup_of
+                         FROM m GROUP BY new_id)
+            SELECT d.doc_id, (a.dup_of IS NULL) AS kept,
+                   COALESCE(a.n_store_matches, 0) AS n_store_matches, a.dup_of
+            FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
+            WHERE d.doc_id % 5 = 4
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32, x33)
+    x26, x27, x28, x29, x30, x31, x32, x33, x34)
 }

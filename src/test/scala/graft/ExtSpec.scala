@@ -314,3 +314,46 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("other") - 1500) < 150, out.toString) // 3000 * .5
   }
 }
+
+/** Incremental dedup of a new shard against a persisted bucketed
+  * signature store ([[graft.ext.IncrementalDedup]]). */
+class IncrementalDedupSpec extends SparkSpec {
+  import graft.ext.IncrementalDedup
+
+  private val store = df(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely different content about spark engines and parquet files"),
+    (3L, "a third document with some unique words entirely")))
+    .toDF("doc_id", "text")
+  private val shard = df(Seq(
+    (10L, "the quick brown fox jumps over the lazy dog"),       // exact dup of 1
+    (11L, "the quick brown fox jumps over the lazy dog again"), // 15/16 near dup of 1
+    (12L, "fresh material sharing nothing with the ingested corpus"),
+    (13L, "too short")))                                        // < 3 words: no signature
+    .toDF("doc_id", "text")
+
+  test("store matches drop the new doc; fresh and signatureless docs keep") {
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_dedup_store_spec", 4)
+    val out = IncrementalDedup.dedupAgainstStore(shard, "doc_id", "text", 3, 16, 4,
+        spark.table("inc_dedup_store_spec"), 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(out == Seq((10L, false, 1L, 1L), (11L, false, 1L, 1L),
+      (12L, true, 0L, -1L), (13L, true, 0L, -1L)))
+  }
+
+  test("the store is never re-signed: dedup keeps working when the shard text differs from ingest time") {
+    // the store table is the source of truth — dedupAgainstStore must
+    // read it as-is (a rebuild-from-docs implementation would need the
+    // original store docs, which this call does not receive)
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_dedup_store_spec2", 4)
+    val onlyShard = IncrementalDedup.dedupAgainstStore(
+      shard.filter(org.apache.spark.sql.functions.col("doc_id") === 10L),
+      "doc_id", "text", 3, 16, 4, spark.table("inc_dedup_store_spec2"), 0.5)
+    assert(onlyShard.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      == Seq((10L, false)))
+  }
+}

@@ -186,6 +186,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x34 incremental dedup reads the signature store bucketed, with no Exchange on the store side") {
+    val df = Registry.queries("x34_incremental_dedup")(spark, sf)
+    val executed = df.queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    def bucketedScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec if f.bucketedScan => f
+    }
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    // the band join's store side is the subtree reading the bucketed
+    // catalog table; it must be Exchange-free (buckets read in place),
+    // while the new shard's side is the join's only shuffle. Restrict to
+    // join sides with no NESTED join so the outer doc-id join (whose
+    // subtree transitively contains the store scan plus legitimate
+    // aggregation exchanges) does not match.
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right))
+      .filter(s => bucketedScans(s).nonEmpty &&
+        s.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty)
+    assert(storeSides.nonEmpty,
+      s"no sort-merge join reads the bucketed store:\n${root.toString.take(1500)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"store side must read its buckets in place, found shuffles: $es")
+    }
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
