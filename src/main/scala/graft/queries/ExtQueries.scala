@@ -1120,7 +1120,51 @@ object ExtQueries {
             WHERE d.doc_id % 5 = 4
             ORDER BY d.doc_id"""))
 
+  /** x16's duplicate-cluster resolution computed by the alternating
+    * large-star/small-star algorithm
+    * ([[graft.ext.DupClusters.connectedComponentsStars]], Kiveris et
+    * al.) instead of label propagation — the planet-scale form, whose
+    * round count is polylog in component size rather than linear in
+    * diameter. Same pair pipeline, same oracle: the two
+    * implementations must produce identical clusters. */
+  private val x35 = Q("x35_neardup_clusters_stars",
+    (s, d) => {
+      val pairs = MinHash.nearDupPairs(documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5)
+      graft.ext.DupClusters.connectedComponentsStars(pairs).orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                          FROM bands a JOIN bands b
+                            ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+                 pairs AS (SELECT doc_a, doc_b FROM cand
+                           JOIN sig sa ON sa.doc_id = doc_a
+                           JOIN sig sb ON sb.doc_id = doc_b
+                           WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
+                 e(u, v) AS (SELECT doc_a, doc_b FROM pairs
+                             UNION SELECT doc_b, doc_a FROM pairs),
+                 reach(u, v) AS (SELECT u, v FROM e
+                                 UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+            SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+            FROM reach GROUP BY u ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32, x33, x34)
+    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35)
 }

@@ -357,3 +357,40 @@ class IncrementalDedupSpec extends SparkSpec {
       == Seq((10L, false)))
   }
 }
+
+/** Large-star/small-star connected components agree with label
+  * propagation on every graph shape that distinguishes them. */
+class StarCcSpec extends SparkSpec {
+  import graft.ext.DupClusters
+
+  private def labels(pairs: Seq[(Long, Long)],
+                     fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+    fn(df(pairs).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def both(pairs: Seq[(Long, Long)]): Unit = {
+    val lp = labels(pairs, DupClusters.connectedComponents(_))
+    val st = labels(pairs, DupClusters.connectedComponentsStars(_))
+    assert(st == lp, s"star CC diverged from label propagation on $pairs")
+  }
+
+  test("long chain (diameter = rounds worst case for propagation)") {
+    both((1L until 20L).map(i => (i, i + 1)))
+  }
+
+  test("two disjoint clusters and a reversed-order chain") {
+    both(Seq((5L, 4L), (4L, 3L), (10L, 11L), (11L, 12L), (3L, 2L)))
+  }
+
+  test("star, triangle, and duplicate/self-noise pairs") {
+    both(Seq((1L, 7L), (1L, 9L), (1L, 3L),          // star around 1
+      (20L, 21L), (21L, 22L), (22L, 20L),           // triangle
+      (30L, 30L), (7L, 1L), (1L, 7L)))              // self-loop + dups
+  }
+
+  test("converges on a binary-tree component in few rounds and labels every node") {
+    val tree = (2L until 32L).map(i => (i / 2, i))
+    val st = labels(tree, DupClusters.connectedComponentsStars(_))
+    assert(st == (1L until 32L).map(i => (i, 1L)).toSet)
+  }
+}
