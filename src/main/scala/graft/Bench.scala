@@ -44,7 +44,13 @@ object Bench {
     // q35 is the same fixture driven through the streaming cascade —
     // same reasoning.
     val skip = Set("q28_pipeline_cascade", "q35_stream_cascade")
-    val names = SparkEntry.queries.keys.toSeq.filterNot(skip).sorted
+    // SPARK_GRAFT_BENCH_ONLY=x27,x34 limits the run (substring match on
+    // query names) — perf-iteration convenience mirroring Verify's
+    // SPARK_GRAFT_ONLY; the driver's full runs leave it unset
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(',').map(_.trim).filter(_.nonEmpty)
+    val names = SparkEntry.queries.keys.toSeq.filterNot(skip)
+      .filter(n => only.isEmpty || only.exists(n.contains)).sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

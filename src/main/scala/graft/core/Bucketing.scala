@@ -28,4 +28,19 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Append to an existing bucketed table with the SAME layout (Spark
+    * rejects a mismatched spec): new rows land as additional
+    * per-bucket files, so downstream joins stay Exchange-free — the
+    * recurring-ingest write path (each shard appends, nothing
+    * rewrites). Periodic compaction (re-running [[writeBucketed]] over
+    * the accumulated table) restores one-file-per-bucket and with it
+    * the sort-elision fast path. */
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
+                     buckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -53,13 +53,26 @@ object IncrementalDedup {
   }
 
   /** Compute and persist the signature store for `docs` as the bucketed
-    * catalog table `table` (bucketed+sorted by `(band, band_key)`). At
-    * warehouse scale this runs once per ingested shard (append); the
-    * test harness overwrites. */
+    * catalog table `table` (bucketed+sorted by `(band, band_key)`). */
   def writeSignatureStore(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int, numHashes: Int, nBands: Int,
                           table: String, buckets: Int): Unit =
     Bucketing.writeBucketed(
+      bandedSignatures(docs, idCol, textCol, shingleN, numHashes, nBands),
+      table, Seq("band", "band_key"), buckets)
+
+  /** Append a shard's signatures into an existing store (same layout —
+    * see [[graft.core.Bucketing.appendBucketed]]). The ingest loop is
+    * write store → per new shard: [[dedupAgainstStore]] → append the
+    * SURVIVORS' signatures → next shard dedups against everything
+    * ingested so far (IncrementalDedupSpec drives three shards through
+    * it). Dropped duplicates are not appended: their store
+    * representative already carries the signature a future match
+    * needs. */
+  def appendSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, nBands: Int,
+                       table: String, buckets: Int): Unit =
+    Bucketing.appendBucketed(
       bandedSignatures(docs, idCol, textCol, shingleN, numHashes, nBands),
       table, Seq("band", "band_key"), buckets)
 

@@ -42,6 +42,16 @@ object Sessions {
       // in the Verify gate are the proof it carries the same answers.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // incremental (changelog) checkpoints: without this the provider
+      // uploads a FULL RocksDB snapshot per store per micro-batch —
+      // measured 14.1 s → 8.6 s on the stream-stream interval join's
+      // four stores × 32 partitions at sf0.1 (the in-heap HDFS provider
+      // ran it in 5.7 s: the residue is the fixed native-store cost,
+      // which toy state sizes never amortize — at 100 TB state the
+      // ordering inverts, and a full-state upload per batch would be
+      // hours of commit time)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
 
   /** Route the known-benign `WindowExec: No Partition Defined` WARN to

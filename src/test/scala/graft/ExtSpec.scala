@@ -344,6 +344,33 @@ class IncrementalDedupSpec extends SparkSpec {
       (12L, true, 0L, -1L), (13L, true, 0L, -1L)))
   }
 
+  test("the ingest loop: dedup shard, append survivors' signatures, next shard sees both") {
+    val F = org.apache.spark.sql.functions
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_dedup_loop_store", 4)
+    // shard A: 10 duplicates store doc 1 and drops; 12 is fresh and keeps
+    val shardA = shard.filter(F.col("doc_id").isin(10L, 12L))
+    val resA = IncrementalDedup.dedupAgainstStore(shardA, "doc_id", "text",
+      3, 16, 4, spark.table("inc_dedup_loop_store"), 0.5)
+    val keptA = resA.filter(F.col("kept")).select("doc_id")
+    assert(keptA.collect().map(_.getLong(0)).toSeq == Seq(12L))
+    IncrementalDedup.appendSignatures(shardA.join(keptA, "doc_id"),
+      "doc_id", "text", 3, 16, 4, "inc_dedup_loop_store", 4)
+    // shard B: 20 duplicates original store doc 2; 21 duplicates doc 12,
+    // which entered the store only via the append — both must drop
+    val shardB = df(Seq(
+      (20L, "completely different content about spark engines and parquet files"),
+      (21L, "fresh material sharing nothing with the ingested corpus"),
+      (22L, "and now for something else entirely unrelated to every shard")))
+      .toDF("doc_id", "text")
+    val resB = IncrementalDedup.dedupAgainstStore(shardB, "doc_id", "text",
+        3, 16, 4, spark.table("inc_dedup_loop_store"), 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(resB == Seq((20L, false, 2L), (21L, false, 12L), (22L, true, -1L)))
+  }
+
   test("the store is never re-signed: dedup keeps working when the shard text differs from ingest time") {
     // the store table is the source of truth — dedupAgainstStore must
     // read it as-is (a rebuild-from-docs implementation would need the

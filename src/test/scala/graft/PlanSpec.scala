@@ -186,6 +186,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x20 repetition signals tokenize the corpus exactly once for both n-gram sizes") {
+    // signals() derives the 2-gram and 3-gram stats from ONE projected
+    // token array; a regression to the join-of-two-ngramStats form would
+    // re-run the regex tokenization per n (the corpus-proportional cost)
+    val p = plan("x20_repetition_quality")
+    val tokenizes = "regexp_extract_all".r.findAllIn(p).length
+    assert(tokenizes == 1,
+      s"expected exactly one tokenization in the x20 plan, found $tokenizes")
+  }
+
   test("x34 incremental dedup reads the signature store bucketed, with no Exchange on the store side") {
     val df = Registry.queries("x34_incremental_dedup")(spark, sf)
     val executed = df.queryExecution.executedPlan

@@ -18,6 +18,8 @@ object TestSpark {
     // streaming specs exercise the store the engine actually ships with
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
