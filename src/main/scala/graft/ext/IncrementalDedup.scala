@@ -45,7 +45,16 @@ object IncrementalDedup {
   def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, nBands: Int): DataFrame = {
     val rowsPerBand = numHashes / nBands
-    MinHash.signatures(docs, idCol, textCol, shingleN, numHashes)
+    // No explicit null filter: `bandKeys(null)` is null and posexplode
+    // of a null array emits no rows, so signatureless docs drop for
+    // free. [[MinHash.signatures]]' `filter(isNotNull)` would instead
+    // be pushed below the projection and re-evaluate the signature
+    // expression a second time per doc inside the Filter (the
+    // pushdown-unstaging trap — PlanSpec pins one minhash_sig per side
+    // here).
+    MinHash.shingleHashArrays(docs, idCol, textCol, shingleN)
+      .select(col(idCol),
+        graft.functions.MinHashSig(col("__hh"), numHashes).as("__sig"))
       .select(col(idCol), col("__sig"),
         posexplode(MinHash.bandKeys(col("__sig"), nBands, rowsPerBand))
           .as(Seq("band", "band_key")))

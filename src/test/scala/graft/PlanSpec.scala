@@ -229,6 +229,12 @@ class PlanSpec extends SparkSpec {
       assert(es.isEmpty,
         s"store side must read its buckets in place, found shuffles: $es")
     }
+    // the shard signs each doc exactly once (an isNotNull filter on the
+    // signature column would be pushed below the projection and double
+    // the signature computation)
+    val sigEvals = "minhash_sig".r.findAllIn(root.toString).length
+    assert(sigEvals == 1,
+      s"expected exactly one minhash_sig evaluation in the x34 plan, found $sigEvals")
   }
 
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
