@@ -420,4 +420,38 @@ class StarCcSpec extends SparkSpec {
     val st = labels(tree, DupClusters.connectedComponentsStars(_))
     assert(st == (1L until 32L).map(i => (i, 1L)).toSet)
   }
+
+  test("both implementations match a union-find ground truth on seeded random graphs") {
+    // deterministic LCG so the graphs are reproducible; union-find is an
+    // independent third implementation, so a shared bug in the two Spark
+    // forms cannot self-confirm
+    var seed = 0x5DEECE66DL
+    def nextLong(bound: Long): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 16, bound)
+    }
+    def groundTruth(pairs: Seq[(Long, Long)]): Set[(Long, Long)] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // canonical = min of component = the union-by-min root
+      nodes.map(n => n -> find(n)).toSet
+    }
+    (1 to 5).foreach { trial =>
+      val nEdges = 3 + nextLong(12).toInt
+      val pairs = Seq.fill(nEdges)((nextLong(16), nextLong(16)))
+      val expected = groundTruth(pairs)
+      assert(labels(pairs, DupClusters.connectedComponents(_)) == expected,
+        s"label propagation diverged on trial $trial: $pairs")
+      assert(labels(pairs, DupClusters.connectedComponentsStars(_)) == expected,
+        s"star CC diverged on trial $trial: $pairs")
+    }
+  }
 }
