@@ -34,7 +34,18 @@ object DupClusters {
   /** (doc_id, canonical_id) for every document that appears in at least
     * one pair; canonical_id = min doc id reachable through the dup
     * graph. Docs with no duplicates are absent (their canonical is
-    * themselves by definition). */
+    * themselves by definition).
+    *
+    * Throws `IllegalStateException` if the graph has not converged
+    * within `maxIters` rounds (a component whose diameter exceeds the
+    * budget — e.g. a duplicate CHAIN longer than `maxIters` links):
+    * returning the partial labels would silently split one cluster into
+    * several, which downstream dedup would never detect. For graphs
+    * where long chains are plausible, use
+    * [[connectedComponentsStars]] — its round count is polylog in
+    * component size, not linear in diameter (StarCcSpec demonstrates a
+    * 200-link chain resolving in ≤ 12 star rounds, where propagation
+    * needs 200). */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
     val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
@@ -61,6 +72,10 @@ object DupClusters {
       rounds += 1
     }
     edges.unpersist()
+    if (changed > 0) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — a component's diameter " +
+        "exceeds the budget; raise maxIters or use connectedComponentsStars")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
@@ -118,6 +133,9 @@ object DupClusters {
       edges = next
       rounds += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"star rounds did not converge in $maxIters iterations — " +
+        "raise maxIters (round count is polylog in component size)")
     // label every node of the ORIGINAL pair graph ([[connectedComponents]]'s
     // contract): star children take their root, everything else — roots
     // and nodes whose only pair was a self-pair — labels itself

@@ -421,6 +421,21 @@ class StarCcSpec extends SparkSpec {
     assert(st == (1L until 32L).map(i => (i, 1L)).toSet)
   }
 
+  test("propagation fails loudly past its round budget; stars resolve the same chain in polylog rounds") {
+    // a 200-link duplicate chain: diameter 199, so propagation needs 199
+    // rounds — at its default budget (25) it must THROW, never return
+    // silently split clusters
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      DupClusters.connectedComponents(df(chain).toDF("doc_a", "doc_b")).collect()
+    }
+    // the star form resolves the same chain well inside 12 rounds
+    // (polylog in component size — the documented planet-scale claim,
+    // here measured, not asserted from the paper)
+    val st = labels(chain, DupClusters.connectedComponentsStars(_, maxIters = 12))
+    assert(st == (1L to 200L).map(i => (i, 1L)).toSet)
+  }
+
   test("both implementations match a union-find ground truth on seeded random graphs") {
     // deterministic LCG so the graphs are reproducible; union-find is an
     // independent third implementation, so a shared bug in the two Spark
