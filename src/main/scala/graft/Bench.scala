@@ -93,7 +93,7 @@ object Bench {
       "x33_stream_sessionize")
     val (streamMed, batchMed) = med.filter(_._2 >= 0).partition(m => streamingQs(m._1))
     val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(5)
-    println(s"""{"metric":"summary","total":$total,"batch_total":${batchMed.map(_._2).sum},"streaming_total":${streamMed.map(_._2).sum},"n_queries":${med.size},"n_errors":${errors.size},"slowest":${jm(slowest)},"unit":"sec","reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":$total,"batch_total":${batchMed.map(_._2).sum},"streaming_total":${streamMed.map(_._2).sum},"n_queries":${med.count(_._2 >= 0)},"n_errors":${errors.size},"slowest":${jm(slowest)},"unit":"sec","reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,21 +55,36 @@ object DupClusters {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // one propagation round: min neighbor label per node (one join + one
+    // aggregation), returning the new labels and how many changed
+    def step(lbl: DataFrame): (DataFrame, Long) = {
+      val nbrMin = edges
+        .join(lbl.select(col("id").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val updated = lbl.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true) // cut lineage: plan stays one-round deep
+      val n = updated.join(lbl.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      (updated, n)
+    }
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxIters) {
-      // min neighbor label per node, one join + one aggregation
-      val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("label").as("nl")), "v")
-        .groupBy(col("u").as("id"))
-        .agg(min(col("nl")).as("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true) // cut lineage: plan stays one-round deep
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val (updated, n) = step(labels)
       labels = updated
+      changed = n
       rounds += 1
+    }
+    if (changed > 0) {
+      // round maxIters still reported changes, but it may have been the
+      // COMPLETING round (the loop never observes the confirming
+      // zero-change pass): one verification round distinguishes
+      // exact-at-budget convergence from genuine non-convergence
+      val (updated, n) = step(labels)
+      labels = updated
+      changed = n
     }
     edges.unpersist()
     if (changed > 0) throw new IllegalStateException(
@@ -120,11 +135,18 @@ object DupClusters {
         .union(rewired.select(col("u"), col("m").as("v")))
         .distinct()
     }
-    var edges = pairs
+    // materialize the normalized pair set ONCE (upstream `pairs` is
+    // typically a shuffle-heavy candidate pipeline — band self-join +
+    // distinct + signature joins): both the initial edge set and the
+    // final node list derive from this checkpoint, so the pipeline never
+    // re-executes. Self-pairs survive to here (they carry nodes whose
+    // only pair is a self-pair) and drop only from the edge set.
+    val base = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .distinct()
       .localCheckpoint(true)
+    var edges = base.filter(col("u") =!= col("v"))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIters) {
@@ -138,9 +160,11 @@ object DupClusters {
         "raise maxIters (round count is polylog in component size)")
     // label every node of the ORIGINAL pair graph ([[connectedComponents]]'s
     // contract): star children take their root, everything else — roots
-    // and nodes whose only pair was a self-pair — labels itself
-    val nodes = pairs.select(col(aCol).as("doc_id"))
-      .union(pairs.select(col(bCol).as("doc_id"))).distinct()
+    // and nodes whose only pair was a self-pair — labels itself. Nodes
+    // come from the materialized `base`, not the raw `pairs` plan, so
+    // the candidate pipeline runs exactly once.
+    val nodes = base.select(col("u").as("doc_id"))
+      .union(base.select(col("v").as("doc_id"))).distinct()
     nodes.join(edges.select(col("u").as("doc_id"), col("v").as("__root")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -45,7 +45,8 @@ object IncrementalDedup {
   def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, nBands: Int): DataFrame = {
     val rowsPerBand = numHashes / nBands
-    // No explicit null filter: `bandKeys(null)` is null and posexplode
+    // No explicit null filter: `bandKeys` propagates a null signature
+    // to a null array (guarded in [[MinHash.bandKeys]]) and posexplode
     // of a null array emits no rows, so signatureless docs drop for
     // free. [[MinHash.signatures]]' `filter(isNotNull)` would instead
     // be pushed below the projection and re-evaluate the signature
@@ -115,9 +116,7 @@ object IncrementalDedup {
       .join(store.as("s").hint("merge"), Seq("band", "band_key"))
       .filter(col(s"n.$idCol") =!= col(s"s.$idCol"))
       .select(col(s"n.$idCol").as("new_id"), col(s"s.$idCol").as("store_id"),
-        aggregate(zip_with(col("n.__sig"), col("s.__sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, m) => acc + m).as("n_match"))
+        MinHash.sigAgreement(col("n.__sig"), col("s.__sig")).as("n_match"))
       .groupBy("new_id", "store_id")
       .agg(max("n_match").as("n_match"))
       .filter(col("n_match") >= minMatches)

@@ -102,11 +102,25 @@ object MinHash {
   /** The per-band string keys of a signature (array of `nBands`
     * strings) — the one definition shared by [[bandedSignature]] and
     * the persisted-store layout in [[IncrementalDedup]], so the two
-    * can never drift. */
+    * can never drift. Null-propagating: a null signature yields a null
+    * array (NOT an array of nBands empty strings — `concat_ws` skips
+    * null elements, so without the guard every signatureless doc would
+    * collide on band_key "" and pile a quadratically-growing candidate
+    * set onto nBands hot keys in the incremental store). */
   def bandKeys(sigCol: Column, nBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(nBands - 1)), b =>
-      concat_ws("-", (0 until rowsPerBand).map(r =>
-        element_at(sigCol, b * rowsPerBand + r + 1).cast("string")): _*))
+    when(sigCol.isNotNull,
+      transform(sequence(lit(0), lit(nBands - 1)), b =>
+        concat_ws("-", (0 until rowsPerBand).map(r =>
+          element_at(sigCol, b * rowsPerBand + r + 1).cast("string")): _*)))
+
+  /** Number of agreeing positions between two equal-length signature
+    * arrays — the exact-integer MinHash agreement count, the one
+    * definition shared by [[nearDupPairs]] (as `est_jaccard`'s
+    * numerator) and [[IncrementalDedup.dedupAgainstStore]] (as
+    * `n_match`), so the batch and incremental paths can never drift. */
+  def sigAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m)
 
   /** (id, band, band_key) rows: signature split into `nBands` bands of
     * `rowsPerBand` values, joined into a string key. Docs with no
@@ -146,9 +160,7 @@ object MinHash {
       .join(sigs.select(col(idCol).as("doc_a"), col("__sig").as("__sa")), "doc_a")
       .join(sigs.select(col(idCol).as("doc_b"), col("__sig").as("__sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("__sa"), col("__sb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+        (sigAgreement(col("__sa"), col("__sb")).cast("double") / numHashes)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }

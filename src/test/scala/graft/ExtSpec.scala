@@ -284,6 +284,22 @@ class DupClustersSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(DupClusters.connectedComponents(empty).count() == 0)
   }
+
+  test("a chain converging EXACTLY at the round budget succeeds; one link more throws") {
+    val s = spark; import s.implicits._
+    // 5-link chain: the min label reaches node 6 in round 5, so round 5
+    // reports changes and only the verification round observes the
+    // confirming zero-change pass — maxIters = 5 must still succeed
+    val chain5 = (1L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DupClusters.connectedComponents(chain5, maxIters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == (1L to 6L).map(i => (i, 1L)).toSet)
+    // diameter 6 > budget 5: genuinely unconverged, must fail loudly
+    val chain6 = (1L until 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException] {
+      DupClusters.connectedComponents(chain6, maxIters = 5).collect()
+    }
+  }
 }
 
 /** Deterministic sampling: reproducibility, rate accuracy, stratum rates. */
@@ -369,6 +385,19 @@ class IncrementalDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getBoolean(1),
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
     assert(resB == Seq((20L, false, 2L), (21L, false, 12L), (22L, true, -1L)))
+  }
+
+  test("signatureless docs emit NO store rows (no band_key \"\" hot key)") {
+    // a null signature must band to a null array, not nBands empty-string
+    // keys — otherwise every short doc on both sides piles onto the same
+    // nBands hot keys and the candidate set grows quadratically with the
+    // accumulated store
+    IncrementalDedup.writeSignatureStore(
+      store.unionByName(df(Seq((99L, "too short"))).toDF("doc_id", "text")),
+      "doc_id", "text", 3, 16, 4, "inc_dedup_short_store", 4)
+    val t = spark.table("inc_dedup_short_store")
+    assert(t.filter(org.apache.spark.sql.functions.col("doc_id") === 99L).count() == 0)
+    assert(t.filter(org.apache.spark.sql.functions.col("band_key") === "").count() == 0)
   }
 
   test("the store is never re-signed: dedup keeps working when the shard text differs from ingest time") {
