@@ -400,6 +400,55 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(t.filter(org.apache.spark.sql.functions.col("band_key") === "").count() == 0)
   }
 
+  test("dedupAgainstStore agrees with batch nearDupPairs over the union on randomized corpora") {
+    // composition check, not a mirrored formula: the incremental path
+    // (shard bands vs persisted store) must produce exactly the
+    // cross-pair subset of the BATCH near-dup operator run over
+    // store ∪ shard — same banding, same agreement threshold
+    // (est_jaccard ≥ j  ⟺  n_match ≥ ceil(j·numHashes) for integers).
+    // Deterministic LCG so failures reproduce.
+    val F = org.apache.spark.sql.functions
+    var seed = 0xC0FFEEL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 16, bound).toInt
+    }
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia", "kilo", "lima", "mike", "november")
+    def doc(): String = Seq.fill(3 + nxt(8))(vocab(nxt(vocab.size))).mkString(" ")
+    def perturb(t: String): String = {   // swap one word ~half the time
+      val w = t.split(' ')
+      if (nxt(2) == 0) t else w.updated(nxt(w.length), vocab(nxt(vocab.size))).mkString(" ")
+    }
+    (1 to 3).foreach { trial =>
+      val storeDocs = (0L until 30L).map(i => (i, doc()))
+      // shard: fresh docs, perturbed copies of store docs, and short docs
+      val shardDocs = (100L until 110L).map(i => (i, doc())) ++
+        (110L until 125L).map(i => (i, perturb(storeDocs(nxt(30))._2))) ++
+        Seq((125L, "too short"))
+      val store = df(storeDocs).toDF("doc_id", "text")
+      val shard = df(shardDocs).toDF("doc_id", "text")
+      val tbl = s"inc_dedup_prop_store_$trial"
+      IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4, tbl, 4)
+      val got = IncrementalDedup.dedupAgainstStore(shard, "doc_id", "text",
+          3, 16, 4, spark.table(tbl), 0.5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      // batch reference: store ids (< 100) sort before shard ids, so the
+      // cross pairs are exactly nearDupPairs rows with doc_a in the store
+      val cross = graft.ext.MinHash.nearDupPairs(store.unionByName(shard),
+          "doc_id", "text", 3, 16, 4, 0.5)
+        .filter(F.col("doc_a") < 100L && F.col("doc_b") >= 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byShard = cross.groupBy(_._2)
+      val expected = shardDocs.map { case (id, _) =>
+        val ms = byShard.getOrElse(id, Array.empty).map(_._1)
+        id -> ((ms.isEmpty, ms.length.toLong, if (ms.isEmpty) -1L else ms.min))
+      }.toMap
+      assert(got == expected, s"incremental vs batch divergence on trial $trial")
+    }
+  }
+
   test("the store is never re-signed: dedup keeps working when the shard text differs from ingest time") {
     // the store table is the source of truth — dedupAgainstStore must
     // read it as-is (a rebuild-from-docs implementation would need the
