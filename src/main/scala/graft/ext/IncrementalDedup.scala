@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions._
   *
   * Same integer arithmetic as [[MinHash]] end to end, so the whole
   * incremental path is oracle-checkable bit-for-bit (x34).
+  *
+  * Hot band keys (boilerplate collapsing many docs onto one key) grow
+  * the store's per-key candidate work across appends. The batch
+  * operators cap them per run (`maxBandDocs` — see
+  * `MinHash.candidatePairs`); the incremental analogue is maintaining a
+  * per-key doc count as a side table updated on each append and
+  * semi-filtering both join sides against keys under the cap — a
+  * corpus-sized groupBy at dedup time would break the
+  * cost-proportional-to-the-shard contract, so the count must be
+  * maintained incrementally, not recomputed. Not implemented here:
+  * exact dedup runs upstream in the funnel and collapses the identical
+  * docs that dominate real hot buckets.
   */
 object IncrementalDedup {
 

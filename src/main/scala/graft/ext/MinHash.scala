@@ -132,6 +132,40 @@ object MinHash {
         posexplode(bandKeys(col(sigCol), nBands, rowsPerBand))
           .as(Seq("band", "band_key")))
 
+  /** Unordered candidate pairs `(doc_a, doc_b)`, `doc_a < doc_b`, of
+    * docs agreeing on at least one LSH band — the self equi-join both
+    * [[nearDupPairs]] and [[exactJaccardPairs]] build on.
+    *
+    * `maxBandDocs > 0` skips band keys matching MORE than that many
+    * docs before the join: a hot bucket (boilerplate text — cookie
+    * banners, license headers, near-empty docs — collapses many docs
+    * onto one key) contributes pairs QUADRATICALLY in its size, and at
+    * corpus scale a single million-doc bucket means 10¹² candidate
+    * rows through one skewed key. A pair sharing a skipped key is
+    * still found through any of its other nBands−1 bands (and true
+    * boilerplate is exact-dedup's job upstream — [[ExactDedup]] runs
+    * first in the curation funnel), so the cap trades a bounded recall
+    * loss on exactly the docs exact dedup already covers for a hard
+    * ceiling on per-key join work. 0 (the default, and the
+    * oracle-checked configuration) disables the cap. */
+  private def candidatePairs(bands: DataFrame, idCol: String,
+                             maxBandDocs: Int): DataFrame = {
+    val kept =
+      if (maxBandDocs > 0) {
+        // map-side-combined count per key, then a broadcast-size-agnostic
+        // semi filter; the count shuffles (band, band_key, n) rows only
+        val sizes = bands.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBandDocs)
+          .select("band", "band_key")
+        bands.join(sizes, Seq("band", "band_key"), "left_semi")
+      } else bands
+    kept.as("a").join(kept.as("b"), Seq("band", "band_key"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
   /** End-to-end candidate-pair near-dup detection: for every unordered
     * pair of docs agreeing on at least one LSH band, the estimated
     * Jaccard similarity (= matching signature fraction, an exact integer
@@ -139,10 +173,11 @@ object MinHash {
     *
     * Plan shape: narrow signature computation → explode(bands) →
     * self equi-join on (band, band_key) → distinct pairs → two id-joins
-    * to fetch signatures → narrow estimate. No cartesian products. */
+    * to fetch signatures → narrow estimate. No cartesian products.
+    * `maxBandDocs` — see [[candidatePairs]] (hot-bucket cap; 0 = off). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, numHashes: Int, nBands: Int,
-                   minJaccard: Double): DataFrame = {
+                   minJaccard: Double, maxBandDocs: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / nBands
     // The signature table is consumed three times (band explode + the two
     // per-pair signature lookups): persist the narrow (id, 16×long) rows
@@ -151,12 +186,7 @@ object MinHash {
     val sigs = signatures(docs, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandedSignature(sigs, idCol, "__sig", nBands, rowsPerBand)
-    val pairs = bands.as("a")
-      .join(bands.as("b"), Seq("band", "band_key"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
-    pairs
+    candidatePairs(bands, idCol, maxBandDocs)
       .join(sigs.select(col(idCol).as("doc_a"), col("__sig").as("__sa")), "doc_a")
       .join(sigs.select(col(idCol).as("doc_b"), col("__sig").as("__sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -170,10 +200,11 @@ object MinHash {
     * sets (set intersection/union sizes — exact small-integer ratio, so
     * the double is engine-identical). This is the standard two-phase
     * web-dedup pipeline: sketches find, exact verifies; still no
-    * all-pairs work anywhere. */
+    * all-pairs work anywhere. `maxBandDocs` — see [[candidatePairs]]
+    * (hot-bucket cap; 0 = off). */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int, nBands: Int,
-                        minJaccard: Double): DataFrame = {
+                        minJaccard: Double, maxBandDocs: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / nBands
     // ONE shingle/hash pipeline feeds both the signature-band candidate
     // generation and the exact hash-set confirms (persisted because it is
@@ -185,12 +216,8 @@ object MinHash {
     val sigs = hashes.select(col(idCol),
       graft.functions.MinHashSig(col("__hh"), numHashes).as("__sig"))
     val bands = bandedSignature(sigs, idCol, "__sig", nBands, rowsPerBand)
-    val pairs = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
     val hsets = hashes.select(col(idCol), array_distinct(col("__hh")).as("__hset"))
-    pairs
+    candidatePairs(bands, idCol, maxBandDocs)
       .join(hsets.select(col(idCol).as("doc_a"), col("__hset").as("__ha")), "doc_a")
       .join(hsets.select(col(idCol).as("doc_b"), col("__hset").as("__hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

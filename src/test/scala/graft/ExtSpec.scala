@@ -58,6 +58,30 @@ class MinHashSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("maxBandDocs skips hot boilerplate buckets but keeps small-bucket pairs") {
+    // 10 identical boilerplate docs (every band key a 10-doc hot bucket,
+    // 45 quadratic pairs) + one isolated near-dup pair whose buckets
+    // hold ≤ 2 docs
+    val boiler = (10L until 20L).map(i => (i, "this website uses cookies to improve your experience"))
+    val corpus = df(boiler ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog again")))
+      .toDF("doc_id", "text")
+    def pairsAt(cap: Int) =
+      MinHash.nearDupPairs(corpus, "doc_id", "text", 3, 16, 4, 0.5, maxBandDocs = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsAt(0)
+    val capped = pairsAt(5)
+    assert(uncapped.size == 45 + 1)              // full quadratic blowup + the pair
+    assert(capped == Set((1L, 2L)))              // hot buckets skipped, pair survives
+    assert(capped.subsetOf(uncapped))
+    // same contract on the find-then-confirm path
+    val cappedExact = MinHash.exactJaccardPairs(corpus, "doc_id", "text",
+        3, 16, 4, 0.3, maxBandDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedExact == Set((1L, 2L)))
+  }
+
   test("native ShingleMd5 expression is bit-identical to the HOF shingle chain") {
     val data = df(Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
