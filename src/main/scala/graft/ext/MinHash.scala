@@ -147,9 +147,14 @@ object MinHash {
     * first in the curation funnel), so the cap trades a bounded recall
     * loss on exactly the docs exact dedup already covers for a hard
     * ceiling on per-key join work. 0 (the default, and the
-    * oracle-checked configuration) disables the cap. */
-  private def candidatePairs(bands: DataFrame, idCol: String,
-                             maxBandDocs: Int): DataFrame = {
+    * oracle-checked configuration) disables the cap.
+    *
+    * Shared across the near-dup family: [[SimHash.nearDupPairs]] and
+    * [[Similarity.nearDupPairs]] generate candidates through this same
+    * definition (band_key type differs — string here, packed int
+    * there — the join logic is identical). */
+  private[ext] def candidatePairs(bands: DataFrame, idCol: String,
+                                  maxBandDocs: Int): DataFrame = {
     val kept =
       if (maxBandDocs > 0) {
         // map-side-combined count per key, then a broadcast-size-agnostic

@@ -57,18 +57,18 @@ object SimHash {
   /** Near-dup candidate pairs: docs agreeing on at least one 15-bit band
     * of the fingerprint, kept when Hamming distance ≤ `maxHamming`.
     * Output: (doc_a, doc_b, hamming). For maxHamming ≤ 3 the banding is
-    * exhaustive (no false negatives vs the full fingerprint). */
+    * exhaustive (no false negatives vs the full fingerprint).
+    * `maxBandDocs` — see [[MinHash.candidatePairs]] (hot-bucket cap;
+    * 0 = off; note a cap makes the ≤-3-Hamming guarantee bounded by the
+    * skipped buckets). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int, maxHamming: Int): DataFrame = {
+                   shingleN: Int, maxHamming: Int, maxBandDocs: Int = 0): DataFrame = {
     val fps = fingerprints(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = transform(sequence(lit(0), lit(Bands - 1)), b =>
       shr(col("__simhash"), lit(BandBits) * b).bitwiseAND(lit((1L << BandBits) - 1)))
     val bands = fps.select(col(idCol), posexplode(bandKeys).as(Seq("band", "band_key")))
-    bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+    MinHash.candidatePairs(bands, idCol, maxBandDocs)
       .join(fps.select(col(idCol).as("doc_a"), col("__simhash").as("__fa")), "doc_a")
       .join(fps.select(col(idCol).as("doc_b"), col("__simhash").as("__fb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

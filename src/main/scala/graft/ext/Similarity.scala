@@ -197,16 +197,16 @@ object Similarity {
     * against `minCosine`. The self-join on (band, band_key) replaces the
     * O(N²) all-pairs comparison — the only wide ops are one shuffle join
     * on band keys and the id-joins to fetch vectors. Recall is the LSH
-    * trade-off and is tunable via nBands × bandBits. */
+    * trade-off and is tunable via nBands × bandBits.
+    * `maxBandDocs` — see [[MinHash.candidatePairs]] (hot-bucket cap;
+    * 0 = off). */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                    minCosine: Double, nBands: Int, bandBits: Int,
-                   dim: Int): DataFrame = {
+                   dim: Int, maxBandDocs: Int = 0): DataFrame = {
     val bands = bandedSignatures(corpus, idCol, embCol, nBands, bandBits, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
-      .distinct()
+    val pairs = MinHash.candidatePairs(bands, idCol, maxBandDocs)
+      .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
     pairs
       .join(corpus.select(col(idCol).as("vec_a"), col(embCol).as("__ea")), "vec_a")
       .join(corpus.select(col(idCol).as("vec_b"), col(embCol).as("__eb")), "vec_b")

@@ -168,6 +168,21 @@ class SimHashSpec extends SparkSpec {
     }
   }
 
+  test("maxBandDocs skips hot fingerprint buckets, keeps small-bucket pairs") {
+    // identical boilerplate docs share an identical fingerprint: all 4
+    // band buckets hold 10 docs; the isolated exact-dup pair's buckets
+    // hold 2
+    val boiler = (10L until 20L).map(i => (i, "this website uses cookies to improve your experience"))
+    val corpus = df(boiler ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")))
+      .toDF("doc_id", "text")
+    val capped = SimHash.nearDupPairs(corpus, "doc_id", "text", 3,
+        maxHamming = 3, maxBandDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("banding is exhaustive for hamming <= 3: flipping 3 bits still pairs") {
     // doc pair (1,2) is identical; a 3-bit perturbation of one fingerprint
     // must still share at least one of the 4 bands (pigeonhole)
@@ -223,6 +238,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!rows.exists(p => p._1 == 3L || p._2 == 3L)) // opposite vector never pairs
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("maxBandDocs skips hot embedding buckets, keeps small-bucket pairs") {
+    // 10 identical vectors: identical signatures, every band bucket holds
+    // 10; the isolated identical pair (100, 101) sits in 2-doc buckets
+    val hot = (10L until 20L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+    val corpus = df(hot ++ Seq(
+      (100L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (101L, Seq(0.0f, 0.0f, 1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+        minCosine = 0.99, nBands = 4, bandBits = 4, dim = 4, maxBandDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
   }
 
   test("ivf top-k: identical vector lands in the same cell and ranks first; no cartesian") {
