@@ -1164,7 +1164,47 @@ object ExtQueries {
             SELECT u AS doc_id, least(u, min(v)) AS canonical_id
             FROM reach GROUP BY u ORDER BY doc_id"""))
 
+  /** x08 with the hot-bucket cap engaged (`maxBandDocs = 2` — at sf0.01
+    * this skips the four 3-doc band buckets, so the check exercises the
+    * cap's semantics, not just its no-op default): band keys matching
+    * more docs than the cap are excluded from candidate generation
+    * before the self-join. The 100 TB rationale: a boilerplate bucket
+    * contributes pairs quadratically in its size through one skewed
+    * key — see [[graft.ext.MinHash.candidatePairs]]. */
+  private val x36 = Q("x36_neardup_capped",
+    (s, d) => MinHash.nearDupPairs(documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
+        maxBandDocs = 2)
+      .orderBy("doc_a", "doc_b"),
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 sized AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING count(*) <= 2),
+                 kept AS (SELECT bands.doc_id, bands.b, bands.bk
+                          FROM bands JOIN sized ON bands.b = sized.b AND bands.bk = sized.bk),
+                 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                           FROM kept a JOIN kept b
+                             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) AS DOUBLE)/16 AS est_jaccard
+            FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+            WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8
+            ORDER BY doc_a, doc_b"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35)
+    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36)
 }
