@@ -114,6 +114,47 @@ object IncrementalDedup {
     * @return one row per new-shard doc: `(id, kept, n_store_matches,
     *         dup_of)` — `kept` when no store doc matched, `dup_of` the
     *         smallest matching store id (null when kept). */
+  /** The continuous-ingest form of the ingest loop: each micro-batch is
+    * a shard — dedup it against the signature store, append the per-doc
+    * verdicts to `outPath`, append the SURVIVORS' signatures to the
+    * store, so the next micro-batch dedups against everything ingested
+    * so far. `Trigger.AvailableNow` + `maxFilesPerTrigger` on the file
+    * source make "one landed file = one shard" (the reference's
+    * operational shape — process what's pending, exactly once per file,
+    * stop).
+    *
+    * The verdicts are eagerly materialized (`localCheckpoint`) BEFORE
+    * the store append: `dedupAgainstStore` returns a lazy plan over the
+    * store table, and appending first would let the plan observe the
+    * shard's own signatures.
+    *
+    * Failure semantics are `foreachBatch`'s at-least-once: a replayed
+    * batch re-appends its survivors' signatures — semantically
+    * idempotent for dedup itself (the pair grain collapses duplicate
+    * store rows per (new, store) doc pair, so matches/counts/dup_of are
+    * unchanged) but duplicating verdict rows in the sink; an
+    * exactly-once sink would dedup on `(batch_id, id)` like
+    * [[graft.EodPipeline]]'s load-history does per file. */
+  def streamIngest(newDocs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, numHashes: Int, nBands: Int,
+                   table: String, buckets: Int, minJaccard: Double,
+                   outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = dedupAgainstStore(batch, idCol, textCol,
+            shingleN, numHashes, nBands, spark.table(table), minJaccard)
+          .localCheckpoint(true)
+        verdicts.write.mode("append").parquet(outPath)
+        val kept = verdicts.filter(col("kept")).select(col(idCol))
+        appendSignatures(batch.join(kept, Seq(idCol)), idCol, textCol,
+          shingleN, numHashes, nBands, table, buckets)
+      }
+      .start()
+
   def dedupAgainstStore(newDocs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int, nBands: Int,
                         store: DataFrame, minJaccard: Double): DataFrame = {

@@ -1204,7 +1204,100 @@ object ExtQueries {
             WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8
             ORDER BY doc_a, doc_b"""))
 
+  /** The CONTINUOUS-ingest form of x34: the signature store is seeded
+    * with shard 0 (doc_id ≡ 0 mod 3); shards 1 and 2 then land as one
+    * file each and stream through
+    * [[graft.ext.IncrementalDedup.streamIngest]] —
+    * `maxFilesPerTrigger = 1` makes one micro-batch per landed file, so
+    * shard 2 is deduplicated against shard 0 PLUS shard 1's survivors,
+    * whose signatures entered the store only through the previous
+    * micro-batch's append. The oracle replays the two-step
+    * survivorship in SQL: shard-1 verdicts against shard 0, then
+    * shard-2 verdicts against shard 0 ∪ kept(shard 1) — a doc whose
+    * only match was DROPPED in shard 1 must stay kept.
+    *
+    * Determinism: per-doc verdicts are arrival-order-free within a
+    * batch, and the batch ORDER is pinned by explicit staged-file
+    * modification times (the file source processes oldest first). */
+  private val x37 = Q("x37_stream_incremental_dedup",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-x37-")
+      val in = root.resolve("in"); val out = s"$root/out"; val chk = s"$root/chk"
+      java.nio.file.Files.createDirectories(in)
+      val docs = documents(s, d)
+      graft.ext.IncrementalDedup.writeSignatureStore(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, table = "x37_sig_store",
+        buckets = 8)
+      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-x37-stage-")
+        shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = in.resolve(name)
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(ts))
+      }
+      // fixed mod times (any values work — only their ORDER matters)
+      stage(docs.filter(col("doc_id") % 3 === 1), "shard1.parquet", 1704067200000L)
+      stage(docs.filter(col("doc_id") % 3 === 2), "shard2.parquet", 1704067260000L)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val job = graft.ext.IncrementalDedup.streamIngest(stream, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, table = "x37_sig_store",
+        buckets = 8, minJaccard = 0.5, outPath = out, checkpoint = chk)
+      job.awaitTermination()
+      s.read.parquet(out).orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 cand AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                          FROM bands n JOIN bands s ON n.b = s.b AND n.bk = s.bk
+                          WHERE n.doc_id <> s.doc_id),
+                 m AS (SELECT new_id, store_id
+                       FROM cand JOIN sig sa ON sa.doc_id = new_id
+                                 JOIN sig sb ON sb.doc_id = store_id
+                       WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
+                 s1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+                 s2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+                 m1 AS (SELECT m.new_id, m.store_id FROM m
+                        JOIN s1 ON m.new_id = s1.doc_id
+                        WHERE m.store_id % 3 = 0),
+                 v1 AS (SELECT s1.doc_id, (min(m1.store_id) IS NULL) AS kept,
+                               CAST(count(m1.store_id) AS BIGINT) AS n_store_matches,
+                               min(m1.store_id) AS dup_of
+                        FROM s1 LEFT JOIN m1 ON s1.doc_id = m1.new_id
+                        GROUP BY s1.doc_id),
+                 st1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+                         UNION ALL SELECT doc_id FROM v1 WHERE kept),
+                 m2 AS (SELECT m.new_id, m.store_id FROM m
+                        JOIN s2 ON m.new_id = s2.doc_id
+                        JOIN st1 ON m.store_id = st1.doc_id),
+                 v2 AS (SELECT s2.doc_id, (min(m2.store_id) IS NULL) AS kept,
+                               CAST(count(m2.store_id) AS BIGINT) AS n_store_matches,
+                               min(m2.store_id) AS dup_of
+                        FROM s2 LEFT JOIN m2 ON s2.doc_id = m2.new_id
+                        GROUP BY s2.doc_id)
+            SELECT doc_id, kept, n_store_matches, dup_of
+            FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+            ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36)
+    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37)
 }

@@ -453,6 +453,56 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(t.filter(org.apache.spark.sql.functions.col("band_key") === "").count() == 0)
   }
 
+  test("streamIngest equals the batch ingest loop shard by shard") {
+    val F = org.apache.spark.sql.functions
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-stream-")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    // twin stores: one consumed by the stream, one by the batch loop
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_stream_store", 4)
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_stream_batch_store", 4)
+    val shardA = shard                                  // dups, fresh, signatureless
+    val shardB = df(Seq(
+      (20L, "completely different content about spark engines and parquet files"),
+      (21L, "fresh material sharing nothing with the ingested corpus"), // dup of 12 — in store only via shard A's append
+      (22L, "and now for something else entirely unrelated to every shard")))
+      .toDF("doc_id", "text")
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inc-stage-")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = in.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    stage(shardA, "a.parquet", 1704067200000L)
+    stage(shardB, "b.parquet", 1704067260000L)
+    val stream = spark.readStream.schema(shardA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val job = IncrementalDedup.streamIngest(stream, "doc_id", "text", 3, 16, 4,
+      "inc_stream_store", 4, 0.5, s"$root/out", s"$root/chk")
+    job.awaitTermination()
+    val got = spark.read.parquet(s"$root/out")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def loop(sh: org.apache.spark.sql.DataFrame) = {
+      val v = IncrementalDedup.dedupAgainstStore(sh, "doc_id", "text", 3, 16, 4,
+        spark.table("inc_stream_batch_store"), 0.5).localCheckpoint(true)
+      IncrementalDedup.appendSignatures(
+        sh.join(v.filter(F.col("kept")).select("doc_id"), "doc_id"),
+        "doc_id", "text", 3, 16, 4, "inc_stream_batch_store", 4)
+      v
+    }
+    val expected = loop(shardA).unionByName(loop(shardB))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    // the cross-shard dependency actually exercised: 21 dropped against a
+    // store doc that arrived only via shard A's append
+    assert(got.exists(r => r.head == 21L && r(1) == false && r(3) == 12L))
+  }
+
   test("dedupAgainstStore agrees with batch nearDupPairs over the union on randomized corpora") {
     // composition check, not a mirrored formula: the incremental path
     // (shard bands vs persisted store) must produce exactly the
