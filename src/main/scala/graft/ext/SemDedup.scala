@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
+  * cluster the corpus embeddings with k-means, then find
+  * high-cosine pairs ONLY within each cluster and drop every document
+  * that has a smaller-id cluster-mate above the threshold. The cluster
+  * stage is what makes this a 100 TB operator: candidate generation is
+  * an equi-join on the cluster id, so the comparison count is
+  * Σ|cluster|² instead of N² — the operator's cost is controlled by
+  * picking k so that the expected cluster size N/k stays bounded as the
+  * corpus grows (the paper runs ~10⁵ clusters over 10⁸ docs; here k is
+  * a parameter, and AQE's skew-join split handles an oversized cluster
+  * the same way it handles any skewed shuffle key).
+  *
+  * Everything downstream of the clustering is exact and engine-portable:
+  * the k-means is [[KMeans.lloyd]]'s integer-exact variant
+  * (deterministic under any partitioning — the x23 oracle replays it
+  * bit-for-bit), and the in-cluster scoring is the same sequential-fold
+  * cosine as [[Similarity]] (native codegen'd, bit-identical to the
+  * DuckDB fold). The keep rule is greedy-by-id first-wins — one pass,
+  * no iteration: a doc is dropped iff SOME smaller-id doc in its
+  * cluster is within the threshold, whether or not that doc itself
+  * survives (the same convention as passage dedup's global first-wins,
+  * [[PassageDedup]], and a deterministic stand-in for the paper's
+  * keep-one-random-per-group).
+  *
+  * Reference ties: the reference pipeline dedups on exact business keys
+  * (`merge_to_core.sql:12`'s MERGE key); semantic near-dup is the
+  * embedding-space generalization its training-data users need.
+  */
+object SemDedup {
+
+  /** Per-document verdicts: `(id, cluster, kept, dup_of)` where
+    * `dup_of` is the smallest-id cluster-mate with cosine ≥
+    * `minCosine` (null ⇒ `kept`). `k`/`rounds` parameterize the
+    * clustering exactly as [[KMeans.lloyd]].
+    */
+  def verdicts(vecs: DataFrame, idCol: String, embCol: String,
+               k: Int, rounds: Int, minCosine: Double): DataFrame = {
+    val assigned = KMeans.lloyd(vecs, idCol, embCol, k, rounds)
+      .select(col(idCol), col("cluster"))
+    val v = vecs.select(col(idCol), col(embCol)).join(assigned, idCol)
+    // in-cluster candidate pairs: equi-join on the cluster id (never a
+    // cartesian), scored with the exact native cosine
+    val a = v.select(col(idCol).as("id_a"), col(embCol).as("ea"),
+      col("cluster").as("ca"))
+    val b = v.select(col(idCol).as("id_b"), col(embCol).as("eb"),
+      col("cluster").as("cb"))
+    val dropped = a.join(b, col("ca") === col("cb") && col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("ea"), col("eb")) >= minCosine)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Repetition, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
+import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Repetition, SemDedup, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1297,7 +1297,54 @@ object ExtQueries {
             FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
             ORDER BY doc_id"""))
 
+  /** Semantic dedup (SemDeDup): k-means clusters bound the candidate
+    * space, exact cosine scores only cluster-mates, greedy-by-id
+    * first-wins keep rule — see [[graft.ext.SemDedup]]. The oracle
+    * replays the x23 integer-exact clustering verbatim and the x12
+    * cosine fold within each cluster. */
+  private val x38 = Q("x38_semantic_dedup",
+    (s, d) => SemDedup.verdicts(embeddings(s, d), "vec_id", "embedding",
+        k = 8, rounds = 2, minCosine = 0.4)
+      .orderBy("vec_id"),
+    Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+                      v -> CAST(floor(CAST(v AS DOUBLE)*1048576 + 0.5) AS BIGINT) + 2097152) AS u
+                    FROM embeddings),
+             ql AS (SELECT vec_id, e.e.i AS pos, e.e.x AS x
+                    FROM q, unnest(list_transform(generate_series(1, len(u)),
+                           i -> {'i': i-1, 'x': u[i]})) AS e(e)),
+             c0 AS (SELECT vec_id AS cid, pos, x AS c FROM ql WHERE vec_id < 8),
+             d1 AS (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
+                    FROM ql JOIN c0 USING (pos) GROUP BY 1, 2),
+             a1 AS (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d1),
+             m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+             c1 AS (SELECT m1.cid, ql.pos,
+                      CAST((2*sum(ql.x) + count(*)) // (2*count(*)) AS BIGINT) AS c
+                    FROM ql JOIN m1 USING (vec_id) GROUP BY 1, 2),
+             d2 AS (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
+                    FROM ql JOIN c1 USING (pos) GROUP BY 1, 2),
+             a2 AS (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d2),
+             cl AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2 WHERE rn = 1),
+             pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                       FROM cl a JOIN cl b
+                         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+             scored AS (SELECT id_a, id_b,
+                 list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+               FROM pairs JOIN embeddings ea ON ea.vec_id = id_a
+                          JOIN embeddings eb ON eb.vec_id = id_b),
+             drp AS (SELECT id_b AS vec_id, min(id_a) AS dup_of
+                     FROM scored WHERE cos >= 0.4 GROUP BY id_b)
+            SELECT cl.vec_id, cl.cluster, (drp.dup_of IS NULL) AS kept, drp.dup_of
+            FROM cl LEFT JOIN drp USING (vec_id)
+            ORDER BY vec_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37)
+    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38)
 }

@@ -134,6 +134,52 @@ class KMeansSpec extends SparkSpec {
   }
 }
 
+class SemDedupSpec extends SparkSpec {
+  import graft.ext.SemDedup
+  // two spatial clusters (k-means is L2 on positions); semantic dups are
+  // DIRECTIONS, so a doc can be a cosine-dup of another yet land in a
+  // different cluster — the paper's recall trade-off, pinned below.
+  private val vecs = df(Seq(
+    (0L, Seq(1.0f, 1.0f)),      // cluster A seed
+    (1L, Seq(10.0f, 0.0f)),     // cluster B seed
+    (2L, Seq(1.01f, 1.0f)),     // A; cos≈1 with 0 → dup_of 0
+    (3L, Seq(1.0f, 1.01f)),     // A; cos≈1 with 0 → dup_of 0
+    (4L, Seq(10.1f, 0.01f)),    // B; cos≈1 with 1 → dup_of 1
+    (5L, Seq(-10.0f, 0.0f)),    // lands in A (L2), anti-aligned → kept
+    (6L, Seq(2.0f, 2.0f)),      // A; same direction as 0 → dup_of 0
+    (7L, Seq(20.0f, 20.0f))))   // B (L2) but direction of 0 → KEPT:
+    .toDF("vec_id", "embedding") //   cross-cluster pairs are never scored
+
+  test("greedy-by-id first-wins within clusters; cross-cluster dups survive") {
+    val out = SemDedup.verdicts(vecs, "vec_id", "embedding",
+        k = 2, rounds = 2, minCosine = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(out == Seq(
+      (0L, true, -1L), (1L, true, -1L), (2L, false, 0L), (3L, false, 0L),
+      (4L, false, 1L), (5L, true, -1L), (6L, false, 0L), (7L, true, -1L)))
+  }
+
+  test("verdicts are invariant under input partitioning") {
+    def run(parts: Int) =
+      SemDedup.verdicts(vecs.repartition(parts), "vec_id", "embedding", 2, 2, 0.9)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("the candidate join is cluster-keyed, never a cartesian") {
+    val plan = SemDedup.verdicts(vecs, "vec_id", "embedding", 2, 2, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // k-means assignment broadcasts the k centroid rows (two intended
+    // nested loops, pinned for x23); the PAIR join must be an equi-join
+    // keyed on the cluster id, not another nested loop
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[ca#".r
+      .findFirstIn(plan).isDefined, plan.take(1500))
+  }
+}
+
 class CurationSpec extends SparkSpec {
   test("funnel stages are monotone non-increasing and start at the corpus size") {
     val docs = df(Seq(
