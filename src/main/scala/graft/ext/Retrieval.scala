@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Targeted subset selection: rank the corpus against a SMALL set of
+  * term-list queries by an integer-exact TF-IDF score and keep the
+  * top-k docs per query — the retrieval step data-curation pipelines
+  * use to upsample a target domain (select-by-exemplar-terms), applied
+  * to the reference's `documents` corpus.
+  *
+  * The plan is the inverted-index shape, not a per-query corpus scan:
+  * ONE tokenize + term-frequency pass over the corpus (map-side
+  * combined on (doc, term)), document frequencies as a second narrow
+  * agg over the tf rows, and the query term lists — a handful of
+  * rows — broadcast onto the tf table, so the only docs that ever
+  * reach scoring are those sharing at least one term with some query
+  * (a semi-join reduction; the corpus is never crossed with the query
+  * set). Per-query top-k is a window over the scored candidates, whose
+  * count is bounded by Σ df(query terms), not N.
+  *
+  * Scoring is exact int64 arithmetic so ranking is engine-portable and
+  * deterministic: `idf = (N·1000) div df` (truncating division on
+  * non-negative operands — the millage keeps rank resolution without
+  * floats), `score = Σ tf·idf`, ties broken by doc id.
+  */
+object Retrieval {
+
+  /** Top-k docs per query. `queries`: `(query_id, terms array<string>)`,
+    * must be small (it is broadcast). Output:
+    * `(query_id, rank, doc_id, score)`, rank 1..k by score desc. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(Ngrams.normTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, term), so df is a plain count per term
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.select(count(lit(1)).as("n_docs"))))
+      .select(col("term"), expr("(n_docs * 1000) DIV df").as("idf"))
+    val qt = queries.select(col("query_id"), explode(col("terms")).as("term"))
+    val scored = tf.join(broadcast(qt), "term")
+      .join(idf, "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("tf") * col("idf")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Repetition, SemDedup, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
+import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Repetition, Retrieval, SemDedup, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1344,7 +1344,40 @@ object ExtQueries {
             FROM cl LEFT JOIN drp USING (vec_id)
             ORDER BY vec_id"""))
 
+  /** Targeted retrieval: integer-exact TF-IDF top-10 per term-list
+    * query via the inverted-index shape — see [[graft.ext.Retrieval]]. */
+  private val x39 = Q("x39_targeted_retrieval",
+    (s, d) => {
+      import s.implicits._
+      val qdf = Seq(
+        (0L, Seq("spark", "window", "merge")),
+        (1L, Seq("customer", "vector")),
+        (2L, Seq("hash", "filter", "stream"))).toDF("query_id", "terms")
+      Retrieval.topK(documents(s, d), "doc_id", "text", qdf, k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+                    FROM documents),
+             tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM toks GROUP BY 1, 2),
+             dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             idf AS (SELECT term, (n_docs * 1000) // df AS idf FROM dfc, n),
+             qt AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'window'), (0, 'merge'),
+                      (1, 'customer'), (1, 'vector'),
+                      (2, 'hash'), (2, 'filter'), (2, 'stream')) AS t(query_id, term)),
+             sc AS (SELECT query_id, doc_id, CAST(sum(tf.tf * idf.idf) AS BIGINT) AS score
+                    FROM tf JOIN qt USING (term) JOIN idf USING (term)
+                    GROUP BY 1, 2),
+             rk AS (SELECT query_id, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rn
+                    FROM sc)
+            SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INT) AS rank,
+                   doc_id, score
+            FROM rk WHERE rn <= 10 ORDER BY query_id, rank"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38)
+    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39)
 }

@@ -180,6 +180,43 @@ class SemDedupSpec extends SparkSpec {
   }
 }
 
+class RetrievalSpec extends SparkSpec {
+  import graft.ext.Retrieval
+
+  test("integer tf-idf ranks rarer matching terms higher, ties to low id") {
+    // N=4; df: cat=2, dog=1, fish=4 → idf = 2000, 4000, 1000
+    val docs = df(Seq(
+      (1L, "cat fish"),
+      (2L, "dog fish fish"),
+      (3L, "cat cat fish"),
+      (4L, "fish"))).toDF("doc_id", "text")
+    val qs = df(Seq((0L, Seq("cat", "dog")))).toDF("query_id", "terms")
+    val out = Retrieval.topK(docs, "doc_id", "text", qs, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc3: 2·2000=4000, doc2: 1·4000=4000 (tie → lower id first), doc1: 2000
+    assert(out == Seq((1, 2L, 4000L), (2, 3L, 4000L), (3, 1L, 2000L)))
+  }
+
+  test("docs sharing no query term never appear; k truncates") {
+    val docs = df(Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta"))).toDF("doc_id", "text")
+    val qs = df(Seq((0L, Seq("beta")), (1L, Seq("zzz")))).toDF("query_id", "terms")
+    val out = Retrieval.topK(docs, "doc_id", "text", qs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 1L))) // only query 0 matches; k=1 keeps doc 1
+  }
+
+  test("the query side broadcasts; the corpus is never nested-looped") {
+    val docs = df(Seq((1L, "a b"), (2L, "b c"))).toDF("doc_id", "text")
+    val qs = df(Seq((0L, Seq("b")))).toDF("query_id", "terms")
+    val plan = Retrieval.topK(docs, "doc_id", "text", qs, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
+
 class CurationSpec extends SparkSpec {
   test("funnel stages are monotone non-increasing and start at the corpus size") {
     val docs = df(Seq(
