@@ -123,18 +123,19 @@ object IncrementalDedup {
     * operational shape — process what's pending, exactly once per file,
     * stop).
     *
-    * The verdicts are eagerly materialized (`localCheckpoint`) BEFORE
-    * the store append: `dedupAgainstStore` returns a lazy plan over the
-    * store table, and appending first would let the plan observe the
-    * shard's own signatures.
-    *
-    * Failure semantics are `foreachBatch`'s at-least-once: a replayed
-    * batch re-appends its survivors' signatures — semantically
-    * idempotent for dedup itself (the pair grain collapses duplicate
-    * store rows per (new, store) doc pair, so matches/counts/dup_of are
-    * unchanged) but duplicating verdict rows in the sink; an
-    * exactly-once sink would dedup on `(batch_id, id)` like
-    * [[graft.EodPipeline]]'s load-history does per file. */
+    * The verdict sink is EXACTLY-ONCE under `foreachBatch`'s
+    * at-least-once replay: verdicts land partitioned by `batch_id`
+    * with dynamic partition overwrite, so a replayed batch REPLACES
+    * its own partition instead of appending a second copy. The store
+    * append stays at-least-once but is semantically idempotent (the
+    * pair grain collapses duplicate store rows per (new, store) doc
+    * pair). One honest caveat on a replay that happens AFTER the
+    * original append already committed: the shard's survivors are in
+    * the store by then, so the recomputed verdicts may mark a doc as a
+    * dup of a same-shard survivor — the corpus-level invariant (every
+    * dropped doc points at a KEPT representative) still holds, the
+    * grain of first-wins just tightens from cross-shard to
+    * within-shard. */
   def streamIngest(newDocs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, numHashes: Int, nBands: Int,
                    table: String, buckets: Int, minJaccard: Double,
@@ -143,17 +144,39 @@ object IncrementalDedup {
     newDocs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val verdicts = dedupAgainstStore(batch, idCol, textCol,
-            shingleN, numHashes, nBands, spark.table(table), minJaccard)
-          .localCheckpoint(true)
-        verdicts.write.mode("append").parquet(outPath)
-        val kept = verdicts.filter(col("kept")).select(col(idCol))
-        appendSignatures(batch.join(kept, Seq(idCol)), idCol, textCol,
-          shingleN, numHashes, nBands, table, buckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, idCol, textCol, shingleN, numHashes,
+          nBands, table, buckets, minJaccard, outPath)
       }
       .start()
+
+  /** One micro-batch of [[streamIngest]] — also the non-streaming entry
+    * point for callers driving the ingest loop themselves (one call per
+    * shard with a caller-chosen batch id): dedup the batch against the
+    * store, overwrite THIS
+    * batch's verdict partition, append the survivors' signatures. The
+    * verdicts are eagerly materialized (`localCheckpoint`) BEFORE the
+    * store append — `dedupAgainstStore` returns a lazy plan over the
+    * store table, and appending first would let the plan observe the
+    * shard's own signatures. */
+  def ingestBatch(batch: DataFrame, batchId: Long,
+                  idCol: String, textCol: String,
+                  shingleN: Int, numHashes: Int, nBands: Int,
+                  table: String, buckets: Int,
+                  minJaccard: Double, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val verdicts = dedupAgainstStore(batch, idCol, textCol,
+        shingleN, numHashes, nBands, spark.table(table), minJaccard)
+      .localCheckpoint(true)
+    verdicts.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+    val kept = verdicts.filter(col("kept")).select(col(idCol))
+    appendSignatures(batch.join(kept, Seq(idCol)), idCol, textCol,
+      shingleN, numHashes, nBands, table, buckets)
+  }
 
   def dedupAgainstStore(newDocs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int, nBands: Int,

@@ -39,7 +39,9 @@ object Retrieval {
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(docs.select(count(lit(1)).as("n_docs"))))
       .select(col("term"), expr("(n_docs * 1000) DIV df").as("idf"))
+    // a query's term list is a SET: a repeated term must not double-count
     val qt = queries.select(col("query_id"), explode(col("terms")).as("term"))
+      .distinct()
     val scored = tf.join(broadcast(qt), "term")
       .join(idf, "term")
       .groupBy(col("query_id"), col(idCol))

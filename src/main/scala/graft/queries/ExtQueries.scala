@@ -1248,7 +1248,10 @@ object ExtQueries {
         shingleN = 3, numHashes = 16, nBands = 4, table = "x37_sig_store",
         buckets = 8, minJaccard = 0.5, outPath = out, checkpoint = chk)
       job.awaitTermination()
-      s.read.parquet(out).orderBy("doc_id")
+      s.read.parquet(out)
+        .select(col("doc_id"), col("kept"), col("n_store_matches"),
+          col("dup_of"), col("batch_id").cast("long").as("batch_id"))
+        .orderBy("doc_id")
     },
     Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
                  sh AS (SELECT doc_id,
@@ -1293,7 +1296,8 @@ object ExtQueries {
                                min(m2.store_id) AS dup_of
                         FROM s2 LEFT JOIN m2 ON s2.doc_id = m2.new_id
                         GROUP BY s2.doc_id)
-            SELECT doc_id, kept, n_store_matches, dup_of
+            SELECT doc_id, kept, n_store_matches, dup_of,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS BIGINT) AS batch_id
             FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
             ORDER BY doc_id"""))
 

@@ -485,7 +485,15 @@ class IncrementalDedupSpec extends SparkSpec {
     val job = IncrementalDedup.streamIngest(stream, "doc_id", "text", 3, 16, 4,
       "inc_stream_store", 4, 0.5, s"$root/out", s"$root/chk")
     job.awaitTermination()
-    val got = spark.read.parquet(s"$root/out")
+    val sink = spark.read.parquet(s"$root/out")
+    // one micro-batch per landed file, in mod-time order
+    val batches = sink.select("doc_id", "batch_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aIds = shardA.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aIds.forall(batches(_) == 0))
+    assert(shardB.select("doc_id").collect().map(_.getLong(0))
+      .forall(batches(_) == 1))
+    val got = sink.select("doc_id", "kept", "n_store_matches", "dup_of")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     def loop(sh: org.apache.spark.sql.DataFrame) = {
       val v = IncrementalDedup.dedupAgainstStore(sh, "doc_id", "text", 3, 16, 4,
@@ -501,6 +509,23 @@ class IncrementalDedupSpec extends SparkSpec {
     // the cross-shard dependency actually exercised: 21 dropped against a
     // store doc that arrived only via shard A's append
     assert(got.exists(r => r.head == 21L && r(1) == false && r(3) == 12L))
+  }
+
+  test("a replayed micro-batch overwrites its verdict partition (exactly-once sink)") {
+    val F = org.apache.spark.sql.functions
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-replay-")
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_replay_store", 4)
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "inc_replay_store", 4, 0.5, s"$root/out")
+    // foreachBatch at-least-once: the same batch id runs again
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "inc_replay_store", 4, 0.5, s"$root/out")
+    val sink = spark.read.parquet(s"$root/out")
+    // exactly one verdict row per doc — the replay replaced, not appended
+    assert(sink.count() == shard.count())
+    assert(sink.groupBy("doc_id").count()
+      .filter(F.col("count") > 1).count() == 0)
   }
 
   test("dedupAgainstStore agrees with batch nearDupPairs over the union on randomized corpora") {

@@ -168,6 +168,17 @@ class SemDedupSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("maxClusterDocs keeps every member of an oversized cluster, others unaffected") {
+    // cluster A = {0,2,3,5,6} (5 docs, over the cap of 4) → all kept;
+    // cluster B = {1,4,7} still deduped → 4 dropped against 1
+    val out = SemDedup.verdicts(vecs, "vec_id", "embedding",
+        k = 2, rounds = 2, minCosine = 0.9, maxClusterDocs = 4)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    assert(out == Seq((0L, true), (1L, true), (2L, true), (3L, true),
+      (4L, false), (5L, true), (6L, true), (7L, true)))
+  }
+
   test("the candidate join is cluster-keyed, never a cartesian") {
     val plan = SemDedup.verdicts(vecs, "vec_id", "embedding", 2, 2, 0.9)
       .queryExecution.executedPlan.toString
@@ -177,6 +188,68 @@ class SemDedupSpec extends SparkSpec {
     // keyed on the cluster id, not another nested loop
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[ca#".r
       .findFirstIn(plan).isDefined, plan.take(1500))
+  }
+
+  test("verdicts agree with a local single-machine reference on randomized vectors") {
+    // independent implementation path (plain Scala collections, no
+    // Spark), same arithmetic contract: quantized int64 k-means,
+    // sequential-fold IEEE cosine, greedy-by-id first-wins
+    var seed = 0xBEEFL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 16, bound).toInt
+    }
+    def vec(): Seq[Float] =
+      ((nxt(1000) + 1) / 1000f) +: Seq.fill(5)((nxt(2001) - 1000) / 1000f)
+    (1 to 3).foreach { trial =>
+      val base = (0L until 30L).map(i => (i, vec()))
+      // plant same-cluster near-dups: one component nudged by 1e-3
+      val dups = (30L until 40L).map { i =>
+        val src = base(nxt(30))._2
+        (i, src.updated(1 + nxt(5), src(1 + nxt(5)) + 0.001f))
+      }
+      val all = base ++ dups
+      val (k, rounds, tau) = (4, 2, 0.8)
+      val got = SemDedup.verdicts(df(all).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k, rounds, tau)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      // --- local reference ---
+      val q = all.map { case (id, e) =>
+        id -> e.map(v => math.floor(v.toDouble * 1048576d + 0.5d).toLong + 2097152L) }
+      var cent: Seq[(Int, Seq[Long])] = q.sortBy(_._1).take(k).zipWithIndex
+        .map { case ((_, u), i) => (i, u) }
+      def assign(): Map[Long, Int] = q.map { case (id, u) =>
+        id -> cent.map { case (cid, c) =>
+          (u.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid) }.min._2
+      }.toMap
+      var asg = assign()
+      for (_ <- 2 to rounds) {
+        cent = q.groupBy(p => asg(p._1)).toSeq.map { case (cid, members) =>
+          (cid, members.head._2.indices.map { p =>
+            val s = members.map(_._2(p)).sum
+            val n = members.size.toLong
+            (2 * s + n) / (2 * n)
+          })
+        }
+        asg = assign()
+      }
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + x.toDouble * y.toDouble }
+        def nrm(v: Seq[Float]) = math.sqrt(
+          v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        dot / (nrm(a) * nrm(b))
+      }
+      val emb = all.toMap
+      val expected = all.map { case (id, _) =>
+        val smaller = all.collect { case (oid, _)
+          if oid < id && asg(oid) == asg(id) && cos(emb(oid), emb(id)) >= tau => oid }
+        id -> ((asg(id), smaller.isEmpty,
+          if (smaller.isEmpty) -1L else smaller.min))
+      }.toMap
+      assert(got == expected, s"semdedup divergence on trial $trial")
+    }
   }
 }
 
@@ -214,6 +287,44 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("topK agrees with a local single-machine reference on randomized corpora") {
+    var seed = 0xD15EA5EL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 16, bound).toInt
+    }
+    val vocab = Vector("ant", "bee", "cat", "dog", "eel", "fox", "gnu", "hen")
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 40L).map(i =>
+        (i, Seq.fill(2 + nxt(10))(vocab(nxt(vocab.size))).mkString(" ")))
+      val queries = Seq(
+        (0L, Seq(vocab(nxt(vocab.size)), vocab(nxt(vocab.size)))),
+        (1L, Seq(vocab(nxt(vocab.size)))))
+      val k = 5
+      val got = Retrieval.topK(df(docs).toDF("doc_id", "text"),
+          "doc_id", "text", df(queries).toDF("query_id", "terms"), k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // --- local reference ---
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty) }
+      val n = docs.size.toLong
+      val dfc = toks.flatMap(_._2.distinct).groupBy(identity).map {
+        case (t, xs) => t -> xs.size.toLong }
+      val expected = queries.flatMap { case (qid, terms) =>
+        val scores = toks.map { case (id, ws) =>
+          id -> terms.distinct.map { t =>
+            val tf = ws.count(_ == t).toLong
+            if (tf == 0) 0L else tf * (n * 1000L / dfc(t))
+          }.sum
+        }.filter(_._2 > 0)
+        scores.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex.map {
+          case ((id, s), i) => (qid, i + 1, id, s) }
+      }.toSet
+      assert(got == expected, s"retrieval divergence on trial $trial")
+    }
   }
 }
 
