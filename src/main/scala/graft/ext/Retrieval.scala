@@ -31,10 +31,17 @@ object Retrieval {
     * `(query_id, rank, doc_id, score)`, rank 1..k by score desc. */
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, k: Int): DataFrame = {
+    // tf feeds BOTH the df/idf rollup and the scoring join; persist the
+    // narrow (id, term, count) rows so the corpus tokenize+shuffle runs
+    // once (column pruning makes the two subplans differ, so exchange
+    // reuse alone cannot dedupe them — same contract as the MinHash
+    // signature table: released by `spark.catalog.clearCache()`, which
+    // the Verify/Bench harnesses run between queries)
     val tf = docs
       .select(col(idCol), explode(Ngrams.normTokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tf has one row per (doc, term), so df is a plain count per term
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(docs.select(count(lit(1)).as("n_docs"))))

@@ -196,6 +196,27 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one tokenization in the x20 plan, found $tokenizes")
   }
 
+  test("x39 retrieval tokenizes the corpus once and broadcasts the query terms") {
+    // tf feeds both the idf rollup and the scoring join; both consumers
+    // must read the PERSISTED (id, term, count) rows — a regression
+    // drops the persist and the corpus tokenize+shuffle runs twice
+    // (the cached relation prints its lineage under each scan, so count
+    // cache scans, not regex occurrences)
+    val p = plan("x39_targeted_retrieval")
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheScans >= 2,
+      s"expected both tf consumers to read the cache, found $cacheScans scans")
+    assert(p.contains("BroadcastHashJoin"), "query terms must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x38 semantic dedup scores pairs through a cluster-keyed equi-join") {
+    val p = plan("x38_semantic_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[ca#\\d+".r
+      .findFirstIn(p).isDefined, p.take(1200))
+  }
+
   test("x34 incremental dedup reads the signature store bucketed, with no Exchange on the store side") {
     val df = Registry.queries("x34_incremental_dedup")(spark, sf)
     val executed = df.queryExecution.executedPlan
