@@ -50,8 +50,14 @@ object SemDedup {
   def verdicts(vecs: DataFrame, idCol: String, embCol: String,
                k: Int, rounds: Int, minCosine: Double,
                maxClusterDocs: Int = 0): DataFrame = {
+    // the assignment feeds the pair join (twice, as both self-join
+    // sides), the optional size guard, and the final verdict join —
+    // persist the narrow (id, cluster) rows so the k-means rounds run
+    // once, not once per consumer (MinHash cache contract: released by
+    // `spark.catalog.clearCache()`)
     val assigned = KMeans.lloyd(vecs, idCol, embCol, k, rounds)
       .select(col(idCol), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = vecs.select(col(idCol), col(embCol)).join(assigned, idCol)
     val paired =
       if (maxClusterDocs > 0) {
