@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sliding-window chunking: split each document's token sequence into
+  * fixed-size training windows with overlap (window `win`, stride
+  * `stride` ≤ `win`, so consecutive chunks share `win − stride`
+  * tokens). This is the context-window materialization step for
+  * trainers that want overlapping examples; [[Ngrams.passages]] is the
+  * degenerate `stride == win` case used by passage dedup, and
+  * [[Packing]] is the complementary operator that packs SHORT docs up
+  * to a context length rather than splitting long ones down.
+  *
+  * Window rule (total and engine-portable): starts are
+  * `0, stride, 2·stride, …` while `start < n`, so a non-empty doc
+  * yields `ceil(n / stride)` chunks and the last may be short
+  * (`n_toks = min(win, n − start)`). Empty docs yield no chunks.
+  *
+  * Scale: tokenize once, then a narrow per-row `explode` — output rows
+  * ≈ tokens/stride, no shuffle anywhere in the operator (the only
+  * exchange a caller sees is whatever THEY do with the chunks). The
+  * emitted `chunk_fp` (md5 of the space-joined window) keeps document
+  * text off the wire for downstream dedup/grouping, same convention as
+  * [[PassageDedup]].
+  *
+  * Reference ties: the reference stores one row per (symbol, day)
+  * (`merge_to_core.sql:9`); chunking is the document-corpus analogue
+  * of that unit-of-work normalization for trainers.
+  */
+object Chunking {
+
+  /** Per-chunk rows `(id, chunk_idx, start_tok, n_toks, chunk_fp)`. */
+  def chunks(df: DataFrame, idCol: String, textCol: String,
+             win: Int, stride: Int): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    val toks = df.select(col(idCol),
+        Ngrams.normTokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+    toks
+      // integer chunk count: ceil(n / stride) via (n + stride − 1) DIV
+      // stride — stays in exact int64, never a double division
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(__n + ${stride - 1}) DIV $stride") - 1)))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(col(idCol),
+        col("chunk_idx"),
+        col("start_tok"),
+        least(lit(win.toLong), col("__n") - col("start_tok")).as("n_toks"),
+        md5(array_join(slice(col("__toks"),
+          (col("start_tok") + 1).cast("int"), lit(win)), " ")).as("chunk_fp"))
+  }
+}

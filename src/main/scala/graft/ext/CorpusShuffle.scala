@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Deterministic global corpus shuffle — the "randomize training order"
+  * step that precedes sharding a corpus for a trainer. Each document
+  * gets a pseudo-random but fully reproducible sort key
+  * (`md5(seed || ':' || id)`), the corpus is globally ordered by that
+  * key, and contiguous runs of `shardSize` documents become training
+  * shards.
+  *
+  * The scale shape is the terasort one, same as
+  * [[graft.dim.DimSecurity.assignDenseIds]] (W2):
+  *   1. `repartitionByRange(key).sortWithinPartitions(key)` — a RANGE
+  *      exchange, so every partition sorts in parallel and partition
+  *      p's keys all precede partition p+1's (never a SinglePartition
+  *      collapse — PlanSpec pins this);
+  *   2. `zipWithIndex` — one job counting rows per partition, then a
+  *      narrow map adding each partition's cumulative offset.
+  * Equivalent to `row_number() OVER (ORDER BY key) − 1` but parallel:
+  * the only driver-side state is one count per partition. Shard
+  * assignment is then pure arithmetic (`pos DIV shardSize`), so shards
+  * are exactly balanced (last one short) without any further shuffle —
+  * a writer can `repartitionByRange($"shard_id")` and emit one file
+  * per shard with data already in final order.
+  *
+  * Determinism: md5 keys are unique per distinct id for any practical
+  * corpus, the range sort is total on them, and the seed string pins
+  * the permutation — re-running on a retried/re-planned cluster gives
+  * byte-identical shards (same argument as [[Sampling]]'s md5-bucket
+  * contract).
+  *
+  * Reference ties: the reference pipeline loads in source order
+  * (`load_raw.py:31` iterates the staged CSV listing); a training-data
+  * user needs the opposite — an order-free-of-source-locality — which
+  * is exactly this operator.
+  */
+object CorpusShuffle {
+
+  /** The pseudo-random sort key: hex md5 over `seed || ':' || id`. */
+  def shuffleKey(idCol: String, seed: String) =
+    md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("shuffle_key")
+
+  /** The distributed-sort stage, exposed so PlanSpec can pin its
+    * physical shape (RANGE exchange over `shuffle_key`). Emits
+    * `(id, shuffle_key)` range-partitioned and sorted by key. */
+  private[graft] def rangeSorted(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol), shuffleKey(idCol, seed))
+      .repartitionByRange(col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+
+  /** Global shuffle order: `(id, shuffle_key, pos, shard_id)` where
+    * `pos` is the document's position in the seeded permutation and
+    * `shard_id = pos DIV shardSize`. */
+  def order(df: DataFrame, idCol: String, seed: String, shardSize: Long): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val spark = df.sparkSession
+    val sorted = rangeSorted(df, idCol, seed)
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("shuffle_key", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("shard_id", LongType, nullable = false)))
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row(r.getLong(0), r.getString(1), i, i / shardSize)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over document text — the scrubbing pass
+  * every curation pipeline runs before training (emails, IPv4
+  * addresses, NANP-style phone numbers), in the spirit of the public
+  * RedPajama/Dolma rule sets.
+  *
+  * Everything here is per-row codegen'd regex work
+  * (`regexp_extract_all` to count, `regexp_replace` to redact) — zero
+  * shuffles, zero UDFs, so at 100 TB the pass is pure map-side
+  * throughput pipelined into whatever shuffle the caller does next.
+  * The patterns are deliberately written in the common subset of Java
+  * regex (Spark) and RE2 (DuckDB, the oracle engine): character
+  * classes, bounded repetition and `\b` word boundaries only — no
+  * backreferences, no lookaround (RE2 has neither).
+  *
+  * Redaction replaces each match with a typed placeholder token
+  * (`<EMAIL>`/`<IP>`/`<PHONE>`), preserving the surrounding text so
+  * token-count-sensitive downstream stages ([[Packing]], [[Vocab]])
+  * see a stable document length. Order matters and is fixed:
+  * emails first (their local part may embed digits that the phone
+  * pattern could otherwise nibble), then IPs, then phones.
+  *
+  * Reference ties: the reference pipeline's quality gates
+  * (`quality_checks.sql:8-21`) drop rows on structural predicates;
+  * PII scrubbing is the text-corpus analogue its training-data users
+  * need before anything ships to a trainer.
+  */
+object Pii {
+
+  /** RFC-5322-lite email: local part, `@`, dotted domain, ≥2-letter
+    * TLD. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (syntactic — no octet-range check, matching the
+    * public scrubbing rule sets which over-redact rather than leak). */
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** NANP-style dashed phone number (`NNN-NNN-NNNN`). */
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Match count of one pattern (codegen'd; no UDF). */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact all three PII classes with typed placeholders, in the
+    * fixed email → IP → phone order. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-document PII verdicts: counts per class, total, and the md5
+    * fingerprint of the redacted text (the fingerprint — not the text —
+    * is what the caller ships around, same convention as
+    * [[ExactDedup]]). */
+  def annotate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        countMatches(t, emailRe).as("n_emails"),
+        countMatches(t, ipv4Re).as("n_ips"),
+        countMatches(t, phoneRe).as("n_phones"),
+        md5(redact(t)).as("redacted_fp"))
+      .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Repetition, Retrieval, SemDedup, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
+import graft.ext.{Chunking, CorpusShuffle, Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Pii, Repetition, Retrieval, SemDedup, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1381,7 +1381,86 @@ object ExtQueries {
                    doc_id, score
             FROM rk WHERE rn <= 10 ORDER BY query_id, rank"""))
 
+  /** PII scrub over deterministically PII-seeded text: the synthetic
+    * documents table carries no real PII, so the query plants one
+    * email / IPv4 / phone per arithmetic residue class of `doc_id`
+    * (both engines apply the identical seeding expression) and then
+    * runs [[Pii.annotate]] — counts per class plus the md5 of the
+    * redacted text. Exercises detection AND placeholder substitution
+    * with known-nonzero match counts at every scale factor.
+    */
+  private val x40 = Q("x40_pii_scrub",
+    (s, d) => {
+      val id = col("doc_id")
+      val seeded = documents(s, d).withColumn("__seeded", concat(
+        col("text"),
+        when(id % 5 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" from 10.0."), (id % 256).cast("string"),
+          lit("."), expr("(doc_id DIV 7) % 256").cast("string"))).otherwise(lit("")),
+        when(id % 11 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
+      Pii.annotate(seeded, "doc_id", "__seeded").orderBy("doc_id")
+    },
+    Some("""WITH seeded AS (SELECT doc_id, text
+                 || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                 AS t FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+              CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+              md5(regexp_replace(regexp_replace(regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_fp,
+              CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                 + len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_pii
+            FROM seeded ORDER BY doc_id"""))
+
+  /** Deterministic global corpus shuffle: seeded md5 permutation with
+    * contiguous shard assignment — the terasort-shaped scale path
+    * (range exchange + zipWithIndex), never a single-partition window.
+    */
+  private val x41 = Q("x41_corpus_shuffle",
+    (s, d) => CorpusShuffle.order(documents(s, d), "doc_id",
+        seed = "graft-shuffle-r7", shardSize = 128L)
+      .orderBy("pos"),
+    Some("""WITH k AS (SELECT doc_id,
+                 md5('graft-shuffle-r7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+               FROM documents),
+             p AS (SELECT doc_id, shuffle_key,
+                 CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS pos
+               FROM k)
+            SELECT doc_id, shuffle_key, pos,
+                   CAST(pos // 128 AS BIGINT) AS shard_id
+            FROM p ORDER BY pos"""))
+
+  /** Sliding-window chunking (win=64, stride=48 → 16-token overlap):
+    * per-chunk offsets, lengths, and content fingerprints. */
+  private val x42 = Q("x42_chunk_windows",
+    (s, d) => Chunking.chunks(documents(s, d), "doc_id", "text",
+        win = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(trim(text)), '\S+') AS toks
+               FROM documents),
+             n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+               FROM t WHERE len(toks) > 0),
+             c AS (SELECT doc_id, toks, n,
+                 unnest(generate_series(0, (n + 47) // 48 - 1)) AS chunk_idx
+               FROM n)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+                   CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_toks,
+                   md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_fp
+            FROM c ORDER BY doc_id, chunk_idx"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39)
+    x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
+    x40, x41, x42)
 }

@@ -1,0 +1,119 @@
+package graft
+
+import graft.ext.{Chunking, CorpusShuffle, Pii}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-7 corpus-preparation operators: PII
+  * scrubbing, deterministic global shuffle, and sliding-window
+  * chunking. */
+class PiiSpec extends SparkSpec {
+  private def annotateOne(text: String) = {
+    val s = spark
+    import s.implicits._
+    Pii.annotate(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+  }
+
+  test("each PII class is counted and redacted with its typed placeholder") {
+    val s = spark
+    import s.implicits._
+    val r = Seq((1L, "mail a.b+c@foo.example.org or 10.0.0.1 or 555-123-4567 end"))
+      .toDF("doc_id", "text")
+      .select(Pii.redact(col("text"))).collect().head.getString(0)
+    assert(r == "mail <EMAIL> or <IP> or <PHONE> end")
+    val a = annotateOne("x@y.io and w@z.co, 1.2.3.4, none")
+    assert(a.getAs[Long]("n_emails") == 2L)
+    assert(a.getAs[Long]("n_ips") == 1L)
+    assert(a.getAs[Long]("n_phones") == 0L)
+    assert(a.getAs[Long]("n_pii") == 3L)
+  }
+
+  test("clean text is untouched: zero counts, fingerprint equals md5 of the original") {
+    val a = annotateOne("no personal data here, just words")
+    assert(a.getAs[Long]("n_pii") == 0L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("no personal data here, just words".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(a.getAs[String]("redacted_fp") == expected)
+  }
+
+  test("email redaction runs before the phone pass (digits in local parts do not double-match)") {
+    val s = spark
+    import s.implicits._
+    val r = Seq((1L, "ping 555-123-4567x@mail.example.com"))
+      .toDF("doc_id", "text")
+      .select(Pii.redact(col("text"))).collect().head.getString(0)
+    // the whole token is one email (local part may contain digits/dashes)
+    assert(r == "ping <EMAIL>")
+  }
+}
+
+class CorpusShuffleSpec extends SparkSpec {
+  private def ids(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0L until n.toLong).toDF("doc_id")
+  }
+
+  test("order is a permutation: pos is dense 0..n-1 and shards are contiguous runs") {
+    val out = CorpusShuffle.order(ids(10), "doc_id", seed = "s1", shardSize = 4L)
+      .orderBy("pos").collect()
+    assert(out.map(_.getAs[Long]("pos")).toSeq == (0L until 10L))
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L until 10L))
+    assert(out.map(_.getAs[Long]("shard_id")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 2L, 2L))
+    // pos order IS shuffle_key order
+    assert(out.map(_.getAs[String]("shuffle_key")).toSeq ==
+      out.map(_.getAs[String]("shuffle_key")).sorted.toSeq)
+  }
+
+  test("the permutation is seed-pinned: same seed reproduces it, a new seed changes it") {
+    def perm(seed: String) =
+      CorpusShuffle.order(ids(64), "doc_id", seed, shardSize = 16L)
+        .orderBy("pos").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(perm("graft") == perm("graft"))
+    assert(perm("graft") != perm("graft2"))
+  }
+}
+
+class ChunkingSpec extends SparkSpec {
+  private def chunksOf(text: String, win: Int, stride: Int) = {
+    val s = spark
+    import s.implicits._
+    Chunking.chunks(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", win, stride)
+      .orderBy("chunk_idx").collect()
+  }
+
+  test("overlapping windows: ceil(n/stride) chunks, short tail, correct offsets") {
+    // 5 tokens, win=3 stride=2 → starts 0,2,4; lengths 3,3,1
+    val rows = chunksOf("a b c d e", win = 3, stride = 2)
+    assert(rows.map(r => (r.getAs[Long]("chunk_idx"),
+      r.getAs[Long]("start_tok"), r.getAs[Long]("n_toks"))).toSeq ==
+      Seq((0L, 0L, 3L), (1L, 2L, 3L), (2L, 4L, 1L)))
+  }
+
+  test("chunk fingerprints hash the window content (verified against md5 of the slice)") {
+    val rows = chunksOf("a b c d e", win = 3, stride = 2)
+    def fp(sliceText: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(sliceText.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.map(_.getAs[String]("chunk_fp")).toSeq ==
+      Seq(fp("a b c"), fp("c d e"), fp("e")))
+  }
+
+  test("empty docs yield no chunks; stride == win degenerates to disjoint passages") {
+    assert(chunksOf("   ", win = 4, stride = 2).isEmpty)
+    val rows = chunksOf("a b c d e", win = 2, stride = 2)
+    assert(rows.map(r => (r.getAs[Long]("start_tok"),
+      r.getAs[Long]("n_toks"))).toSeq == Seq((0L, 2L), (2L, 2L), (4L, 1L)))
+  }
+
+  test("stride must not exceed the window") {
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException] {
+      Chunking.chunks(Seq((1L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", win = 2, stride = 3)
+    }
+  }
+}

@@ -99,6 +99,15 @@ class PlanSpec extends SparkSpec {
     noSinglePartition(es, "scalableRank")
   }
 
+  test("x41 corpus shuffle sorts by RANGE partitioning, no single-partition collapse") {
+    val docs = graft.util.Tables.documents(spark, sf)
+    val staged = graft.ext.CorpusShuffle.rangeSorted(docs, "doc_id", "pin-seed")
+    val es = shuffles(staged)
+    assert(es.exists(_.outputPartitioning.toString.toLowerCase.contains("range")),
+      "corpus shuffle must range-partition on the seeded key")
+    noSinglePartition(es, "corpus shuffle")
+  }
+
   test("q20 salted top-N keeps two window stages and no single-partition exchange") {
     val df = Registry.queries("q20_top_n_per_group")(spark, sf)
     val executed = df.queryExecution.executedPlan
