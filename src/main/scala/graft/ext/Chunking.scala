@@ -35,15 +35,24 @@ object Chunking {
              win: Int, stride: Int): DataFrame = {
     require(win > 0 && stride > 0 && stride <= win,
       s"need 0 < stride <= win, got win=$win stride=$stride")
+    // two staged projections: `__toks` is referenced twice by the upper
+    // one (passthrough + size), so CollapseProject keeps the non-cheap
+    // tokenization as a real column instead of inlining the regex into
+    // every consumer; the empty-doc guard lives INSIDE the generator
+    // (`when` → null → explode emits nothing) rather than a Filter,
+    // which predicate pushdown would rewrite into a second tokenize
+    // below the projection. Net: exactly one `normTokens` in the plan
+    // (PlanSpec pins this).
     val toks = df.select(col(idCol),
         Ngrams.normTokens(col(textCol)).as("__toks"))
-      .withColumn("__n", size(col("__toks")).cast("long"))
-      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("__n"))
     toks
       // integer chunk count: ceil(n / stride) via (n + stride − 1) DIV
       // stride — stays in exact int64, never a double division
       .withColumn("chunk_idx",
-        explode(sequence(lit(0L), expr(s"(__n + ${stride - 1}) DIV $stride") - 1)))
+        explode(when(col("__n") > 0,
+          sequence(lit(0L), expr(s"(__n + ${stride - 1}) DIV $stride") - 1))))
       .withColumn("start_tok", col("chunk_idx") * stride)
       .select(col(idCol),
         col("chunk_idx"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Packing, PassageDedup, Repetition}
+import graft.ext.{Chunking, Packing, PassageDedup, Repetition}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
@@ -78,5 +78,29 @@ object ExtProps extends Properties("ext") {
         }
       }
       out == expected
+    }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  property("chunk windows match a brute-force slide (offsets, lengths, fingerprints)") =
+    Prop.forAll(corpusGen, Gen.choose(1, 4), Gen.choose(0, 3)) {
+      (rows, stride, extra) =>
+        val win = stride + extra
+        val out = Chunking.chunks(toDf(rows), "doc_id", "text", win, stride)
+          .orderBy("doc_id", "chunk_idx").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4))).toSeq
+        val expected = rows.sortBy(_.doc_id).flatMap { d =>
+          val w = toks(d.text)
+          (0L until w.length.toLong by stride.toLong).zipWithIndex.map {
+            case (start, idx) =>
+              val slice = w.slice(start.toInt, start.toInt + win)
+              (d.doc_id, idx.toLong, start, slice.length.toLong,
+                md5hex(slice.mkString(" ")))
+          }
+        }
+        out == expected
     }
 }

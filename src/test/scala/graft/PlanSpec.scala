@@ -205,6 +205,26 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one tokenization in the x20 plan, found $tokenizes")
   }
 
+  test("x40 PII scrub is pure map-side work: the only exchange is the ORDER BY range sort") {
+    val df = Registry.queries("x40_pii_scrub")(spark, sf)
+    shuffles(df).foreach { e =>
+      assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"PII scrubbing must not hash-shuffle: ${e.outputPartitioning}")
+    }
+  }
+
+  test("x42 chunking tokenizes once and its only exchange is the ORDER BY range sort") {
+    val df = Registry.queries("x42_chunk_windows")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val tokenizes = "regexp_extract_all".r.findAllIn(p).length
+    assert(tokenizes == 1,
+      s"expected exactly one tokenization in the x42 plan, found $tokenizes")
+    shuffles(df).foreach { e =>
+      assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"chunking must not hash-shuffle: ${e.outputPartitioning}")
+    }
+  }
+
   test("x39 retrieval tokenizes the corpus once and broadcasts the query terms") {
     // tf feeds both the idf rollup and the scoring join; both consumers
     // must read the PERSISTED (id, term, count) rows — a regression
