@@ -211,6 +211,13 @@ class PlanSpec extends SparkSpec {
       assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
         s"PII scrubbing must not hash-shuffle: ${e.outputPartitioning}")
     }
+    // each class is counted once and redacted once — n_pii must reuse the
+    // staged count columns, not re-run the matchers
+    val p = df.queryExecution.executedPlan.toString
+    val extracts = "regexp_extract_all".r.findAllIn(p).length
+    val replaces = "regexp_replace".r.findAllIn(p).length
+    assert(extracts <= 3, s"expected at most 3 match passes, found $extracts")
+    assert(replaces <= 3, s"expected at most 3 redact passes, found $replaces")
   }
 
   test("x42 chunking tokenizes once and its only exchange is the ORDER BY range sort") {
