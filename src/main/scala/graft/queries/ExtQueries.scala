@@ -501,7 +501,8 @@ object ExtQueries {
     * the 365-day watermark delay keeps every fingerprint's state live
     * across micro-batches, so dedup is exact over the whole run. */
   private val x17 = Q("x17_stream_dedup",
-    (s, d) => {
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
       val root = java.nio.file.Files.createTempDirectory("graft-x17-")
       val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
       val staged = documents(s, d).withColumn("event_ts",
@@ -537,7 +538,8 @@ object ExtQueries {
     * pushes the final watermark past every real window's end so append
     * mode flushes them all before `AvailableNow` terminates. */
   private val x18 = Q("x18_stream_windowed_agg",
-    (s, d) => {
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
       val root = java.nio.file.Files.createTempDirectory("graft-x18-")
       val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
       val ev = events(s, d).select(col("user_id"), col("ts"),
@@ -585,7 +587,8 @@ object ExtQueries {
     * (every event_id survives), value pre-quantized to cents, ordered
     * output — arrival order cannot influence any cell. */
   private val x24 = Q("x24_stream_enrich",
-    (s, d) => {
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
       val root = java.nio.file.Files.createTempDirectory("graft-x24-")
       val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
       val ev = events(s, d).select(col("event_id"), col("event_type"),
@@ -827,7 +830,8 @@ object ExtQueries {
     * watermark only governs state cleanup), and every output cell is a
     * key or an integer µs difference. */
   private val x27 = Q("x27_stream_interval_join",
-    (s, d) => {
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
       val root = java.nio.file.Files.createTempDirectory("graft-x27-")
       val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
       val ev = events(s, d).select(col("event_id"), col("ts"),
@@ -968,7 +972,8 @@ object ExtQueries {
     * price), close = price at (max ts, tie→max price)" — the oracle's
     * two row_number orders. Prices are pre-quantized doubles. */
   private val x32 = Q("x32_stream_ohlc",
-    (s, d) => {
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
       val root = java.nio.file.Files.createTempDirectory("graft-x32-")
       val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
       val ev = events(s, d).select(
@@ -1021,7 +1026,8 @@ object ExtQueries {
     * staging rules apply: one file, pre-quantized cents, sentinel row
     * pushes the watermark past every real session. */
   private val x33 = Q("x33_stream_sessionize",
-    (s, d) => {
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
       val root = java.nio.file.Files.createTempDirectory("graft-x33-")
       val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
       val ev = events(s, d).select(col("user_id"), col("ts"),
@@ -1220,7 +1226,8 @@ object ExtQueries {
     * batch, and the batch ORDER is pinned by explicit staged-file
     * modification times (the file source processes oldest first). */
   private val x37 = Q("x37_stream_incremental_dedup",
-    (s, d) => {
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
       val root = java.nio.file.Files.createTempDirectory("graft-x37-")
       val in = root.resolve("in"); val out = s"$root/out"; val chk = s"$root/chk"
       java.nio.file.Files.createDirectories(in)

@@ -54,6 +54,34 @@ object Sessions {
         "true")
       .config("spark.ui.enabled", "false")
 
+  /** Shuffle-partition count for the locally-run streaming queries
+    * (see [[withShufflePartitions]]). Each stateful streaming operator
+    * instantiates one state store PER (operator × shuffle partition)
+    * per micro-batch — under RocksDB that is a native store open +
+    * changelog commit each, a FIXED cost paid regardless of state
+    * size. Partition count must therefore track STATE VOLUME (size so
+    * a store holds ~100–500 MB), not core count: at sf0.1 the seven
+    * streaming queries hold kilobytes of state, so 4 partitions
+    * amortize the native-store setup that 32 never could (round-7
+    * bench: 32 partitions × 4 stores = 128 RocksDB instances per
+    * micro-batch on the interval join — 11.8 s for KB of state). At
+    * 100 TB the same sizing rule yields thousands of partitions, and
+    * the fixed cost is noise against state I/O. */
+  val streamingShufflePartitions = 4
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily
+    * overridden, restoring the previous value afterwards. A streaming
+    * query captures the session's shuffle-partition count at its first
+    * checkpoint, so wrapping the `start()`/`awaitTermination()` block
+    * is sufficient — and because the override is scoped, the batch
+    * queries before/after keep the session default. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Route the known-benign `WindowExec: No Partition Defined` WARN to
     * ERROR in harness (Bench/Verify) sessions. The warning fires for the
     * deliberately-unpartitioned dim-cardinality windows — q08's
