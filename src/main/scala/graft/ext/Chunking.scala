@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * [[PassageDedup]].
   *
   * Reference ties: the reference stores one row per (symbol, day)
-  * (`merge_to_core.sql:9`); chunking is the document-corpus analogue
+  * (`dags/sql/4. merge_core.sql:83-84`'s MERGE key); chunking is the
+  * document-corpus analogue
   * of that unit-of-work normalization for trainers.
   */
 object Chunking {

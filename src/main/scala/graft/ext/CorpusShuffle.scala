@@ -32,8 +32,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * byte-identical shards (same argument as [[Sampling]]'s md5-bucket
   * contract).
   *
-  * Reference ties: the reference pipeline loads in source order
-  * (`load_raw.py:31` iterates the staged CSV listing); a training-data
+  * Reference ties: the reference pipeline loads in staged-file order
+  * (`dags/sql/1. copy_to_raw.sql:31-36` COPYs the date-pathed CSV
+  * listing as staged); a training-data
   * user needs the opposite — an order-free-of-source-locality — which
   * is exactly this operator.
   */
@@ -45,26 +46,32 @@ object CorpusShuffle {
 
   /** The distributed-sort stage, exposed so PlanSpec can pin its
     * physical shape (RANGE exchange over `shuffle_key`). Emits
-    * `(id, shuffle_key)` range-partitioned and sorted by key. */
+    * `(id, shuffle_key)` range-partitioned and sorted by key. The id
+    * column keeps its ORIGINAL type (string ids are as valid as longs —
+    * same contract as every other id-generic operator here; a null id
+    * yields a null key, which range-sorts first). */
   private[graft] def rangeSorted(df: DataFrame, idCol: String, seed: String): DataFrame =
-    df.select(col(idCol).cast("long").as(idCol), shuffleKey(idCol, seed))
+    df.select(col(idCol), shuffleKey(idCol, seed))
       .repartitionByRange(col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")
 
   /** Global shuffle order: `(id, shuffle_key, pos, shard_id)` where
     * `pos` is the document's position in the seeded permutation and
-    * `shard_id = pos DIV shardSize`. */
+    * `shard_id = pos DIV shardSize`. Determinism requires distinct
+    * non-null ids (the md5 keys are then unique, so the order is
+    * total); rows sharing an id — or with a null one — share a key and
+    * their relative order is partition-dependent. */
   def order(df: DataFrame, idCol: String, seed: String, shardSize: Long): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
     val spark = df.sparkSession
     val sorted = rangeSorted(df, idCol, seed)
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("shuffle_key", StringType, nullable = false),
+    // generic row passthrough: append (pos, shard_id) to whatever id
+    // type the caller has — no cast, no assumed field layout
+    val schema = StructType(sorted.schema.fields ++ Seq(
       StructField("pos", LongType, nullable = false),
       StructField("shard_id", LongType, nullable = false)))
     val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row(r.getLong(0), r.getString(1), i, i / shardSize)
+      Row.fromSeq(r.toSeq :+ i :+ i / shardSize)
     }
     spark.createDataFrame(rows, schema)
   }

@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * pattern could otherwise nibble), then IPs, then phones.
   *
   * Reference ties: the reference pipeline's quality gates
-  * (`quality_checks.sql:8-21`) drop rows on structural predicates;
+  * (`dags/sql/2. check_loaded.sql:6-8`) gate loads on structural
+  * predicates;
   * PII scrubbing is the text-corpus analogue its training-data users
   * need before anything ships to a trainer.
   */

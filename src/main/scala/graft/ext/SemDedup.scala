@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * keep-one-random-per-group).
   *
   * Reference ties: the reference pipeline dedups on exact business keys
-  * (`merge_to_core.sql:12`'s MERGE key); semantic near-dup is the
+  * (`dags/sql/4. merge_core.sql:83-84`'s MERGE key); semantic near-dup
+  * is the
   * embedding-space generalization its training-data users need.
   */
 object SemDedup {
