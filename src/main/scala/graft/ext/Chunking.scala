@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   * to a context length rather than splitting long ones down.
   *
   * Window rule (total and engine-portable): starts are
-  * `0, stride, 2·stride, …` while `start < n`, so a non-empty doc
-  * yields `ceil(n / stride)` chunks and the last may be short
-  * (`n_toks = min(win, n − start)`). Empty docs yield no chunks.
+  * `0, stride, 2·stride, …` up to and including the FIRST start whose
+  * window reaches the end of the document (`start + win ≥ n`), so a
+  * non-empty doc yields `1 + ceil(max(0, n − win) / stride)` chunks
+  * and only the last may be short (`n_toks = min(win, n − start)`).
+  * Stopping at the first end-reaching window (rather than while
+  * `start < n`) matters when `stride < win`: later starts would emit
+  * windows whose content is FULLY CONTAINED in the last full window —
+  * pure duplicate training text. Empty docs yield no chunks.
   *
   * Scale: tokenize once, then a narrow per-row `explode` — output rows
   * ≈ tokens/stride, no shuffle anywhere in the operator (the only
@@ -49,11 +54,13 @@ object Chunking {
       .select(col(idCol), col("__toks"),
         size(col("__toks")).cast("long").as("__n"))
     toks
-      // integer chunk count: ceil(n / stride) via (n + stride − 1) DIV
-      // stride — stays in exact int64, never a double division
+      // integer chunk count: 1 + ceil(max(0, n − win) / stride), the
+      // ceil via (x + stride − 1) DIV stride — stays in exact int64,
+      // never a double division
       .withColumn("chunk_idx",
         explode(when(col("__n") > 0,
-          sequence(lit(0L), expr(s"(__n + ${stride - 1}) DIV $stride") - 1))))
+          sequence(lit(0L),
+            expr(s"(greatest(__n - $win, 0L) + ${stride - 1}) DIV $stride")))))
       .withColumn("start_tok", col("chunk_idx") * stride)
       .select(col(idCol),
         col("chunk_idx"),

@@ -1458,7 +1458,7 @@ object ExtQueries {
              n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
                FROM t WHERE len(toks) > 0),
              c AS (SELECT doc_id, toks, n,
-                 unnest(generate_series(0, (n + 47) // 48 - 1)) AS chunk_idx
+                 unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS chunk_idx
                FROM n)
             SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
                    CAST(chunk_idx * 48 AS BIGINT) AS start_tok,

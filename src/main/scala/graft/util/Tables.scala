@@ -20,23 +20,40 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark 4 rejects at
-    * read time (`PARQUET_TYPE_ILLEGAL`). Read the raw INT64 nanos via the
-    * legacy conf (runtime-settable) and derive a microsecond `ts` with
-    * integer division — `ts/1000` through DOUBLE would lose precision at
-    * 1.7e18 (53-bit mantissa), so it must be `DIV`. The raw nanos stay
-    * available as `ts_ns` for total orderings. DuckDB truncates the same
-    * file to microsecond TIMESTAMPs at read time, and the raw nanos are
-    * NOT µs-aligned (only ~0.1% of rows have ns % 1000 == 0) — so a
-    * checked query may compare instants across engines ONLY at µs
-    * granularity (`ts` here, `ts DIV 1000` arithmetic); `ts_ns` is a
-    * Spark-side-only tie-breaker and must never feed an oracle-visible
-    * ordering or value. */
+  /** The driver has shipped `events.parquet` in two physical layouts:
+    * TIMESTAMP(NANOS) (which Spark 4 rejects at read time unless the
+    * legacy `nanosAsLong` conf maps it to INT64), and — since the
+    * 2026-08-13 regeneration — plain `timestamp[us]` (read by Spark 4 as
+    * TIMESTAMP_NTZ). Branch on the loaded schema so both work:
+    *
+    *  - INT64 nanos: derive the µs `ts` with integer `DIV` (`/1000`
+    *    through DOUBLE would lose precision at 1.7e18 — 53-bit mantissa)
+    *    and keep the raw nanos as `ts_ns`.
+    *  - timestamp[us]: cast to session-TZ TimestampType (session TZ is
+    *    UTC everywhere in this engine, so the NTZ wall clock IS the
+    *    epoch instant) and derive `ts_ns = unix_micros(ts) * 1000` —
+    *    µs-aligned nanos, which is lossless here because the source has
+    *    no sub-µs precision.
+    *
+    * Downstream contract is identical in both branches: `ts` is a
+    * TimestampType at µs granularity (what the DuckDB oracle sees via
+    * `epoch_us(ts)`), `ts_ns` is a Spark-side-only BIGINT tie-breaker
+    * that must never feed an oracle-visible ordering or value (in the
+    * legacy layout the nanos are not µs-aligned, so oracle comparisons
+    * are only valid at µs granularity). */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => // timestamp[us] (NTZ or LTZ)
+        raw
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

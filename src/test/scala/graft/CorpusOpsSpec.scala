@@ -85,12 +85,17 @@ class ChunkingSpec extends SparkSpec {
       .orderBy("chunk_idx").collect()
   }
 
-  test("overlapping windows: ceil(n/stride) chunks, short tail, correct offsets") {
-    // 5 tokens, win=3 stride=2 → starts 0,2,4; lengths 3,3,1
+  test("overlapping windows: 1 + ceil((n-win)/stride) chunks, no fully-contained tail") {
+    // 5 tokens, win=3 stride=2 → starts 0,2 (start=2 reaches the end;
+    // a start=4 window "e" would be fully contained in "c d e")
     val rows = chunksOf("a b c d e", win = 3, stride = 2)
     assert(rows.map(r => (r.getAs[Long]("chunk_idx"),
       r.getAs[Long]("start_tok"), r.getAs[Long]("n_toks"))).toSeq ==
-      Seq((0L, 0L, 3L), (1L, 2L, 3L), (2L, 4L, 1L)))
+      Seq((0L, 0L, 3L), (1L, 2L, 3L)))
+    // 6 tokens, win=3 stride=2 → starts 0,2,4; only the LAST may be short
+    val rows6 = chunksOf("a b c d e f", win = 3, stride = 2)
+    assert(rows6.map(r => (r.getAs[Long]("start_tok"),
+      r.getAs[Long]("n_toks"))).toSeq == Seq((0L, 3L), (2L, 3L), (4L, 2L)))
   }
 
   test("chunk fingerprints hash the window content (verified against md5 of the slice)") {
@@ -98,7 +103,7 @@ class ChunkingSpec extends SparkSpec {
     def fp(sliceText: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(sliceText.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(rows.map(_.getAs[String]("chunk_fp")).toSeq ==
-      Seq(fp("a b c"), fp("c d e"), fp("e")))
+      Seq(fp("a b c"), fp("c d e")))
   }
 
   test("empty docs yield no chunks; stride == win degenerates to disjoint passages") {

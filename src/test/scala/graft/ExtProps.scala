@@ -94,11 +94,16 @@ object ExtProps extends Properties("ext") {
             r.getString(4))).toSeq
         val expected = rows.sortBy(_.doc_id).flatMap { d =>
           val w = toks(d.text)
-          (0L until w.length.toLong by stride.toLong).zipWithIndex.map {
-            case (start, idx) =>
-              val slice = w.slice(start.toInt, start.toInt + win)
-              (d.doc_id, idx.toLong, start, slice.length.toLong,
-                md5hex(slice.mkString(" ")))
+          // 1 + ceil(max(0, n-win)/stride) starts: stop at the first
+          // window reaching the end — no fully-contained tail chunks
+          val nChunks =
+            if (w.isEmpty) 0L
+            else 1L + (math.max(0, w.length - win).toLong + stride - 1) / stride
+          (0L until nChunks).map { idx =>
+            val start = idx * stride
+            val slice = w.slice(start.toInt, start.toInt + win)
+            (d.doc_id, idx, start, slice.length.toLong,
+              md5hex(slice.mkString(" ")))
           }
         }
         out == expected
