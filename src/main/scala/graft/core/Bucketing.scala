@@ -37,10 +37,20 @@ object Bucketing {
     * the accumulated table) restores one-file-per-bucket and with it
     * the sort-elision fast path. */
   def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
-                     buckets: Int): Unit =
+                     buckets: Int): Unit = {
+    // `mode("append").saveAsTable` on a NONEXISTENT table silently
+    // creates it — a typo'd store name would fork a second empty store
+    // instead of failing, and every later append/dedup would run against
+    // the wrong one. Appends are store MAINTENANCE: the store must have
+    // been created by [[writeBucketed]] first.
+    if (!df.sparkSession.catalog.tableExists(table))
+      throw new IllegalArgumentException(
+        s"appendBucketed: table '$table' does not exist — create it with " +
+          "writeBucketed first (refusing to silently fork a new store)")
     df.write.mode("append")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

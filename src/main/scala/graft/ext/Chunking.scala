@@ -56,7 +56,9 @@ object Chunking {
     toks
       // integer chunk count: 1 + ceil(max(0, n − win) / stride), the
       // ceil via (x + stride − 1) DIV stride — stays in exact int64,
-      // never a double division
+      // never a double division. The formula assumes stride <= win
+      // (enforced by the require above): with stride > win it would
+      // emit a final start >= n, i.e. an empty/negative-length chunk.
       .withColumn("chunk_idx",
         explode(when(col("__n") > 0,
           sequence(lit(0L),

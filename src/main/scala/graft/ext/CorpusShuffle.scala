@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deterministic global corpus shuffle — the "randomize training order"
   * step that precedes sharding a corpus for a trainer. Each document
@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * contract).
   *
   * Reference ties: the reference pipeline loads in staged-file order
-  * (`dags/sql/1. copy_to_raw.sql:31-36` COPYs the date-pathed CSV
+  * (`dags/sql/1. copy_to_raw.sql:29` COPYs the date-pathed CSV
   * listing as staged); a training-data
   * user needs the opposite — an order-free-of-source-locality — which
   * is exactly this operator.

@@ -27,10 +27,13 @@ object TemporalQueries {
     * purchases with no preceding view keep null quote columns.
     *
     * All oracle-visible times are MICROSECONDS (`ts_ns div 1000`, the
-    * same truncation DuckDB applies reading the nano parquet — see
-    * [[graft.util.Tables.events]]): the raw nanos are not µs-aligned, so
-    * any ns-derived value or ordering diverges from what the oracle can
-    * see. µs + event_id is a total order on this data; the as-of pick,
+    * same truncation DuckDB applies reading a nano parquet — see
+    * [[graft.util.Tables.events]]' dual-layout contract): under the
+    * legacy TIMESTAMP(NANOS) layout the raw nanos are not µs-aligned,
+    * so any ns-derived value or ordering diverges from what the oracle
+    * can see (under the current timestamp[us] layout `ts_ns` is exactly
+    * µs-aligned and the `div 1000` is the identity on the µs grain).
+    * µs + event_id is a total order on this data; the as-of pick,
     * the probe time, and the age are all µs-exact on both engines. */
   private val q30 = Q("q30_asof_join",
     (s, d) => {

@@ -49,10 +49,15 @@ object Tables {
         raw
           .withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => // timestamp[us] (NTZ or LTZ)
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType => // timestamp[us]
         raw
           .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other => // fail fast: a silent cast would null every ts
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other; " +
+            "expected INT64 nanos (legacy) or timestamp[us]")
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")

@@ -350,6 +350,28 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("appendBucketed refuses to create a store on a nonexistent table name") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 10).map(i => (s"S$i", i.toLong)).toDF("symbol", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.core.Bucketing.appendBucketed(rows, "bkt_typo_never_created",
+        Seq("symbol"), 8)
+    }
+    assert(ex.getMessage.contains("does not exist"))
+    // and the refusal must not have created the table as a side effect
+    assert(!spark.catalog.tableExists("bkt_typo_never_created"))
+  }
+
+  test("appendBucketed appends to an existing store") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 100).map(i => (s"S${i % 10}", i.toLong)).toDF("symbol", "v")
+    graft.core.Bucketing.writeBucketed(rows, "bkt_app", Seq("symbol"), 4)
+    try {
+      graft.core.Bucketing.appendBucketed(rows, "bkt_app", Seq("symbol"), 4)
+      assert(spark.table("bkt_app").count() == 200)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_app")
+  }
 }
 
 /** A-family percentiles: the approx sketch (the 100 TB path) must land
