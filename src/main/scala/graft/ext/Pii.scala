@@ -59,14 +59,30 @@ object Pii {
   /** Per-document PII verdicts: counts per class, total, and the md5
     * fingerprint of the redacted text (the fingerprint — not the text —
     * is what the caller ships around, same convention as
-    * [[ExactDedup]]). */
-  def annotate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    * [[ExactDedup]]).
+    *
+    * Each class is counted on the text AS THE REDACTION PASS SEES IT
+    * (emails on the raw text, IPs on the email-redacted text, phones on
+    * the email+IP-redacted text), so the counts are exactly the number
+    * of placeholders [[redact]] inserts and `n_pii` is the number of
+    * redacted spans. Counting every class independently on the raw text
+    * would double-count overlaps — e.g. `1.2.3.4@example.com` is ONE
+    * redacted span (an email) but also contains an IPv4 substring.
+    *
+    * Staged projections, same rationale as [[MinHash.signatures]]: each
+    * intermediate redaction is a real column referenced twice (count +
+    * next replace), so CollapseProject keeps it and every regex runs
+    * once per row — six passes total (3 extract + 3 replace), which
+    * PlanSpec pins for x40. */
+  def annotate(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-        countMatches(t, emailRe).as("n_emails"),
-        countMatches(t, ipv4Re).as("n_ips"),
-        countMatches(t, phoneRe).as("n_phones"),
-        md5(redact(t)).as("redacted_fp"))
+        countMatches(col(textCol), emailRe).as("n_emails"),
+        regexp_replace(col(textCol), emailRe, "<EMAIL>").as("__t1"))
+      .select(col(idCol), col("n_emails"),
+        countMatches(col("__t1"), ipv4Re).as("n_ips"),
+        regexp_replace(col("__t1"), ipv4Re, "<IP>").as("__t2"))
+      .select(col(idCol), col("n_emails"), col("n_ips"),
+        countMatches(col("__t2"), phoneRe).as("n_phones"),
+        md5(regexp_replace(col("__t2"), phoneRe, "<PHONE>")).as("redacted_fp"))
       .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
-  }
 }

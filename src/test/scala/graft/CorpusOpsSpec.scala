@@ -37,6 +37,22 @@ class PiiSpec extends SparkSpec {
     assert(a.getAs[String]("redacted_fp") == expected)
   }
 
+  test("overlapping spans count once: n_pii equals the number of redacted spans") {
+    // the email regex swallows the whole token; the embedded IPv4
+    // substring must not ALSO count (it is never separately redacted)
+    val a = annotateOne("reach me at 1.2.3.4@example.com today")
+    assert(a.getAs[Long]("n_emails") == 1L)
+    assert(a.getAs[Long]("n_ips") == 0L)
+    assert(a.getAs[Long]("n_phones") == 0L)
+    assert(a.getAs[Long]("n_pii") == 1L)
+    val s = spark
+    import s.implicits._
+    val r = Seq((1L, "reach me at 1.2.3.4@example.com today"))
+      .toDF("doc_id", "text")
+      .select(Pii.redact(col("text"))).collect().head.getString(0)
+    assert(r == "reach me at <EMAIL> today")
+  }
+
   test("email redaction runs before the phone pass (digits in local parts do not double-match)") {
     val s = spark
     import s.implicits._
