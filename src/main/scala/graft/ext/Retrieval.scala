@@ -46,8 +46,15 @@ object Retrieval {
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(docs.select(count(lit(1)).as("n_docs"))))
       .select(col("term"), expr("(n_docs * 1000) DIV df").as("idf"))
-    // a query's term list is a SET: a repeated term must not double-count
-    val qt = queries.select(col("query_id"), explode(col("terms")).as("term"))
+    // a query's term list is a SET: a repeated term must not double-count.
+    // Query terms go through the SAME normalization as the doc terms
+    // ([[Ngrams.normTokens]]: lowercase, trim, whitespace-split) — a
+    // capitalized or whitespace-padded query term would otherwise match
+    // nothing, silently (a multi-word term contributes each of its
+    // tokens, the natural term-list reading).
+    val qt = queries.select(col("query_id"), explode(col("terms")).as("__raw"))
+      .select(col("query_id"),
+        explode(Ngrams.normTokens(col("__raw"))).as("term"))
       .distinct()
     val scored = tf.join(broadcast(qt), "term")
       .join(idf, "term")

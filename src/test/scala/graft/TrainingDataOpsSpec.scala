@@ -280,6 +280,24 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Seq((0L, 1L))) // only query 0 matches; k=1 keeps doc 1
   }
 
+  test("query terms are normalized like doc terms (case/whitespace-insensitive)") {
+    val docs = df(Seq(
+      (1L, "cat fish"),
+      (2L, "dog fish fish"),
+      (3L, "cat cat fish"),
+      (4L, "fish"))).toDF("doc_id", "text")
+    // same query as the baseline test, but capitalized / padded /
+    // multi-word — must produce identical rankings
+    val qs = df(Seq((0L, Seq("  Cat ", "DOG")), (1L, Seq("cat dog"))))
+      .toDF("query_id", "terms")
+    val out = Retrieval.topK(docs, "doc_id", "text", qs, k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val expected = Seq((1, 2L, 4000L), (2, 3L, 4000L), (3, 1L, 2000L))
+    assert(out == expected.map { case (r, d, s) => (0L, r, d, s) }
+      ++ expected.map { case (r, d, s) => (1L, r, d, s) })
+  }
+
   test("the query side broadcasts; the corpus is never nested-looped") {
     val docs = df(Seq((1L, "a b"), (2L, "b c"))).toDF("doc_id", "text")
     val qs = df(Seq((0L, Seq("b")))).toDF("query_id", "terms")
