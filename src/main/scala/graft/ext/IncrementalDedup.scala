@@ -39,14 +39,20 @@ import org.apache.spark.sql.functions._
   * Hot band keys (boilerplate collapsing many docs onto one key) grow
   * the store's per-key candidate work across appends. The batch
   * operators cap them per run (`maxBandDocs` — see
-  * `MinHash.candidatePairs`); the incremental analogue is maintaining a
-  * per-key doc count as a side table updated on each append and
-  * semi-filtering both join sides against keys under the cap — a
-  * corpus-sized groupBy at dedup time would break the
-  * cost-proportional-to-the-shard contract, so the count must be
-  * maintained incrementally, not recomputed. Not implemented here:
-  * exact dedup runs upstream in the funnel and collapses the identical
-  * docs that dominate real hot buckets.
+  * `MinHash.candidatePairs`); the incremental analogue implemented here
+  * is a per-`(band, band_key)` doc-count SIDE TABLE
+  * ([[countsTable]], bucketed like the store) maintained on every
+  * append and semi-filtering BOTH join sides of [[dedupAgainstStore]]
+  * against keys at-or-under the cap. The count is maintained
+  * incrementally — [[appendSignatures]] merges the shard's per-key
+  * counts into the side table — never recomputed from the store at
+  * dedup time: a corpus-sized groupBy there would break the
+  * cost-proportional-to-the-shard contract. At dedup time the cap
+  * costs one narrow filter + two in-bucket semi-joins over the compact
+  * count relation (two key columns and a long — no signatures, no
+  * text). As in the batch family, a capped key means a bounded,
+  * observable recall loss on exactly the docs upstream exact dedup
+  * ([[ExactDedup]]) already collapses.
   */
 object IncrementalDedup {
 
@@ -74,14 +80,35 @@ object IncrementalDedup {
       .select(col("band"), col("band_key"), col(idCol), col("__sig"))
   }
 
+  /** Name of the per-key doc-count side table maintained alongside a
+    * signature store `table` — one row per distinct `(band, band_key)`
+    * with the number of store docs on that key (`n_docs`). Bucketed by
+    * the same keys with the same bucket count as the store, so the
+    * hot-key semi-filters in [[dedupAgainstStore]] join bucket-aligned,
+    * Exchange-free. */
+  def countsTable(table: String): String = s"${table}_keycounts"
+
+  /** Per-key doc counts of a banded-signature relation. One row per
+    * (band, doc) in ⇒ the count per key is the key's doc count. */
+  private def bandKeyCounts(banded: DataFrame): DataFrame =
+    banded.groupBy("band", "band_key").agg(count(lit(1)).as("n_docs"))
+
   /** Compute and persist the signature store for `docs` as the bucketed
-    * catalog table `table` (bucketed+sorted by `(band, band_key)`). */
+    * catalog table `table` (bucketed+sorted by `(band, band_key)`),
+    * plus its per-key doc-count side table ([[countsTable]]). The
+    * counts are derived by reading the just-written store back — the
+    * table is bucketed by the groupBy keys, so the rollup runs
+    * in-bucket with no Exchange. */
   def writeSignatureStore(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int, numHashes: Int, nBands: Int,
-                          table: String, buckets: Int): Unit =
+                          table: String, buckets: Int): Unit = {
     Bucketing.writeBucketed(
       bandedSignatures(docs, idCol, textCol, shingleN, numHashes, nBands),
       table, Seq("band", "band_key"), buckets)
+    val spark = docs.sparkSession
+    Bucketing.writeBucketed(bandKeyCounts(spark.table(table)),
+      countsTable(table), Seq("band", "band_key"), buckets)
+  }
 
   /** Append a shard's signatures into an existing store (same layout —
     * see [[graft.core.Bucketing.appendBucketed]]). The ingest loop is
@@ -93,10 +120,31 @@ object IncrementalDedup {
     * needs. */
   def appendSignatures(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, nBands: Int,
-                       table: String, buckets: Int): Unit =
-    Bucketing.appendBucketed(
-      bandedSignatures(docs, idCol, textCol, shingleN, numHashes, nBands),
-      table, Seq("band", "band_key"), buckets)
+                       table: String, buckets: Int): Unit = {
+    val keys = Seq("band", "band_key")
+    val banded = bandedSignatures(docs, idCol, textCol, shingleN, numHashes,
+        nBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Bucketing.appendBucketed(banded, table, keys, buckets)
+      // incremental count maintenance: merge the SHARD's per-key counts
+      // into the side table — old counts ∪ shard counts → per-key sum.
+      // The groupBy spans the compact count relation plus the shard's
+      // keys, never the signature store; the store itself is not
+      // re-aggregated on any append. `localCheckpoint` eagerly
+      // materializes the merge before the overwrite drops the table it
+      // reads from. (Stores written before the side table existed get
+      // it backfilled here with a one-time in-bucket rollup.)
+      val spark = docs.sparkSession
+      val ct = countsTable(table)
+      val merged =
+        if (spark.catalog.tableExists(ct))
+          spark.table(ct).unionByName(bandKeyCounts(banded))
+            .groupBy("band", "band_key").agg(sum("n_docs").as("n_docs"))
+        else bandKeyCounts(spark.table(table))
+      Bucketing.writeBucketed(merged.localCheckpoint(true), ct, keys, buckets)
+    } finally banded.unpersist()
+  }
 
   /** Deduplicate a NEW shard against a persisted signature `store`
     * (a table written by [[writeSignatureStore]] with the SAME
@@ -139,14 +187,15 @@ object IncrementalDedup {
   def streamIngest(newDocs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, numHashes: Int, nBands: Int,
                    table: String, buckets: Int, minJaccard: Double,
-                   outPath: String, checkpoint: String)
+                   outPath: String, checkpoint: String,
+                   maxBandDocs: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, idCol, textCol, shingleN, numHashes,
-          nBands, table, buckets, minJaccard, outPath)
+          nBands, table, buckets, minJaccard, outPath, maxBandDocs)
       }
       .start()
 
@@ -163,10 +212,14 @@ object IncrementalDedup {
                   idCol: String, textCol: String,
                   shingleN: Int, numHashes: Int, nBands: Int,
                   table: String, buckets: Int,
-                  minJaccard: Double, outPath: String): Unit = {
+                  minJaccard: Double, outPath: String,
+                  maxBandDocs: Int = 0): Unit = {
     val spark = batch.sparkSession
+    val counts =
+      if (maxBandDocs > 0) Some(spark.table(countsTable(table))) else None
     val verdicts = dedupAgainstStore(batch, idCol, textCol,
-        shingleN, numHashes, nBands, spark.table(table), minJaccard)
+        shingleN, numHashes, nBands, spark.table(table), minJaccard,
+        maxBandDocs, counts)
       .localCheckpoint(true)
     verdicts.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -178,18 +231,40 @@ object IncrementalDedup {
       shingleN, numHashes, nBands, table, buckets)
   }
 
+  /** `maxBandDocs > 0` engages the hot-key cap: band keys carrying MORE
+    * than that many STORE docs (per `keyCounts` — the [[countsTable]]
+    * side table, required when the cap is on) are excluded from
+    * candidate generation on BOTH join sides. A hot key (boilerplate)
+    * otherwise contributes store-side candidate work quadratic in its
+    * ever-growing count on every future shard — see [[MinHash.candidatePairs]]
+    * for the batch-side rationale. Both semi-joins are bucket-aligned
+    * (counts and store share the bucket layout), so the store side
+    * stays Exchange-free with the cap engaged (PlanSpec pins this).
+    * 0 (the default) disables the cap. */
   def dedupAgainstStore(newDocs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int, nBands: Int,
-                        store: DataFrame, minJaccard: Double): DataFrame = {
+                        store: DataFrame, minJaccard: Double,
+                        maxBandDocs: Int = 0,
+                        keyCounts: Option[DataFrame] = None): DataFrame = {
+    require(maxBandDocs == 0 || keyCounts.nonEmpty,
+      "maxBandDocs > 0 requires keyCounts (the store's countsTable)")
     val minMatches = math.ceil(minJaccard * numHashes).toInt
-    val shard = bandedSignatures(newDocs, idCol, textCol,
+    val keys = Seq("band", "band_key")
+    val shard0 = bandedSignatures(newDocs, idCol, textCol,
       shingleN, numHashes, nBands)
+    val (shard, storeSide) =
+      if (maxBandDocs > 0) {
+        val ok = keyCounts.get.filter(col("n_docs") <= maxBandDocs)
+          .select("band", "band_key")
+        (shard0.join(ok.hint("merge"), keys, "left_semi"),
+          store.join(ok.hint("merge"), keys, "left_semi"))
+      } else (shard0, store)
     // several bands can agree for one (new, store) pair: collapse to the
     // pair grain first (n_match is pair-constant, max() just picks it),
     // then roll up per new doc — two doc-keyed aggregates over the
     // candidate set, which is collision-sized, not corpus-sized
     val pairs = shard.as("n")
-      .join(store.as("s").hint("merge"), Seq("band", "band_key"))
+      .join(storeSide.as("s").hint("merge"), Seq("band", "band_key"))
       .filter(col(s"n.$idCol") =!= col(s"s.$idCol"))
       .select(col(s"n.$idCol").as("new_id"), col(s"s.$idCol").as("store_id"),
         MinHash.sigAgreement(col("n.__sig"), col("s.__sig")).as("n_match"))

@@ -1469,8 +1469,88 @@ object ExtQueries {
                    md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_fp
             FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** x34 with the incremental HOT-KEY CAP engaged (`maxBandDocs = 2`
+    * through the persisted per-key count side table —
+    * [[graft.ext.IncrementalDedup.countsTable]]): band keys carrying
+    * more than 2 STORE docs are excluded from candidate generation on
+    * both join sides. To make the cap bite deterministically at every
+    * scale factor, every `doc_id % 7 = 0` document's text is replaced
+    * with one fixed boilerplate string (both engines apply the identical
+    * seeding, the x40 convention): the store then holds far more than 2
+    * identical boilerplate docs, so their shared band keys are hot and a
+    * fresh boilerplate doc — whose ONLY matches go through those keys —
+    * is KEPT (the documented bounded recall loss; identical docs are
+    * exact-dedup's job upstream), while ordinary cross-shard near-dups
+    * keep dropping through their sub-cap keys. The oracle mirrors the
+    * cap as a store-side `HAVING count(*) <= 2` key filter over the
+    * union replay. 100 TB rationale: the store is append-only state
+    * (the engine's analogue of the reference MERGE key,
+    * `dags/sql/4. merge_core.sql:83-84`), so an uncapped hot key grows
+    * its candidate work quadratically across appends —
+    * [[graft.ext.IncrementalDedup]]'s side-table contract is what keeps
+    * per-shard dedup cost proportional to the shard. */
+  private val x43 = Q("x43_incremental_capped",
+    (s, d) => {
+      val boiler =
+        "standard cookie banner please accept all cookies to continue reading"
+      val docs = documents(s, d).withColumn("text",
+        when(col("doc_id") % 7 === 0, lit(boiler)).otherwise(col("text")))
+      val store = docs.filter(col("doc_id") % 5 =!= 4)
+      val fresh = docs.filter(col("doc_id") % 5 === 4)
+      graft.ext.IncrementalDedup.writeSignatureStore(store, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, table = "x43_sig_store",
+        buckets = 8)
+      graft.ext.IncrementalDedup.dedupAgainstStore(fresh, "doc_id", "text",
+          shingleN = 3, numHashes = 16, nBands = 4,
+          store = s.table("x43_sig_store"), minJaccard = 0.5,
+          maxBandDocs = 2,
+          keyCounts = Some(s.table(
+            graft.ext.IncrementalDedup.countsTable("x43_sig_store"))))
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'standard cookie banner please accept all cookies to continue reading'
+                        ELSE text END AS text
+                 FROM documents),
+                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM docs),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 sized AS (SELECT b, bk FROM bands WHERE doc_id % 5 <> 4
+                           GROUP BY b, bk HAVING count(*) <= 2),
+                 kept AS (SELECT bands.doc_id, bands.b, bands.bk
+                          FROM bands JOIN sized ON bands.b = sized.b AND bands.bk = sized.bk),
+                 pairs AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                           FROM kept n JOIN kept s ON n.b = s.b AND n.bk = s.bk
+                           WHERE n.doc_id % 5 = 4 AND s.doc_id % 5 <> 4),
+                 m AS (SELECT new_id, store_id
+                       FROM pairs JOIN sig sa ON sa.doc_id = new_id
+                                  JOIN sig sb ON sb.doc_id = store_id
+                       WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
+                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
+                                min(store_id) AS dup_of
+                         FROM m GROUP BY new_id)
+            SELECT d.doc_id, (a.dup_of IS NULL) AS kept,
+                   COALESCE(a.n_store_matches, 0) AS n_store_matches, a.dup_of
+            FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
+            WHERE d.doc_id % 5 = 4
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42)
+    x40, x41, x42, x43)
 }

@@ -577,6 +577,76 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-key cap: keys over the cap are excluded on both sides; sub-cap matches still drop") {
+    val F = org.apache.spark.sql.functions
+    val boiler = "standard cookie banner please accept all cookies now"
+    val hotStore = df(Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), // one hot key per band (3 docs)
+      (4L, "completely different content about spark engines and parquet files")))
+      .toDF("doc_id", "text")
+    IncrementalDedup.writeSignatureStore(hotStore, "doc_id", "text", 3, 16, 4,
+      "inc_cap_store", 4)
+    val ct = spark.table(IncrementalDedup.countsTable("inc_cap_store"))
+    // identical docs share every band key: 4 keys at count 3
+    assert(ct.filter(F.col("n_docs") === 3L).count() == 4)
+    val newShard = df(Seq(
+      (10L, boiler), // matches the store ONLY through hot keys
+      (11L, "completely different content about spark engines and parquet files")))
+      .toDF("doc_id", "text")
+    val capped = IncrementalDedup.dedupAgainstStore(newShard, "doc_id", "text",
+        3, 16, 4, spark.table("inc_cap_store"), 0.5,
+        maxBandDocs = 2, keyCounts = Some(ct))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    // the hot-key-only dup is KEPT (the documented bounded recall loss —
+    // identical docs are exact-dedup's job upstream); the sub-cap dup drops
+    assert(capped == Seq((10L, true, 0L), (11L, false, 1L)))
+    // uncapped, the boilerplate doc drops — the cap actually bit above
+    val uncapped = IncrementalDedup.dedupAgainstStore(newShard, "doc_id", "text",
+        3, 16, 4, spark.table("inc_cap_store"), 0.5)
+      .filter(F.col("doc_id") === 10L).collect().head
+    assert(!uncapped.getBoolean(1))
+  }
+
+  test("appendSignatures maintains the counts table incrementally, equal to a full recompute") {
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_cnt_store", 4)
+    // one doc merging into existing keys (exact dup of store doc 1), one
+    // contributing fresh keys
+    IncrementalDedup.appendSignatures(df(Seq(
+        (50L, "the quick brown fox jumps over the lazy dog"),
+        (51L, "brand new content that shares nothing at all")))
+      .toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 4, "inc_cnt_store", 4)
+    def keyed(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    val maintained = keyed(spark.table(IncrementalDedup.countsTable("inc_cnt_store")))
+    val recomputed = keyed(spark.table("inc_cnt_store")
+      .groupBy("band", "band_key")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs")))
+    assert(maintained == recomputed)
+    assert(maintained.values.exists(_ == 2L)) // the merged key actually summed
+  }
+
+  test("ingestBatch honors the cap through the persisted counts table") {
+    val F = org.apache.spark.sql.functions
+    val boiler = "standard cookie banner please accept all cookies now"
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-cap-")
+    IncrementalDedup.writeSignatureStore(
+      df(Seq((1L, boiler), (2L, boiler), (3L, boiler))).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 4, "inc_cap_ingest_store", 4)
+    IncrementalDedup.ingestBatch(
+      df(Seq((10L, boiler))).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      3, 16, 4, "inc_cap_ingest_store", 4, 0.5, s"$root/out", maxBandDocs = 2)
+    val v = spark.read.parquet(s"$root/out").collect().head
+    assert(v.getAs[Boolean]("kept")) // hot keys excluded → survivor
+    // the survivor's signatures were appended and the counts table
+    // advanced with them (hot key now 4 docs deep)
+    assert(spark.table(IncrementalDedup.countsTable("inc_cap_ingest_store"))
+      .filter(F.col("n_docs") === 4L).count() == 4)
+  }
+
   test("the store is never re-signed: dedup keeps working when the shard text differs from ingest time") {
     // the store table is the source of truth — dedupAgainstStore must
     // read it as-is (a rebuild-from-docs implementation would need the

@@ -294,6 +294,48 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one minhash_sig evaluation in the x34 plan, found $sigEvals")
   }
 
+  test("x43 capped incremental dedup keeps the store side Exchange-free through the semi filter") {
+    val df = Registry.queries("x43_incremental_capped")(spark, sf)
+    val executed = df.queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    def storeScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.tableIdentifier.exists(_.table == "x43_sig_store") => f
+    }
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    // the band join's store side now CONTAINS the hot-key semi filter
+    // (store ⋉ counts, both bucketed on the same keys): select join
+    // sides that scan the bucketed store table and whose only nested
+    // joins are LeftSemi — i.e. the semi-filtered store subtree but not
+    // the outer doc-id join (which nests the inner band join itself)
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right))
+      .filter { s =>
+        storeScans(s).nonEmpty &&
+          s.collect {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+              if j.joinType != org.apache.spark.sql.catalyst.plans.LeftSemi => j
+          }.isEmpty
+      }
+    assert(storeSides.nonEmpty,
+      s"no sort-merge join reads the semi-filtered bucketed store:\n${root.toString.take(1500)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"store+counts subtree must read its buckets in place, found shuffles: $es")
+    }
+    // cap engaged via the side table, and the store side must include a
+    // semi-filtered subtree (at least one LeftSemi SMJ over bucketed scans)
+    assert(smjs.exists(_.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi),
+      "expected the hot-key semi filter to compile as a sort-merge semi join")
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
