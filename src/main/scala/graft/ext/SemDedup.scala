@@ -45,8 +45,10 @@ object SemDedup {
     * [[MinHash.candidatePairs]]'s hot-bucket cap. A blown-up cluster
     * means k is too small for the corpus (the paper re-clusters such
     * clusters); the cap converts that misconfiguration from a runaway
-    * shuffle into a bounded, observable recall loss. 0 (the default,
-    * and the x38 oracle-checked configuration) disables the cap.
+    * shuffle into a bounded, observable recall loss. 0 (the default)
+    * disables the cap; the x38 oracle-checked configuration engages it
+    * at `ceil(1.05 · N/k)` so the guard is exercised, not just
+    * available.
     */
   def verdicts(vecs: DataFrame, idCol: String, embCol: String,
                k: Int, rounds: Int, minCosine: Double,

@@ -1312,11 +1312,28 @@ object ExtQueries {
     * space, exact cosine scores only cluster-mates, greedy-by-id
     * first-wins keep rule — see [[graft.ext.SemDedup]]. The oracle
     * replays the x23 integer-exact clustering verbatim and the x12
-    * cosine fold within each cluster. */
+    * cosine fold within each cluster.
+    *
+    * The checked configuration runs WITH the blown-up-cluster guard
+    * engaged: `maxClusterDocs = ceil(1.05 · N/k)`, i.e. a hair above
+    * the expected cluster size, so on this corpus the cap provably
+    * BITES at every scale factor (the largest clusters sit a few
+    * percent above N/k) while most pairs survive — members of an
+    * over-cap cluster are all kept, the operator's documented bounded
+    * recall loss. Σ|cluster|² is then hard-bounded by k·cap² instead
+    * of degenerating to N² when k is misconfigured for the corpus; a
+    * production run would use a looser multiplier, but a cap the data
+    * never reaches would leave the guard un-checked (the x36 lesson).
+    * The oracle mirrors the cap as a cluster-size `HAVING` filter
+    * computed from the same corpus count. */
   private val x38 = Q("x38_semantic_dedup",
-    (s, d) => SemDedup.verdicts(embeddings(s, d), "vec_id", "embedding",
-        k = 8, rounds = 2, minCosine = 0.4)
-      .orderBy("vec_id"),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val cap = math.ceil(1.05 * emb.count() / 8).toInt
+      SemDedup.verdicts(emb, "vec_id", "embedding",
+          k = 8, rounds = 2, minCosine = 0.4, maxClusterDocs = cap)
+        .orderBy("vec_id")
+    },
     Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
                       v -> CAST(floor(CAST(v AS DOUBLE)*1048576 + 0.5) AS BIGINT) + 2097152) AS u
                     FROM embeddings),
@@ -1339,9 +1356,13 @@ object ExtQueries {
                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                     FROM d2),
              cl AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2 WHERE rn = 1),
+             ok AS (SELECT cluster FROM cl GROUP BY cluster
+                    HAVING count(*) <= CAST(ceil(CAST(1.05 AS DOUBLE)
+                      * (SELECT count(*) FROM embeddings) / 8) AS BIGINT)),
              pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                        FROM cl a JOIN cl b
-                         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+                         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                       WHERE a.cluster IN (SELECT cluster FROM ok)),
              scored AS (SELECT id_a, id_b,
                  list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
