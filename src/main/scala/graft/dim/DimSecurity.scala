@@ -87,20 +87,24 @@ object DimSecurity {
 
   /** Derive the dashboard's richer dimension columns
     * ([[graft.schema.Schemas.dimSecurityRich]]) from the maintained
-    * (security_id, symbol) rows: pure deterministic expressions (crc32 of
-    * the symbol picks stable vocabulary entries), so enrichment is
-    * idempotent, engine-reproducible, and free to recompute. */
+    * (security_id, symbol) rows: pure deterministic expressions — the
+    * 60-bit md5-prefix integer of `symbol || salt` (the engine's shared
+    * oracle-portable hash primitive, [[graft.ext.MinHash.shingleHash]])
+    * picks stable vocabulary entries — so enrichment is idempotent,
+    * engine-reproducible, free to recompute, and CHECKABLE by the
+    * DuckDB oracle (q38 composes it with the A9 share-of-total; crc32,
+    * the previous pick hash, has no DuckDB twin). */
   def enrich(dim: DataFrame): DataFrame = {
+    def md5int(salt: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(col("symbol"), lit(salt))), 1, 15), 16, 10)
+        .cast("long")
     def pick(vocab: Seq[String], salt: String): org.apache.spark.sql.Column =
-      element_at(typedLit(vocab),
-        (pmod(crc32(concat(col("symbol"), lit(salt)).cast("binary")),
-          lit(vocab.size)) + 1).cast("int"))
+      element_at(typedLit(vocab), (md5int(salt) % vocab.size + 1).cast("int"))
     dim
       .withColumn("security_name", initcap(lower(col("symbol"))))
       .withColumn("sector", pick(Sectors, "|sector"))
       .withColumn("industry", pick(Industries, "|industry"))
       .withColumn("security_type", pick(Types, "|type"))
-      .withColumn("is_watchlist",
-        pmod(crc32(concat(col("symbol"), lit("|wl")).cast("binary")), lit(5)) === 0)
+      .withColumn("is_watchlist", md5int("|wl") % 5 === 0)
   }
 }

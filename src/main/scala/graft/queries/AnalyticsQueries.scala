@@ -380,6 +380,56 @@ object AnalyticsQueries {
                     (${Sql.dbl("sum(vc)")} / 100.0) AS total_value
              FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""))
 
+  /** A9 through the ENRICHED security dimension — the dashboard's
+    * sector-contribution visual (reference
+    * `dashboard/securities_market_report1.jpg` slices measures by the
+    * dim's sector/industry/type attributes): distinct symbols (nation
+    * names, the q12 dim embodiment) run through
+    * [[graft.dim.DimSecurity.enrich]]'s deterministic md5-pick
+    * attributes, the q17 star-join revenue rolls up per SECTOR, and
+    * share-of-total divides by the unpartitioned window sum. The
+    * oracle replays the md5-prefix vocabulary pick (the engine's
+    * shared oracle-portable hash primitive) and the exact-decimal
+    * revenue accumulation — the first checked query through the
+    * enriched dim rather than a testdata stand-in column. The enriched
+    * dim is tiny at any scale (one row per security) and broadcasts. */
+  private val q38 = Q("q38_sector_share",
+    (s, d) => {
+      val rich = graft.dim.DimSecurity.enrich(
+        nation(s, d).select(upper(trim(col("n_name"))).as("symbol")).distinct())
+      val joined = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rich), upper(trim(col("n_name"))) === col("symbol"))
+      Analytics.shareOfTotal(joined, "sector",
+        cents2(col("l_extendedprice")) * (hundred - pct(col("l_discount"))),
+        scale = 10000.0)
+        .orderBy("sector")
+    },
+    Some({
+      val pc = s"CAST(${Sql.cents2("l_extendedprice")} AS HUGEINT)"
+      val dp = s"CAST(${Sql.pct("l_discount")} AS HUGEINT)"
+      s"""WITH syms AS (SELECT DISTINCT upper(trim(n_name)) AS symbol FROM nation),
+              rich AS (SELECT symbol,
+                  (['Technology','Financials','Health Care','Energy','Industrials','Consumer','Utilities','Materials'])[
+                    CAST(CAST('0x'||substr(md5(symbol || '|sector'),1,15) AS UBIGINT) AS BIGINT) % 8 + 1] AS sector
+                FROM syms),
+              r AS (
+                SELECT rich.sector, SUM($pc * (100 - $dp)) AS revs
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN rich ON rich.symbol = upper(trim(n_name))
+                GROUP BY rich.sector)
+            SELECT sector,
+                   (${Sql.dbl("revs")} / 10000.0) AS rev,
+                   ((${Sql.dbl("revs")} / 10000.0)
+                     / (${Sql.dbl("SUM(revs) OVER ()")} / 10000.0)) AS share
+            FROM r ORDER BY sector"""
+    }))
+
   val qs: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q29, q37)
+    q26, q27, q29, q37, q38)
 }

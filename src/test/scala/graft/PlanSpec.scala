@@ -18,6 +18,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q38 sector share broadcasts the enriched dim (no cartesian, no dim shuffle)") {
+    val p = plan("q38_sector_share")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q14 semi join stays a semi join") {
     assert(plan("q14_semi_join").contains("LeftSemi"))
   }
