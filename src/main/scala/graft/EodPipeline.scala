@@ -58,10 +58,15 @@ class EodPipeline(spark: SparkSession, warehouseDir: String) {
   def run(bronzeCsvPath: String, runDate: java.sql.Date,
           ingestTs: Option[java.sql.Timestamp] = None,
           forceReload: Boolean = false): RunResult = {
-    // t04.1 copy_to_raw (S5/S6)
+    // t04.1 copy_to_raw (S5/S6). The skip count is measured at READ
+    // grain (before date scoping — a skipped row has no parseable
+    // trade_date to scope by): rows_parsed − rows_loaded, the COPY
+    // load-history number (`1. copy_to_raw.sql:38` ON_ERROR=CONTINUE).
+    val parsed = EodCsvSource.readParsed(spark, bronzeCsvPath, ingestTs)
+    val skipped = parsed.filter(EodCsvSource.keyFieldsMissing).count()
     val batch = EodCsvSource.forDate(
-      EodCsvSource.read(spark, bronzeCsvPath, ingestTs), runDate)
-    runBatch(batch, runDate, ingestTs, forceReload)
+      parsed.filter(!EodCsvSource.keyFieldsMissing), runDate)
+    runBatch(batch, runDate, ingestTs, forceReload, skippedCnt = skipped)
   }
 
   /** The cascade from an already-read RAW-shaped batch (one run date).
@@ -70,7 +75,8 @@ class EodPipeline(spark: SparkSession, warehouseDir: String) {
     * streaming. */
   def runBatch(batch: DataFrame, runDate: java.sql.Date,
                ingestTs: Option[java.sql.Timestamp] = None,
-               forceReload: Boolean = false): RunResult = {
+               forceReload: Boolean = false,
+               skippedCnt: Long = 0L): RunResult = {
     // t04.2 check (A2)
     Gates.requireNonEmpty(batch, s"raw batch $runDate")
 
@@ -85,7 +91,7 @@ class EodPipeline(spark: SparkSession, warehouseDir: String) {
 
     // t04.3 premerge metrics (Q1) — against CORE as it stands
     val core0 = readOrEmpty(CoreTable, Schemas.core)
-    val pre = Audit.preMerge(batch, core0)
+    val pre = Audit.preMerge(batch, core0, skippedCnt)
 
     // t04.4 merge_core: reject quarantine (M1) + dedup (W1) + upsert (M2).
     // Symbols are normalized BEFORE the dedup window (the reference's

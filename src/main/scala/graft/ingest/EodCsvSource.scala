@@ -25,13 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object EodCsvSource {
 
-  /** Read one or more bronze CSV files (glob OK) into RAW shape.
-    * `ingestTs` is injectable so tests and checked queries stay
-    * deterministic (SURVEY.md §2.5 note: lineage timestamps are
-    * nondeterministic by design and excluded from correctness diffs).
-    */
-  def read(spark: SparkSession, path: String,
-           ingestTs: Option[java.sql.Timestamp] = None): DataFrame = {
+  /** The ON_ERROR=CONTINUE skip predicate: a row whose KEY fields did
+    * not parse is skipped, not loaded (OHLC nulls survive — they are
+    * data, not keys). Exposed so callers can COUNT the skipped rows —
+    * Snowflake's load history reports rows_parsed vs rows_loaded per
+    * file (`1. copy_to_raw.sql:38`), and [[graft.metrics.Audit.preMerge]]
+    * surfaces the difference in the Q1 metrics row. */
+  val keyFieldsMissing: org.apache.spark.sql.Column =
+    col("trade_date").isNull || col("symbol").isNull
+
+  /** PERMISSIVE parse of one or more bronze CSV files (glob OK) into
+    * RAW shape WITHOUT the skip filter — unparseable-key rows are
+    * present with null keys, exactly `rows_parsed` grain. Use [[read]]
+    * for the loaded rows; the difference is the skipped count. */
+  def readParsed(spark: SparkSession, path: String,
+                 ingestTs: Option[java.sql.Timestamp] = None): DataFrame = {
     val ts = ingestTs.map(t => lit(t)).getOrElse(current_timestamp())
     spark.read
       .schema(Schemas.bronzeCsv)
@@ -39,12 +47,21 @@ object EodCsvSource {
       .option("nullValue", "NULL")
       .option("mode", "PERMISSIVE")
       .csv(path)
-      // ON_ERROR=CONTINUE parity: a row whose key fields did not parse is
-      // skipped, not loaded. OHLC nulls survive (they are data, not keys).
-      .filter(col("trade_date").isNotNull && col("symbol").isNotNull)
       .withColumn("_src_file", input_file_name())
       .withColumn("_ingest_ts", ts)
   }
+
+  /** Read one or more bronze CSV files (glob OK) into RAW shape.
+    * `ingestTs` is injectable so tests and checked queries stay
+    * deterministic (SURVEY.md §2.5 note: lineage timestamps are
+    * nondeterministic by design and excluded from correctness diffs).
+    */
+  def read(spark: SparkSession, path: String,
+           ingestTs: Option[java.sql.Timestamp] = None): DataFrame =
+    // ON_ERROR=CONTINUE parity: drop rows matching [[keyFieldsMissing]]
+    // (Snowflake skips the row; Spark nulls the cell — dropping
+    // null-required-field rows makes the two behaviors equal)
+    readParsed(spark, path, ingestTs).filter(!keyFieldsMissing)
 
   /** Restrict a RAW batch to one run date — the universal incremental
     * scoping predicate (SURVEY.md §2.2 P1; 10 sites in the reference). */

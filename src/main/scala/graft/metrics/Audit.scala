@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * driver program IS the orchestration (SURVEY.md §3.1).
   */
 final case class PreMergeMetrics(rawCnt: Long, rejectCnt: Long,
-                                 estInserts: Long, estUpdates: Long)
+                                 estInserts: Long, estUpdates: Long,
+                                 skippedCnt: Long = 0L)
 final case class PostMergeMetrics(coreRows: Long, factRows: Long)
 
 object Audit {
@@ -24,8 +25,17 @@ object Audit {
     * est_updates = |distinct valid keys| holds by construction
     * (reference `3. premerge_metrics.sql:45-49`). Valid/reject use the
     * reference's exact predicates (`VOLUME >= 0` / `VOLUME < 0`), under
-    * which null-volume rows count in neither. */
-  def preMerge(raw: DataFrame, core: DataFrame): PreMergeMetrics = {
+    * which null-volume rows count in neither.
+    *
+    * `skippedCnt` is the loader's ON_ERROR=CONTINUE skip count
+    * (rows_parsed − rows_loaded — Snowflake surfaces it in COPY load
+    * history, `1. copy_to_raw.sql:38`; the engine's loader counts
+    * [[graft.ingest.EodCsvSource.keyFieldsMissing]] rows). It is
+    * measured at READ grain, before any date scoping — a skipped row
+    * has no parseable trade_date to scope by — so the caller that ran
+    * the load passes it through. */
+  def preMerge(raw: DataFrame, core: DataFrame,
+               skippedCnt: Long = 0L): PreMergeMetrics = {
     val rawCnt = raw.count()
     val rejectCnt = raw.filter(graft.quality.Gates.negativeVolume).count()
     val validKeys = raw.filter(graft.quality.Gates.validVolume)
@@ -35,7 +45,8 @@ object Audit {
       core.select(col("symbol"), col("trade_date")),
       Seq("symbol", "trade_date"), "left_semi").count()
     PreMergeMetrics(rawCnt, rejectCnt,
-      estInserts = validKeys.count() - existing, estUpdates = existing)
+      estInserts = validKeys.count() - existing, estUpdates = existing,
+      skippedCnt = skippedCnt)
   }
 
   /** Q2: post-merge reconciliation counts for the run date. */
@@ -60,6 +71,7 @@ object Audit {
     s""":white_check_mark: *EOD Summary*
        |• Trading Date: `$tradingDate`
        |• RAW rows: `${fmt(p.rawCnt)}`
+       |• Skipped (unparseable) rows: `${fmt(p.skippedCnt)}`
        |• Reject rows: `${fmt(p.rejectCnt)}`
        |• Estimated CORE inserts: `${fmt(p.estInserts)}`
        |• Estimated CORE updates: `${fmt(p.estUpdates)}`

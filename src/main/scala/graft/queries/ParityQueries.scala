@@ -85,11 +85,17 @@ object ParityQueries {
   /** Q1/A5/J1/J2: pre-merge metrics row — raw count, reject count,
     * insert/update estimates via semi join of distinct normalized keys,
     * stitched by cross joins of 1-row aggregates
-    * (reference `3. premerge_metrics.sql:9-53`). */
+    * (reference `3. premerge_metrics.sql:9-53`), plus the loader's
+    * ON_ERROR=CONTINUE skip count (rows_parsed − rows_loaded, the COPY
+    * load-history number `1. copy_to_raw.sql:38` — here the rows of
+    * the batch window whose key field failed to parse, modeled as a
+    * null `o_custkey`; raw_cnt counts only the LOADED rows, matching
+    * what lands in RAW). */
   private val q06 = Q("q06_premerge_metrics",
     (s, d) => {
       val o = orders(s, d)
-      val raw = o.filter(col("o_orderdate") >= lit(cutoff))
+      val window0 = o.filter(col("o_orderdate") >= lit(cutoff))
+      val raw = window0.filter(col("o_custkey").isNotNull)
       val rejectPred = col("o_orderpriority") === "1-URGENT"
       val vk = raw.filter(!rejectPred).select("o_custkey").distinct()
       val existing = o.filter(col("o_orderdate") < lit(cutoff))
@@ -97,18 +103,22 @@ object ParityQueries {
       val updates = vk.join(existing, Seq("o_custkey"), "left_semi")
         .agg(count(lit(1)).as("est_updates"))
       raw.agg(count(lit(1)).as("raw_cnt"))
+        .crossJoin(window0.filter(col("o_custkey").isNull)
+          .agg(count(lit(1)).as("skipped_cnt")))
         .crossJoin(raw.filter(rejectPred).agg(count(lit(1)).as("reject_cnt")))
         .crossJoin(vk.agg(count(lit(1)).as("vk_cnt")))
         .crossJoin(updates)
-        .select(col("raw_cnt"), col("reject_cnt"),
+        .select(col("raw_cnt"), col("skipped_cnt"), col("reject_cnt"),
           (col("vk_cnt") - col("est_updates")).as("est_inserts"), col("est_updates"))
     },
-    Some("""WITH raw AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    Some("""WITH w AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+            raw AS (SELECT * FROM w WHERE o_custkey IS NOT NULL),
             vk AS (SELECT DISTINCT o_custkey FROM raw WHERE NOT (o_orderpriority = '1-URGENT')),
             ex AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
             m AS (SELECT CAST(count(*) AS BIGINT) AS est_updates FROM vk
                   WHERE o_custkey IN (SELECT o_custkey FROM ex))
             SELECT CAST((SELECT count(*) FROM raw) AS BIGINT) AS raw_cnt,
+                   CAST((SELECT count(*) FROM w WHERE o_custkey IS NULL) AS BIGINT) AS skipped_cnt,
                    CAST((SELECT count(*) FROM raw WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS reject_cnt,
                    CAST((SELECT count(*) FROM vk) AS BIGINT) - m.est_updates AS est_inserts,
                    m.est_updates

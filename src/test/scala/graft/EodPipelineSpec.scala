@@ -20,6 +20,22 @@ class EodPipelineSpec extends SparkSpec {
       .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
   }
 
+  test("unparseable-key rows surface as the Q1 skipped count and never load") {
+    val bronze = Fixtures.tempDir("bronze-skip")
+    val wh = Fixtures.tempDir("wh-skip").toString
+    val csv = bronze.resolve("eod.csv")
+    java.nio.file.Files.writeString(csv,
+      """trade_date,symbol,open,high,low,close,volume
+        |2026-08-10,AAPL,1.00,2.00,0.50,1.50,100
+        |not-a-date,MSFT,1.00,2.00,0.50,1.50,100
+        |2026-08-10,,1.00,2.00,0.50,1.50,100
+        |""".stripMargin)
+    val r = new EodPipeline(spark, wh).run(csv.toString, d1, Some(ts1))
+    assert(r.pre.skippedCnt == 2)  // bad date + empty symbol
+    assert(r.pre.rawCnt == 1)      // only AAPL loads
+    assert(spark.read.parquet(s"$wh/${EodPipeline.RawTable}").count() == 1)
+  }
+
   test("two dates through the cascade: layer counts, rejects, dims, fact") {
     val bronze = Fixtures.tempDir("bronze").toString
     val wh = Fixtures.tempDir("wh").toString
@@ -28,6 +44,8 @@ class EodPipelineSpec extends SparkSpec {
     val r1 = pipe.run(Fixtures.writeStandard(bronze, "2026-08-10"), d1, Some(ts1))
     // 8 good rows (1 null-volume still valid) + 10 bad = 18 raw
     assert(r1.pre.rawCnt == 18 && r1.pre.rejectCnt == 10)
+    // the standard fixture has no unparseable-key rows: loader skip = 0
+    assert(r1.pre.skippedCnt == 0)
     // distinct valid keys: AAPL(+dup), MSFT(+" msft "), GOOG, NVDA, IBM → 5
     // (TSLA has null volume → satisfies neither >= 0 nor < 0 → dropped,
     // exactly the reference's three-valued-logic behavior)

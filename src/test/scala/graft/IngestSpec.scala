@@ -116,6 +116,27 @@ class SinkGateSummarySpec extends SparkSpec {
       .head.getDecimal(0).compareTo(new java.math.BigDecimal("233.10")) == 0)
   }
 
+  test("readParsed keeps unparseable-key rows; read drops them — the difference is the skip count") {
+    val dir = Fixtures.tempDir("skiprows")
+    val csv = dir.resolve("bad.csv")
+    java.nio.file.Files.writeString(csv,
+      """trade_date,symbol,open,high,low,close,volume
+        |2026-08-10,AAPL,231.15,233.90,230.40,233.10,51234567
+        |not-a-date,MSFT,410.00,412.50,408.20,411.80,23456789
+        |2026-08-10,,1.00,1.00,1.00,1.00,100
+        |2026-08-10,GOOG,xx,2.00,1.50,1.75,200
+        |""".stripMargin)
+    val ts = Some(java.sql.Timestamp.valueOf("2026-08-10 21:05:00"))
+    val parsed = EodCsvSource.readParsed(spark, csv.toString, ts)
+    assert(parsed.count() == 4) // rows_parsed
+    val skipped = parsed.filter(EodCsvSource.keyFieldsMissing).count()
+    assert(skipped == 2) // bad date + empty symbol; bad OHLC is data, not key
+    val loaded = EodCsvSource.read(spark, csv.toString, ts)
+    assert(loaded.count() == 2) // rows_loaded: AAPL + GOOG (null open survives)
+    assert(loaded.filter(col("symbol") === "GOOG").collect().head
+      .isNullAt(loaded.columns.indexOf("open")))
+  }
+
   test("file gate fails typed on a missing path") {
     intercept[GateFailed] {
       Gates.requireFileExists(spark, "/tmp/definitely/not/here.csv")
@@ -171,11 +192,12 @@ class SinkGateSummarySpec extends SparkSpec {
 
   test("summary formatter renders the reference's message shape, bug-free on empties") {
     val s = Audit.formatSummary(d1,
-      Some(PreMergeMetrics(12345, 10, 6000, 227)),
+      Some(PreMergeMetrics(12345, 10, 6000, 227, skippedCnt = 3)),
       Some(PostMergeMetrics(1234567, 1234500)))
     assert(s.contains("*EOD Summary*"))
     assert(s.contains("• Trading Date: `2026-08-10`"))
     assert(s.contains("• RAW rows: `12,345`"))
+    assert(s.contains("• Skipped (unparseable) rows: `3`"))
     assert(s.contains("• Reject rows: `10`"))
     assert(s.contains("• Estimated CORE inserts: `6,000`"))
     assert(s.contains("• CORE rows after merge: `1,234,567`"))
