@@ -430,6 +430,42 @@ object AnalyticsQueries {
             FROM r ORDER BY sector"""
     }))
 
+  /** The full enriched-dimension surface as a checked query: every
+    * attribute [[graft.dim.DimSecurity.enrich]] derives — name casing,
+    * all three md5-pick vocabularies, and the watchlist flag — replayed
+    * by the oracle (q38 checks only the sector leg through the rollup;
+    * this is the dim-grain row set the dashboard's slicers read).
+    * DuckDB has no `initcap`, so the oracle emulates Spark's
+    * word-grain semantics with a split/capitalize/join fold. */
+  private val q39 = Q("q39_dim_enriched",
+    (s, d) => {
+      val dim = nation(s, d)
+        .select(upper(trim(col("n_name"))).as("symbol")).distinct()
+      graft.dim.DimSecurity.enrich(dim.select(
+          row_number().over(Window.orderBy("symbol")).cast("long")
+            .as("security_id"),
+          col("symbol")))
+        .orderBy("symbol")
+    },
+    Some("""WITH syms AS (SELECT DISTINCT upper(trim(n_name)) AS symbol FROM nation),
+             ids AS (SELECT CAST(row_number() OVER (ORDER BY symbol) AS BIGINT) AS security_id,
+                            symbol
+                     FROM syms),
+             h AS (SELECT security_id, symbol,
+                     CAST(CAST('0x'||substr(md5(symbol||'|sector'),1,15) AS UBIGINT) AS BIGINT) % 8 AS hs,
+                     CAST(CAST('0x'||substr(md5(symbol||'|industry'),1,15) AS UBIGINT) AS BIGINT) % 12 AS hi,
+                     CAST(CAST('0x'||substr(md5(symbol||'|type'),1,15) AS UBIGINT) AS BIGINT) % 3 AS ht,
+                     CAST(CAST('0x'||substr(md5(symbol||'|wl'),1,15) AS UBIGINT) AS BIGINT) % 5 AS hw
+                   FROM ids)
+            SELECT security_id, symbol,
+                   array_to_string(list_transform(string_split(lower(trim(symbol)), ' '),
+                     w -> CASE WHEN len(w)=0 THEN w ELSE upper(w[1])||substr(w,2) END), ' ') AS security_name,
+                   (['Technology','Financials','Health Care','Energy','Industrials','Consumer','Utilities','Materials'])[hs+1] AS sector,
+                   (['Software','Banks','Pharma','Oil & Gas','Machinery','Retail','Electric','Chemicals','Semiconductors','Insurance','Biotech','Mining'])[hi+1] AS industry,
+                   (['Equity','ETF','Unit'])[ht+1] AS security_type,
+                   (hw = 0) AS is_watchlist
+            FROM h ORDER BY symbol"""))
+
   val qs: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q29, q37, q38)
+    q26, q27, q29, q37, q38, q39)
 }

@@ -647,6 +647,28 @@ class IncrementalDedupSpec extends SparkSpec {
       .filter(F.col("n_docs") === 4L).count() == 4)
   }
 
+  test("cap decisions track the counts table as the store evolves") {
+    val F = org.apache.spark.sql.functions
+    val boiler = "standard cookie banner please accept all cookies now"
+    val tbl = "inc_evolve_store"
+    def verdict(id: Long): Boolean =
+      IncrementalDedup.dedupAgainstStore(
+          df(Seq((id, boiler))).toDF("doc_id", "text"), "doc_id", "text",
+          3, 16, 4, spark.table(tbl), 0.5, maxBandDocs = 2,
+          keyCounts = Some(spark.table(IncrementalDedup.countsTable(tbl))))
+        .collect().head.getBoolean(1) // kept?
+    // two boiler docs: the shared key sits exactly AT the cap → usable
+    IncrementalDedup.writeSignatureStore(
+      df(Seq((1L, boiler), (2L, boiler))).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 4, tbl, 4)
+    assert(!verdict(10L)) // matches through the at-cap key → dropped
+    // store maintenance appends a third boiler doc → key goes over cap
+    IncrementalDedup.appendSignatures(
+      df(Seq((3L, boiler))).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 4, tbl, 4)
+    assert(verdict(11L)) // same probe now KEPT: counts table advanced
+  }
+
   test("the store is never re-signed: dedup keeps working when the shard text differs from ingest time") {
     // the store table is the source of truth — dedupAgainstStore must
     // read it as-is (a rebuild-from-docs implementation would need the
