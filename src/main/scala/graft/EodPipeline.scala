@@ -69,6 +69,23 @@ class EodPipeline(spark: SparkSession, warehouseDir: String) {
     runBatch(batch, runDate, ingestTs, forceReload, skippedCnt = skipped)
   }
 
+  /** [[run]] under the reference's task-retry policy
+    * (`dags/get_securities_data.py:30-33`: retries 3×, 5 min apart —
+    * [[graft.util.Retry]]): transient failures (a source outage, an
+    * object-store blip) retry whole-stage like the reference's Airflow
+    * tasks; deterministic failures exhaust the budget and rethrow.
+    * Safe to re-enter mid-cascade: RAW appends are load-history-guarded
+    * by `_src_file` and every merge is rerun-idempotent
+    * (EodPipelineSpec pins both). */
+  def runWithRetry(bronzeCsvPath: String, runDate: java.sql.Date,
+                   ingestTs: Option[java.sql.Timestamp] = None,
+                   forceReload: Boolean = false,
+                   retries: Int = graft.util.Retry.DefaultRetries,
+                   delayMs: Long = graft.util.Retry.DefaultDelayMs,
+                   sleep: Long => Unit = Thread.sleep): RunResult =
+    graft.util.Retry.retry(retries, delayMs, sleep)(() =>
+      run(bronzeCsvPath, runDate, ingestTs, forceReload))
+
   /** The cascade from an already-read RAW-shaped batch (one run date).
     * This is the entry point the streaming variant reuses per micro-batch
     * (SURVEY.md §2.9) — stages t04.2..t04.7 are identical in batch and

@@ -137,6 +137,50 @@ class SinkGateSummarySpec extends SparkSpec {
       .isNullAt(loaded.columns.indexOf("open")))
   }
 
+  test("retry runs transient failures to success and exhausts the budget on persistent ones") {
+    import graft.util.Retry
+    // transient: two failures, then success; one sleep per retry
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val got = Retry.retry(retries = 3, delayMs = 7L, sleep = slept += _) { () =>
+      calls += 1
+      if (calls < 3) sys.error(s"transient $calls") else 42
+    }
+    assert(got == 42 && calls == 3 && slept.toSeq == Seq(7L, 7L))
+    // persistent: retries+1 attempts, the LAST exception rethrows
+    var calls2 = 0
+    val ex = intercept[RuntimeException] {
+      Retry.retry(retries = 2, delayMs = 1L, sleep = _ => ()) { () =>
+        calls2 += 1; sys.error(s"always $calls2")
+      }
+    }
+    assert(calls2 == 3 && ex.getMessage == "always 3")
+    // zero retries: one attempt, no sleep
+    var calls3 = 0
+    intercept[RuntimeException] {
+      Retry.retry(retries = 0, delayMs = 1L,
+        sleep = _ => fail("must not sleep")) { () => calls3 += 1; sys.error("x") }
+    }
+    assert(calls3 == 1)
+  }
+
+  test("runWithRetry recovers when the bronze file lands between attempts") {
+    val bronze = Fixtures.tempDir("retry-bronze")
+    val wh = Fixtures.tempDir("retry-wh").toString
+    val csv = bronze.resolve("eod.csv")
+    val pipe = new graft.EodPipeline(spark, wh)
+    // first attempt: file missing → read throws; the sleep hook "lands"
+    // the file (the late-vendor-feed shape the reference retries over)
+    val r = pipe.runWithRetry(csv.toString, d1,
+      Some(java.sql.Timestamp.valueOf("2026-08-10 21:05:00")),
+      retries = 2, delayMs = 0L,
+      sleep = _ => java.nio.file.Files.writeString(csv,
+        """trade_date,symbol,open,high,low,close,volume
+          |2026-08-10,AAPL,1.00,2.00,0.50,1.50,100
+          |""".stripMargin))
+    assert(r.pre.rawCnt == 1 && r.post.coreRows == 1)
+  }
+
   test("file gate fails typed on a missing path") {
     intercept[GateFailed] {
       Gates.requireFileExists(spark, "/tmp/definitely/not/here.csv")
