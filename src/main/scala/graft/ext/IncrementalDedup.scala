@@ -121,29 +121,37 @@ object IncrementalDedup {
   def appendSignatures(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, nBands: Int,
                        table: String, buckets: Int): Unit = {
-    val keys = Seq("band", "band_key")
     val banded = bandedSignatures(docs, idCol, textCol, shingleN, numHashes,
         nBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      Bucketing.appendBucketed(banded, table, keys, buckets)
-      // incremental count maintenance: merge the SHARD's per-key counts
-      // into the side table — old counts ∪ shard counts → per-key sum.
-      // The groupBy spans the compact count relation plus the shard's
-      // keys, never the signature store; the store itself is not
-      // re-aggregated on any append. `localCheckpoint` eagerly
-      // materializes the merge before the overwrite drops the table it
-      // reads from. (Stores written before the side table existed get
-      // it backfilled here with a one-time in-bucket rollup.)
-      val spark = docs.sparkSession
-      val ct = countsTable(table)
-      val merged =
-        if (spark.catalog.tableExists(ct))
-          spark.table(ct).unionByName(bandKeyCounts(banded))
-            .groupBy("band", "band_key").agg(sum("n_docs").as("n_docs"))
-        else bandKeyCounts(spark.table(table))
-      Bucketing.writeBucketed(merged.localCheckpoint(true), ct, keys, buckets)
-    } finally banded.unpersist()
+    try appendBanded(banded, table, buckets)
+    finally banded.unpersist()
+  }
+
+  /** Append ALREADY-BANDED signature rows (the [[bandedSignatures]]
+    * layout) and maintain the count side table. Callers must hand in a
+    * materialization-safe frame (persisted, or derived from one): the
+    * rows are consumed twice — store append + count merge.
+    *
+    * Count maintenance is incremental: old counts ∪ the appended rows'
+    * per-key counts → per-key sum. The groupBy spans the compact count
+    * relation plus the shard's keys, never the signature store; the
+    * store itself is not re-aggregated on any append. `localCheckpoint`
+    * eagerly materializes the merge before the overwrite drops the
+    * table it reads from. (Stores written before the side table existed
+    * get it backfilled here with a one-time in-bucket rollup.) */
+  private def appendBanded(banded: DataFrame, table: String,
+                           buckets: Int): Unit = {
+    val keys = Seq("band", "band_key")
+    Bucketing.appendBucketed(banded, table, keys, buckets)
+    val spark = banded.sparkSession
+    val ct = countsTable(table)
+    val merged =
+      if (spark.catalog.tableExists(ct))
+        spark.table(ct).unionByName(bandKeyCounts(banded))
+          .groupBy("band", "band_key").agg(sum("n_docs").as("n_docs"))
+      else bandKeyCounts(spark.table(table))
+    Bucketing.writeBucketed(merged.localCheckpoint(true), ct, keys, buckets)
   }
 
   /** Deduplicate a NEW shard against a persisted signature `store`
@@ -217,18 +225,24 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     val counts =
       if (maxBandDocs > 0) Some(spark.table(countsTable(table))) else None
-    val verdicts = dedupAgainstStore(batch, idCol, textCol,
-        shingleN, numHashes, nBands, spark.table(table), minJaccard,
-        maxBandDocs, counts)
-      .localCheckpoint(true)
-    verdicts.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(outPath)
-    val kept = verdicts.filter(col("kept")).select(col(idCol))
-    appendSignatures(batch.join(kept, Seq(idCol)), idCol, textCol,
-      shingleN, numHashes, nBands, table, buckets)
+    // sign the shard ONCE: the persisted banded rows feed both the
+    // dedup join and the survivors' append (re-signing the survivors
+    // would double the ingest loop's only corpus-proportional compute)
+    val banded = bandedSignatures(batch, idCol, textCol,
+        shingleN, numHashes, nBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val verdicts = dedupBanded(batch.select(col(idCol)), banded, idCol,
+          numHashes, spark.table(table), minJaccard, maxBandDocs, counts)
+        .localCheckpoint(true)
+      verdicts.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outPath)
+      val kept = verdicts.filter(col("kept")).select(col(idCol))
+      appendBanded(banded.join(kept, Seq(idCol)), table, buckets)
+    } finally banded.unpersist()
   }
 
   /** `maxBandDocs > 0` engages the hot-key cap: band keys carrying MORE
@@ -245,13 +259,26 @@ object IncrementalDedup {
                         shingleN: Int, numHashes: Int, nBands: Int,
                         store: DataFrame, minJaccard: Double,
                         maxBandDocs: Int = 0,
-                        keyCounts: Option[DataFrame] = None): DataFrame = {
+                        keyCounts: Option[DataFrame] = None): DataFrame =
+    dedupBanded(newDocs.select(col(idCol)),
+      bandedSignatures(newDocs, idCol, textCol, shingleN, numHashes, nBands),
+      idCol, numHashes, store, minJaccard, maxBandDocs, keyCounts)
+
+  /** [[dedupAgainstStore]] over ALREADY-BANDED shard rows — the shared
+    * core that lets [[ingestBatch]] sign a shard ONCE and feed the same
+    * banded relation to both the dedup join and the survivors' append.
+    * `newIds` is the shard's full id set (one column, `idCol`): docs
+    * with no signature have no banded rows but still need a verdict
+    * row (kept, 0 matches). */
+  private def dedupBanded(newIds: DataFrame, shard0: DataFrame,
+                          idCol: String, numHashes: Int,
+                          store: DataFrame, minJaccard: Double,
+                          maxBandDocs: Int,
+                          keyCounts: Option[DataFrame]): DataFrame = {
     require(maxBandDocs == 0 || keyCounts.nonEmpty,
       "maxBandDocs > 0 requires keyCounts (the store's countsTable)")
     val minMatches = math.ceil(minJaccard * numHashes).toInt
     val keys = Seq("band", "band_key")
-    val shard0 = bandedSignatures(newDocs, idCol, textCol,
-      shingleN, numHashes, nBands)
     val (shard, storeSide) =
       if (maxBandDocs > 0) {
         val ok = keyCounts.get.filter(col("n_docs") <= maxBandDocs)
@@ -273,7 +300,7 @@ object IncrementalDedup {
       .filter(col("n_match") >= minMatches)
     val perDoc = pairs.groupBy(col("new_id").as(idCol))
       .agg(count(lit(1)).as("n_store_matches"), min("store_id").as("dup_of"))
-    newDocs.select(col(idCol))
+    newIds
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         col("dup_of").isNull.as("kept"),
