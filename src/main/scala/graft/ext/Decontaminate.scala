@@ -52,4 +52,53 @@ object Decontaminate {
       .select(col(idCol), col("n_grams"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
   }
+
+  // session caps on Spark's runtime bloom filter (the expression
+  // rejects larger values): 4e6 items / 6.7e7 bits by default
+  private val MaxBloomItems = 4000000L
+  private val MaxBloomBits = 67108864L
+
+  /** [[contaminated]] with a BLOOM PREFILTER on the eval gram set —
+    * identical results (the bloom is a prefilter; an exact semi-join
+    * confirm removes its false positives), cheaper shape at corpus
+    * scale: [[contaminated]] shuffles EVERY distinct train gram through
+    * the gram-keyed join, while here the gram-keyed exchange carries
+    * only the grams that (probably) hit the eval set — true overlaps
+    * plus an `fpp` fraction of the rest — and the per-doc totals come
+    * from a doc-keyed map-side-combined count that never touches the
+    * join. This is the published decontamination deployment shape
+    * (bloom over the benchmark n-grams, streamed over the corpus), and
+    * it is Spark's own runtime-filter pattern made explicit
+    * ([[graft.functions.Bloom]]); the one driver-side value is the
+    * serialized filter itself (same O(1)-scalar convention as the
+    * surrogate-id max). Bloom sizing is exact (the eval gram count is
+    * measured, not guessed), clamped to the expression's caps. */
+  def contaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
+                        evalPred: Column, n: Int,
+                        fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // both gram sets are consumed twice (totals + candidates; bloom +
+    // confirm): persist the narrow (id, long) rows — MinHash cache
+    // contract, released by `spark.catalog.clearCache()`
+    val trainGrams = grams(docs.filter(!evalPred), textCol, n, col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalGrams = grams(docs.filter(evalPred), textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEval = math.min(math.max(evalGrams.count(), 1L), MaxBloomItems)
+    val numBits = math.min(MaxBloomBits, math.max(64L,
+      math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    val bloomBytes = evalGrams
+      .agg(graft.functions.Bloom.agg(col("gram_fp"), nEval, numBits))
+      .head.getAs[Array[Byte]](0)
+    val candidates =
+      if (bloomBytes == null) trainGrams.filter(lit(false)) // empty eval split
+      else trainGrams.filter(
+        graft.functions.Bloom.mightContain(lit(bloomBytes), col("gram_fp")))
+    val shared = candidates.join(evalGrams, Seq("gram_fp"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val totals = trainGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    shared.join(totals, Seq(idCol))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
+  }
 }

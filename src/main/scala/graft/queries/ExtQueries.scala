@@ -1570,8 +1570,37 @@ object ExtQueries {
             WHERE d.doc_id % 5 = 4
             ORDER BY d.doc_id"""))
 
+  /** x19's decontamination through the BLOOM-PREFILTER plan
+    * ([[graft.ext.Decontaminate.contaminatedBloom]]): the eval gram set
+    * aggregates into Spark's own serialized bloom filter, train grams
+    * are probed map-side, and only the (probable) hits reach the exact
+    * gram-keyed confirm join — the published benchmark-decontamination
+    * deployment shape, and Spark's runtime-filter pattern made
+    * explicit. The bloom is a prefilter with an exact confirm, so the
+    * RESULTS are identical to x19 and the oracle is the same SQL —
+    * what this query checks is that the cheaper plan computes the same
+    * answer (false positives provably confirmed away; the spec also
+    * stress-tests fpp = 0.5). */
+  private val x44 = Q("x44_decontaminate_bloom",
+    (s, d) => Decontaminate.contaminatedBloom(documents(s, d), "doc_id", "text",
+        col("doc_id") % 10 === 0, n = 8)
+      .orderBy("doc_id"),
+    Some(s"""WITH $tokSql,
+             g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+                      i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
+                   FROM toks WHERE len(w) >= 8),
+             dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
+             ev AS (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
+             tr AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
+             tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
+             sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                    FROM tr JOIN ev USING (gram_fp) GROUP BY 1)
+             SELECT s.doc_id, t.n_grams, s.n_shared,
+                    CAST(s.n_shared AS DOUBLE) / t.n_grams AS contamination
+             FROM sh s JOIN tot t USING (doc_id) ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43)
+    x40, x41, x42, x43, x44)
 }

@@ -342,6 +342,14 @@ class PlanSpec extends SparkSpec {
       "expected the hot-key semi filter to compile as a sort-merge semi join")
   }
 
+  test("x44 bloom decontamination probes the filter map-side before the exact confirm join") {
+    val p = plan("x44_decontaminate_bloom")
+    // the bloom probe must appear as a row-level filter (map-side, before
+    // any gram-keyed exchange), and the confirm stays an equi join
+    assert(p.contains("might_contain"), p.take(1000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -58,6 +58,41 @@ class DecontaminateSpec extends SparkSpec {
     assert(Decontaminate.contaminated(clean, "doc_id", "text",
       col("doc_id") % 2 === 0, n = 3).count() == 0)
   }
+
+  test("bloom-prefiltered variant matches the exact join, including on empty eval splits") {
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(Decontaminate.contaminatedBloom(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0, n = 3))
+      == rows(Decontaminate.contaminated(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0, n = 3)))
+    // empty eval split (no doc matches the predicate): no rows, no crash
+    assert(Decontaminate.contaminatedBloom(docs, "doc_id", "text",
+      col("doc_id") < 0, n = 3).count() == 0)
+  }
+
+  test("bloom variant agrees with exact on randomized corpora (false positives confirmed away)") {
+    var seed = 0xB100FL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 16, bound).toInt
+    }
+    val vocab = Vector("ant", "bee", "cat", "dog", "eel", "fox", "gnu", "hen")
+    (1 to 3).foreach { trial =>
+      val corpus = (0L until 40L).map(i =>
+        (i, Seq.fill(4 + nxt(10))(vocab(nxt(vocab.size))).mkString(" ")))
+      val d = df(corpus).toDF("doc_id", "text")
+      // a deliberately tiny/over-full bloom (fpp 0.5) maximizes false
+      // positives — the exact confirm must still remove every one
+      def rows(out: org.apache.spark.sql.DataFrame) =
+        out.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(rows(Decontaminate.contaminatedBloom(d, "doc_id", "text",
+          col("doc_id") % 5 === 0, n = 3, fpp = 0.5))
+        == rows(Decontaminate.contaminated(d, "doc_id", "text",
+          col("doc_id") % 5 === 0, n = 3)),
+        s"bloom/exact divergence on trial $trial")
+    }
+  }
 }
 
 class RepetitionSpec extends SparkSpec {
