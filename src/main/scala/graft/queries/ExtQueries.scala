@@ -1222,6 +1222,16 @@ object ExtQueries {
     * shard-2 verdicts against shard 0 ∪ kept(shard 1) — a doc whose
     * only match was DROPPED in shard 1 must stay kept.
     *
+    * Since round 12 the checked configuration streams WITH the hot-key
+    * cap engaged (`maxBandDocs = 2` through the per-key count side
+    * table, which the loop's appends advance BETWEEN micro-batches) and
+    * the x43 boilerplate seeding (`doc_id % 7 = 0`) so the cap provably
+    * bites in batch 1 AND batch 2: a boilerplate doc in either shard is
+    * kept (its only matches ride the over-cap key), and — because kept
+    * docs append — the oracle's batch-2 key sizing must run over
+    * shard 0 ∪ kept(shard 1), not shard 0 alone. Ordinary cross-shard
+    * near-dups keep dropping through their sub-cap keys.
+    *
     * Determinism: per-doc verdicts are arrival-order-free within a
     * batch, and the batch ORDER is pinned by explicit staged-file
     * modification times (the file source processes oldest first). */
@@ -1231,7 +1241,10 @@ object ExtQueries {
       val root = java.nio.file.Files.createTempDirectory("graft-x37-")
       val in = root.resolve("in"); val out = s"$root/out"; val chk = s"$root/chk"
       java.nio.file.Files.createDirectories(in)
-      val docs = documents(s, d)
+      val boiler =
+        "standard cookie banner please accept all cookies to continue reading"
+      val docs = documents(s, d).withColumn("text",
+        when(col("doc_id") % 7 === 0, lit(boiler)).otherwise(col("text")))
       graft.ext.IncrementalDedup.writeSignatureStore(
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
         shingleN = 3, numHashes = 16, nBands = 4, table = "x37_sig_store",
@@ -1253,14 +1266,20 @@ object ExtQueries {
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       val job = graft.ext.IncrementalDedup.streamIngest(stream, "doc_id", "text",
         shingleN = 3, numHashes = 16, nBands = 4, table = "x37_sig_store",
-        buckets = 8, minJaccard = 0.5, outPath = out, checkpoint = chk)
+        buckets = 8, minJaccard = 0.5, outPath = out, checkpoint = chk,
+        maxBandDocs = 2)
       job.awaitTermination()
       s.read.parquet(out)
         .select(col("doc_id"), col("kept"), col("n_store_matches"),
           col("dup_of"), col("batch_id").cast("long").as("batch_id"))
         .orderBy("doc_id")
     },
-    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+    Some("""WITH docs AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'standard cookie banner please accept all cookies to continue reading'
+                        ELSE text END AS text
+                 FROM documents),
+                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM docs),
                  sh AS (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
@@ -1276,18 +1295,18 @@ object ExtQueries {
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 cand AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
-                          FROM bands n JOIN bands s ON n.b = s.b AND n.bk = s.bk
-                          WHERE n.doc_id <> s.doc_id),
-                 m AS (SELECT new_id, store_id
-                       FROM cand JOIN sig sa ON sa.doc_id = new_id
-                                 JOIN sig sb ON sb.doc_id = store_id
-                       WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
                  s1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
                  s2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-                 m1 AS (SELECT m.new_id, m.store_id FROM m
-                        JOIN s1 ON m.new_id = s1.doc_id
-                        WHERE m.store_id % 3 = 0),
+                 sized1 AS (SELECT b, bk FROM bands WHERE doc_id % 3 = 0
+                            GROUP BY b, bk HAVING count(*) <= 2),
+                 k1 AS (SELECT bands.doc_id, bands.b, bands.bk FROM bands
+                        JOIN sized1 ON bands.b = sized1.b AND bands.bk = sized1.bk),
+                 m1 AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                        FROM k1 n JOIN k1 s ON n.b = s.b AND n.bk = s.bk
+                        JOIN sig sa ON sa.doc_id = n.doc_id
+                        JOIN sig sb ON sb.doc_id = s.doc_id
+                        WHERE n.doc_id % 3 = 1 AND s.doc_id % 3 = 0
+                          AND len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
                  v1 AS (SELECT s1.doc_id, (min(m1.store_id) IS NULL) AS kept,
                                CAST(count(m1.store_id) AS BIGINT) AS n_store_matches,
                                min(m1.store_id) AS dup_of
@@ -1295,9 +1314,18 @@ object ExtQueries {
                         GROUP BY s1.doc_id),
                  st1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
                          UNION ALL SELECT doc_id FROM v1 WHERE kept),
-                 m2 AS (SELECT m.new_id, m.store_id FROM m
-                        JOIN s2 ON m.new_id = s2.doc_id
-                        JOIN st1 ON m.store_id = st1.doc_id),
+                 sized2 AS (SELECT b, bk FROM bands
+                            JOIN st1 ON bands.doc_id = st1.doc_id
+                            GROUP BY b, bk HAVING count(*) <= 2),
+                 k2 AS (SELECT bands.doc_id, bands.b, bands.bk FROM bands
+                        JOIN sized2 ON bands.b = sized2.b AND bands.bk = sized2.bk),
+                 m2 AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                        FROM k2 n JOIN k2 s ON n.b = s.b AND n.bk = s.bk
+                        JOIN st1 ON s.doc_id = st1.doc_id
+                        JOIN sig sa ON sa.doc_id = n.doc_id
+                        JOIN sig sb ON sb.doc_id = s.doc_id
+                        WHERE n.doc_id % 3 = 2
+                          AND len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
                  v2 AS (SELECT s2.doc_id, (min(m2.store_id) IS NULL) AS kept,
                                CAST(count(m2.store_id) AS BIGINT) AS n_store_matches,
                                min(m2.store_id) AS dup_of
