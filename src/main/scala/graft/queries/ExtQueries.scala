@@ -1627,8 +1627,70 @@ object ExtQueries {
                     CAST(s.n_shared AS DOUBLE) / t.n_grams AS contamination
              FROM sh s JOIN tot t USING (doc_id) ORDER BY doc_id"""))
 
+  /** Incremental embedding dedup against a persisted IVF-bucketed
+    * vector store ([[graft.ext.VectorStore]]) — the vector-space twin
+    * of x34: the corpus splits into an already-ingested store
+    * (vec_id % 5 ≠ 4, written as a catalog table bucketed by IVF cell)
+    * and a new shard (vec_id % 5 = 4) that probes its 4 best of 16
+    * cells and drops on exact cosine ≥ 0.4 against any store vector in
+    * them — first-wins over the union, the store side read shuffle-free
+    * and never re-assigned (PlanSpec pins the store subtree
+    * Exchange-free). The oracle replays the x13 LCG codebook
+    * (assignment + probes) and the x12 cosine fold over the split. */
+  private val x45 = Q("x45_incremental_vec_dedup",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      graft.ext.VectorStore.writeVectorStore(
+        emb.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding",
+        nCentroids = 16, dim = 64, seedOffset = 100000L,
+        table = "x45_vec_store", buckets = 8)
+      graft.ext.VectorStore.dedupAgainstStore(
+          emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding",
+          store = s.table("x45_vec_store"), minCosine = 0.4,
+          nCentroids = 16, nProbe = 4, dim = 64, seedOffset = 100000L)
+        .orderBy("vec_id")
+    },
+    Some("""WITH sc AS (SELECT vec_id, embedding,
+                   list_transform(range(0,16), kk ->
+                     list_sum(list_transform(list_zip(embedding, range(0,64)),
+                       x -> CAST(x[1] AS DOUBLE) *
+                            (CAST((1103515245*(100000 + kk*64 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                             / 2147483648.0 * 2 - 1)))
+                     / sqrt(list_sum(list_transform(range(0,64), j ->
+                         (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                          / 2147483648.0 * 2 - 1)
+                         * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                            / 2147483648.0 * 2 - 1))))) AS scores
+                 FROM embeddings),
+                 assigned AS (SELECT vec_id, embedding,
+                                CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
+                              FROM sc WHERE vec_id % 5 <> 4),
+                 probes AS (SELECT new_id, qe, cell FROM (
+                     SELECT vec_id AS new_id, embedding AS qe, CAST(j AS INT) AS cell,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY scores[j+1] DESC, j) AS pr
+                     FROM sc, (SELECT unnest(range(0,16)) AS j)
+                     WHERE vec_id % 5 = 4)
+                   WHERE pr <= 4),
+                 m AS (SELECT new_id, a.vec_id AS store_id
+                       FROM probes p JOIN assigned a
+                         ON a.cell = p.cell AND a.vec_id <> p.new_id
+                       WHERE list_sum(list_transform(list_zip(p.qe, a.embedding),
+                               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                             >= 0.4),
+                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
+                                min(store_id) AS dup_of
+                         FROM m GROUP BY new_id)
+            SELECT e.vec_id, (a.dup_of IS NULL) AS kept,
+                   COALESCE(a.n_store_matches, 0) AS n_store_matches, a.dup_of
+            FROM embeddings e LEFT JOIN agg a ON a.new_id = e.vec_id
+            WHERE e.vec_id % 5 = 4
+            ORDER BY e.vec_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44)
+    x40, x41, x42, x43, x44, x45)
 }

@@ -683,6 +683,70 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 }
 
+/** Incremental embedding dedup against a persisted IVF-bucketed vector
+  * store ([[graft.ext.VectorStore]] — the vector-space twin of the
+  * signature store). */
+class VectorStoreSpec extends SparkSpec {
+  import graft.ext.VectorStore
+
+  private def vdf(rows: Seq[(Long, Seq[Float])]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+  private val a = Seq(1f, 0f, 0f, 0f)
+  private val b = Seq(0f, 1f, 0f, 0f)
+  private val c = Seq(0f, 0f, 1f, 0f)
+
+  test("store twins drop, fresh vectors keep, appended survivors extend the store") {
+    // nProbe = nCentroids probes every cell, so the tiny fixture is exact
+    VectorStore.writeVectorStore(vdf(Seq((1L, a), (2L, b))), "vec_id",
+      "embedding", nCentroids = 4, dim = 4, seedOffset = 7L,
+      table = "vec_store_spec", buckets = 4)
+    def dedup(rows: Seq[(Long, Seq[Float])]) =
+      VectorStore.dedupAgainstStore(vdf(rows), "vec_id", "embedding",
+          spark.table("vec_store_spec"), minCosine = 0.9,
+          nCentroids = 4, nProbe = 4, dim = 4, seedOffset = 7L)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(dedup(Seq((10L, a), (11L, c))) ==
+      Seq((10L, false, 1L), (11L, true, -1L)))
+    // the ingest loop: survivor 11 (vector c) appends; a later twin of c
+    // must drop against a store vector that arrived only via the append
+    VectorStore.appendVectors(vdf(Seq((11L, c))), "vec_id", "embedding",
+      4, 4, 7L, "vec_store_spec", 4)
+    assert(dedup(Seq((20L, c))) == Seq((20L, false, 11L)))
+  }
+
+  test("full probing equals brute-force cross-shard near-dup on randomized vectors") {
+    var seed = 0x5EEDL
+    def nxt(): Float = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 20) % 1000L).toFloat / 1000f - 0.5f
+    }
+    val store = (0L until 20L).map(i => (i, Seq.fill(8)(nxt())))
+    val fresh = (100L until 115L).map(i => (i, Seq.fill(8)(nxt()))) ++
+      store.take(5).map { case (i, v) => (i + 200L, v) } // 5 exact twins
+    VectorStore.writeVectorStore(vdf(store), "vec_id", "embedding",
+      nCentroids = 4, dim = 8, seedOffset = 31L,
+      table = "vec_store_prop", buckets = 4)
+    val got = VectorStore.dedupAgainstStore(vdf(fresh), "vec_id", "embedding",
+        spark.table("vec_store_prop"), minCosine = 0.95,
+        nCentroids = 4, nProbe = 4, dim = 8, seedOffset = 31L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // local reference: exact cosine against every store vector
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d / (math.sqrt(x.map(p => p.toDouble * p.toDouble).sum) *
+        math.sqrt(y.map(q => q.toDouble * q.toDouble).sum))
+    }
+    fresh.foreach { case (id, v) =>
+      val expectKept = !store.exists { case (_, sv) => cos(v, sv) >= 0.95 }
+      assert(got(id) == expectKept, s"vec $id kept=${got(id)} expected=$expectKept")
+    }
+  }
+}
+
 /** Large-star/small-star connected components agree with label
   * propagation on every graph shape that distinguishes them. */
 class StarCcSpec extends SparkSpec {

@@ -350,6 +350,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x45 incremental vector dedup reads the IVF store bucketed, no Exchange on the store side") {
+    val df = Registry.queries("x45_incremental_vec_dedup")(spark, sf)
+    val executed = df.queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    def storeScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.tableIdentifier.exists(_.table == "x45_vec_store") => f
+    }
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right))
+      .filter(s => storeScans(s).nonEmpty &&
+        s.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty)
+    assert(storeSides.nonEmpty,
+      s"no sort-merge join reads the bucketed vector store:\n${root.toString.take(1500)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"vector store side must read its buckets in place, found shuffles: $es")
+    }
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
