@@ -78,6 +78,51 @@ object VectorStore {
     * @return one row per new-shard vector: `(id, kept, n_store_matches,
     *         dup_of)` — `dup_of` the smallest matching store id (null
     *         when kept). */
+  /** The continuous-ingest form ([[IncrementalDedup.streamIngest]]'s
+    * vector twin): each micro-batch is a shard — dedup it against the
+    * vector store, write the per-vector verdicts EXACTLY-ONCE
+    * (partitioned by `batch_id` with dynamic partition overwrite, so a
+    * replayed batch replaces its own partition), append the SURVIVORS'
+    * assigned vectors, so the next micro-batch dedups against
+    * everything ingested so far. */
+  def streamIngest(newVecs: DataFrame, idCol: String, embCol: String,
+                   table: String, buckets: Int, minCosine: Double,
+                   nCentroids: Int, nProbe: Int, dim: Int, seedOffset: Long,
+                   outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, idCol, embCol, table, buckets,
+          minCosine, nCentroids, nProbe, dim, seedOffset, outPath)
+      }
+      .start()
+
+  /** One micro-batch of [[streamIngest]] — also the non-streaming entry
+    * point for a caller-driven ingest loop. Verdicts are eagerly
+    * materialized (`localCheckpoint`) BEFORE the store append, so the
+    * lazy plan over the store table cannot observe the shard's own
+    * vectors. */
+  def ingestBatch(batch: DataFrame, batchId: Long,
+                  idCol: String, embCol: String,
+                  table: String, buckets: Int, minCosine: Double,
+                  nCentroids: Int, nProbe: Int, dim: Int, seedOffset: Long,
+                  outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val verdicts = dedupAgainstStore(batch, idCol, embCol,
+        spark.table(table), minCosine, nCentroids, nProbe, dim, seedOffset)
+      .localCheckpoint(true)
+    verdicts.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+    val kept = verdicts.filter(col("kept")).select(col(idCol))
+    appendVectors(batch.join(kept, Seq(idCol)), idCol, embCol,
+      nCentroids, dim, seedOffset, table, buckets)
+  }
+
   def dedupAgainstStore(newVecs: DataFrame, idCol: String, embCol: String,
                         store: DataFrame, minCosine: Double,
                         nCentroids: Int, nProbe: Int, dim: Int,

@@ -1689,8 +1689,113 @@ object ExtQueries {
             WHERE e.vec_id % 5 = 4
             ORDER BY e.vec_id"""))
 
+  /** The CONTINUOUS-ingest form of x45 (and the vector twin of x37):
+    * the IVF vector store is seeded with shard 0 (vec_id ≡ 0 mod 3);
+    * shards 1 and 2 land as one file each and stream through
+    * [[graft.ext.VectorStore.streamIngest]] — one micro-batch per file,
+    * so shard 2 probes against shard 0 PLUS shard 1's survivors, whose
+    * assigned vectors entered the store only through the previous
+    * micro-batch's append. The oracle replays the two-step
+    * survivorship with the x13 LCG codebook: shard-1 verdicts against
+    * shard 0's cells, then shard-2 verdicts against
+    * (shard 0 ∪ kept(shard 1))'s cells. Batch order pinned by staged
+    * file modification times, as x37. */
+  private val x46 = Q("x46_stream_vec_dedup",
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
+      val root = java.nio.file.Files.createTempDirectory("graft-x46-")
+      val in = root.resolve("in"); val out = s"$root/out"; val chk = s"$root/chk"
+      java.nio.file.Files.createDirectories(in)
+      val emb = embeddings(s, d)
+      graft.ext.VectorStore.writeVectorStore(
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        nCentroids = 16, dim = 64, seedOffset = 100000L,
+        table = "x46_vec_store", buckets = 8)
+      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-x46-stage-")
+        shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = in.resolve(name)
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(ts))
+      }
+      stage(emb.filter(col("vec_id") % 3 === 1), "shard1.parquet", 1704067200000L)
+      stage(emb.filter(col("vec_id") % 3 === 2), "shard2.parquet", 1704067260000L)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val job = graft.ext.VectorStore.streamIngest(stream, "vec_id", "embedding",
+        table = "x46_vec_store", buckets = 8, minCosine = 0.4,
+        nCentroids = 16, nProbe = 4, dim = 64, seedOffset = 100000L,
+        outPath = out, checkpoint = chk)
+      job.awaitTermination()
+      s.read.parquet(out)
+        .select(col("vec_id"), col("kept"), col("n_store_matches"),
+          col("dup_of"), col("batch_id").cast("long").as("batch_id"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH sc AS (SELECT vec_id, embedding,
+                   list_transform(range(0,16), kk ->
+                     list_sum(list_transform(list_zip(embedding, range(0,64)),
+                       x -> CAST(x[1] AS DOUBLE) *
+                            (CAST((1103515245*(100000 + kk*64 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                             / 2147483648.0 * 2 - 1)))
+                     / sqrt(list_sum(list_transform(range(0,64), j ->
+                         (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                          / 2147483648.0 * 2 - 1)
+                         * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                            / 2147483648.0 * 2 - 1))))) AS scores
+                 FROM embeddings),
+                 cells AS (SELECT vec_id, embedding,
+                             CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
+                           FROM sc),
+                 probes AS (SELECT new_id, qe, cell FROM (
+                     SELECT vec_id AS new_id, embedding AS qe, CAST(j AS INT) AS cell,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY scores[j+1] DESC, j) AS pr
+                     FROM sc, (SELECT unnest(range(0,16)) AS j))
+                   WHERE pr <= 4),
+                 s1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1),
+                 s2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2),
+                 m1 AS (SELECT p.new_id, a.vec_id AS store_id
+                        FROM probes p JOIN cells a
+                          ON a.cell = p.cell AND a.vec_id <> p.new_id
+                        WHERE p.new_id % 3 = 1 AND a.vec_id % 3 = 0
+                          AND list_sum(list_transform(list_zip(p.qe, a.embedding),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                              / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                              >= 0.4),
+                 v1 AS (SELECT s1.vec_id, (min(m1.store_id) IS NULL) AS kept,
+                               CAST(count(m1.store_id) AS BIGINT) AS n_store_matches,
+                               min(m1.store_id) AS dup_of
+                        FROM s1 LEFT JOIN m1 ON s1.vec_id = m1.new_id
+                        GROUP BY s1.vec_id),
+                 st1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+                         UNION ALL SELECT vec_id FROM v1 WHERE kept),
+                 m2 AS (SELECT p.new_id, a.vec_id AS store_id
+                        FROM probes p JOIN cells a
+                          ON a.cell = p.cell AND a.vec_id <> p.new_id
+                        JOIN st1 ON a.vec_id = st1.vec_id
+                        WHERE p.new_id % 3 = 2
+                          AND list_sum(list_transform(list_zip(p.qe, a.embedding),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                              / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                              >= 0.4),
+                 v2 AS (SELECT s2.vec_id, (min(m2.store_id) IS NULL) AS kept,
+                               CAST(count(m2.store_id) AS BIGINT) AS n_store_matches,
+                               min(m2.store_id) AS dup_of
+                        FROM s2 LEFT JOIN m2 ON s2.vec_id = m2.new_id
+                        GROUP BY s2.vec_id)
+            SELECT vec_id, kept, n_store_matches, dup_of,
+                   CAST(CASE WHEN vec_id % 3 = 1 THEN 0 ELSE 1 END AS BIGINT) AS batch_id
+            FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+            ORDER BY vec_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44, x45)
+    x40, x41, x42, x43, x44, x45, x46)
 }

@@ -718,6 +718,29 @@ class VectorStoreSpec extends SparkSpec {
     assert(dedup(Seq((20L, c))) == Seq((20L, false, 11L)))
   }
 
+  test("vector ingest loop: survivors visible to the next batch, replayed batches exactly-once") {
+    val F = org.apache.spark.sql.functions
+    val root = java.nio.file.Files.createTempDirectory("graft-vec-ingest-")
+    VectorStore.writeVectorStore(vdf(Seq((1L, a))), "vec_id", "embedding",
+      nCentroids = 4, dim = 4, seedOffset = 7L,
+      table = "vec_ingest_store", buckets = 4)
+    def ingest(rows: Seq[(Long, Seq[Float])], id: Long): Unit =
+      VectorStore.ingestBatch(vdf(rows), id, "vec_id", "embedding",
+        "vec_ingest_store", 4, minCosine = 0.9, nCentroids = 4, nProbe = 4,
+        dim = 4, seedOffset = 7L, outPath = s"$root/out")
+    ingest(Seq((10L, c)), 0L)  // unique → kept, appended
+    ingest(Seq((20L, c)), 1L)  // twin of 10's vector, in store only via append
+    val sink = spark.read.parquet(s"$root/out")
+    val got = sink.select("vec_id", "kept", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((10L, true, -1L), (20L, false, 10L)))
+    // foreachBatch at-least-once: a replayed batch id REPLACES its partition
+    ingest(Seq((20L, c)), 1L)
+    assert(spark.read.parquet(s"$root/out")
+      .groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0)
+  }
+
   test("full probing equals brute-force cross-shard near-dup on randomized vectors") {
     var seed = 0x5EEDL
     def nxt(): Float = {
