@@ -53,6 +53,41 @@ class PiiSpec extends SparkSpec {
     assert(r == "reach me at <EMAIL> today")
   }
 
+  test("n_pii equals the number of placeholders actually inserted, on randomized PII-dense text") {
+    // the invariant behind the overlap fix: counts are defined AS the
+    // placeholders redact() inserts, so they must agree exactly — for
+    // any input, including overlapping spans
+    val s = spark
+    import s.implicits._
+    var seed = 0x9115EEDL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 16, bound).toInt
+    }
+    val pieces = Vector("hello", "1.2.3.4", "a@b.io", "555-123-4567",
+      "1.2.3.4@example.com", "x1.2.3.4y", "call 555-000-1111 now",
+      "u.5@d7.org", "10.0.0.255", "., -", "5551234567")
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(2 + nxt(6))(pieces(nxt(pieces.size))).mkString(" ")))
+    val out = Pii.annotate(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .join(docs.toDF("doc_id", "text")
+        .select(col("doc_id"), Pii.redact(col("text")).as("red")), "doc_id")
+      .select(col("doc_id"), col("n_pii"), col("n_emails"), col("n_ips"),
+        col("n_phones"), col("red")).collect()
+    out.foreach { r =>
+      val red = r.getAs[String]("red")
+      def occ(tok: String): Long = {
+        var c = 0L; var i = red.indexOf(tok)
+        while (i >= 0) { c += 1; i = red.indexOf(tok, i + tok.length) }
+        c
+      }
+      assert(r.getAs[Long]("n_emails") == occ("<EMAIL>"), s"emails @ ${r.getLong(0)}: $red")
+      assert(r.getAs[Long]("n_ips") == occ("<IP>"), s"ips @ ${r.getLong(0)}: $red")
+      assert(r.getAs[Long]("n_phones") == occ("<PHONE>"), s"phones @ ${r.getLong(0)}: $red")
+      assert(r.getAs[Long]("n_pii") == occ("<EMAIL>") + occ("<IP>") + occ("<PHONE>"))
+    }
+  }
+
   test("email redaction runs before the phone pass (digits in local parts do not double-match)") {
     val s = spark
     import s.implicits._
