@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table maintenance (SURVEY.md §4): the storage-side shuffle
   * eliminator for the engine's recurring join/dedup keys.
@@ -52,5 +53,58 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Compact an accumulated (much-appended) bucketed table back to ONE
+    * file per bucket, restoring the scan's per-bucket sortedness and
+    * with it the sort-merge join's Sort elision (a bucketed scan only
+    * reports its output as sorted when each bucket is a single file —
+    * and only under `spark.sql.legacy.bucketedTableScan.outputOrdering`,
+    * since deriving sortedness costs a planning-time file listing;
+    * worth turning on exactly for freshly-compacted stores, where it is
+    * guaranteed to succeed — BucketingSpec pins the elision). At 100 TB
+    * with daily shard appends, thousands of per-bucket files is the
+    * default state — this is the periodic maintenance pass that resets
+    * it, and fewer/larger files pay off in scan and open-file cost even
+    * with the ordering conf left at its default.
+    *
+    * Mechanics: `repartition(buckets, keys)` uses the SAME hash family
+    * as the bucket id (Murmur3 pmod), so with numPartitions = buckets
+    * each task holds exactly one bucket's rows and the bucketed write
+    * emits exactly one file per bucket — deterministic regardless of
+    * the input file layout. The rewrite lands in a STAGING table which
+    * then replaces the original via a catalog drop + rename, so the
+    * files being read are never overwritten in place (and a crashed
+    * compaction leaves the original table untouched).
+    *
+    * `prepare` runs on the accumulated rows before the rewrite —
+    * [[graft.ext.IncrementalDedup.compactStore]] passes a full-row
+    * distinct to collapse rows duplicated by an ingest replay that
+    * crashed between its store append and its ledger record. */
+  def compact(spark: SparkSession, table: String, keys: Seq[String],
+              buckets: Int,
+              prepare: DataFrame => DataFrame = identity): Unit = {
+    if (!spark.catalog.tableExists(table))
+      throw new IllegalArgumentException(
+        s"compact: table '$table' does not exist")
+    val staging = s"${table}__compact"
+    // pin the BUCKETED scan (autoBucketedScan=false disables the
+    // planner's auto-downgrade to a plain file scan): the planner
+    // elides the repartition either way because the bucketed layout
+    // already "satisfies" it, but after the auto-downgrade the write
+    // would inherit the plain scan's task layout — each task holding
+    // many buckets, multiplying files instead of compacting them. With
+    // the bucketed scan pinned, the scan is one partition per bucket,
+    // the repartition elides as genuinely redundant, and the identity
+    // path compacts with NO shuffle at all.
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try writeBucketed(
+      prepare(spark.table(table)).repartition(buckets, keys.map(col): _*),
+      staging, keys, buckets)
+    finally spark.conf.set(conf, prev)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 }

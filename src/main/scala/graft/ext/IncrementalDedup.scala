@@ -1,7 +1,7 @@
 package graft.ext
 
-import graft.core.Bucketing
-import org.apache.spark.sql.DataFrame
+import graft.core.{Bucketing, IngestLedger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental corpus deduplication — the production shape of the
@@ -43,16 +43,22 @@ import org.apache.spark.sql.functions._
   * is a per-`(band, band_key)` doc-count SIDE TABLE
   * ([[countsTable]], bucketed like the store) maintained on every
   * append and semi-filtering BOTH join sides of [[dedupAgainstStore]]
-  * against keys at-or-under the cap. The count is maintained
-  * incrementally — [[appendSignatures]] merges the shard's per-key
-  * counts into the side table — never recomputed from the store at
-  * dedup time: a corpus-sized groupBy there would break the
-  * cost-proportional-to-the-shard contract. At dedup time the cap
-  * costs one narrow filter + two in-bucket semi-joins over the compact
-  * count relation (two key columns and a long — no signatures, no
-  * text). As in the batch family, a capped key means a bounded,
-  * observable recall loss on exactly the docs upstream exact dedup
-  * ([[ExactDedup]]) already collapses.
+  * against keys at-or-under the cap. The side table is APPEND-ONLY:
+  * each append lands the shard's per-key count DELTAS as new rows
+  * (O(shard) write work — the counts are never recomputed from the
+  * store and the side table is never rewritten on an append; either
+  * would be O(corpus-keys) per shard and quadratic over the ingest
+  * loop, breaking the cost-proportional-to-the-shard contract). Totals
+  * are summed at dedup time by [[keyCountTotals]] — an IN-BUCKET
+  * rollup, since the deltas are bucketed by the groupBy keys — so the
+  * cap costs one narrow aggregate + filter + two bucket-aligned
+  * semi-joins over the compact count relation (two key columns and a
+  * long — no signatures, no text). [[compactStore]] periodically
+  * collapses the accumulated deltas (and the store's per-bucket files)
+  * back to one row per key / one file per bucket. As in the batch
+  * family, a capped key means a bounded, observable recall loss on
+  * exactly the docs upstream exact dedup ([[ExactDedup]]) already
+  * collapses.
   */
 object IncrementalDedup {
 
@@ -81,12 +87,22 @@ object IncrementalDedup {
   }
 
   /** Name of the per-key doc-count side table maintained alongside a
-    * signature store `table` — one row per distinct `(band, band_key)`
-    * with the number of store docs on that key (`n_docs`). Bucketed by
-    * the same keys with the same bucket count as the store, so the
-    * hot-key semi-filters in [[dedupAgainstStore]] join bucket-aligned,
-    * Exchange-free. */
+    * signature store `table` — APPEND-ONLY delta rows
+    * `(band, band_key, n_docs)`: one row per key per append, summed to
+    * totals at read time by [[keyCountTotals]] (a key touched by k
+    * appends has k rows until [[compactStore]] collapses them).
+    * Bucketed by the same keys with the same bucket count as the store,
+    * so both the read-time rollup and the hot-key semi-filters in
+    * [[dedupAgainstStore]] run bucket-aligned, Exchange-free. */
   def countsTable(table: String): String = s"${table}_keycounts"
+
+  /** Total per-key store doc counts from the delta side table: sum the
+    * deltas per key. The deltas are bucketed by the groupBy keys, so
+    * the rollup is in-bucket — no Exchange ahead of the cap's semi
+    * filters, and the work is proportional to the count relation (two
+    * key columns and a long), never the store. */
+  def keyCountTotals(deltas: DataFrame): DataFrame =
+    deltas.groupBy("band", "band_key").agg(sum("n_docs").as("n_docs"))
 
   /** Per-key doc counts of a banded-signature relation. One row per
     * (band, doc) in ⇒ the count per key is the key's doc count. */
@@ -108,6 +124,7 @@ object IncrementalDedup {
     val spark = docs.sparkSession
     Bucketing.writeBucketed(bandKeyCounts(spark.table(table)),
       countsTable(table), Seq("band", "band_key"), buckets)
+    IngestLedger.reset(spark, table)
   }
 
   /** Append a shard's signatures into an existing store (same layout —
@@ -131,27 +148,51 @@ object IncrementalDedup {
   /** Append ALREADY-BANDED signature rows (the [[bandedSignatures]]
     * layout) and maintain the count side table. Callers must hand in a
     * materialization-safe frame (persisted, or derived from one): the
-    * rows are consumed twice — store append + count merge.
+    * rows are consumed twice — store append + count-delta append.
     *
-    * Count maintenance is incremental: old counts ∪ the appended rows'
-    * per-key counts → per-key sum. The groupBy spans the compact count
-    * relation plus the shard's keys, never the signature store; the
-    * store itself is not re-aggregated on any append. `localCheckpoint`
-    * eagerly materializes the merge before the overwrite drops the
-    * table it reads from. (Stores written before the side table existed
-    * get it backfilled here with a one-time in-bucket rollup.) */
+    * Count maintenance is APPEND-ONLY: the shard's per-key counts land
+    * as new delta rows ([[countsTable]]'s layout), O(shard) work that
+    * never reads, rewrites, or re-aggregates the existing count
+    * relation — totals are summed in-bucket at dedup time
+    * ([[keyCountTotals]]) and the accumulated deltas collapse at
+    * [[compactStore]] time. (Stores written before the side table
+    * existed get it backfilled here with a one-time in-bucket
+    * rollup.) */
   private def appendBanded(banded: DataFrame, table: String,
                            buckets: Int): Unit = {
     val keys = Seq("band", "band_key")
     Bucketing.appendBucketed(banded, table, keys, buckets)
     val spark = banded.sparkSession
     val ct = countsTable(table)
-    val merged =
-      if (spark.catalog.tableExists(ct))
-        spark.table(ct).unionByName(bandKeyCounts(banded))
-          .groupBy("band", "band_key").agg(sum("n_docs").as("n_docs"))
-      else bandKeyCounts(spark.table(table))
-    Bucketing.writeBucketed(merged.localCheckpoint(true), ct, keys, buckets)
+    if (spark.catalog.tableExists(ct))
+      Bucketing.appendBucketed(bandKeyCounts(banded), ct, keys, buckets)
+    else
+      Bucketing.writeBucketed(bandKeyCounts(spark.table(table)), ct, keys,
+        buckets)
+  }
+
+  /** Periodic store maintenance: rewrite the signature store back to
+    * one file per bucket (restoring the dedup join's in-bucket Sort
+    * elision — [[graft.core.Bucketing.compact]]) and rebuild the count
+    * side table from a fresh in-bucket recount of the compacted store,
+    * collapsing the accumulated per-append delta rows to one row per
+    * key. This is the amortized moment where full-relation work is paid
+    * once per MANY appends instead of once per append.
+    *
+    * The `prepare` distinct also makes this the documented REPAIR for
+    * the ingest loop's residual replay window
+    * ([[graft.core.IngestLedger]]): store rows duplicated by a replayed
+    * append collapse (the banded layout is fully determined by the doc,
+    * so full-row distinct is id-exact), and the recount restores exact
+    * per-key counts. */
+  def compactStore(spark: SparkSession, table: String, buckets: Int): Unit = {
+    val keys = Seq("band", "band_key")
+    Bucketing.compact(spark, table, keys, buckets,
+      prepare = _.dropDuplicates())
+    Bucketing.writeBucketed(
+      bandKeyCounts(spark.table(table))
+        .repartition(buckets, keys.map(col): _*),
+      countsTable(table), keys, buckets)
   }
 
   /** Deduplicate a NEW shard against a persisted signature `store`
@@ -211,11 +252,15 @@ object IncrementalDedup {
     * point for callers driving the ingest loop themselves (one call per
     * shard with a caller-chosen batch id): dedup the batch against the
     * store, overwrite THIS
-    * batch's verdict partition, append the survivors' signatures. The
-    * verdicts are eagerly materialized (`localCheckpoint`) BEFORE the
-    * store append — `dedupAgainstStore` returns a lazy plan over the
-    * store table, and appending first would let the plan observe the
-    * shard's own signatures. */
+    * batch's verdict partition, append the survivors' signatures, and
+    * record the batch in the store's applied-batch ledger
+    * ([[graft.core.IngestLedger]] — a batch id already recorded is
+    * skipped outright, making the at-least-once `foreachBatch` replay
+    * idempotent; the ledger doc states the residual window and its
+    * [[compactStore]] repair). The verdicts are eagerly materialized
+    * (`localCheckpoint`) BEFORE the store append — `dedupAgainstStore`
+    * returns a lazy plan over the store table, and appending first
+    * would let the plan observe the shard's own signatures. */
   def ingestBatch(batch: DataFrame, batchId: Long,
                   idCol: String, textCol: String,
                   shingleN: Int, numHashes: Int, nBands: Int,
@@ -223,6 +268,7 @@ object IncrementalDedup {
                   minJaccard: Double, outPath: String,
                   maxBandDocs: Int = 0): Unit = {
     val spark = batch.sparkSession
+    if (IngestLedger.applied(spark, table, batchId)) return
     val counts =
       if (maxBandDocs > 0) Some(spark.table(countsTable(table))) else None
     // sign the shard ONCE: the persisted banded rows feed both the
@@ -242,6 +288,7 @@ object IncrementalDedup {
         .parquet(outPath)
       val kept = verdicts.filter(col("kept")).select(col(idCol))
       appendBanded(banded.join(kept, Seq(idCol)), table, buckets)
+      IngestLedger.record(spark, table, batchId)
     } finally banded.unpersist()
   }
 
@@ -281,7 +328,9 @@ object IncrementalDedup {
     val keys = Seq("band", "band_key")
     val (shard, storeSide) =
       if (maxBandDocs > 0) {
-        val ok = keyCounts.get.filter(col("n_docs") <= maxBandDocs)
+        // totals from the append-only delta rows, summed in-bucket
+        val ok = keyCountTotals(keyCounts.get)
+          .filter(col("n_docs") <= maxBandDocs)
           .select("band", "band_key")
         (shard0.join(ok.hint("merge"), keys, "left_semi"),
           store.join(ok.hint("merge"), keys, "left_semi"))

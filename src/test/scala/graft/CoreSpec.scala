@@ -372,6 +372,59 @@ class BucketingSpec extends SparkSpec {
       assert(spark.table("bkt_app").count() == 200)
     } finally spark.sql("DROP TABLE IF EXISTS bkt_app")
   }
+
+  test("compact restores one file per bucket; the join then elides the in-bucket Sort") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 100).map(i => (s"S${i % 10}", i.toLong)).toDF("symbol", "v")
+    // an x37-style much-appended store: 3 generations of per-bucket files
+    graft.core.Bucketing.writeBucketed(rows, "bkt_cmp_a", Seq("symbol"), 8)
+    graft.core.Bucketing.appendBucketed(rows, "bkt_cmp_a", Seq("symbol"), 8)
+    graft.core.Bucketing.appendBucketed(rows, "bkt_cmp_a", Seq("symbol"), 8)
+    graft.core.Bucketing.writeBucketed(rows.withColumnRenamed("v", "w"),
+      "bkt_cmp_b", Seq("symbol"), 8)
+    try {
+      def joined = spark.table("bkt_cmp_a")
+        .join(spark.table("bkt_cmp_b").hint("merge"), "symbol")
+      def sorts(df: org.apache.spark.sql.DataFrame) = {
+        val root = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case p => p
+        }
+        assert(root.toString.contains("SortMergeJoin"))
+        assert(!root.toString.contains("ShuffleExchange"),
+          "bucketed join must not shuffle:\n" + root.toString.take(800))
+        root.collect { case se: org.apache.spark.sql.execution.SortExec => se }
+      }
+      // pre-compaction: multi-file buckets → the scan cannot claim
+      // per-bucket sortedness → SMJ inserts narrow in-bucket Sorts
+      assert(sorts(joined).nonEmpty, "expected in-bucket Sorts before compaction")
+      val expected = joined.count()
+      graft.core.Bucketing.compact(spark, "bkt_cmp_a", Seq("symbol"), 8)
+      graft.core.Bucketing.compact(spark, "bkt_cmp_b", Seq("symbol"), 8)
+      // one file per bucket on the compacted store
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("bkt_cmp_a")).location.toString))
+      val ls = java.nio.file.Files.list(loc)
+      val nf = try ls.toArray.count(_.toString.endsWith(".parquet")) finally ls.close()
+      assert(nf <= 8, s"expected <= 8 files (one per bucket), got $nf")
+      // post-compaction: with the scan allowed to derive per-bucket
+      // sortedness (a planning-time file listing, off by default since
+      // Spark 3 — worth it exactly on compacted stores, where it is
+      // guaranteed to succeed), the in-bucket Sort is elided entirely
+      val conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      val prev = spark.conf.get(conf)
+      spark.conf.set(conf, "true")
+      try assert(sorts(joined).isEmpty,
+        "in-bucket Sort should be elided after compaction")
+      finally spark.conf.set(conf, prev)
+      assert(joined.count() == expected) // contents unchanged (300 x 10 per key)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_cmp_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_cmp_b")
+    }
+  }
 }
 
 /** A-family percentiles: the approx sketch (the 100 TB path) must land

@@ -511,14 +511,18 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.exists(r => r.head == 21L && r(1) == false && r(3) == 12L))
   }
 
-  test("a replayed micro-batch overwrites its verdict partition (exactly-once sink)") {
+  test("a replayed micro-batch is idempotent: verdicts, store, and counts all unchanged") {
     val F = org.apache.spark.sql.functions
     val root = java.nio.file.Files.createTempDirectory("graft-inc-replay-")
     IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
       "inc_replay_store", 4)
     IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
       "inc_replay_store", 4, 0.5, s"$root/out")
-    // foreachBatch at-least-once: the same batch id runs again
+    val storeRows = spark.table("inc_replay_store").count()
+    val countRows = spark.table(
+      IncrementalDedup.countsTable("inc_replay_store")).count()
+    // foreachBatch at-least-once: the same batch id runs again — the
+    // applied-batch ledger (IngestLedger) skips it outright
     IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
       "inc_replay_store", 4, 0.5, s"$root/out")
     val sink = spark.read.parquet(s"$root/out")
@@ -526,6 +530,17 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(sink.count() == shard.count())
     assert(sink.groupBy("doc_id").count()
       .filter(F.col("count") > 1).count() == 0)
+    // no duplicated store rows, no double-merged count deltas
+    assert(spark.table("inc_replay_store").count() == storeRows)
+    assert(spark.table(
+      IncrementalDedup.countsTable("inc_replay_store")).count() == countRows)
+    // a FRESH batch id still processes (the ledger skips only replays)
+    IncrementalDedup.ingestBatch(
+      df(Seq((60L, "a genuinely new document for the follow-up batch here")))
+        .toDF("doc_id", "text"),
+      1L, "doc_id", "text", 3, 16, 4, "inc_replay_store", 4, 0.5, s"$root/out")
+    assert(spark.read.parquet(s"$root/out").count() == shard.count() + 1)
+    assert(spark.table("inc_replay_store").count() > storeRows)
   }
 
   test("dedupAgainstStore agrees with batch nearDupPairs over the union on randomized corpora") {
@@ -608,7 +623,8 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!uncapped.getBoolean(1))
   }
 
-  test("appendSignatures maintains the counts table incrementally, equal to a full recompute") {
+  test("appendSignatures lands count DELTAS; read-time totals equal a full recompute") {
+    val F = org.apache.spark.sql.functions
     IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
       "inc_cnt_store", 4)
     // one doc merging into existing keys (exact dup of store doc 1), one
@@ -620,13 +636,92 @@ class IncrementalDedupSpec extends SparkSpec {
       "doc_id", "text", 3, 16, 4, "inc_cnt_store", 4)
     def keyed(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
-    val maintained = keyed(spark.table(IncrementalDedup.countsTable("inc_cnt_store")))
+    val ct = spark.table(IncrementalDedup.countsTable("inc_cnt_store"))
+    val maintained = keyed(IncrementalDedup.keyCountTotals(ct))
     val recomputed = keyed(spark.table("inc_cnt_store")
       .groupBy("band", "band_key")
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n_docs")))
+      .agg(F.count(F.lit(1)).as("n_docs")))
     assert(maintained == recomputed)
     assert(maintained.values.exists(_ == 2L)) // the merged key actually summed
+    // append-only delta layout: the merged key carries TWO delta rows
+    // (initial rollup + the shard's delta) until compaction collapses them
+    assert(ct.groupBy("band", "band_key").count()
+      .filter(F.col("count") === 2L).count() == 4) // doc 50 = doc 1: 4 shared keys
+  }
+
+  test("count maintenance is O(shard): appends add delta files, never rewrite the side table") {
+    val F = org.apache.spark.sql.functions
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_delta_store", 4)
+    val ct = IncrementalDedup.countsTable("inc_delta_store")
+    def files(tbl: String): Set[String] = {
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location.toString))
+      val s = java.nio.file.Files.list(loc)
+      try s.toArray.map(_.toString.split('/').last)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    var seen = files(ct)
+    (1 to 3).foreach { i =>
+      IncrementalDedup.appendSignatures(
+        df(Seq((100L + i, s"shard $i unique content never repeated elsewhere at all")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 3, 16, 4, "inc_delta_store", 4)
+      val now = files(ct)
+      // every pre-append file survives (a full rewrite would replace them)
+      // and the shard's deltas landed as NEW files
+      assert(seen.subsetOf(now),
+        s"append $i rewrote the counts table: lost ${seen -- now}")
+      assert(now.size > seen.size, s"append $i added no delta files")
+      seen = now
+    }
+    // totals still exact after three delta generations
+    val totals = IncrementalDedup.keyCountTotals(spark.table(ct))
+    val recomputed = spark.table("inc_delta_store")
+      .groupBy("band", "band_key").agg(F.count(F.lit(1)).as("n_docs"))
+    assert(totals.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(totals).isEmpty)
+  }
+
+  test("compactStore restores one file per bucket and collapses the count deltas; results unchanged") {
+    val F = org.apache.spark.sql.functions
+    val tbl = "inc_compact_store"
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4, tbl, 4)
+    (1 to 3).foreach { i =>
+      IncrementalDedup.appendSignatures(
+        df(Seq((200L + i, s"compaction shard $i with its own distinct wording throughout")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 3, 16, 4, tbl, 4)
+    }
+    val before = IncrementalDedup.dedupAgainstStore(shard, "doc_id", "text",
+      3, 16, 4, spark.table(tbl), 0.5).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val beforeStore = spark.table(tbl).orderBy("band", "band_key", "doc_id")
+      .collect().map(_.toSeq).toSeq
+    IncrementalDedup.compactStore(spark, tbl, 4)
+    // one file per bucket on both relations (repartition(buckets, keys)
+    // aligns tasks with bucket ids)
+    def nFiles(t: String): Long = {
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString))
+      val s = java.nio.file.Files.list(loc)
+      try s.toArray.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(nFiles(tbl) <= 4, s"store not compacted: ${nFiles(tbl)} files")
+    val ct = IncrementalDedup.countsTable(tbl)
+    assert(nFiles(ct) <= 4, s"counts not compacted: ${nFiles(ct)} files")
+    // deltas collapsed to one row per key
+    assert(spark.table(ct).groupBy("band", "band_key").count()
+      .filter(F.col("count") > 1L).count() == 0)
+    // store contents and dedup verdicts unchanged
+    assert(spark.table(tbl).orderBy("band", "band_key", "doc_id")
+      .collect().map(_.toSeq).toSeq == beforeStore)
+    val after = IncrementalDedup.dedupAgainstStore(shard, "doc_id", "text",
+      3, 16, 4, spark.table(tbl), 0.5).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(after == before)
   }
 
   test("ingestBatch honors the cap through the persisted counts table") {
@@ -642,8 +737,9 @@ class IncrementalDedupSpec extends SparkSpec {
     val v = spark.read.parquet(s"$root/out").collect().head
     assert(v.getAs[Boolean]("kept")) // hot keys excluded → survivor
     // the survivor's signatures were appended and the counts table
-    // advanced with them (hot key now 4 docs deep)
-    assert(spark.table(IncrementalDedup.countsTable("inc_cap_ingest_store"))
+    // advanced with them (hot key now 4 docs deep in delta totals)
+    assert(IncrementalDedup.keyCountTotals(
+        spark.table(IncrementalDedup.countsTable("inc_cap_ingest_store")))
       .filter(F.col("n_docs") === 4L).count() == 4)
   }
 
@@ -735,10 +831,103 @@ class VectorStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getBoolean(1),
         if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
     assert(got == Set((10L, true, -1L), (20L, false, 10L)))
-    // foreachBatch at-least-once: a replayed batch id REPLACES its partition
+    // foreachBatch at-least-once: a replayed batch id is skipped by the
+    // ledger — verdicts exactly-once, store and counts unchanged
+    val storeRows = spark.table("vec_ingest_store").count()
+    val countRows = spark.table(VectorStore.countsTable("vec_ingest_store")).count()
     ingest(Seq((20L, c)), 1L)
     assert(spark.read.parquet(s"$root/out")
       .groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0)
+    assert(spark.table("vec_ingest_store").count() == storeRows)
+    assert(spark.table(VectorStore.countsTable("vec_ingest_store")).count() == countRows)
+  }
+
+  test("hot-cell cap: over-cap cells excluded on both sides; sub-cap matches still drop") {
+    val F = org.apache.spark.sql.functions
+    // 3 twins of `a` make a's cell hot; `b` sits alone in its own cell
+    // (seedOffset 27 separates the unit vectors into distinct cells)
+    val cells = VectorStore.assigned(vdf(Seq((1L, a), (2L, b))), "vec_id",
+        "embedding", nCentroids = 4, dim = 4, seedOffset = 27L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cells(1L) != cells(2L), s"fixture needs distinct cells, got $cells")
+    VectorStore.writeVectorStore(
+      vdf(Seq((1L, a), (2L, a), (3L, a), (4L, b))), "vec_id", "embedding",
+      nCentroids = 4, dim = 4, seedOffset = 27L,
+      table = "vec_cap_store", buckets = 4)
+    val ct = spark.table(VectorStore.countsTable("vec_cap_store"))
+    assert(VectorStore.cellCountTotals(ct)
+      .filter(F.col("n_vecs") === 3L).count() == 1) // the hot cell
+    def dedup(cap: Long) =
+      VectorStore.dedupAgainstStore(vdf(Seq((10L, a), (11L, b))), "vec_id",
+          "embedding", spark.table("vec_cap_store"), minCosine = 0.9,
+          nCentroids = 4, nProbe = 1, dim = 4, seedOffset = 27L,
+          maxCellVecs = cap,
+          cellCounts = if (cap > 0) Some(ct) else None)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    // capped: the hot-cell-only twin is KEPT (the documented bounded
+    // recall loss — exact dedup's job upstream); the sub-cap twin drops
+    assert(dedup(2L) == Seq((10L, true, 0L), (11L, false, 1L)))
+    // uncapped, the hot-cell twin drops — the cap actually bit above
+    assert(dedup(0L).head == ((10L, false, 3L)))
+  }
+
+  test("appendVectors lands count DELTAS as new files; totals equal a full recompute") {
+    val F = org.apache.spark.sql.functions
+    VectorStore.writeVectorStore(vdf(Seq((1L, a), (2L, b))), "vec_id",
+      "embedding", nCentroids = 4, dim = 4, seedOffset = 7L,
+      table = "vec_cnt_store", buckets = 4)
+    val ctName = VectorStore.countsTable("vec_cnt_store")
+    def files(tbl: String): Set[String] = {
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location.toString))
+      val s = java.nio.file.Files.list(loc)
+      try s.toArray.map(_.toString.split('/').last)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    var seen = files(ctName)
+    (1 to 3).foreach { i =>
+      VectorStore.appendVectors(vdf(Seq((10L + i, a), (20L + i, c))), "vec_id",
+        "embedding", 4, 4, 7L, "vec_cnt_store", 4)
+      val now = files(ctName)
+      assert(seen.subsetOf(now), s"append $i rewrote the counts: ${seen -- now}")
+      assert(now.size > seen.size, s"append $i added no delta files")
+      seen = now
+    }
+    val totals = VectorStore.cellCountTotals(spark.table(ctName))
+    val recomputed = spark.table("vec_cnt_store")
+      .groupBy("cell").agg(F.count(F.lit(1)).as("n_vecs"))
+    assert(totals.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(totals).isEmpty)
+  }
+
+  test("duplicated store rows (replay half-window) never inflate verdicts; compactStore repairs the store") {
+    val F = org.apache.spark.sql.functions
+    VectorStore.writeVectorStore(vdf(Seq((1L, a), (2L, b))), "vec_id",
+      "embedding", nCentroids = 4, dim = 4, seedOffset = 7L,
+      table = "vec_dup_store", buckets = 4)
+    // simulate the residual replay window: the same append lands twice
+    VectorStore.appendVectors(vdf(Seq((3L, c))), "vec_id", "embedding",
+      4, 4, 7L, "vec_dup_store", 4)
+    VectorStore.appendVectors(vdf(Seq((3L, c))), "vec_id", "embedding",
+      4, 4, 7L, "vec_dup_store", 4)
+    assert(spark.table("vec_dup_store").filter(F.col("vec_id") === 3L).count() == 2)
+    // the (new, store) pair-grain collapse keeps n_store_matches exact
+    val v = VectorStore.dedupAgainstStore(vdf(Seq((30L, c))), "vec_id",
+        "embedding", spark.table("vec_dup_store"), minCosine = 0.9,
+        nCentroids = 4, nProbe = 4, dim = 4, seedOffset = 7L)
+      .collect().head
+    assert(!v.getBoolean(1) && v.getLong(2) == 1L && v.getLong(3) == 3L)
+    // compaction collapses the duplicated row and recounts exactly
+    VectorStore.compactStore(spark, "vec_dup_store", 4)
+    assert(spark.table("vec_dup_store").filter(F.col("vec_id") === 3L).count() == 1)
+    assert(VectorStore.cellCountTotals(
+        spark.table(VectorStore.countsTable("vec_dup_store")))
+      .agg(F.sum("n_vecs")).collect().head.getLong(0) == 3L)
+    assert(spark.table(VectorStore.countsTable("vec_dup_store"))
+      .groupBy("cell").count().filter(F.col("count") > 1L).count() == 0)
   }
 
   test("full probing equals brute-force cross-shard near-dup on randomized vectors") {
