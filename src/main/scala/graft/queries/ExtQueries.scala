@@ -1699,16 +1699,33 @@ object ExtQueries {
     * survivorship with the x13 LCG codebook: shard-1 verdicts against
     * shard 0's cells, then shard-2 verdicts against
     * (shard 0 ∪ kept(shard 1))'s cells. Batch order pinned by staged
-    * file modification times, as x37. */
+    * file modification times, as x37.
+    *
+    * Since round 13 the checked configuration streams WITH the
+    * hot-cell cap engaged (the x47 seeding and cap formula — every
+    * `vec_id % 7 = 0` embedding replaced by one fixed boilerplate
+    * vector, `maxCellVecs = ceil(1.05 · |shard 0| / nCentroids)`)
+    * through the per-cell count side table, which the loop's appends
+    * advance BETWEEN micro-batches: the boilerplate cell is over cap
+    * already in batch 1 and stays over cap in batch 2, so a
+    * boilerplate vector in either shard can only drop through matches
+    * in its OTHER probed cells — and the oracle's batch-2 cell sizing
+    * must run over shard 0 ∪ kept(shard 1), not shard 0 alone, or the
+    * cell-size filter diverges. Ordinary cross-shard twins keep
+    * dropping through their sub-cap cells. */
   private val x46 = Q("x46_stream_vec_dedup",
     (s, d) => graft.util.Sessions.withShufflePartitions(s,
         graft.util.Sessions.streamingShufflePartitions) {
       val root = java.nio.file.Files.createTempDirectory("graft-x46-")
       val in = root.resolve("in"); val out = s"$root/out"; val chk = s"$root/chk"
       java.nio.file.Files.createDirectories(in)
-      val emb = embeddings(s, d)
+      val boiler = array((0 until 64).map(j => lit((j % 7 - 3).toFloat)): _*)
+      val emb = embeddings(s, d).withColumn("embedding",
+        when(col("vec_id") % 7 === 0, boiler).otherwise(col("embedding")))
+      val shard0 = emb.filter(col("vec_id") % 3 === 0)
+      val cap = math.ceil(1.05 * shard0.count() / 16).toLong
       graft.ext.VectorStore.writeVectorStore(
-        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        shard0, "vec_id", "embedding",
         nCentroids = 16, dim = 64, seedOffset = 100000L,
         table = "x46_vec_store", buckets = 8)
       def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
@@ -1728,14 +1745,19 @@ object ExtQueries {
       val job = graft.ext.VectorStore.streamIngest(stream, "vec_id", "embedding",
         table = "x46_vec_store", buckets = 8, minCosine = 0.4,
         nCentroids = 16, nProbe = 4, dim = 64, seedOffset = 100000L,
-        outPath = out, checkpoint = chk)
+        outPath = out, checkpoint = chk, maxCellVecs = cap)
       job.awaitTermination()
       s.read.parquet(out)
         .select(col("vec_id"), col("kept"), col("n_store_matches"),
           col("dup_of"), col("batch_id").cast("long").as("batch_id"))
         .orderBy("vec_id")
     },
-    Some("""WITH sc AS (SELECT vec_id, embedding,
+    Some("""WITH emb2 AS (SELECT vec_id,
+                   CASE WHEN vec_id % 7 = 0
+                        THEN list_transform(range(0,64), j -> CAST(j % 7 - 3 AS FLOAT))
+                        ELSE embedding END AS embedding
+                 FROM embeddings),
+                 sc AS (SELECT vec_id, embedding,
                    list_transform(range(0,16), kk ->
                      list_sum(list_transform(list_zip(embedding, range(0,64)),
                        x -> CAST(x[1] AS DOUBLE) *
@@ -1746,10 +1768,12 @@ object ExtQueries {
                           / 2147483648.0 * 2 - 1)
                          * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
                             / 2147483648.0 * 2 - 1))))) AS scores
-                 FROM embeddings),
+                 FROM emb2),
                  cells AS (SELECT vec_id, embedding,
                              CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
                            FROM sc),
+                 cap AS (SELECT CAST(ceiling(1.05 * count(*) / 16) AS BIGINT) AS cap
+                         FROM embeddings WHERE vec_id % 3 = 0),
                  probes AS (SELECT new_id, qe, cell FROM (
                      SELECT vec_id AS new_id, embedding AS qe, CAST(j AS INT) AS cell,
                             row_number() OVER (PARTITION BY vec_id
@@ -1758,9 +1782,12 @@ object ExtQueries {
                    WHERE pr <= 4),
                  s1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1),
                  s2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2),
+                 sized1 AS (SELECT cell FROM cells WHERE vec_id % 3 = 0
+                            GROUP BY cell HAVING count(*) <= (SELECT cap FROM cap)),
                  m1 AS (SELECT p.new_id, a.vec_id AS store_id
                         FROM probes p JOIN cells a
                           ON a.cell = p.cell AND a.vec_id <> p.new_id
+                        JOIN sized1 ON a.cell = sized1.cell
                         WHERE p.new_id % 3 = 1 AND a.vec_id % 3 = 0
                           AND list_sum(list_transform(list_zip(p.qe, a.embedding),
                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -1774,10 +1801,13 @@ object ExtQueries {
                         GROUP BY s1.vec_id),
                  st1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
                          UNION ALL SELECT vec_id FROM v1 WHERE kept),
+                 sized2 AS (SELECT a.cell FROM cells a JOIN st1 ON a.vec_id = st1.vec_id
+                            GROUP BY a.cell HAVING count(*) <= (SELECT cap FROM cap)),
                  m2 AS (SELECT p.new_id, a.vec_id AS store_id
                         FROM probes p JOIN cells a
                           ON a.cell = p.cell AND a.vec_id <> p.new_id
                         JOIN st1 ON a.vec_id = st1.vec_id
+                        JOIN sized2 ON a.cell = sized2.cell
                         WHERE p.new_id % 3 = 2
                           AND list_sum(list_transform(list_zip(p.qe, a.embedding),
                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -1794,8 +1824,99 @@ object ExtQueries {
             FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
             ORDER BY vec_id"""))
 
+  /** x45 with the incremental HOT-CELL CAP engaged (the vector-store
+    * twin of x43): cells carrying more store vectors than
+    * `maxCellVecs = ceil(1.05 · |store| / nCentroids)` — a hair above
+    * the expected cell size, the x38 convention, so the cap provably
+    * bites at every scale factor — are excluded from candidate
+    * generation on both sides through the persisted per-cell count
+    * side table ([[graft.ext.VectorStore.countsTable]]). To seed a hot
+    * cell deterministically, every `vec_id % 7 = 0` embedding is
+    * replaced by ONE fixed boilerplate vector (exactly-representable
+    * integer components, so float-vs-double arithmetic cannot diverge;
+    * both engines apply the identical seeding, the x40/x43
+    * convention): all boilerplate vectors share one argmax cell, which
+    * then holds ~1/7 of the store ≫ cap, so a fresh boilerplate vector
+    * can match only through its OTHER probed cells — the documented
+    * bounded recall loss on exactly the vectors upstream exact dedup
+    * collapses — while ordinary near-dups keep dropping through their
+    * sub-cap cells. The oracle mirrors the cap as a store-side
+    * cell-size `HAVING` filter computed from the same corpus count.
+    * 100 TB rationale: the store is append-only state, so an uncapped
+    * hot cell grows every future shard's probe-join candidate work
+    * unboundedly — the side-table contract is what keeps per-shard
+    * dedup cost proportional to the shard (reference MERGE-key state:
+    * `dags/sql/4. merge_core.sql:83-84`). */
+  private val x47 = Q("x47_incremental_vec_capped",
+    (s, d) => {
+      val boiler = array((0 until 64).map(j => lit((j % 7 - 3).toFloat)): _*)
+      val emb = embeddings(s, d).withColumn("embedding",
+        when(col("vec_id") % 7 === 0, boiler).otherwise(col("embedding")))
+      val store = emb.filter(col("vec_id") % 5 =!= 4)
+      val cap = math.ceil(1.05 * store.count() / 16).toLong
+      graft.ext.VectorStore.writeVectorStore(store, "vec_id", "embedding",
+        nCentroids = 16, dim = 64, seedOffset = 100000L,
+        table = "x47_vec_store", buckets = 8)
+      graft.ext.VectorStore.dedupAgainstStore(
+          emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding",
+          store = s.table("x47_vec_store"), minCosine = 0.4,
+          nCentroids = 16, nProbe = 4, dim = 64, seedOffset = 100000L,
+          maxCellVecs = cap,
+          cellCounts = Some(s.table(
+            graft.ext.VectorStore.countsTable("x47_vec_store"))))
+        .orderBy("vec_id")
+    },
+    Some("""WITH emb2 AS (SELECT vec_id,
+                   CASE WHEN vec_id % 7 = 0
+                        THEN list_transform(range(0,64), j -> CAST(j % 7 - 3 AS FLOAT))
+                        ELSE embedding END AS embedding
+                 FROM embeddings),
+                 sc AS (SELECT vec_id, embedding,
+                   list_transform(range(0,16), kk ->
+                     list_sum(list_transform(list_zip(embedding, range(0,64)),
+                       x -> CAST(x[1] AS DOUBLE) *
+                            (CAST((1103515245*(100000 + kk*64 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                             / 2147483648.0 * 2 - 1)))
+                     / sqrt(list_sum(list_transform(range(0,64), j ->
+                         (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                          / 2147483648.0 * 2 - 1)
+                         * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                            / 2147483648.0 * 2 - 1))))) AS scores
+                 FROM emb2),
+                 assigned AS (SELECT vec_id, embedding,
+                                CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
+                              FROM sc WHERE vec_id % 5 <> 4),
+                 sized AS (SELECT cell FROM assigned GROUP BY cell
+                           HAVING count(*) <=
+                             CAST(ceiling(1.05 * (SELECT count(*) FROM assigned) / 16) AS BIGINT)),
+                 aok AS (SELECT a.vec_id, a.embedding, a.cell
+                         FROM assigned a JOIN sized ON a.cell = sized.cell),
+                 probes AS (SELECT new_id, qe, cell FROM (
+                     SELECT vec_id AS new_id, embedding AS qe, CAST(j AS INT) AS cell,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY scores[j+1] DESC, j) AS pr
+                     FROM sc, (SELECT unnest(range(0,16)) AS j)
+                     WHERE vec_id % 5 = 4)
+                   WHERE pr <= 4),
+                 m AS (SELECT new_id, a.vec_id AS store_id
+                       FROM probes p JOIN aok a
+                         ON a.cell = p.cell AND a.vec_id <> p.new_id
+                       WHERE list_sum(list_transform(list_zip(p.qe, a.embedding),
+                               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                             >= 0.4),
+                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
+                                min(store_id) AS dup_of
+                         FROM m GROUP BY new_id)
+            SELECT e.vec_id, (a.dup_of IS NULL) AS kept,
+                   COALESCE(a.n_store_matches, 0) AS n_store_matches, a.dup_of
+            FROM embeddings e LEFT JOIN agg a ON a.new_id = e.vec_id
+            WHERE e.vec_id % 5 = 4
+            ORDER BY e.vec_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44, x45, x46)
+    x40, x41, x42, x43, x44, x45, x46, x47)
 }

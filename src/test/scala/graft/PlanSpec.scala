@@ -380,6 +380,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x47 capped vector dedup keeps the store side Exchange-free through the cell semi filter") {
+    val df = Registry.queries("x47_incremental_vec_capped")(spark, sf)
+    val executed = df.queryExecution.executedPlan
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    def storeScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.tableIdentifier.exists(_.table == "x47_vec_store") => f
+    }
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    // the probe join's store side now CONTAINS the hot-cell semi filter
+    // (store ⋉ counts-rollup, both bucketed on cell): select join sides
+    // that scan the bucketed store table and whose only nested joins
+    // are LeftSemi — the x43 selection rule applied to the vector twin
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right))
+      .filter { s =>
+        storeScans(s).nonEmpty &&
+          s.collect {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+              if j.joinType != org.apache.spark.sql.catalyst.plans.LeftSemi => j
+          }.isEmpty
+      }
+    assert(storeSides.nonEmpty,
+      s"no sort-merge join reads the semi-filtered bucketed vector store:\n${root.toString.take(1500)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"store+counts subtree must read its buckets in place, found shuffles: $es")
+    }
+    assert(smjs.exists(_.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi),
+      "expected the hot-cell semi filter to compile as a sort-merge semi join")
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
