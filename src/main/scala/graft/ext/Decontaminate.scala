@@ -72,24 +72,42 @@ object Decontaminate {
     * ([[graft.functions.Bloom]]); the one driver-side value is the
     * serialized filter itself (same O(1)-scalar convention as the
     * surrogate-id max). Bloom sizing is exact (the eval gram count is
-    * measured, not guessed), clamped to the expression's caps. */
+    * measured, not guessed), clamped to the expression's caps.
+    *
+    * CACHE LIFETIME CONTRACT (the MinHash convention, stated loudly):
+    * the returned DataFrame keeps referencing the persisted train-gram
+    * rows — a long-lived session must release them with
+    * `spark.catalog.clearCache()` once the result is consumed. The
+    * eval-gram cache is NOT part of the contract: it is unpersisted
+    * inside this method as soon as the bloom bytes are collected (its
+    * two driver actions are done by then; the confirm semi-join
+    * re-derives the small eval side once at execution instead of
+    * pinning a second relation for the caller to remember). The bloom
+    * filter itself is plan-embedded driver state, capped at
+    * [[MaxBloomBits]] bits. */
   def contaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
                         evalPred: Column, n: Int,
                         fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    // both gram sets are consumed twice (totals + candidates; bloom +
-    // confirm): persist the narrow (id, long) rows — MinHash cache
-    // contract, released by `spark.catalog.clearCache()`
+    // train grams are consumed twice lazily (totals + candidates):
+    // persist the narrow (id, long) rows — released by the caller per
+    // the contract above
     val trainGrams = grams(docs.filter(!evalPred), textCol, n, col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eval grams are consumed by two EAGER actions (count + bloom agg)
+    // back to back: persist only across them, then release before
+    // returning — the lazy confirm join recomputes the eval side once
     val evalGrams = grams(docs.filter(evalPred), textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEval = math.min(math.max(evalGrams.count(), 1L), MaxBloomItems)
-    val numBits = math.min(MaxBloomBits, math.max(64L,
-      math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
-    val bloomBytes = evalGrams
-      .agg(graft.functions.Bloom.agg(col("gram_fp"), nEval, numBits))
-      .head.getAs[Array[Byte]](0)
+    val bloomBytes =
+      try {
+        val nEval = math.min(math.max(evalGrams.count(), 1L), MaxBloomItems)
+        val numBits = math.min(MaxBloomBits, math.max(64L,
+          math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+        evalGrams
+          .agg(graft.functions.Bloom.agg(col("gram_fp"), nEval, numBits))
+          .head.getAs[Array[Byte]](0)
+      } finally evalGrams.unpersist()
     val candidates =
       if (bloomBytes == null) trainGrams.filter(lit(false)) // empty eval split
       else trainGrams.filter(

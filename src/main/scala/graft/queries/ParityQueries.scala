@@ -94,7 +94,16 @@ object ParityQueries {
   private val q06 = Q("q06_premerge_metrics",
     (s, d) => {
       val o = orders(s, d)
+      // TPC-H o_custkey is never null, so an un-seeded skip leg would be
+      // identically 0 at every scale factor and the oracle could never
+      // catch a divergence in the skip-count path. Seed unparseable key
+      // rows deterministically (a fixed orderkey residue class, the x40
+      // convention — both engines apply the identical seeding): 8 rows
+      // at sf0.001, 82 at sf0.01, 806 at sf0.1.
       val window0 = o.filter(col("o_orderdate") >= lit(cutoff))
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 97 === 0, lit(null))
+            .otherwise(col("o_custkey")))
       val raw = window0.filter(col("o_custkey").isNotNull)
       val rejectPred = col("o_orderpriority") === "1-URGENT"
       val vk = raw.filter(!rejectPred).select("o_custkey").distinct()
@@ -111,7 +120,9 @@ object ParityQueries {
         .select(col("raw_cnt"), col("skipped_cnt"), col("reject_cnt"),
           (col("vk_cnt") - col("est_updates")).as("est_inserts"), col("est_updates"))
     },
-    Some("""WITH w AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    Some("""WITH w AS (SELECT * REPLACE (CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                                              ELSE o_custkey END AS o_custkey)
+                       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
             raw AS (SELECT * FROM w WHERE o_custkey IS NOT NULL),
             vk AS (SELECT DISTINCT o_custkey FROM raw WHERE NOT (o_orderpriority = '1-URGENT')),
             ex AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
