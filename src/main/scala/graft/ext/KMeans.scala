@@ -57,14 +57,13 @@ object KMeans {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         e => e.getField("cx")).as("c"))
 
-  /** Lloyd's iterations: initial centroids are the vectors with the k
-    * lowest ids (a deterministic, data-defined seed); `rounds`
+  /** The shared Lloyd schedule: initial centroids are the vectors with
+    * the k lowest ids (a deterministic, data-defined seed); `rounds`
     * assignment rounds with a centroid update between consecutive
-    * rounds. Returns the final (id, cluster, dist) assignment —
-    * `dist` in exact quantized-integer units.
-    */
-  def lloyd(vecs: DataFrame, idCol: String, embCol: String,
-            k: Int, rounds: Int): DataFrame = {
+    * rounds. Returns BOTH lazy frames — the codebook the final
+    * assignment round used, and that assignment. */
+  private def run(vecs: DataFrame, idCol: String, embCol: String,
+                  k: Int, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val q = vecs.select(col(idCol), quantize(col(embCol)).as("u"))
     // the k lowest ids regardless of the id space (a TakeOrdered of k
@@ -80,6 +79,33 @@ object KMeans {
       centroids = update(q, idCol, assigned)
       assigned = assign(q, idCol, centroids)
     }
-    assigned
+    (centroids, assigned)
   }
+
+  /** Lloyd's iterations — returns the final (id, cluster, dist)
+    * assignment, `dist` in exact quantized-integer units. */
+  def lloyd(vecs: DataFrame, idCol: String, embCol: String,
+            k: Int, rounds: Int): DataFrame =
+    run(vecs, idCol, embCol, k, rounds)._2
+
+  /** The FITTED quantized codebook `(cid, c)` — exactly the centroids
+    * [[lloyd]]'s final assignment round scores against, so
+    * `assignTo(vecs, …, fit(vecs, …, k, rounds))` reproduces
+    * `lloyd(vecs, …, k, rounds)` bit-for-bit. This is the trained
+    * codebook that drops into the IVF paths
+    * ([[Similarity.ivfTopKTrained]]); clusters that lost every member
+    * during training are absent (the consumer indexes cells
+    * positionally). */
+  def fit(vecs: DataFrame, idCol: String, embCol: String,
+          k: Int, rounds: Int): DataFrame =
+    run(vecs, idCol, embCol, k, rounds)._1
+
+  /** Assign vectors to their nearest centroid (exact integer L2, ties
+    * to the lowest cid) from an EXPLICIT codebook `(cid, c)` — the
+    * drop-in assignment for a store/corpus that must never be
+    * re-trained, only re-scored. */
+  def assignTo(vecs: DataFrame, idCol: String, embCol: String,
+               centroids: DataFrame): DataFrame =
+    assign(vecs.select(col(idCol), quantize(col(embCol)).as("u")),
+      idCol, centroids)
 }

@@ -192,6 +192,60 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** [[ivfTopK]] with a TRAINED codebook: the deterministic LCG
+    * centroids are replaced by fitted k-means centroids
+    * ([[KMeans.fit]]) — the "a trained codebook drops in" contract,
+    * proven rather than claimed (RecallSpec pins recall@k ≥ the LCG
+    * codebook's at the same cell/probe budget). Cells are scored by
+    * exact integer L2 in the quantized domain ([[KMeans.quantize]] —
+    * the same arithmetic the trainer used, so assignment is
+    * bit-faithful to [[KMeans.lloyd]]'s, ties to the lowest cell).
+    *
+    * The codebook is collected driver-side (k·dim longs — algorithm
+    * state, the same broadcast convention as [[KMeans]]' assignment
+    * rounds) and embedded as array literals, so corpus-side assignment
+    * stays a narrow per-row expression: no join, no groupBy, no
+    * shuffle beyond the candidate equi-join itself — exactly the
+    * [[ivfTopK]] plan with a different scorer. Cells are indexed
+    * positionally in `cid` order (training may drop empty clusters);
+    * both sides use the same indexing. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int,
+                     centroids: DataFrame, nProbe: Int): DataFrame = {
+    val cents: Array[Seq[Long]] = centroids.orderBy("cid").collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("c")))
+    require(cents.nonEmpty, "ivfTopKTrained: empty codebook")
+    def dists(emb: Column): Column = {
+      val u = KMeans.quantize(emb)
+      array(cents.map(c =>
+        aggregate(zip_with(u, typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)): _*)
+    }
+    val assigned = corpus.withColumn("__dists", dists(col(embCol)))
+      .withColumn("__centroid",
+        (array_position(col("__dists"), array_min(col("__dists"))) - 1)
+          .cast("int"))
+      .drop("__dists")
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__dist").asc, col("__centroid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("__qe"),
+        posexplode(dists(col(embCol))).as(Seq("__centroid", "__dist")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qe"), col("__centroid"))
+    val scored = assigned.join(broadcast(probes), Seq("__centroid"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("__qe"), col(embCol)).as("sim"))
+      .distinct() // a neighbor can sit in several probed cells
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup over the WHOLE corpus (no query set):
     * candidate pairs share at least one LSH band; exact cosine confirms
     * against `minCosine`. The self-join on (band, band_key) replaces the

@@ -1915,8 +1915,70 @@ object ExtQueries {
             WHERE e.vec_id % 5 = 4
             ORDER BY e.vec_id"""))
 
+  /** x13's IVF top-k with a TRAINED codebook
+    * ([[graft.ext.Similarity.ivfTopKTrained]]): the 16 LCG cells are
+    * replaced by 16 fitted k-means centroids ([[graft.ext.KMeans.fit]],
+    * the x23 trainer — 2 rounds, k-lowest-id seed), assignment and
+    * probe ranking by exact integer L2 in the quantized domain, same
+    * probe budget and exact-cosine re-rank. Because the trainer is
+    * integer-exact end to end, the WHOLE path stays oracle-checkable:
+    * the oracle replays x23's clustering verbatim (k = 16), derives the
+    * round-2 codebook, and re-scores corpus and queries against it.
+    * RecallSpec pins what this query cannot (that training BUYS recall
+    * — 0.74 vs 0.40 at the same budget on this corpus); this query pins
+    * that the drop-in scorer computes exactly what it claims. */
+  private val x48 = Q("x48_knn_ivf_trained",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val codebook = KMeans.fit(emb, "vec_id", "embedding", k = 16, rounds = 2)
+      Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, centroids = codebook, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+                      v -> CAST(floor(CAST(v AS DOUBLE)*1048576 + 0.5) AS BIGINT) + 2097152) AS u
+                    FROM embeddings),
+             ql AS (SELECT vec_id, e.e.i AS pos, e.e.x AS x
+                    FROM q, unnest(list_transform(generate_series(1, len(u)),
+                           i -> {'i': i-1, 'x': u[i]})) AS e(e)),
+             c0 AS (SELECT vec_id AS cid, pos, x AS c FROM ql WHERE vec_id < 16),
+             d1 AS (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
+                    FROM ql JOIN c0 USING (pos) GROUP BY 1, 2),
+             a1 AS (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d1),
+             m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+             c1 AS (SELECT m1.cid, ql.pos,
+                      CAST((2*sum(ql.x) + count(*)) // (2*count(*)) AS BIGINT) AS c
+                    FROM ql JOIN m1 USING (vec_id) GROUP BY 1, 2),
+             d2 AS (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
+                    FROM ql JOIN c1 USING (pos) GROUP BY 1, 2),
+             asg AS (SELECT vec_id, cid FROM
+                       (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                        FROM d2)
+                     WHERE rn = 1),
+             prn AS (SELECT vec_id AS query_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
+                     FROM d2 WHERE vec_id < 8),
+             probes AS (SELECT query_id, cid FROM prn WHERE pr <= 4),
+             scored AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                 list_sum(list_transform(list_zip(qe.embedding, ne.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+               FROM probes p
+               JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+               JOIN embeddings qe ON qe.vec_id = p.query_id
+               JOIN embeddings ne ON ne.vec_id = a.vec_id),
+             r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+                   FROM scored)
+            SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
+            FROM r WHERE rn <= 5 ORDER BY query_id, rank"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44, x45, x46, x47)
+    x40, x41, x42, x43, x44, x45, x46, x47, x48)
 }

@@ -73,4 +73,25 @@ class RecallSpec extends SparkSpec {
     assert(p4 >= 0.30, f"IVF recall collapsed: $p4%.3f (expected ≥ 0.30)")
     assert(p8 >= p4, f"more probes must not lose candidates: $p8%.3f < $p4%.3f")
   }
+
+  test("trained-codebook IVF: fitted k-means cells match or beat the LCG codebook") {
+    // same cell/probe budget as x13's checked parameters — the only
+    // change is the codebook, so the comparison isolates what training
+    // buys: cells shaped by the data instead of random hypervectors
+    val lcg = recallAtK(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", K, nCentroids = 16, nProbe = 4, dim = 64))
+    val codebook = graft.ext.KMeans.fit(emb, "vec_id", "embedding",
+      k = 16, rounds = 2)
+    val trained = recallAtK(Similarity.ivfTopKTrained(emb, queries, "vec_id",
+      "embedding", K, codebook, nProbe = 4))
+    // the monotonicity theorem holds for any codebook: probing more of
+    // the SAME cells examines a superset of candidates
+    val trained8 = recallAtK(Similarity.ivfTopKTrained(emb, queries, "vec_id",
+      "embedding", K, codebook, nProbe = 8))
+    info(f"IVF recall@$K: LCG probe4 = $lcg%.3f, trained probe4 = $trained%.3f, trained probe8 = $trained8%.3f")
+    assert(trained >= lcg,
+      f"trained codebook lost recall vs the LCG codebook: $trained%.3f < $lcg%.3f")
+    assert(trained8 >= trained,
+      f"more probes must not lose candidates: $trained8%.3f < $trained%.3f")
+  }
 }

@@ -167,6 +167,18 @@ class KMeansSpec extends SparkSpec {
         .orderBy("vec_id").collect().map(_.toSeq).toSeq
     assert(run(1) == run(7))
   }
+
+  test("assignTo over the fitted codebook reproduces lloyd bit-for-bit") {
+    // the fit/assignTo split is the trained-codebook contract: training
+    // once and re-scoring new vectors must agree with having trained on
+    // the same data — same quantization, same integer L2, same tie rule
+    val viaLloyd = KMeans.lloyd(vecs, "vec_id", "embedding", 2, 2)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val codebook = KMeans.fit(vecs, "vec_id", "embedding", 2, 2)
+    val viaAssign = KMeans.assignTo(vecs, "vec_id", "embedding", codebook)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(viaAssign == viaLloyd)
+  }
 }
 
 class SemDedupSpec extends SparkSpec {
