@@ -220,19 +220,16 @@ object IncrementalDedup {
     * operational shape — process what's pending, exactly once per file,
     * stop).
     *
-    * The verdict sink is EXACTLY-ONCE under `foreachBatch`'s
-    * at-least-once replay: verdicts land partitioned by `batch_id`
-    * with dynamic partition overwrite, so a replayed batch REPLACES
-    * its own partition instead of appending a second copy. The store
-    * append stays at-least-once but is semantically idempotent (the
-    * pair grain collapses duplicate store rows per (new, store) doc
-    * pair). One honest caveat on a replay that happens AFTER the
-    * original append already committed: the shard's survivors are in
-    * the store by then, so the recomputed verdicts may mark a doc as a
-    * dup of a same-shard survivor — the corpus-level invariant (every
-    * dropped doc points at a KEPT representative) still holds, the
-    * grain of first-wins just tightens from cross-shard to
-    * within-shard. */
+    * The loop is IDEMPOTENT under `foreachBatch`'s at-least-once
+    * replay: verdicts land partitioned by `batch_id` with dynamic
+    * partition overwrite (a replayed batch REPLACES its own partition),
+    * and a batch whose id is already in the store's applied-batch
+    * ledger ([[graft.core.IngestLedger]]) is skipped outright, so a
+    * fully-committed batch never re-appends signatures or count deltas.
+    * The one residual window — a crash after the append but before the
+    * ledger record — and its [[compactStore]] repair are stated at the
+    * ledger's doc; verdict correctness survives it either way (the
+    * dedup join collapses to the (new, store) pair grain). */
   def streamIngest(newDocs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, numHashes: Int, nBands: Int,
                    table: String, buckets: Int, minJaccard: Double,
