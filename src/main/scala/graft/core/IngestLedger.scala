@@ -1,7 +1,7 @@
 package graft.core
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 /** Applied-batch ledger for the incremental-store ingest loops
   * ([[graft.ext.IncrementalDedup.ingestBatch]] /
@@ -13,14 +13,21 @@ import org.apache.spark.sql.functions.col
   * `batch_id`), but a store append is not — a replayed append would
   * duplicate the survivors' store rows AND double-merge their count
   * deltas, permanently inflating the hot-key counts the cap filters on.
-  * The ledger closes that: each fully-committed batch id is recorded in
-  * a tiny `<table>_applied` catalog table, and a replayed batch whose
-  * id is already recorded is skipped outright (its verdicts and append
-  * both committed before the record was written — recording is the LAST
-  * step of a batch).
+  * The ledger closes that: each fully-committed batch id is recorded,
+  * and a replayed batch whose id is already recorded is skipped
+  * outright (its verdicts and append both committed before the record
+  * was written — recording is the LAST step of a batch).
+  *
+  * Implementation: one empty MARKER FILE per applied batch under
+  * `<warehouse>/<table>_applied/` — the same commit-log shape as
+  * Spark's own file-sink `_spark_metadata`. A lookup is a filesystem
+  * `exists`, a record is an atomic empty-file create: ZERO Spark jobs,
+  * no catalog entries, and the markers live on the same storage (and
+  * with the same durability) as the store's data files. O(#batches)
+  * empty files; a lookup never lists the directory.
   *
   * Residual window, stated honestly: a crash AFTER the store append but
-  * BEFORE the ledger record replays the append once. Verdicts stay
+  * BEFORE the marker write replays the append once. Verdicts stay
   * correct (the dedup joins collapse to the (new, store) pair grain, so
   * duplicated store rows never double-count matches); the per-key
   * counts over-count by the duplicated shard's deltas, which can only
@@ -30,32 +37,40 @@ import org.apache.spark.sql.functions.col
   * (full-row distinct) and rebuilds the counts from a fresh in-bucket
   * recount.
   *
-  * Scale: the ledger is one long per applied batch — O(#batches) rows,
-  * read as one narrow filter per micro-batch. Batch ids must be unique
-  * per logical shard; `foreachBatch` guarantees this for streaming
-  * callers, and loop-driving callers own the contract.
+  * Batch ids must be unique per logical shard; `foreachBatch`
+  * guarantees this for streaming callers, and loop-driving callers own
+  * the contract.
   */
 object IngestLedger {
 
-  /** Name of the ledger table kept alongside a store `table`. */
-  def ledgerTable(table: String): String = s"${table}_applied"
+  /** Directory of marker files kept alongside a store `table`. */
+  def ledgerDir(spark: SparkSession, table: String): Path =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"), s"${table}_applied")
 
-  /** Has `batchId` been fully committed against `table`? */
+  private def marker(spark: SparkSession, table: String, batchId: Long): Path =
+    new Path(ledgerDir(spark, table), s"batch-$batchId")
+
+  /** Has `batchId` been fully committed against `table`? One
+    * filesystem `exists` — no job, no listing. */
   def applied(spark: SparkSession, table: String, batchId: Long): Boolean = {
-    val lt = ledgerTable(table)
-    spark.catalog.tableExists(lt) &&
-      !spark.table(lt).filter(col("batch_id") === batchId).isEmpty
+    val m = marker(spark, table, batchId)
+    m.getFileSystem(spark.sessionState.newHadoopConf()).exists(m)
   }
 
   /** Record `batchId` as fully committed — call LAST, after every side
-    * effect of the batch has committed. */
-  def record(spark: SparkSession, table: String, batchId: Long): Unit =
-    spark.range(batchId, batchId + 1).select(col("id").as("batch_id"))
-      .write.mode("append").format("parquet").saveAsTable(ledgerTable(table))
+    * effect of the batch has committed. An atomic empty-file create. */
+  def record(spark: SparkSession, table: String, batchId: Long): Unit = {
+    val m = marker(spark, table, batchId)
+    val fs = m.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(m.getParent)
+    fs.create(m, true).close()
+  }
 
   /** Drop the ledger. Called when a store is freshly (re)written: a new
     * store restarts its batch-id space, and a stale ledger would make
     * the new loop's batches look already-applied and silently skip. */
-  def reset(spark: SparkSession, table: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS `${ledgerTable(table)}`")
+  def reset(spark: SparkSession, table: String): Unit = {
+    val d = ledgerDir(spark, table)
+    d.getFileSystem(spark.sessionState.newHadoopConf()).delete(d, true)
+  }
 }
