@@ -419,6 +419,18 @@ class PlanSpec extends SparkSpec {
       "expected the hot-cell semi filter to compile as a sort-merge semi join")
   }
 
+  test("x48 trained-codebook IVF broadcasts the probes; assignment is per-row (no cartesian, no extra join)") {
+    val p = plan("x48_knn_ivf_trained")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "trained IVF must probe via an equi join, not a nested loop")
+    // the candidate join builds on the broadcast probe side; the corpus
+    // side carries its literal-codebook distance array in a Project
+    // (no centroid join, no corpus groupBy for assignment)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("array_position"), p.take(800))
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

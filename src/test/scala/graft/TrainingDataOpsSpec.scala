@@ -449,6 +449,68 @@ class VocabSpec extends SparkSpec {
 }
 
 class EdgeCaseSpec extends SparkSpec {
+  private def vdf(rows: Seq[(Long, Seq[Float])]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("vector dedup of an EMPTY shard returns zero verdicts without touching the store") {
+    graft.ext.VectorStore.writeVectorStore(
+      vdf(Seq((1L, Seq(1f, 0f)))), "vec_id", "embedding",
+      nCentroids = 2, dim = 2, seedOffset = 7L,
+      table = "edge_vec_store", buckets = 2)
+    val out = graft.ext.VectorStore.dedupAgainstStore(
+      vdf(Seq.empty), "vec_id", "embedding",
+      spark.table("edge_vec_store"), minCosine = 0.9,
+      nCentroids = 2, nProbe = 2, dim = 2, seedOffset = 7L)
+    assert(out.count() == 0)
+  }
+
+  test("a cap that excludes EVERY cell keeps every new vector (total recall loss, no crash)") {
+    // two twins per cell so every cell count (2) sits over cap 1
+    graft.ext.VectorStore.writeVectorStore(
+      vdf(Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+        (3L, Seq(0f, 1f)), (4L, Seq(0f, 1f)))), "vec_id", "embedding",
+      nCentroids = 2, dim = 2, seedOffset = 7L,
+      table = "edge_cap_store", buckets = 2)
+    def dedup(cap: Long) = graft.ext.VectorStore.dedupAgainstStore(
+        vdf(Seq((10L, Seq(1f, 0f)))), "vec_id", "embedding",
+        spark.table("edge_cap_store"), minCosine = 0.9,
+        nCentroids = 2, nProbe = 2, dim = 2, seedOffset = 7L,
+        maxCellVecs = cap,
+        cellCounts = if (cap > 0)
+          Some(spark.table(graft.ext.VectorStore.countsTable("edge_cap_store")))
+        else None)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(dedup(0L) == Seq((10L, false, 2L))) // uncapped: twin drops
+    assert(dedup(1L) == Seq((10L, true, 0L)))  // every cell capped: kept
+  }
+
+  test("compact of an empty bucketed table leaves a working empty table") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("symbol", "v")
+    graft.core.Bucketing.writeBucketed(empty, "edge_empty_bkt", Seq("symbol"), 2)
+    graft.core.Bucketing.compact(spark, "edge_empty_bkt", Seq("symbol"), 2)
+    assert(spark.table("edge_empty_bkt").count() == 0)
+    // and the table still accepts appends after the swap
+    graft.core.Bucketing.appendBucketed(
+      Seq(("A", 1L)).toDF("symbol", "v"), "edge_empty_bkt", Seq("symbol"), 2)
+    assert(spark.table("edge_empty_bkt").count() == 1)
+  }
+
+  test("ivfTopKTrained works when training collapsed to a single surviving cluster") {
+    // all vectors identical → every vector lands in the seed-0 cluster
+    // and the round-2 codebook may contain a dead centroid; the trained
+    // path must still assign, probe, and rank without error
+    val vecs = vdf(Seq((0L, Seq(1f, 1f)), (1L, Seq(1f, 1f)), (2L, Seq(1f, 1f))))
+    val codebook = graft.ext.KMeans.fit(vecs, "vec_id", "embedding", 2, 2)
+    val out = graft.ext.Similarity.ivfTopKTrained(vecs,
+        vecs.filter(org.apache.spark.sql.functions.col("vec_id") === 0L),
+        "vec_id", "embedding", k = 2, centroids = codebook, nProbe = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, 1L), (2, 2L))) // both twins retrieved, sim = 1
+  }
+
   test("vocab k larger than the vocabulary yields zero OOV everywhere") {
     val docs = df(Seq((1L, "aa bb"), (2L, "aa"))).toDF("doc_id", "text")
     val out = graft.ext.Vocab.oovRates(docs, "doc_id", "text", 100)
