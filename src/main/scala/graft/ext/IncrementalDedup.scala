@@ -179,12 +179,13 @@ object IncrementalDedup {
     * key. This is the amortized moment where full-relation work is paid
     * once per MANY appends instead of once per append.
     *
-    * The `prepare` distinct also makes this the documented REPAIR for
-    * the ingest loop's residual replay window
-    * ([[graft.core.IngestLedger]]): store rows duplicated by a replayed
-    * append collapse (the banded layout is fully determined by the doc,
-    * so full-row distinct is id-exact), and the recount restores exact
-    * per-key counts. */
+    * The `prepare` distinct is defense-in-depth: the two-phase ledger
+    * ([[graft.core.IngestLedger]] + [[graft.core.Reconcile]]) already
+    * keeps the ingest loop exactly-once, but any drift introduced
+    * OUTSIDE it (a caller appending the same shard twice by hand)
+    * collapses here too — the banded layout is fully determined by the
+    * doc, so full-row distinct is id-exact, and the recount restores
+    * exact per-key counts. */
   def compactStore(spark: SparkSession, table: String, buckets: Int): Unit = {
     val keys = Seq("band", "band_key")
     Bucketing.compact(spark, table, keys, buckets,
@@ -226,10 +227,12 @@ object IncrementalDedup {
     * and a batch whose id is already in the store's applied-batch
     * ledger ([[graft.core.IngestLedger]]) is skipped outright, so a
     * fully-committed batch never re-appends signatures or count deltas.
-    * The one residual window — a crash after the append but before the
-    * ledger record — and its [[compactStore]] repair are stated at the
-    * ledger's doc; verdict correctness survives it either way (the
-    * dedup join collapses to the (new, store) pair grain). */
+    * A batch that crashed INSIDE its append (intent marker without a
+    * commit marker) replays through the reconcile path
+    * ([[graft.core.Reconcile.appendExact]]): the committed verdicts are
+    * reused and store + counts converge to the exact post-append state
+    * — there is no residual window (IngestRecoverySpec drives every
+    * crash point). */
   def streamIngest(newDocs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, numHashes: Int, nBands: Int,
                    table: String, buckets: Int, minJaccard: Double,
@@ -251,10 +254,10 @@ object IncrementalDedup {
     * store, overwrite THIS
     * batch's verdict partition, append the survivors' signatures, and
     * record the batch in the store's applied-batch ledger
-    * ([[graft.core.IngestLedger]] — a batch id already recorded is
-    * skipped outright, making the at-least-once `foreachBatch` replay
-    * idempotent; the ledger doc states the residual window and its
-    * [[compactStore]] repair). The verdicts are eagerly materialized
+    * ([[graft.core.IngestLedger]] — a batch id already committed is
+    * skipped outright, and one that crashed mid-append reconciles
+    * exactly, so the at-least-once `foreachBatch` replay is effectively
+    * exactly-once end to end). The verdicts are eagerly materialized
     * (`localCheckpoint`) BEFORE the store append — `dedupAgainstStore`
     * returns a lazy plan over the store table, and appending first
     * would let the plan observe the shard's own signatures. */
@@ -266,8 +269,6 @@ object IncrementalDedup {
                   maxBandDocs: Int = 0): Unit = {
     val spark = batch.sparkSession
     if (IngestLedger.applied(spark, table, batchId)) return
-    val counts =
-      if (maxBandDocs > 0) Some(spark.table(countsTable(table))) else None
     // sign the shard ONCE: the persisted banded rows feed both the
     // dedup join and the survivors' append (re-signing the survivors
     // would double the ingest loop's only corpus-proportional compute)
@@ -275,16 +276,34 @@ object IncrementalDedup {
         shingleN, numHashes, nBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val verdicts = dedupBanded(batch.select(col(idCol)), banded, idCol,
-          numHashes, spark.table(table), minJaccard, maxBandDocs, counts)
-        .localCheckpoint(true)
-      verdicts.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(outPath)
-      val kept = verdicts.filter(col("kept")).select(col(idCol))
-      appendBanded(banded.join(kept, Seq(idCol)), table, buckets)
+      if (IngestLedger.intended(spark, table, batchId)) {
+        // a prior attempt committed this batch's verdicts and crashed
+        // somewhere inside its append: reuse the committed verdicts
+        // (re-running the dedup here would see the shard's own appended
+        // rows — surviving near-dup SIBLINGS would each match the
+        // other's store row and flip from kept to dropped) and converge
+        // store + counts to the exact post-append state
+        val kept = spark.read.parquet(outPath)
+          .filter(col("batch_id") === batchId && col("kept"))
+          .select(col(idCol))
+        graft.core.Reconcile.appendExact(banded.join(kept, Seq(idCol)),
+          idCol, table, countsTable(table), "n_docs",
+          Seq("band", "band_key"), buckets)
+      } else {
+        val counts =
+          if (maxBandDocs > 0) Some(spark.table(countsTable(table))) else None
+        val verdicts = dedupBanded(batch.select(col(idCol)), banded, idCol,
+            numHashes, spark.table(table), minJaccard, maxBandDocs, counts)
+          .localCheckpoint(true)
+        verdicts.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        IngestLedger.intent(spark, table, batchId)
+        val kept = verdicts.filter(col("kept")).select(col(idCol))
+        appendBanded(banded.join(kept, Seq(idCol)), table, buckets)
+      }
       IngestLedger.record(spark, table, batchId)
     } finally banded.unpersist()
   }

@@ -123,11 +123,11 @@ object VectorStore {
   /** Periodic store maintenance — the vector twin of
     * [[IncrementalDedup.compactStore]]: rewrite the store to one file
     * per bucket (restoring the probe join's in-bucket Sort elision),
-    * collapse replay-duplicated rows (full-row distinct — the assigned
-    * layout is fully determined by the vector), and rebuild the count
-    * side table from a fresh in-bucket recount. Also the documented
-    * repair for the ingest loop's residual replay window
-    * ([[graft.core.IngestLedger]]). */
+    * collapse any externally-introduced duplicate rows (full-row
+    * distinct — the assigned layout is fully determined by the vector;
+    * the ingest loop itself is exactly-once via the two-phase ledger,
+    * [[graft.core.IngestLedger]] + [[graft.core.Reconcile]]), and
+    * rebuild the count side table from a fresh in-bucket recount. */
   def compactStore(spark: SparkSession, table: String, buckets: Int): Unit = {
     Bucketing.compact(spark, table, Seq("cell"), buckets,
       prepare = _.dropDuplicates())
@@ -165,9 +165,12 @@ object VectorStore {
     * point for a caller-driven ingest loop. Verdicts are eagerly
     * materialized (`localCheckpoint`) BEFORE the store append, so the
     * lazy plan over the store table cannot observe the shard's own
-    * vectors; a batch id already in the store's applied-batch ledger
-    * ([[graft.core.IngestLedger]]) is skipped outright, making the
-    * at-least-once `foreachBatch` replay idempotent. */
+    * vectors; a batch id already committed in the store's applied-batch
+    * ledger ([[graft.core.IngestLedger]]) is skipped outright, and one
+    * that crashed mid-append replays through the reconcile path
+    * ([[graft.core.Reconcile.appendExact]], reusing the committed
+    * verdicts), so the at-least-once `foreachBatch` replay is
+    * effectively exactly-once end to end. */
   def ingestBatch(batch: DataFrame, batchId: Long,
                   idCol: String, embCol: String,
                   table: String, buckets: Int, minCosine: Double,
@@ -175,20 +178,39 @@ object VectorStore {
                   outPath: String, maxCellVecs: Long = 0L): Unit = {
     val spark = batch.sparkSession
     if (IngestLedger.applied(spark, table, batchId)) return
-    val counts =
-      if (maxCellVecs > 0) Some(spark.table(countsTable(table))) else None
-    val verdicts = dedupAgainstStore(batch, idCol, embCol,
-        spark.table(table), minCosine, nCentroids, nProbe, dim, seedOffset,
-        maxCellVecs, counts)
-      .localCheckpoint(true)
-    verdicts.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(outPath)
-    val kept = verdicts.filter(col("kept")).select(col(idCol))
-    appendVectors(batch.join(kept, Seq(idCol)), idCol, embCol,
-      nCentroids, dim, seedOffset, table, buckets)
+    if (IngestLedger.intended(spark, table, batchId)) {
+      // a prior attempt committed this batch's verdicts and crashed
+      // inside its append: reuse the committed verdicts (a re-run of
+      // the dedup would see the shard's own appended vectors —
+      // surviving near-dup SIBLINGS would each match the other's store
+      // row and flip from kept to dropped) and converge store + counts
+      // to the exact post-append state
+      val kept = spark.read.parquet(outPath)
+        .filter(col("batch_id") === batchId && col("kept"))
+        .select(col(idCol))
+      val rows = assigned(batch.join(kept, Seq(idCol)), idCol, embCol,
+          nCentroids, dim, seedOffset)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.core.Reconcile.appendExact(rows, idCol, table,
+        countsTable(table), "n_vecs", Seq("cell"), buckets)
+      finally rows.unpersist()
+    } else {
+      val counts =
+        if (maxCellVecs > 0) Some(spark.table(countsTable(table))) else None
+      val verdicts = dedupAgainstStore(batch, idCol, embCol,
+          spark.table(table), minCosine, nCentroids, nProbe, dim, seedOffset,
+          maxCellVecs, counts)
+        .localCheckpoint(true)
+      verdicts.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outPath)
+      IngestLedger.intent(spark, table, batchId)
+      val kept = verdicts.filter(col("kept")).select(col(idCol))
+      appendVectors(batch.join(kept, Seq(idCol)), idCol, embCol,
+        nCentroids, dim, seedOffset, table, buckets)
+    }
     IngestLedger.record(spark, table, batchId)
   }
 

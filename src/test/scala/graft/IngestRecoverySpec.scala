@@ -1,0 +1,197 @@
+package graft
+
+import graft.core.{Bucketing, IngestLedger}
+import graft.ext.{IncrementalDedup, VectorStore}
+import org.apache.spark.sql.functions._
+
+/** Crash-recovery semantics of the two-phase ingest ledger
+  * ([[graft.core.IngestLedger]] + [[graft.core.Reconcile]]): every
+  * crash point of `ingestBatch`'s append phase is simulated and the
+  * replay must converge verdicts, store, and counts to the EXACT
+  * single-append state. The simulations drive the same public surface
+  * the ingest loops use; the one white-box touch is deleting a commit
+  * marker file to model "crashed after the append, before the record".
+  */
+class IngestRecoverySpec extends SparkSpec {
+
+  private val store = df(Seq(
+    (1L, "a calm baseline document with entirely unrelated words inside"),
+    (2L, "completely different content about spark engines and parquet files")))
+    .toDF("doc_id", "text")
+
+  // 30/31 are near-dups OF EACH OTHER (15/16 signature match) but of
+  // nothing in the store: both survive attempt 1, both append — the
+  // sibling pair that makes a naive replay flip
+  private val shard = df(Seq(
+    (30L, "the quick brown fox jumps over the lazy dog"),
+    (31L, "the quick brown fox jumps over the lazy dog again"),
+    (32L, "fresh material sharing nothing with the ingested corpus")))
+    .toDF("doc_id", "text")
+
+  /** Delete batch `id`'s COMMIT marker, leaving its intent marker: the
+    * on-disk state of a crash after the append, before the record. */
+  private def crashBeforeCommit(table: String, id: Long): Unit = {
+    val m = new org.apache.hadoop.fs.Path(
+      IngestLedger.ledgerDir(spark, table), s"batch-$id")
+    assert(m.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(m, false), s"no commit marker to delete for batch $id")
+  }
+
+  private def sigTotals(table: String): Map[(Int, String), Long] =
+    IncrementalDedup.keyCountTotals(
+        spark.table(IncrementalDedup.countsTable(table)))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  private def sigRecount(table: String): Map[(Int, String), Long] =
+    spark.table(table).groupBy("band", "band_key").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  private def verdicts(out: String): Set[(Long, Boolean, Long, Long)] =
+    spark.read.parquet(out)
+      .select("doc_id", "kept", "n_store_matches", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+
+  test("replay after crash-before-commit: verdicts preserved, store and counts exact (signature store)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-sig-")
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "rec_sig_store", 4)
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_sig_store", 4, 0.5, s"$root/out")
+    val v1 = verdicts(s"$root/out")
+    // the sibling pair survived attempt 1 (no store match)
+    assert(v1.contains((30L, true, 0L, -1L)) && v1.contains((31L, true, 0L, -1L)))
+    val rows1 = spark.table("rec_sig_store")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // the hazard is real: a naive re-run of the dedup against the
+    // post-append store WOULD flip the siblings (each matches the
+    // other's appended row) — the reconcile path must not take it
+    val naive = IncrementalDedup.dedupAgainstStore(shard, "doc_id", "text",
+        3, 16, 4, spark.table("rec_sig_store"), 0.5)
+      .filter(col("doc_id").isin(30L, 31L) && !col("kept")).count()
+    assert(naive == 2L, "fixture must make the naive replay flip both siblings")
+    crashBeforeCommit("rec_sig_store", 0L)
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_sig_store", 4, 0.5, s"$root/out")
+    // verdicts DID NOT FLIP: a naive replay would re-run the dedup
+    // against a store already holding 30/31's rows, and each sibling
+    // would match the other's store row and drop
+    assert(verdicts(s"$root/out") == v1)
+    // store content identical — the reconcile appended nothing
+    assert(spark.table("rec_sig_store")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == rows1)
+    // count totals exactly match a fresh recount of the store
+    assert(sigTotals("rec_sig_store") == sigRecount("rec_sig_store"))
+    assert(IngestLedger.applied(spark, "rec_sig_store", 0L))
+  }
+
+  test("replay after crash between store append and count-delta append repairs counts exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-mid-")
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "rec_mid_store", 4)
+    // attempt 1 by hand, stopping INSIDE the append: verdicts committed,
+    // intent recorded, store rows appended — count deltas never landed
+    val v = IncrementalDedup.dedupAgainstStore(shard, "doc_id", "text",
+        3, 16, 4, spark.table("rec_mid_store"), 0.5)
+      .localCheckpoint(true)
+    v.withColumn("batch_id", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/out")
+    IngestLedger.intent(spark, "rec_mid_store", 0L)
+    val survivors = shard.join(v.filter(col("kept")).select("doc_id"), "doc_id")
+    Bucketing.appendBucketed(
+      IncrementalDedup.bandedSignatures(survivors, "doc_id", "text", 3, 16, 4),
+      "rec_mid_store", Seq("band", "band_key"), 4)
+    val v1 = verdicts(s"$root/out")
+    assert(sigTotals("rec_mid_store") != sigRecount("rec_mid_store"),
+      "fixture must model a genuine count/store divergence")
+    // the replay reconciles: corrective deltas close the gap exactly,
+    // no store row duplicates, verdicts untouched
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_mid_store", 4, 0.5, s"$root/out")
+    assert(sigTotals("rec_mid_store") == sigRecount("rec_mid_store"))
+    assert(spark.table("rec_mid_store")
+      .groupBy("band", "band_key", "doc_id").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(verdicts(s"$root/out") == v1)
+    assert(IngestLedger.applied(spark, "rec_mid_store", 0L))
+  }
+
+  test("a second crash during recovery reconciles again (idempotent replay-of-replay)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-twice-")
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "rec_twice_store", 4)
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_twice_store", 4, 0.5, s"$root/out")
+    val v1 = verdicts(s"$root/out")
+    crashBeforeCommit("rec_twice_store", 0L)
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_twice_store", 4, 0.5, s"$root/out")
+    crashBeforeCommit("rec_twice_store", 0L)
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_twice_store", 4, 0.5, s"$root/out")
+    assert(verdicts(s"$root/out") == v1)
+    assert(sigTotals("rec_twice_store") == sigRecount("rec_twice_store"))
+    assert(spark.table("rec_twice_store")
+      .groupBy("band", "band_key", "doc_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("vector store: replay after crash-before-commit preserves sibling-twin verdicts and converges counts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-vec-")
+    def vdf(rows: Seq[(Long, Seq[Float])]) = {
+      val s = spark; import s.implicits._
+      rows.toDF("vec_id", "embedding")
+    }
+    val a = Seq(1f, 0f, 0f, 0f)
+    val c = Seq(0f, 0f, 1f, 0f)
+    VectorStore.writeVectorStore(vdf(Seq((1L, a))), "vec_id", "embedding",
+      nCentroids = 4, dim = 4, seedOffset = 7L,
+      table = "rec_vec_store", buckets = 4)
+    // 10 and 11 are twins of each other with no store match: both keep
+    // on attempt 1 — the naive replay would flip both
+    VectorStore.ingestBatch(vdf(Seq((10L, c), (11L, c))), 0L,
+      "vec_id", "embedding", "rec_vec_store", 4, minCosine = 0.9,
+      nCentroids = 4, nProbe = 4, dim = 4, seedOffset = 7L,
+      outPath = s"$root/out")
+    def vVerdicts = spark.read.parquet(s"$root/out")
+      .select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(vVerdicts == Map(10L -> true, 11L -> true))
+    val rows1 = spark.table("rec_vec_store")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    crashBeforeCommit("rec_vec_store", 0L)
+    VectorStore.ingestBatch(vdf(Seq((10L, c), (11L, c))), 0L,
+      "vec_id", "embedding", "rec_vec_store", 4, minCosine = 0.9,
+      nCentroids = 4, nProbe = 4, dim = 4, seedOffset = 7L,
+      outPath = s"$root/out")
+    assert(vVerdicts == Map(10L -> true, 11L -> true))
+    assert(spark.table("rec_vec_store")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == rows1)
+    val totals = VectorStore.cellCountTotals(
+        spark.table(VectorStore.countsTable("rec_vec_store")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val recount = spark.table("rec_vec_store").groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(totals == recount)
+    assert(IngestLedger.applied(spark, "rec_vec_store", 0L))
+  }
+
+  test("ledger markers: intent precedes commit; applied wins; reset clears both") {
+    val t = "rec_ledger_probe"
+    IngestLedger.reset(spark, t)
+    assert(!IngestLedger.applied(spark, t, 5L))
+    assert(!IngestLedger.intended(spark, t, 5L))
+    IngestLedger.intent(spark, t, 5L)
+    assert(IngestLedger.intended(spark, t, 5L))
+    assert(!IngestLedger.applied(spark, t, 5L))
+    IngestLedger.record(spark, t, 5L)
+    assert(IngestLedger.applied(spark, t, 5L))
+    assert(IngestLedger.intended(spark, t, 5L)) // kept; unreachable behind applied
+    assert(!IngestLedger.applied(spark, t, 6L)) // ids are independent
+    IngestLedger.reset(spark, t)
+    assert(!IngestLedger.applied(spark, t, 5L))
+    assert(!IngestLedger.intended(spark, t, 5L))
+  }
+}
