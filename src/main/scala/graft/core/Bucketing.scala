@@ -106,5 +106,13 @@ object Bucketing {
     finally spark.conf.set(conf, prev)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    // the swap puts NEW files under the SAME table name/path: refresh
+    // this session's relation + file-listing caches so later reads do
+    // not chase dropped files. Standard Spark cross-session semantics
+    // apply to everyone else — any OTHER session holding a cached
+    // relation of `table` (e.g. the batch session while a streaming
+    // clone compacts in its foreachBatch) must `REFRESH TABLE` before
+    // its next read, exactly as for any externally-modified table.
+    spark.catalog.refreshTable(table)
   }
 }

@@ -237,7 +237,7 @@ object IncrementalDedup {
                    shingleN: Int, numHashes: Int, nBands: Int,
                    table: String, buckets: Int, minJaccard: Double,
                    outPath: String, checkpoint: String,
-                   maxBandDocs: Int = 0)
+                   maxBandDocs: Int = 0, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -245,6 +245,17 @@ object IncrementalDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, idCol, textCol, shingleN, numHashes,
           nBands, table, buckets, minJaccard, outPath, maxBandDocs)
+        // in-loop maintenance (compactEvery > 0): every N batches,
+        // collapse the store's accumulated per-bucket shard files and
+        // count deltas back to one file per bucket / one row per key —
+        // without it, a long-running loop degrades toward
+        // thousands-of-files-per-bucket scans. Runs AFTER the batch's
+        // ledger record: compaction is best-effort maintenance outside
+        // the exactly-once contract (a crash mid-compaction leaves the
+        // original store intact — staging-table swap), and replaying a
+        // skipped batch may at worst re-compact, which is idempotent.
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactStore(batch.sparkSession, table, buckets)
       }
       .start()
 

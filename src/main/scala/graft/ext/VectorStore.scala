@@ -149,7 +149,7 @@ object VectorStore {
                    table: String, buckets: Int, minCosine: Double,
                    nCentroids: Int, nProbe: Int, dim: Int, seedOffset: Long,
                    outPath: String, checkpoint: String,
-                   maxCellVecs: Long = 0L)
+                   maxCellVecs: Long = 0L, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newVecs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -158,6 +158,12 @@ object VectorStore {
         ingestBatch(batch, batchId, idCol, embCol, table, buckets,
           minCosine, nCentroids, nProbe, dim, seedOffset, outPath,
           maxCellVecs)
+        // in-loop maintenance, same contract as
+        // [[IncrementalDedup.streamIngest]]: best-effort compaction
+        // AFTER the batch's ledger record, outside the exactly-once
+        // contract, idempotent under replay
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactStore(batch.sparkSession, table, buckets)
       }
       .start()
 

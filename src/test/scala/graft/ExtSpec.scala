@@ -777,6 +777,78 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(onlyShard.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
       == Seq((10L, false)))
   }
+
+  test("streamIngest compactEvery: in-loop compaction keeps one file per bucket; verdicts unchanged") {
+    val F = org.apache.spark.sql.functions
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-autocompact-")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_autocompact_store", 4)
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_autocompact_twin", 4)
+    val shardA = shard
+    val shardB = df(Seq(
+      (20L, "completely different content about spark engines and parquet files"),
+      (21L, "fresh material sharing nothing with the ingested corpus"),
+      (22L, "and now for something else entirely unrelated to every shard")))
+      .toDF("doc_id", "text")
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inc-acstage-")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = in.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    stage(shardA, "a.parquet", 1704067200000L)
+    stage(shardB, "b.parquet", 1704067260000L)
+    val stream = spark.readStream.schema(shardA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    // compact after EVERY micro-batch — the tightest cadence, so the
+    // cross-batch dependency (shard B dedups against shard A's append)
+    // must survive a compaction in between
+    val job = IncrementalDedup.streamIngest(stream, "doc_id", "text", 3, 16, 4,
+      "inc_autocompact_store", 4, 0.5, s"$root/out", s"$root/chk",
+      maxBandDocs = 0, compactEvery = 1)
+    job.awaitTermination()
+    // twin loop without compaction: identical verdicts
+    val jobT = IncrementalDedup.streamIngest(
+      spark.readStream.schema(shardA.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString),
+      "doc_id", "text", 3, 16, 4,
+      "inc_autocompact_twin", 4, 0.5, s"$root/outT", s"$root/chkT")
+    jobT.awaitTermination()
+    def sink(p: String) = spark.read.parquet(p)
+      .select("doc_id", "kept", "n_store_matches", "dup_of", "batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(sink(s"$root/out") == sink(s"$root/outT"))
+    // the compaction ran in the STREAM's cloned session: this (batch)
+    // session must refresh before reading, the standard Spark contract
+    // for a table modified by another session
+    spark.catalog.refreshTable("inc_autocompact_store")
+    spark.catalog.refreshTable(IncrementalDedup.countsTable("inc_autocompact_store"))
+    // store and counts are one file per bucket, deltas collapsed
+    def nFiles(t: String): Long = {
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString))
+      val s = java.nio.file.Files.list(loc)
+      try s.toArray.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val ct = IncrementalDedup.countsTable("inc_autocompact_store")
+    assert(nFiles("inc_autocompact_store") <= 4)
+    assert(nFiles(ct) <= 4)
+    assert(spark.table(ct).groupBy("band", "band_key").count()
+      .filter(F.col("count") > 1L).count() == 0)
+    // totals still exact
+    val totals = IncrementalDedup.keyCountTotals(spark.table(ct))
+    val recount = spark.table("inc_autocompact_store")
+      .groupBy("band", "band_key").agg(F.count(F.lit(1)).as("n_docs"))
+    assert(totals.exceptAll(recount).isEmpty && recount.exceptAll(totals).isEmpty)
+  }
 }
 
 /** Incremental embedding dedup against a persisted IVF-bucketed vector
@@ -956,6 +1028,66 @@ class VectorStoreSpec extends SparkSpec {
       val expectKept = !store.exists { case (_, sv) => cos(v, sv) >= 0.95 }
       assert(got(id) == expectKept, s"vec $id kept=${got(id)} expected=$expectKept")
     }
+  }
+
+  test("streamIngest compactEvery: vector store compacts in-loop; cross-batch dedup survives") {
+    val F = org.apache.spark.sql.functions
+    val root = java.nio.file.Files.createTempDirectory("graft-vec-autocompact-")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val a = Seq(1f, 0f, 0f, 0f)
+    val c = Seq(0f, 0f, 1f, 0f)
+    VectorStore.writeVectorStore(vdf(Seq((1L, a))), "vec_id", "embedding",
+      nCentroids = 4, dim = 4, seedOffset = 7L,
+      table = "vec_autocompact_store", buckets = 4)
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vec-acstage-")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = in.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    stage(vdf(Seq((10L, c))), "a.parquet", 1704067200000L)
+    stage(vdf(Seq((20L, c))), "b.parquet", 1704067260000L)
+    val stream = spark.readStream.schema(vdf(Seq((0L, a))).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val job = VectorStore.streamIngest(stream, "vec_id", "embedding",
+      "vec_autocompact_store", 4, minCosine = 0.9,
+      nCentroids = 4, nProbe = 4, dim = 4, seedOffset = 7L,
+      outPath = s"$root/out", checkpoint = s"$root/chk",
+      maxCellVecs = 0L, compactEvery = 1)
+    job.awaitTermination()
+    // 10 kept (fresh); 20 dropped against 10's append — across a
+    // compaction boundary
+    val got = spark.read.parquet(s"$root/out")
+      .select("vec_id", "kept", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((10L, true, -1L), (20L, false, 10L)))
+    // compaction ran in the stream's cloned session — refresh before
+    // reading from this one (standard cross-session table contract)
+    spark.catalog.refreshTable("vec_autocompact_store")
+    spark.catalog.refreshTable(VectorStore.countsTable("vec_autocompact_store"))
+    def nFiles(t: String): Long = {
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString))
+      val s = java.nio.file.Files.list(loc)
+      try s.toArray.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val ct = VectorStore.countsTable("vec_autocompact_store")
+    assert(nFiles("vec_autocompact_store") <= 4)
+    assert(nFiles(ct) <= 4)
+    assert(spark.table(ct).groupBy("cell").count()
+      .filter(F.col("count") > 1L).count() == 0)
+    val totals = VectorStore.cellCountTotals(spark.table(ct))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val recount = spark.table("vec_autocompact_store").groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(totals == recount)
   }
 }
 
