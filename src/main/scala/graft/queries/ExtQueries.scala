@@ -1234,7 +1234,15 @@ object ExtQueries {
     *
     * Determinism: per-doc verdicts are arrival-order-free within a
     * batch, and the batch ORDER is pinned by explicit staged-file
-    * modification times (the file source processes oldest first). */
+    * modification times (the file source processes oldest first).
+    *
+    * Since round 13 the checked configuration also runs the in-loop
+    * maintenance at its tightest cadence (`compactEvery = 1`): the
+    * store and its count deltas are compacted after EVERY micro-batch,
+    * so the oracle additionally proves that batch 2's dedup — and the
+    * cap's count totals — are unchanged across a compaction boundary
+    * (the results are compaction-invariant; only the file layout
+    * changes). */
   private val x37 = Q("x37_stream_incremental_dedup",
     (s, d) => graft.util.Sessions.withShufflePartitions(s,
         graft.util.Sessions.streamingShufflePartitions) {
@@ -1267,7 +1275,7 @@ object ExtQueries {
       val job = graft.ext.IncrementalDedup.streamIngest(stream, "doc_id", "text",
         shingleN = 3, numHashes = 16, nBands = 4, table = "x37_sig_store",
         buckets = 8, minJaccard = 0.5, outPath = out, checkpoint = chk,
-        maxBandDocs = 2)
+        maxBandDocs = 2, compactEvery = 1)
       job.awaitTermination()
       s.read.parquet(out)
         .select(col("doc_id"), col("kept"), col("n_store_matches"),
