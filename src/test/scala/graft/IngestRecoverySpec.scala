@@ -178,6 +178,35 @@ class IngestRecoverySpec extends SparkSpec {
     assert(IngestLedger.applied(spark, "rec_vec_store", 0L))
   }
 
+  test("reconcile backfills a legacy store that predates the counts side table") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-legacy-")
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "rec_legacy_store", 4)
+    // a store written before the side table existed
+    spark.sql(s"DROP TABLE `${IncrementalDedup.countsTable("rec_legacy_store")}`")
+    // attempt 1 by hand up to a mid-append crash (store rows landed)
+    val v = IncrementalDedup.dedupAgainstStore(shard, "doc_id", "text",
+        3, 16, 4, spark.table("rec_legacy_store"), 0.5)
+      .localCheckpoint(true)
+    v.withColumn("batch_id", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/out")
+    IngestLedger.intent(spark, "rec_legacy_store", 0L)
+    Bucketing.appendBucketed(
+      IncrementalDedup.bandedSignatures(
+        shard.join(v.filter(col("kept")).select("doc_id"), "doc_id"),
+        "doc_id", "text", 3, 16, 4),
+      "rec_legacy_store", Seq("band", "band_key"), 4)
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_legacy_store", 4, 0.5, s"$root/out")
+    // the side table exists now and matches a fresh recount exactly
+    assert(spark.catalog.tableExists(
+      IncrementalDedup.countsTable("rec_legacy_store")))
+    assert(sigTotals("rec_legacy_store") == sigRecount("rec_legacy_store"))
+    assert(IngestLedger.applied(spark, "rec_legacy_store", 0L))
+  }
+
   test("ledger markers: intent precedes commit; applied wins; reset clears both") {
     val t = "rec_ledger_probe"
     IngestLedger.reset(spark, t)
