@@ -178,6 +178,42 @@ class IngestRecoverySpec extends SparkSpec {
     assert(IngestLedger.applied(spark, "rec_vec_store", 0L))
   }
 
+  test("crash after intent but before ANY append: the reconcile performs the full append") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-early-")
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "rec_early_store", 4)
+    // attempt 1 crashed immediately after writing the intent marker:
+    // verdicts committed, nothing appended
+    val v = IncrementalDedup.dedupAgainstStore(shard, "doc_id", "text",
+        3, 16, 4, spark.table("rec_early_store"), 0.5)
+      .localCheckpoint(true)
+    v.withColumn("batch_id", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/out")
+    IngestLedger.intent(spark, "rec_early_store", 0L)
+    val v1 = verdicts(s"$root/out")
+    val preStore = spark.table("rec_early_store").count()
+    // replay: the reconcile path must append the FULL survivor set and
+    // land its count deltas from a recount that sees those fresh rows
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_early_store", 4, 0.5, s"$root/out")
+    assert(spark.table("rec_early_store").count() > preStore,
+      "reconcile appended nothing — survivors lost")
+    // store state identical to a normal-path run on a twin store
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "rec_early_twin", 4)
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_early_twin", 4, 0.5, s"$root/outT")
+    assert(spark.table("rec_early_store").orderBy("band", "band_key", "doc_id")
+        .collect().map(_.toSeq).toSeq ==
+      spark.table("rec_early_twin").orderBy("band", "band_key", "doc_id")
+        .collect().map(_.toSeq).toSeq)
+    assert(verdicts(s"$root/out") == v1)
+    assert(sigTotals("rec_early_store") == sigRecount("rec_early_store"))
+    assert(IngestLedger.applied(spark, "rec_early_store", 0L))
+  }
+
   test("reconcile backfills a legacy store that predates the counts side table") {
     val root = java.nio.file.Files.createTempDirectory("graft-rec-legacy-")
     IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
