@@ -55,6 +55,60 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Staging-table name used by the swap-based rewrites. */
+  private def stagingName(table: String): String = s"${table}__compact"
+
+  /** Complete a crashed staging swap: if `table` is missing but its
+    * staging twin exists, a prior [[replaceBucketed]] crashed between
+    * its DROP and RENAME — the data is intact in the staging table, so
+    * finish the rename. Returns true when a recovery happened. Called
+    * at the entry of every path that could encounter the stranded state
+    * ([[compact]], [[replaceBucketed]], the stores' `ingestBatch`), so
+    * the window self-heals on the next touch instead of requiring
+    * manual repair. A stale staging table NEXT TO a live `table` (crash
+    * after the staging write, before the DROP) needs no action — the
+    * next rewrite overwrites it. */
+  def recoverSwap(spark: SparkSession, table: String): Boolean = {
+    val staging = stagingName(table)
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(staging)) {
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      spark.catalog.refreshTable(table)
+      true
+    } else false
+  }
+
+  /** Replace `table`'s contents with `df` via a STAGING swap: write the
+    * new rows to `table__compact` (fully materialized — `df` may read
+    * from `table` itself), then DROP the original and RENAME the
+    * staging table into place. The files being read are never
+    * overwritten in place; a crash before the DROP leaves the original
+    * untouched, and a crash between DROP and RENAME strands a state
+    * that [[recoverSwap]] (run at entry here and in the maintenance /
+    * ingest paths) completes on the next touch. If `table` does not
+    * exist yet, this is just a create. */
+  def replaceBucketed(df: DataFrame, table: String, keys: Seq[String],
+                      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    recoverSwap(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      writeBucketed(df, table, keys, buckets)
+      return
+    }
+    val staging = stagingName(table)
+    writeBucketed(df, staging, keys, buckets)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    // the swap puts NEW files under the SAME table name/path: refresh
+    // this session's relation + file-listing caches so later reads do
+    // not chase dropped files. Standard Spark cross-session semantics
+    // apply to everyone else — any OTHER session holding a cached
+    // relation of `table` (e.g. the batch session while a streaming
+    // clone compacts in its foreachBatch) must `REFRESH TABLE` before
+    // its next read, exactly as for any externally-modified table.
+    spark.catalog.refreshTable(table)
+  }
+
   /** Compact an accumulated (much-appended) bucketed table back to ONE
     * file per bucket, restoring the scan's per-bucket sortedness and
     * with it the sort-merge join's Sort elision (a bucketed scan only
@@ -72,10 +126,9 @@ object Bucketing {
     * as the bucket id (Murmur3 pmod), so with numPartitions = buckets
     * each task holds exactly one bucket's rows and the bucketed write
     * emits exactly one file per bucket — deterministic regardless of
-    * the input file layout. The rewrite lands in a STAGING table which
-    * then replaces the original via a catalog drop + rename, so the
-    * files being read are never overwritten in place (and a crashed
-    * compaction leaves the original table untouched).
+    * the input file layout. The rewrite lands through
+    * [[replaceBucketed]]'s staging swap (entry additionally completes
+    * any swap a previous compaction left stranded — [[recoverSwap]]).
     *
     * `prepare` runs on the accumulated rows before the rewrite —
     * [[graft.ext.IncrementalDedup.compactStore]] passes a full-row
@@ -84,10 +137,10 @@ object Bucketing {
   def compact(spark: SparkSession, table: String, keys: Seq[String],
               buckets: Int,
               prepare: DataFrame => DataFrame = identity): Unit = {
+    recoverSwap(spark, table)
     if (!spark.catalog.tableExists(table))
       throw new IllegalArgumentException(
         s"compact: table '$table' does not exist")
-    val staging = s"${table}__compact"
     // pin the BUCKETED scan (autoBucketedScan=false disables the
     // planner's auto-downgrade to a plain file scan): the planner
     // elides the repartition either way because the bucketed layout
@@ -100,19 +153,9 @@ object Bucketing {
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(conf)
     spark.conf.set(conf, "false")
-    try writeBucketed(
+    try replaceBucketed(
       prepare(spark.table(table)).repartition(buckets, keys.map(col): _*),
-      staging, keys, buckets)
+      table, keys, buckets)
     finally spark.conf.set(conf, prev)
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
-    // the swap puts NEW files under the SAME table name/path: refresh
-    // this session's relation + file-listing caches so later reads do
-    // not chase dropped files. Standard Spark cross-session semantics
-    // apply to everyone else — any OTHER session holding a cached
-    // relation of `table` (e.g. the batch session while a streaming
-    // clone compacts in its foreachBatch) must `REFRESH TABLE` before
-    // its next read, exactly as for any externally-modified table.
-    spark.catalog.refreshTable(table)
   }
 }

@@ -24,8 +24,18 @@ import org.apache.spark.sql.SparkSession
   * lookup is a filesystem `exists`, a record is an atomic empty-file
   * create: ZERO Spark jobs, no catalog entries, and the markers live
   * on the same storage (and with the same durability) as the store's
-  * data files. O(#batches) empty files; a lookup never lists the
-  * directory.
+  * data files. A lookup never lists the directory.
+  *
+  * Unpruned, the directory grows two empty files per batch forever —
+  * years of one-batch-per-file ingest would mean millions of entries
+  * in one directory (FS metadata pressure, object-store LIST cost).
+  * [[prune]] (called from the stores' `compactStore` — the natural
+  * amortized-maintenance moment) collapses all markers at or below the
+  * highest CONTIGUOUS applied batch id into one WATERMARK file holding
+  * that id; [[applied]] answers `id ≤ watermark` from the watermark
+  * and later ids from their markers, so replay-skip keeps working on
+  * both sides of the prune. Ledger size after a prune is O(gap): the
+  * watermark plus markers for ids above the first hole.
   *
   * The ledger is TWO-PHASE, so there is no residual window: an INTENT
   * marker is written after a batch's verdicts commit but before its
@@ -71,10 +81,30 @@ object IngestLedger {
   private def exists(spark: SparkSession, m: Path): Boolean =
     m.getFileSystem(spark.sessionState.newHadoopConf()).exists(m)
 
+  private def watermarkFile(spark: SparkSession, table: String): Path =
+    new Path(ledgerDir(spark, table), "applied-through")
+
+  /** Highest batch id covered by the pruned-marker watermark — every id
+    * at or below it is committed. −1 when no prune has happened. One
+    * read of a fixed-name file, no listing. */
+  def watermark(spark: SparkSession, table: String): Long = {
+    val f = watermarkFile(spark, table)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(f)) -1L
+    else {
+      val in = fs.open(f)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
   /** Has `batchId` been fully committed against `table`? One
-    * filesystem `exists` — no job, no listing. */
+    * filesystem `exists` (plus one watermark read for ids whose marker
+    * was pruned) — no job, no listing. */
   def applied(spark: SparkSession, table: String, batchId: Long): Boolean =
-    exists(spark, marker(spark, table, batchId))
+    exists(spark, marker(spark, table, batchId)) ||
+      batchId <= watermark(spark, table)
 
   /** Did a prior attempt of `batchId` BEGIN its store append (commit
     * its verdicts and write the intent marker)? True on the replay of
@@ -95,6 +125,50 @@ object IngestLedger {
     * [[applied]] (checked first) makes the intent unreachable. */
   def record(spark: SparkSession, table: String, batchId: Long): Unit =
     touch(spark, marker(spark, table, batchId))
+
+  /** Collapse commit markers into the watermark: find the highest batch
+    * id `w` such that every id in `(current watermark, w]` has a commit
+    * marker, write `w` to the watermark file, then delete all markers
+    * (commit AND intent) at or below `w`. The one directory LISTING the
+    * ledger ever performs — a compaction-time cost, amortized over many
+    * appends, never on the per-batch path.
+    *
+    * Crash-ordering: the new watermark lands via write-to-temp +
+    * overwrite-RENAME (`FileContext`, atomic on HDFS/local), and
+    * markers are deleted only AFTER the watermark is in place — at
+    * every intermediate point [[applied]] stays correct (marker and
+    * watermark agree wherever both exist), and a re-run just finishes
+    * the deletes. Contiguity matters: a hole (a batch id that never
+    * committed) bounds the watermark, so an uncommitted batch can never
+    * be masked as applied. */
+  def prune(spark: SparkSession, table: String): Unit = {
+    val dir = ledgerDir(spark, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val committed = names.iterator
+      .filter(n => n.startsWith("batch-") && !n.endsWith(".intent"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch-").toLong).toOption)
+      .toSet
+    val w0 = watermark(spark, table)
+    var w = w0
+    while (committed.contains(w + 1)) w += 1
+    if (w > w0) {
+      val tmp = new Path(dir, "applied-through.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(w.toString.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+        .rename(tmp, watermarkFile(spark, table),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      names.foreach { n =>
+        val id = scala.util.Try(
+          n.stripPrefix("batch-").stripSuffix(".intent").toLong).toOption
+        if (n.startsWith("batch-") && id.exists(_ <= w))
+          fs.delete(new Path(dir, n), false)
+      }
+    }
+  }
 
   /** Drop the ledger. Called when a store is freshly (re)written: a new
     * store restarts its batch-id space, and a stale ledger would make

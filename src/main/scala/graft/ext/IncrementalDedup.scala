@@ -190,10 +190,18 @@ object IncrementalDedup {
     val keys = Seq("band", "band_key")
     Bucketing.compact(spark, table, keys, buckets,
       prepare = _.dropDuplicates())
-    Bucketing.writeBucketed(
+    // the counts rewrite goes through the same staged swap as the store
+    // (a bare overwrite would drop the table before the rewrite lands —
+    // a crash there would strand the capped dedup path on a missing
+    // side table); the swap's own crash window self-heals via
+    // Bucketing.recoverSwap at the next maintenance/ingest entry
+    Bucketing.replaceBucketed(
       bandKeyCounts(spark.table(table))
         .repartition(buckets, keys.map(col): _*),
       countsTable(table), keys, buckets)
+    // compaction is also the amortized moment to collapse the ledger's
+    // per-batch marker files below the contiguous-commit watermark
+    IngestLedger.prune(spark, table)
   }
 
   /** Deduplicate a NEW shard against a persisted signature `store`
@@ -251,9 +259,20 @@ object IncrementalDedup {
         // without it, a long-running loop degrades toward
         // thousands-of-files-per-bucket scans. Runs AFTER the batch's
         // ledger record: compaction is best-effort maintenance outside
-        // the exactly-once contract (a crash mid-compaction leaves the
-        // original store intact — staging-table swap), and replaying a
-        // skipped batch may at worst re-compact, which is idempotent.
+        // the exactly-once contract, and replaying a skipped batch may
+        // at worst re-compact, which is idempotent. A crash BEFORE the
+        // staging swap leaves the original store intact; a crash INSIDE
+        // the swap's drop→rename window strands a state the next entry
+        // of any maintenance/ingest path completes automatically
+        // (Bucketing.recoverSwap).
+        //
+        // Sizing: each compaction is a FULL-STORE rewrite — O(store)
+        // work per trigger — so a production loop wants N ≫ 1 (or an
+        // external files-per-bucket trigger), sized so one rewrite
+        // amortizes over many O(shard) appends. x37's checked
+        // `compactEvery = 1` is a COVERAGE configuration (prove dedup
+        // survives the compaction boundary on every batch), not a
+        // production template.
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(batch.sparkSession, table, buckets)
       }
@@ -279,6 +298,10 @@ object IncrementalDedup {
                   minJaccard: Double, outPath: String,
                   maxBandDocs: Int = 0): Unit = {
     val spark = batch.sparkSession
+    // complete any staging swap a crashed compaction stranded, before
+    // anything reads the store or its count side table
+    Bucketing.recoverSwap(spark, table)
+    Bucketing.recoverSwap(spark, countsTable(table))
     if (IngestLedger.applied(spark, table, batchId)) return
     // sign the shard ONCE: the persisted banded rows feed both the
     // dedup join and the survivors' append (re-signing the survivors

@@ -166,31 +166,9 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, embCol: String, k: Int,
               nCentroids: Int, nProbe: Int, dim: Int,
-              seedOffset: Long = 100000L): DataFrame = {
-    val scores = centroidScores(col(embCol), nCentroids, dim, seedOffset)
-    // corpus side: native codegen'd argmax (bit-identical to the HOF
-    // scores — see NearestCentroid); this is the row count that scales
-    val assigned = corpus.withColumn("__centroid",
-      graft.functions.NearestCentroid(col(embCol), nCentroids, dim, seedOffset))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("__score").desc, col("__centroid"))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(embCol).as("__qe"),
-        posexplode(scores).as(Seq("__centroid", "__score")))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nProbe)
-      .select(col("query_id"), col("__qe"), col("__centroid"))
-    val scored = assigned.join(broadcast(probes), Seq("__centroid"))
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("__qe"), col(embCol)).as("sim"))
-      .distinct() // a neighbor can sit in several probed cells
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-  }
+              seedOffset: Long = 100000L): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, embCol, k,
+      LcgCellScorer(nCentroids, dim, seedOffset), nProbe)
 
   /** [[ivfTopK]] with a TRAINED codebook: the deterministic LCG
     * centroids are replaced by fitted k-means centroids
@@ -203,34 +181,35 @@ object Similarity {
     *
     * The codebook is collected driver-side (k·dim longs — algorithm
     * state, the same broadcast convention as [[KMeans]]' assignment
-    * rounds) and embedded as array literals, so corpus-side assignment
-    * stays a narrow per-row expression: no join, no groupBy, no
-    * shuffle beyond the candidate equi-join itself — exactly the
-    * [[ivfTopK]] plan with a different scorer. Cells are indexed
-    * positionally in `cid` order (training may drop empty clusters);
-    * both sides use the same indexing. */
+    * rounds) into ONE codegen reference object
+    * ([[graft.functions.TrainedCellDists]]), so corpus-side assignment
+    * stays a narrow per-row expression AND plan size stays O(1) in k —
+    * no per-centroid literals, no join, no shuffle beyond the candidate
+    * equi-join itself: exactly the [[ivfTopK]] plan with a different
+    * scorer, viable at IVF-realistic k (thousands of cells). Cells are
+    * indexed positionally in `cid` order (training may drop empty
+    * clusters); both sides use the same indexing. */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame,
                      idCol: String, embCol: String, k: Int,
-                     centroids: DataFrame, nProbe: Int): DataFrame = {
-    val cents: Array[Seq[Long]] = centroids.orderBy("cid").collect()
-      .map(r => r.getSeq[Long](r.fieldIndex("c")))
-    require(cents.nonEmpty, "ivfTopKTrained: empty codebook")
-    def dists(emb: Column): Column = {
-      val u = KMeans.quantize(emb)
-      array(cents.map(c =>
-        aggregate(zip_with(u, typedLit(c), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)): _*)
-    }
-    val assigned = corpus.withColumn("__dists", dists(col(embCol)))
-      .withColumn("__centroid",
-        (array_position(col("__dists"), array_min(col("__dists"))) - 1)
-          .cast("int"))
-      .drop("__dists")
+                     centroids: DataFrame, nProbe: Int): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, embCol, k,
+      TrainedCellScorer.fromCodebook(centroids), nProbe)
+
+  /** The shared IVF top-k core, parameterized by the coarse-quantizer
+    * seam ([[CellScorer]]): per-row corpus assignment, query-side probe
+    * ranking (best `nProbe` cells in the scorer's order, ties to the
+    * lowest cell), candidate generation via a broadcast equi-join on the
+    * cell id, exact-cosine re-rank. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, embCol: String, k: Int,
+                  scorer: CellScorer, nProbe: Int): DataFrame = {
+    val assigned = corpus.withColumn("__centroid", scorer.cell(col(embCol)))
     val probeW = Window.partitionBy("query_id")
-      .orderBy(col("__dist").asc, col("__centroid").asc)
+      .orderBy(col("__rank").asc, col("__centroid").asc)
     val probes = queries
       .select(col(idCol).as("query_id"), col(embCol).as("__qe"),
-        posexplode(dists(col(embCol))).as(Seq("__centroid", "__dist")))
+        posexplode(scorer.cellScores(col(embCol))).as(Seq("__centroid", "__score")))
+      .withColumn("__rank", scorer.probeRank(col("__score")))
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nProbe)
       .select(col("query_id"), col("__qe"), col("__centroid"))

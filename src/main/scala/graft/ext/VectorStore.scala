@@ -9,12 +9,21 @@ import org.apache.spark.sql.functions._
   * store — the vector-space twin of [[IncrementalDedup]]'s signature
   * store, and the production shape of x12's whole-corpus embedding
   * near-dup: a continuously-ingested corpus keeps its vectors assigned
-  * to coarse IVF cells ([[graft.functions.NearestCentroid]] — the
-  * deterministic LCG codebook; a trained k-means codebook drops in by
-  * replacing the scorer, proven by [[Similarity.ivfTopKTrained]]),
-  * written as a catalog table bucketed by `cell`, and each new shard is
-  * deduplicated by probing only its `nProbe` best cells — WITHOUT
-  * recomputing a single store assignment.
+  * to coarse IVF cells, written as a catalog table bucketed by `cell`,
+  * and each new shard is deduplicated by probing only its `nProbe` best
+  * cells — WITHOUT recomputing a single store assignment.
+  *
+  * The coarse quantizer is the [[CellScorer]] seam: the deterministic
+  * LCG codebook ([[LcgCellScorer]] — zero training cost, available
+  * before any data exists) or a TRAINED k-means codebook
+  * ([[TrainedCellScorer]], [[KMeans.fit]]) persisted as a small table
+  * NEXT TO the store ([[codebookTable]]) so that every later append,
+  * probe, and replay assigns with the STORE's codebook rather than
+  * re-deriving one — the invariant that keeps store assignments and
+  * shard probes in the same cell space across the loop's lifetime.
+  * Training buys recall at the same probe budget (RecallSpec pins
+  * 0.744 vs 0.400 recall@5 batch-side, and store-path ≥ LCG store-path
+  * on the checked corpus); [[recluster]] re-trains at compaction time.
   *
   * Scale shape: the probe join is a `cell`-keyed equi-join whose store
   * side reads its buckets in place (zero shuffle, the q33/x34 story —
@@ -42,23 +51,30 @@ import org.apache.spark.sql.functions._
   * new vector matching any store vector (exact cosine ≥ `minCosine`
   * within probed cells) drops; the store never changes retroactively.
   * Same arithmetic as [[Similarity]] end to end (bit-identical LCG
-  * centroids, sequential-fold cosine), so the whole path is
-  * oracle-checkable bit-for-bit (x45, capped x47).
+  * centroids / integer-exact k-means, sequential-fold cosine), so both
+  * codebook paths are oracle-checkable bit-for-bit (x45, capped x47,
+  * trained streaming x49).
   *
   * Recall: a duplicate is found iff the store twin sits in one of the
   * new vector's probed cells. An exact duplicate always is (identical
-  * vector → identical argmax cell, probed first); near-dups follow the
+  * vector → identical argbest cell, probed first); near-dups follow the
   * IVF recall curve pinned in RecallSpec for the batch path.
   */
 object VectorStore {
 
-  /** `(id, embedding, cell)` rows — the persistable store layout (and
-    * what a new shard computes for itself before probing). */
+  /** `(id, embedding, cell)` rows under an explicit coarse quantizer —
+    * the persistable store layout (and what a new shard computes for
+    * itself before probing). */
+  def assignedWith(vecs: DataFrame, idCol: String, embCol: String,
+                   scorer: CellScorer): DataFrame =
+    vecs.select(col(idCol), col(embCol),
+      scorer.cell(col(embCol)).as("cell"))
+
+  /** [[assignedWith]] under the LCG codebook (the historical
+    * signature, kept for the zero-training path). */
   def assigned(vecs: DataFrame, idCol: String, embCol: String,
                nCentroids: Int, dim: Int, seedOffset: Long): DataFrame =
-    vecs.select(col(idCol), col(embCol),
-      graft.functions.NearestCentroid(col(embCol), nCentroids, dim, seedOffset)
-        .as("cell"))
+    assignedWith(vecs, idCol, embCol, LcgCellScorer(nCentroids, dim, seedOffset))
 
   /** Name of the per-cell vector-count side table maintained alongside
     * a vector store `table` — APPEND-ONLY delta rows `(cell, n_vecs)`:
@@ -67,6 +83,24 @@ object VectorStore {
     * count, so the rollup and the hot-cell semi-filters run
     * bucket-aligned, Exchange-free. */
   def countsTable(table: String): String = s"${table}_cellcounts"
+
+  /** Name of the persisted codebook table of a TRAINED store: the
+    * [[KMeans.fit]] `(cid, c)` rows, k·dim quantized longs. Persisted
+    * next to the store so appends, probes, and crash replays all assign
+    * with the codebook the store was built with (re-deriving one from
+    * shard data would silently fork the cell space). */
+  def codebookTable(table: String): String = s"${table}_codebook"
+
+  /** Load a trained store's persisted codebook as its scorer — k rows
+    * collected driver-side (algorithm state, the [[KMeans]] broadcast
+    * convention). Fails loudly on an LCG store. */
+  def trainedScorer(spark: SparkSession, table: String): TrainedCellScorer = {
+    val cb = codebookTable(table)
+    require(spark.catalog.tableExists(cb),
+      s"trainedScorer: '$cb' does not exist — '$table' is not a trained " +
+        "store (write it with writeVectorStoreTrained, or recluster it)")
+    TrainedCellScorer.fromCodebook(spark.table(cb))
+  }
 
   /** Total per-cell store vector counts from the delta side table —
     * an in-bucket rollup over the compact count relation (an int and a
@@ -82,12 +116,34 @@ object VectorStore {
     * catalog table `table` (bucketed+sorted by `cell`), plus its
     * per-cell count side table ([[countsTable]] — the initial full
     * rollup is the first delta, derived by reading the just-written
-    * store back in-bucket). */
+    * store back in-bucket), under the LCG codebook. */
   def writeVectorStore(vecs: DataFrame, idCol: String, embCol: String,
                        nCentroids: Int, dim: Int, seedOffset: Long,
-                       table: String, buckets: Int): Unit = {
-    Bucketing.writeBucketed(
-      assigned(vecs, idCol, embCol, nCentroids, dim, seedOffset),
+                       table: String, buckets: Int): Unit =
+    writeStoreWith(vecs, idCol, embCol,
+      LcgCellScorer(nCentroids, dim, seedOffset), table, buckets)
+
+  /** [[writeVectorStore]] under a TRAINED codebook ([[KMeans.fit]]'s
+    * `(cid, c)` frame): the codebook is persisted FIRST
+    * ([[codebookTable]]) and the store is assigned by reading it back,
+    * so the persisted codebook is by construction the one every store
+    * row was assigned with — the invariant the append/replay paths
+    * rely on. */
+  def writeVectorStoreTrained(vecs: DataFrame, idCol: String, embCol: String,
+                              codebook: DataFrame, table: String,
+                              buckets: Int): Unit = {
+    val spark = vecs.sparkSession
+    codebook.select(col("cid").cast("int").as("cid"), col("c"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(codebookTable(table))
+    writeStoreWith(vecs, idCol, embCol, trainedScorer(spark, table),
+      table, buckets)
+  }
+
+  private def writeStoreWith(vecs: DataFrame, idCol: String, embCol: String,
+                             scorer: CellScorer, table: String,
+                             buckets: Int): Unit = {
+    Bucketing.writeBucketed(assignedWith(vecs, idCol, embCol, scorer),
       table, Seq("cell"), buckets)
     val spark = vecs.sparkSession
     Bucketing.writeBucketed(cellCounts(spark.table(table)),
@@ -103,10 +159,10 @@ object VectorStore {
     * existed get it backfilled with a one-time in-bucket rollup. The
     * shard is consumed twice (store append + delta append), so the
     * narrow assigned rows are persisted for the duration. */
-  def appendVectors(vecs: DataFrame, idCol: String, embCol: String,
-                    nCentroids: Int, dim: Int, seedOffset: Long,
-                    table: String, buckets: Int): Unit = {
-    val rows = assigned(vecs, idCol, embCol, nCentroids, dim, seedOffset)
+  def appendVectorsWith(vecs: DataFrame, idCol: String, embCol: String,
+                        scorer: CellScorer, table: String,
+                        buckets: Int): Unit = {
+    val rows = assignedWith(vecs, idCol, embCol, scorer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Bucketing.appendBucketed(rows, table, Seq("cell"), buckets)
@@ -120,18 +176,61 @@ object VectorStore {
     } finally rows.unpersist()
   }
 
+  /** [[appendVectorsWith]] under the LCG codebook. */
+  def appendVectors(vecs: DataFrame, idCol: String, embCol: String,
+                    nCentroids: Int, dim: Int, seedOffset: Long,
+                    table: String, buckets: Int): Unit =
+    appendVectorsWith(vecs, idCol, embCol,
+      LcgCellScorer(nCentroids, dim, seedOffset), table, buckets)
+
   /** Periodic store maintenance — the vector twin of
     * [[IncrementalDedup.compactStore]]: rewrite the store to one file
     * per bucket (restoring the probe join's in-bucket Sort elision),
     * collapse any externally-introduced duplicate rows (full-row
     * distinct — the assigned layout is fully determined by the vector;
     * the ingest loop itself is exactly-once via the two-phase ledger,
-    * [[graft.core.IngestLedger]] + [[graft.core.Reconcile]]), and
-    * rebuild the count side table from a fresh in-bucket recount. */
+    * [[graft.core.IngestLedger]] + [[graft.core.Reconcile]]), rebuild
+    * the count side table from a fresh in-bucket recount (a staged
+    * swap, like the store itself — a crash mid-rewrite never leaves
+    * either table missing), and prune the ledger's applied markers
+    * below the contiguous-commit watermark
+    * ([[graft.core.IngestLedger.prune]]). */
   def compactStore(spark: SparkSession, table: String, buckets: Int): Unit = {
     Bucketing.compact(spark, table, Seq("cell"), buckets,
       prepare = _.dropDuplicates())
-    Bucketing.writeBucketed(
+    Bucketing.replaceBucketed(
+      cellCounts(spark.table(table)).repartition(buckets, col("cell")),
+      countsTable(table), Seq("cell"), buckets)
+    IngestLedger.prune(spark, table)
+  }
+
+  /** Compaction-time RE-CLUSTERING: retrain the codebook on the store's
+    * CURRENT vectors ([[KMeans.fit]] — deterministic, integer-exact),
+    * persist it ([[codebookTable]]), and rewrite store assignments and
+    * cell counts under the new cells (staged swaps — the data is never
+    * exposed half-rewritten). This is the permanent fix for a codebook
+    * the corpus has outgrown (hot cells, drifted data): a one-off
+    * O(store) maintenance pass, never a per-shard cost. The applied-
+    * batch ledger is PRESERVED — the store still holds exactly the
+    * batches it held, just re-bucketed.
+    *
+    * After a recluster the store is a TRAINED store: continue the loop
+    * through the `*Trained` entry points. The pass is not crash-atomic
+    * across its tables, but it IS idempotent-deterministic: the trainer
+    * sees the same vectors on a re-run and fits the same codebook, so
+    * the repair for a mid-recluster crash is simply to run `recluster`
+    * again before resuming ingest. */
+  def recluster(spark: SparkSession, table: String, buckets: Int,
+                idCol: String, embCol: String, k: Int, rounds: Int): Unit = {
+    Bucketing.recoverSwap(spark, table)
+    val vecs = spark.table(table).select(col(idCol), col(embCol))
+    KMeans.fit(vecs, idCol, embCol, k, rounds)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(codebookTable(table))
+    val scorer = trainedScorer(spark, table)
+    Bucketing.replaceBucketed(assignedWith(vecs, idCol, embCol, scorer),
+      table, Seq("cell"), buckets)
+    Bucketing.replaceBucketed(
       cellCounts(spark.table(table)).repartition(buckets, col("cell")),
       countsTable(table), Seq("cell"), buckets)
   }
@@ -144,7 +243,14 @@ object VectorStore {
     * `batch_id` with dynamic partition overwrite, so a replayed batch
     * replaces its own partition), append the SURVIVORS' assigned
     * vectors, so the next micro-batch dedups against everything
-    * ingested so far. */
+    * ingested so far.
+    *
+    * `compactEvery` guidance: a compaction is a FULL-STORE rewrite —
+    * O(store) work per trigger, so a production loop wants N ≫ 1 (or an
+    * external files-per-bucket trigger), sized so the rewrite amortizes
+    * over many O(shard) appends. x46's checked `compactEvery` settings
+    * are COVERAGE configurations (prove dedup survives the compaction
+    * boundary), not production templates. */
   def streamIngest(newVecs: DataFrame, idCol: String, embCol: String,
                    table: String, buckets: Int, minCosine: Double,
                    nCentroids: Int, nProbe: Int, dim: Int, seedOffset: Long,
@@ -161,28 +267,82 @@ object VectorStore {
         // in-loop maintenance, same contract as
         // [[IncrementalDedup.streamIngest]]: best-effort compaction
         // AFTER the batch's ledger record, outside the exactly-once
-        // contract, idempotent under replay
+        // contract, idempotent under replay. A crash before the swap
+        // leaves the original store intact; a crash INSIDE the swap's
+        // drop→rename window strands a state the next entry of any
+        // maintenance/ingest path completes automatically
+        // (Bucketing.recoverSwap).
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactStore(batch.sparkSession, table, buckets)
+      }
+      .start()
+
+  /** [[streamIngest]] over a TRAINED store (written by
+    * [[writeVectorStoreTrained]] or converted by [[recluster]]): each
+    * micro-batch assigns and probes with the store's PERSISTED codebook
+    * — re-read per batch, so the loop keeps following the store even
+    * across an interleaved recluster. Same exactly-once and
+    * `compactEvery` contracts as [[streamIngest]]. */
+  def streamIngestTrained(newVecs: DataFrame, idCol: String, embCol: String,
+                          table: String, buckets: Int, minCosine: Double,
+                          nProbe: Int, outPath: String, checkpoint: String,
+                          maxCellVecs: Long = 0L, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchTrained(batch, batchId, idCol, embCol, table, buckets,
+          minCosine, nProbe, outPath, maxCellVecs)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(batch.sparkSession, table, buckets)
       }
       .start()
 
   /** One micro-batch of [[streamIngest]] — also the non-streaming entry
-    * point for a caller-driven ingest loop. Verdicts are eagerly
-    * materialized (`localCheckpoint`) BEFORE the store append, so the
-    * lazy plan over the store table cannot observe the shard's own
-    * vectors; a batch id already committed in the store's applied-batch
-    * ledger ([[graft.core.IngestLedger]]) is skipped outright, and one
-    * that crashed mid-append replays through the reconcile path
-    * ([[graft.core.Reconcile.appendExact]], reusing the committed
-    * verdicts), so the at-least-once `foreachBatch` replay is
-    * effectively exactly-once end to end. */
+    * point for a caller-driven ingest loop (LCG codebook). */
   def ingestBatch(batch: DataFrame, batchId: Long,
                   idCol: String, embCol: String,
                   table: String, buckets: Int, minCosine: Double,
                   nCentroids: Int, nProbe: Int, dim: Int, seedOffset: Long,
-                  outPath: String, maxCellVecs: Long = 0L): Unit = {
+                  outPath: String, maxCellVecs: Long = 0L): Unit =
+    ingestBatchWith(batch, batchId, idCol, embCol, table, buckets,
+      minCosine, LcgCellScorer(nCentroids, dim, seedOffset), nProbe,
+      outPath, maxCellVecs)
+
+  /** One micro-batch against a TRAINED store: the scorer is the store's
+    * persisted codebook ([[trainedScorer]] — a k-row read, so appends
+    * can never drift from the store's cell space). */
+  def ingestBatchTrained(batch: DataFrame, batchId: Long,
+                         idCol: String, embCol: String,
+                         table: String, buckets: Int, minCosine: Double,
+                         nProbe: Int, outPath: String,
+                         maxCellVecs: Long = 0L): Unit = {
+    Bucketing.recoverSwap(batch.sparkSession, table)
+    ingestBatchWith(batch, batchId, idCol, embCol, table, buckets,
+      minCosine, trainedScorer(batch.sparkSession, table), nProbe,
+      outPath, maxCellVecs)
+  }
+
+  /** The shared micro-batch body. Verdicts are eagerly materialized
+    * (`localCheckpoint`) BEFORE the store append, so the lazy plan over
+    * the store table cannot observe the shard's own vectors; a batch id
+    * already committed in the store's applied-batch ledger
+    * ([[graft.core.IngestLedger]]) is skipped outright, and one that
+    * crashed mid-append replays through the reconcile path
+    * ([[graft.core.Reconcile.appendExact]], reusing the committed
+    * verdicts), so the at-least-once `foreachBatch` replay is
+    * effectively exactly-once end to end. Entry completes any staging
+    * swap a crashed compaction stranded ([[graft.core.Bucketing.recoverSwap]]
+    * on both the store and its count side table). */
+  def ingestBatchWith(batch: DataFrame, batchId: Long,
+                      idCol: String, embCol: String,
+                      table: String, buckets: Int, minCosine: Double,
+                      scorer: CellScorer, nProbe: Int,
+                      outPath: String, maxCellVecs: Long = 0L): Unit = {
     val spark = batch.sparkSession
+    Bucketing.recoverSwap(spark, table)
+    Bucketing.recoverSwap(spark, countsTable(table))
     if (IngestLedger.applied(spark, table, batchId)) return
     if (IngestLedger.intended(spark, table, batchId)) {
       // a prior attempt committed this batch's verdicts and crashed
@@ -194,8 +354,8 @@ object VectorStore {
       val kept = spark.read.parquet(outPath)
         .filter(col("batch_id") === batchId && col("kept"))
         .select(col(idCol))
-      val rows = assigned(batch.join(kept, Seq(idCol)), idCol, embCol,
-          nCentroids, dim, seedOffset)
+      val rows = assignedWith(batch.join(kept, Seq(idCol)), idCol, embCol,
+          scorer)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try graft.core.Reconcile.appendExact(rows, idCol, table,
         countsTable(table), "n_vecs", Seq("cell"), buckets)
@@ -203,8 +363,8 @@ object VectorStore {
     } else {
       val counts =
         if (maxCellVecs > 0) Some(spark.table(countsTable(table))) else None
-      val verdicts = dedupAgainstStore(batch, idCol, embCol,
-          spark.table(table), minCosine, nCentroids, nProbe, dim, seedOffset,
+      val verdicts = dedupAgainstStoreWith(batch, idCol, embCol,
+          spark.table(table), minCosine, scorer, nProbe,
           maxCellVecs, counts)
         .localCheckpoint(true)
       verdicts.withColumn("batch_id", lit(batchId))
@@ -214,19 +374,46 @@ object VectorStore {
         .parquet(outPath)
       IngestLedger.intent(spark, table, batchId)
       val kept = verdicts.filter(col("kept")).select(col(idCol))
-      appendVectors(batch.join(kept, Seq(idCol)), idCol, embCol,
-        nCentroids, dim, seedOffset, table, buckets)
+      appendVectorsWith(batch.join(kept, Seq(idCol)), idCol, embCol,
+        scorer, table, buckets)
     }
     IngestLedger.record(spark, table, batchId)
   }
 
+  /** Each query/shard row's `nProbe` best cells under `scorer` (ties to
+    * the lowest cell), carrying the embedding for the exact re-score. */
+  private def probeCells(df: DataFrame, idCol: String, embCol: String,
+                         scorer: CellScorer, nProbe: Int,
+                         outId: String): DataFrame = {
+    val probeW = Window.partitionBy(outId)
+      .orderBy(col("__rank").asc, col("cell").asc)
+    df.select(col(idCol).as(outId), col(embCol).as("__qe"),
+        posexplode(scorer.cellScores(col(embCol))).as(Seq("cell", "__score")))
+      .withColumn("__rank", scorer.probeRank(col("__score")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col(outId), col("__qe"), col("cell"))
+  }
+
   /** Deduplicate a NEW shard of vectors against a persisted `store`
-    * (a table written by [[writeVectorStore]] with the SAME codebook
-    * parameters). Each new vector probes its `nProbe` best cells; store
-    * vectors in those cells are scored with the exact sequential-fold
-    * cosine; ≥ `minCosine` is a duplicate. The merge hint pins the
-    * sort-merge strategy so a small test-scale shard cannot silently
-    * broadcast and bypass the bucketed layout being proven.
+    * under the LCG codebook (the historical signature). */
+  def dedupAgainstStore(newVecs: DataFrame, idCol: String, embCol: String,
+                        store: DataFrame, minCosine: Double,
+                        nCentroids: Int, nProbe: Int, dim: Int,
+                        seedOffset: Long, maxCellVecs: Long = 0L,
+                        cellCounts: Option[DataFrame] = None): DataFrame =
+    dedupAgainstStoreWith(newVecs, idCol, embCol, store, minCosine,
+      LcgCellScorer(nCentroids, dim, seedOffset), nProbe, maxCellVecs,
+      cellCounts)
+
+  /** Deduplicate a NEW shard of vectors against a persisted `store`
+    * (a table whose rows were assigned with the SAME scorer — for a
+    * trained store, [[trainedScorer]]). Each new vector probes its
+    * `nProbe` best cells; store vectors in those cells are scored with
+    * the exact sequential-fold cosine; ≥ `minCosine` is a duplicate.
+    * The merge hint pins the sort-merge strategy so a small test-scale
+    * shard cannot silently broadcast and bypass the bucketed layout
+    * being proven.
     *
     * `maxCellVecs > 0` engages the hot-cell cap: cells carrying MORE
     * than that many STORE vectors (per `cellCounts` — the
@@ -239,23 +426,14 @@ object VectorStore {
     * @return one row per new-shard vector: `(id, kept, n_store_matches,
     *         dup_of)` — `dup_of` the smallest matching store id (null
     *         when kept). */
-  def dedupAgainstStore(newVecs: DataFrame, idCol: String, embCol: String,
-                        store: DataFrame, minCosine: Double,
-                        nCentroids: Int, nProbe: Int, dim: Int,
-                        seedOffset: Long, maxCellVecs: Long = 0L,
-                        cellCounts: Option[DataFrame] = None): DataFrame = {
+  def dedupAgainstStoreWith(newVecs: DataFrame, idCol: String, embCol: String,
+                            store: DataFrame, minCosine: Double,
+                            scorer: CellScorer, nProbe: Int,
+                            maxCellVecs: Long = 0L,
+                            cellCounts: Option[DataFrame] = None): DataFrame = {
     require(maxCellVecs == 0 || cellCounts.nonEmpty,
       "maxCellVecs > 0 requires cellCounts (the store's countsTable)")
-    val scores = Similarity.centroidScores(col(embCol), nCentroids, dim,
-      seedOffset)
-    val probeW = Window.partitionBy("new_id")
-      .orderBy(col("__score").desc, col("cell"))
-    val probes0 = newVecs
-      .select(col(idCol).as("new_id"), col(embCol).as("__qe"),
-        posexplode(scores).as(Seq("cell", "__score")))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nProbe)
-      .select(col("new_id"), col("__qe"), col("cell"))
+    val probes0 = probeCells(newVecs, idCol, embCol, scorer, nProbe, "new_id")
     val (probes, storeSide) =
       if (maxCellVecs > 0) {
         // totals from the append-only delta rows, summed in-bucket; the
@@ -289,5 +467,27 @@ object VectorStore {
         col("dup_of").isNull.as("kept"),
         coalesce(col("n_store_matches"), lit(0L)).as("n_store_matches"),
         col("dup_of"))
+  }
+
+  /** Approximate-nearest-neighbor SERVING from the persisted store: the
+    * [[Similarity.ivfTopKWith]] plan with the corpus-side assignment
+    * READ from the store's `cell` column instead of recomputed — the
+    * payoff of keeping assignments materialized. `queries` must be
+    * small (broadcast); output `(query_id, rank, neighbor_id, sim)`,
+    * rank 1..k, ties by neighbor id, self-matches excluded. */
+  def topKAgainstStore(queries: DataFrame, idCol: String, embCol: String,
+                       store: DataFrame, k: Int, scorer: CellScorer,
+                       nProbe: Int): DataFrame = {
+    val probes = probeCells(queries, idCol, embCol, scorer, nProbe, "query_id")
+    val scored = store.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        Similarity.cosine(col("__qe"), col(embCol)).as("sim"))
+      .distinct() // replay-duplicated store rows collapse to one hit
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 }

@@ -425,10 +425,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "trained IVF must probe via an equi join, not a nested loop")
     // the candidate join builds on the broadcast probe side; the corpus
-    // side carries its literal-codebook distance array in a Project
-    // (no centroid join, no corpus groupBy for assignment)
+    // side assigns per-row through the codegen'd reference-object
+    // expression (no centroid join, no corpus groupBy for assignment)
     assert(p.contains("BroadcastHashJoin"), p.take(800))
-    assert(p.contains("array_position"), p.take(800))
+    assert(p.contains("trained_nearest_cell"), p.take(800))
+  }
+
+  test("trained assignment plan size is O(1) in the codebook size (reference object, not literals)") {
+    // the scale guard for IVF-realistic k (thousands of cells): the
+    // codebook rides in ONE codegen reference object per expression, so
+    // the analyzed plan must not grow with k — a literal embedding
+    // (k·dim array literals + a k-wide aggregate chain) would
+    val emb = graft.util.Tables.embeddings(spark, sf)
+    def planLen(k: Int): Int = {
+      val codebook = graft.ext.KMeans.fit(emb, "vec_id", "embedding",
+        k = k, rounds = 1)
+      graft.ext.Similarity.ivfTopKTrained(emb,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4),
+          "vec_id", "embedding", 3, codebook, nProbe = 2)
+        .queryExecution.optimizedPlan.treeString.length
+    }
+    val small = planLen(8)
+    val large = planLen(48)
+    assert(large < small + 200,
+      s"plan grew with codebook size: k=8 → $small chars, k=48 → $large chars")
   }
 
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
