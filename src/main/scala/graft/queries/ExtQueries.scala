@@ -1985,8 +1985,139 @@ object ExtQueries {
             SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
             FROM r WHERE rn <= 5 ORDER BY query_id, rank"""))
 
+  /** The TRAINED-codebook incremental vector-store loop — x46's
+    * continuous ingest with x48's fitted k-means cells, end to end on
+    * the PRODUCTION path ([[graft.ext.VectorStore.writeVectorStoreTrained]]
+    * / [[graft.ext.VectorStore.streamIngestTrained]]): the codebook is
+    * fitted on shard 0 (vec_id ≡ 0 mod 3, k = 16, 2 rounds, the x23
+    * trainer), PERSISTED next to the store, and every micro-batch
+    * re-reads it for both probes and survivor appends — so shard 2's
+    * verdicts depend on shard 1's survivors having been assigned with
+    * the STORE's codebook, not a re-derived one. Because the trainer is
+    * integer-exact, the whole loop stays oracle-checkable: the oracle
+    * replays the k-means fit over shard 0 verbatim (seed = 16
+    * lowest-id members, one update round), re-scores every vector
+    * against the round-2 codebook by exact quantized L2 (ties to the
+    * lowest cid — cid order and the store's positional cell order are
+    * isomorphic, so joining on cid is exact), and then replays the
+    * two-step first-wins survivorship exactly as x46. RecallSpec pins
+    * separately that the trained store path RETRIEVES at least as well
+    * as the LCG store path at the same probe budget. */
+  private val x49 = Q("x49_stream_vec_trained",
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
+      val root = java.nio.file.Files.createTempDirectory("graft-x49-")
+      val in = root.resolve("in"); val out = s"$root/out"; val chk = s"$root/chk"
+      java.nio.file.Files.createDirectories(in)
+      val emb = embeddings(s, d)
+      val shard0 = emb.filter(col("vec_id") % 3 === 0)
+      val codebook = KMeans.fit(shard0, "vec_id", "embedding",
+        k = 16, rounds = 2)
+      graft.ext.VectorStore.writeVectorStoreTrained(shard0, "vec_id",
+        "embedding", codebook, table = "x49_vec_store", buckets = 8)
+      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-x49-stage-")
+        shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = in.resolve(name)
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(ts))
+      }
+      stage(emb.filter(col("vec_id") % 3 === 1), "shard1.parquet", 1704067200000L)
+      stage(emb.filter(col("vec_id") % 3 === 2), "shard2.parquet", 1704067260000L)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val job = graft.ext.VectorStore.streamIngestTrained(stream, "vec_id",
+        "embedding", table = "x49_vec_store", buckets = 8, minCosine = 0.4,
+        nProbe = 4, outPath = out, checkpoint = chk)
+      job.awaitTermination()
+      s.read.parquet(out)
+        .select(col("vec_id"), col("kept"), col("n_store_matches"),
+          col("dup_of"), col("batch_id").cast("long").as("batch_id"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+                      v -> CAST(floor(CAST(v AS DOUBLE)*1048576 + 0.5) AS BIGINT) + 2097152) AS u
+                    FROM embeddings),
+             ql AS (SELECT vec_id, e.e.i AS pos, e.e.x AS x
+                    FROM q, unnest(list_transform(generate_series(1, len(u)),
+                           i -> {'i': i-1, 'x': u[i]})) AS e(e)),
+             seeds AS (SELECT vec_id, rn - 1 AS cid FROM (
+                         SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+                         FROM embeddings WHERE vec_id % 3 = 0)
+                       WHERE rn <= 16),
+             c0 AS (SELECT s.cid, ql.pos, ql.x AS c
+                    FROM seeds s JOIN ql ON ql.vec_id = s.vec_id),
+             d1 AS (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
+                    FROM ql JOIN c0 USING (pos)
+                    WHERE ql.vec_id % 3 = 0
+                    GROUP BY 1, 2),
+             m1 AS (SELECT vec_id, cid FROM
+                      (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                       FROM d1)
+                    WHERE rn = 1),
+             c1 AS (SELECT m1.cid, ql.pos,
+                      CAST((2*sum(ql.x) + count(*)) // (2*count(*)) AS BIGINT) AS c
+                    FROM ql JOIN m1 USING (vec_id) GROUP BY 1, 2),
+             d2 AS (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
+                    FROM ql JOIN c1 USING (pos) GROUP BY 1, 2),
+             cells AS (SELECT vec_id, cid FROM
+                         (SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                          FROM d2)
+                       WHERE rn = 1),
+             probes AS (SELECT vec_id AS new_id, cid FROM
+                          (SELECT vec_id, cid,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
+                           FROM d2 WHERE vec_id % 3 <> 0)
+                        WHERE pr <= 4),
+             s1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1),
+             s2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2),
+             m1v AS (SELECT p.new_id, a.vec_id AS store_id
+                     FROM probes p JOIN cells a
+                       ON a.cid = p.cid AND a.vec_id <> p.new_id
+                     JOIN embeddings qe ON qe.vec_id = p.new_id
+                     JOIN embeddings ne ON ne.vec_id = a.vec_id
+                     WHERE p.new_id % 3 = 1 AND a.vec_id % 3 = 0
+                       AND list_sum(list_transform(list_zip(qe.embedding, ne.embedding),
+                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                           >= 0.4),
+             v1 AS (SELECT s1.vec_id, (min(m1v.store_id) IS NULL) AS kept,
+                           CAST(count(m1v.store_id) AS BIGINT) AS n_store_matches,
+                           min(m1v.store_id) AS dup_of
+                    FROM s1 LEFT JOIN m1v ON s1.vec_id = m1v.new_id
+                    GROUP BY s1.vec_id),
+             st1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+                     UNION ALL SELECT vec_id FROM v1 WHERE kept),
+             m2v AS (SELECT p.new_id, a.vec_id AS store_id
+                     FROM probes p JOIN cells a
+                       ON a.cid = p.cid AND a.vec_id <> p.new_id
+                     JOIN st1 ON a.vec_id = st1.vec_id
+                     JOIN embeddings qe ON qe.vec_id = p.new_id
+                     JOIN embeddings ne ON ne.vec_id = a.vec_id
+                     WHERE p.new_id % 3 = 2
+                       AND list_sum(list_transform(list_zip(qe.embedding, ne.embedding),
+                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                           >= 0.4),
+             v2 AS (SELECT s2.vec_id, (min(m2v.store_id) IS NULL) AS kept,
+                           CAST(count(m2v.store_id) AS BIGINT) AS n_store_matches,
+                           min(m2v.store_id) AS dup_of
+                    FROM s2 LEFT JOIN m2v ON s2.vec_id = m2v.new_id
+                    GROUP BY s2.vec_id)
+            SELECT vec_id, kept, n_store_matches, dup_of,
+                   CAST(CASE WHEN vec_id % 3 = 1 THEN 0 ELSE 1 END AS BIGINT) AS batch_id
+            FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+            ORDER BY vec_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44, x45, x46, x47, x48)
+    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
 }

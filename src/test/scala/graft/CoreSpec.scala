@@ -425,6 +425,51 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_cmp_b")
     }
   }
+
+  test("a swap stranded between DROP and RENAME self-heals at the next compact entry") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 100).map(i => (s"S${i % 10}", i.toLong)).toDF("symbol", "v")
+    graft.core.Bucketing.writeBucketed(rows, "bkt_swp", Seq("symbol"), 4)
+    try {
+      // strand the crash window by hand: staging written, original
+      // dropped, rename never ran — the on-disk state of a kill between
+      // replaceBucketed's two catalog statements
+      graft.core.Bucketing.writeBucketed(spark.table("bkt_swp"),
+        "bkt_swp__compact", Seq("symbol"), 4)
+      spark.sql("DROP TABLE `bkt_swp`")
+      assert(!spark.catalog.tableExists("bkt_swp"))
+      // re-entering compact completes the rename, then compacts normally
+      graft.core.Bucketing.compact(spark, "bkt_swp", Seq("symbol"), 4)
+      assert(spark.catalog.tableExists("bkt_swp"))
+      assert(!spark.catalog.tableExists("bkt_swp__compact"))
+      assert(spark.table("bkt_swp").as[(String, Long)].collect().sorted.toSeq ==
+        rows.as[(String, Long)].collect().sorted.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_swp")
+      spark.sql("DROP TABLE IF EXISTS bkt_swp__compact")
+    }
+  }
+
+  test("a stale staging table next to a live store is inert and gets overwritten by the next rewrite") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 40).map(i => (s"S${i % 4}", i.toLong)).toDF("symbol", "v")
+    graft.core.Bucketing.writeBucketed(rows, "bkt_stale", Seq("symbol"), 4)
+    try {
+      // crash AFTER the staging write, BEFORE the DROP: both tables live
+      graft.core.Bucketing.writeBucketed(rows.limit(5), "bkt_stale__compact",
+        Seq("symbol"), 4)
+      // recoverSwap must NOT touch anything (the original is intact)
+      assert(!graft.core.Bucketing.recoverSwap(spark, "bkt_stale"))
+      assert(spark.table("bkt_stale").count() == 40)
+      // the next rewrite overwrites the stale staging and swaps cleanly
+      graft.core.Bucketing.compact(spark, "bkt_stale", Seq("symbol"), 4)
+      assert(spark.table("bkt_stale").count() == 40)
+      assert(!spark.catalog.tableExists("bkt_stale__compact"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_stale")
+      spark.sql("DROP TABLE IF EXISTS bkt_stale__compact")
+    }
+  }
 }
 
 /** A-family percentiles: the approx sketch (the 100 TB path) must land

@@ -243,6 +243,168 @@ class IngestRecoverySpec extends SparkSpec {
     assert(IngestLedger.applied(spark, "rec_legacy_store", 0L))
   }
 
+  test("compaction swap stranded between DROP and RENAME: the next ingest entry heals it and the loop converges") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-swap-")
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "rec_swap_store", 4)
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_swap_store", 4, 0.5, s"$root/out")
+    val v1 = verdicts(s"$root/out")
+    // strand a compaction mid-swap by hand: staging written, original
+    // dropped, rename never ran
+    Bucketing.writeBucketed(
+      spark.table("rec_swap_store")
+        .repartition(4, col("band"), col("band_key")),
+      "rec_swap_store__compact", Seq("band", "band_key"), 4)
+    spark.sql("DROP TABLE `rec_swap_store`")
+    assert(!spark.catalog.tableExists("rec_swap_store"))
+    // the loop's next batch re-enters: entry recovery completes the
+    // rename, then the batch ingests normally against the intact store
+    val shardB = df(Seq(
+      (40L, "the quick brown fox jumps over the lazy dog"), // dup of 30
+      (41L, "entirely novel material appearing for the first time here")))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(shardB, 1L, "doc_id", "text", 3, 16, 4,
+      "rec_swap_store", 4, 0.5, s"$root/out")
+    assert(spark.catalog.tableExists("rec_swap_store"))
+    assert(!spark.catalog.tableExists("rec_swap_store__compact"))
+    val v2 = verdicts(s"$root/out")
+    assert(v2.filter(_._1 < 40L) == v1, "batch-0 verdicts must be untouched")
+    assert(v2.contains((40L, false, 2L, 30L)), // matches both siblings 30/31
+      s"40 must match 30 via the recovered store: $v2")
+    assert(v2.contains((41L, true, 0L, -1L)))
+    // and a full compact afterwards leaves counts exactly consistent
+    IncrementalDedup.compactStore(spark, "rec_swap_store", 4)
+    assert(sigTotals("rec_swap_store") == sigRecount("rec_swap_store"))
+  }
+
+  test("counts-table swap stranded mid-compaction: the capped dedup path heals it at entry") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-cswap-")
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "rec_cswap_store", 4)
+    val ct = IncrementalDedup.countsTable("rec_cswap_store")
+    // strand the COUNTS rewrite mid-swap (the compactStore counts leg)
+    Bucketing.writeBucketed(
+      spark.table(ct).repartition(4, col("band"), col("band_key")),
+      s"${ct}__compact", Seq("band", "band_key"), 4)
+    spark.sql(s"DROP TABLE `$ct`")
+    assert(!spark.catalog.tableExists(ct))
+    // a capped batch reads the counts table at entry — recovery must
+    // complete the swap before the read, not fail on a missing table
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_cswap_store", 4, 0.5, s"$root/out", maxBandDocs = 100)
+    assert(spark.catalog.tableExists(ct))
+    assert(verdicts(s"$root/out").contains((32L, true, 0L, -1L)))
+    assert(sigTotals("rec_cswap_store") == sigRecount("rec_cswap_store"))
+  }
+
+  test("reconcile composes NEGATIVE corrective deltas for an over-counted touched key") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-neg-")
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "rec_neg_store", 4)
+    // attempt 1 ran to completion EXCEPT the commit marker (crash after
+    // both appends) — store and counts are fully consistent
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_neg_store", 4, 0.5, s"$root/out")
+    val v1 = verdicts(s"$root/out")
+    crashBeforeCommit("rec_neg_store", 0L)
+    // and some earlier drift OVER-counted one of the shard's touched
+    // keys (a hand-doubled delta row — the over-count shape the ledger
+    // itself can no longer produce, but Reconcile guarantees against)
+    val touched = IncrementalDedup.bandedSignatures(shard, "doc_id", "text",
+        3, 16, 4)
+      .select("band", "band_key").limit(1).collect().head
+    val bogus = df(Seq((touched.getInt(0), touched.getString(1), 5L)))
+      .toDF("band", "band_key", "n_docs")
+    Bucketing.appendBucketed(bogus,
+      IncrementalDedup.countsTable("rec_neg_store"), Seq("band", "band_key"), 4)
+    assert(sigTotals("rec_neg_store") != sigRecount("rec_neg_store"))
+    // the replay's reconcile must land a NEGATIVE corrective delta for
+    // exactly that key and converge totals to the true recount
+    IncrementalDedup.ingestBatch(shard, 0L, "doc_id", "text", 3, 16, 4,
+      "rec_neg_store", 4, 0.5, s"$root/out")
+    assert(sigTotals("rec_neg_store") == sigRecount("rec_neg_store"))
+    val negatives = spark.table(IncrementalDedup.countsTable("rec_neg_store"))
+      .filter(col("n_docs") < 0)
+      .select("band", "band_key", "n_docs").collect()
+    assert(negatives.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((touched.getInt(0), touched.getString(1), -5L)),
+      s"expected one -5 corrective row for the inflated key, got ${negatives.toSeq}")
+    assert(verdicts(s"$root/out") == v1)
+  }
+
+  test("ledger prune collapses contiguous markers into the watermark; replay-skip works on both sides") {
+    val t = "rec_prune_probe"
+    IngestLedger.reset(spark, t)
+    for (id <- 0L to 2L) {
+      IngestLedger.intent(spark, t, id); IngestLedger.record(spark, t, id)
+    }
+    val dir = IngestLedger.ledgerDir(spark, t)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(dir).length == 6) // 3 intents + 3 commits
+    IngestLedger.prune(spark, t)
+    assert(fs.listStatus(dir).length == 1, "expected only the watermark file")
+    assert(IngestLedger.watermark(spark, t) == 2L)
+    assert((0L to 2L).forall(IngestLedger.applied(spark, t, _))) // pre-watermark skip
+    assert(!IngestLedger.applied(spark, t, 3L))
+    // a HOLE at 3: batch 4 commits first — prune must NOT advance past 3
+    IngestLedger.intent(spark, t, 4L); IngestLedger.record(spark, t, 4L)
+    IngestLedger.prune(spark, t)
+    assert(IngestLedger.watermark(spark, t) == 2L)
+    assert(IngestLedger.applied(spark, t, 4L)) // post-watermark skip via marker
+    assert(!IngestLedger.applied(spark, t, 3L),
+      "an uncommitted batch must never be masked as applied")
+    // the hole commits → the next prune absorbs both into the watermark
+    IngestLedger.intent(spark, t, 3L); IngestLedger.record(spark, t, 3L)
+    IngestLedger.prune(spark, t)
+    assert(IngestLedger.watermark(spark, t) == 4L)
+    assert(fs.listStatus(dir).length == 1)
+    assert((0L to 4L).forall(IngestLedger.applied(spark, t, _)))
+    IngestLedger.reset(spark, t)
+    assert(!IngestLedger.applied(spark, t, 0L)) // reset clears the watermark too
+  }
+
+  test("trained store: replay after crash-before-commit preserves twin verdicts via the persisted codebook") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-vtr-")
+    def vdf(rows: Seq[(Long, Seq[Float])]) = {
+      val s = spark; import s.implicits._
+      rows.toDF("vec_id", "embedding")
+    }
+    val a = Seq(1f, 0f, 0f, 0f)
+    val b = Seq(0f, 1f, 0f, 0f)
+    val c = Seq(0f, 0f, 1f, 0f)
+    val seed = vdf(Seq((1L, a), (2L, c)))
+    val codebook = graft.ext.KMeans.fit(seed, "vec_id", "embedding",
+      k = 2, rounds = 2)
+    VectorStore.writeVectorStoreTrained(seed, "vec_id", "embedding",
+      codebook, table = "rec_vtr_store", buckets = 4)
+    // 10/11 are twins of each other (vector b, absent from the store):
+    // both keep on attempt 1 — the replay must not let them flip
+    VectorStore.ingestBatchTrained(vdf(Seq((10L, b), (11L, b))), 0L,
+      "vec_id", "embedding", "rec_vtr_store", 4, minCosine = 0.9,
+      nProbe = 2, outPath = s"$root/out")
+    def vVerdicts = spark.read.parquet(s"$root/out")
+      .select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(vVerdicts == Map(10L -> true, 11L -> true))
+    val rows1 = spark.table("rec_vtr_store")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    crashBeforeCommit("rec_vtr_store", 0L)
+    VectorStore.ingestBatchTrained(vdf(Seq((10L, b), (11L, b))), 0L,
+      "vec_id", "embedding", "rec_vtr_store", 4, minCosine = 0.9,
+      nProbe = 2, outPath = s"$root/out")
+    assert(vVerdicts == Map(10L -> true, 11L -> true))
+    assert(spark.table("rec_vtr_store")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == rows1)
+    val totals = VectorStore.cellCountTotals(
+        spark.table(VectorStore.countsTable("rec_vtr_store")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val recount = spark.table("rec_vtr_store").groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(totals == recount)
+    assert(IngestLedger.applied(spark, "rec_vtr_store", 0L))
+  }
+
   test("ledger markers: intent precedes commit; applied wins; reset clears both") {
     val t = "rec_ledger_probe"
     IngestLedger.reset(spark, t)

@@ -94,4 +94,37 @@ class RecallSpec extends SparkSpec {
     assert(trained8 >= trained,
       f"more probes must not lose candidates: $trained8%.3f < $trained%.3f")
   }
+
+  test("store-path retrieval: a trained store serves recall ≥ the LCG store at the same probe budget") {
+    import graft.ext.{KMeans, LcgCellScorer, VectorStore}
+    // the PRODUCTION path of the recall win: both codebooks persisted as
+    // vector stores, queries served from the stores' materialized
+    // assignments (topKAgainstStore) — not recomputed batch-side
+    VectorStore.writeVectorStore(emb, "vec_id", "embedding",
+      nCentroids = 16, dim = 64, seedOffset = 100000L,
+      table = "recall_store_lcg", buckets = 8)
+    val codebook = KMeans.fit(emb, "vec_id", "embedding", k = 16, rounds = 2)
+    VectorStore.writeVectorStoreTrained(emb, "vec_id", "embedding",
+      codebook, table = "recall_store_tr", buckets = 8)
+    val lcgStore = recallAtK(VectorStore.topKAgainstStore(queries,
+      "vec_id", "embedding", spark.table("recall_store_lcg"), K,
+      LcgCellScorer(16, 64, 100000L), nProbe = 4))
+    val trStore = recallAtK(VectorStore.topKAgainstStore(queries,
+      "vec_id", "embedding", spark.table("recall_store_tr"), K,
+      VectorStore.trainedScorer(spark, "recall_store_tr"), nProbe = 4))
+    info(f"store-path recall@$K: LCG = $lcgStore%.3f, trained = $trStore%.3f")
+    assert(trStore >= lcgStore,
+      f"trained STORE lost recall vs the LCG store: $trStore%.3f < $lcgStore%.3f")
+    // and the store path is exactly the batch path: serving from the
+    // store's materialized cells returns bit-identical results to
+    // recomputing assignment per query run
+    val batch = Similarity.ivfTopKTrained(emb, queries, "vec_id",
+      "embedding", K, codebook, nProbe = 4).collect().map(_.toSeq).toSet
+    val served = VectorStore.topKAgainstStore(queries, "vec_id", "embedding",
+      spark.table("recall_store_tr"), K,
+      VectorStore.trainedScorer(spark, "recall_store_tr"), nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(served == batch,
+      "store-served top-k diverged from the recomputed batch top-k")
+  }
 }
