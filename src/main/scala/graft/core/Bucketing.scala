@@ -109,6 +109,31 @@ object Bucketing {
     spark.catalog.refreshTable(table)
   }
 
+  /** Number of parquet data files currently under `table`'s location —
+    * the files-per-bucket decay metric. One filesystem listing, no
+    * Spark job; a maintenance-cadence cost, not a per-read one. */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(loc)) 0
+    else fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Has `table` decayed past `maxFilesPerBucket` appended generations?
+    * The FILES-PER-BUCKET compaction trigger — the alternative to a
+    * fixed every-N-batches cadence: a fixed N over-compacts when shards
+    * are small (each compaction is an O(table) rewrite) and
+    * under-compacts when they are large; triggering on the actual file
+    * decay pays the rewrite exactly when the scan-side cost (open-file
+    * overhead, lost in-bucket Sort elision) has accrued. */
+  def needsCompaction(spark: SparkSession, table: String, buckets: Int,
+                      maxFilesPerBucket: Int): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    dataFileCount(spark, table) > buckets * maxFilesPerBucket
+  }
+
   /** Compact an accumulated (much-appended) bucketed table back to ONE
     * file per bucket, restoring the scan's per-bucket sortedness and
     * with it the sort-merge join's Sort elision (a bucketed scan only

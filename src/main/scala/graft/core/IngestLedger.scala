@@ -58,6 +58,16 @@ import org.apache.spark.sql.SparkSession
   * Batch ids must be unique per logical shard; `foreachBatch`
   * guarantees this for streaming callers, and loop-driving callers own
   * the contract.
+  *
+  * Upgrade note (pre-two-phase ledgers): a loop that crashed mid-append
+  * under the OLD single-marker protocol left no intent marker, so its
+  * replay under this code takes the normal path and re-runs the dedup
+  * against a store already holding its own appended rows — exactly the
+  * sibling kept→dropped flip the two-phase protocol prevents, exposed
+  * ONCE, at upgrade time. Before resuming a loop that predates the
+  * intent markers, run the store's `compactStore`: its full-row
+  * distinct collapses whatever duplicate rows the old crash left, and
+  * the recount restores exact counts, after which the replay is safe.
   */
 object IngestLedger {
 

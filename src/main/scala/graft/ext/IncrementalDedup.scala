@@ -204,6 +204,20 @@ object IncrementalDedup {
     IngestLedger.prune(spark, table)
   }
 
+  /** [[compactStore]] behind the FILES-PER-BUCKET trigger
+    * ([[graft.core.Bucketing.needsCompaction]]): compact only once the
+    * store has accumulated more than `maxFilesPerBucket` appended
+    * generations — the production cadence (pays the O(store) rewrite
+    * exactly when the scan-side decay has accrued, independent of shard
+    * sizing). Returns whether a compaction ran. */
+  def compactStoreIfNeeded(spark: SparkSession, table: String, buckets: Int,
+                           maxFilesPerBucket: Int): Boolean = {
+    Bucketing.recoverSwap(spark, table)
+    val due = Bucketing.needsCompaction(spark, table, buckets, maxFilesPerBucket)
+    if (due) compactStore(spark, table, buckets)
+    due
+  }
+
   /** Deduplicate a NEW shard against a persisted signature `store`
     * (a table written by [[writeSignatureStore]] with the SAME
     * `shingleN`/`numHashes`/`nBands`).
@@ -268,7 +282,7 @@ object IncrementalDedup {
         //
         // Sizing: each compaction is a FULL-STORE rewrite — O(store)
         // work per trigger — so a production loop wants N ≫ 1 (or an
-        // external files-per-bucket trigger), sized so one rewrite
+        // files-per-bucket trigger — compactStoreIfNeeded), sized so one rewrite
         // amortizes over many O(shard) appends. x37's checked
         // `compactEvery = 1` is a COVERAGE configuration (prove dedup
         // survives the compaction boundary on every batch), not a

@@ -204,6 +204,20 @@ object VectorStore {
     IngestLedger.prune(spark, table)
   }
 
+  /** [[compactStore]] behind the FILES-PER-BUCKET trigger
+    * ([[graft.core.Bucketing.needsCompaction]]): compact only once the
+    * store has accumulated more than `maxFilesPerBucket` appended
+    * generations — the production cadence (pays the O(store) rewrite
+    * exactly when the scan-side decay has accrued, independent of shard
+    * sizing). Returns whether a compaction ran. */
+  def compactStoreIfNeeded(spark: SparkSession, table: String, buckets: Int,
+                           maxFilesPerBucket: Int): Boolean = {
+    Bucketing.recoverSwap(spark, table)
+    val due = Bucketing.needsCompaction(spark, table, buckets, maxFilesPerBucket)
+    if (due) compactStore(spark, table, buckets)
+    due
+  }
+
   /** Compaction-time RE-CLUSTERING: retrain the codebook on the store's
     * CURRENT vectors ([[KMeans.fit]] — deterministic, integer-exact),
     * persist it ([[codebookTable]]), and rewrite store assignments and
@@ -247,10 +261,10 @@ object VectorStore {
     *
     * `compactEvery` guidance: a compaction is a FULL-STORE rewrite —
     * O(store) work per trigger, so a production loop wants N ≫ 1 (or an
-    * external files-per-bucket trigger), sized so the rewrite amortizes
-    * over many O(shard) appends. x46's checked `compactEvery` settings
-    * are COVERAGE configurations (prove dedup survives the compaction
-    * boundary), not production templates. */
+    * files-per-bucket trigger — [[compactStoreIfNeeded]]), sized so the rewrite amortizes
+    * over many O(shard) appends. x49's checked `compactEvery = 1` is a
+    * COVERAGE configuration (prove dedup survives the compaction
+    * boundary on every batch), not a production template. */
   def streamIngest(newVecs: DataFrame, idCol: String, embCol: String,
                    table: String, buckets: Int, minCosine: Double,
                    nCentroids: Int, nProbe: Int, dim: Int, seedOffset: Long,

@@ -17,6 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * O(k) aggregate chain per row (plan explosion, codegen failure); here
   * plan size is O(1) in k and the per-row work is one fused loop in
   * whole-stage codegen (PlanSpec pins the plan-size independence).
+  * Distribution-wise the reference object rides the stage's task
+  * binary, which Spark torrent-broadcasts — one codebook copy per
+  * executor, the same wire cost as [[graft.ext.KMeans]]' explicit
+  * `broadcast(centroids)` convention.
   *
   * Arithmetic contract (bit-parity with [[graft.ext.KMeans]] and the
   * DuckDB oracle): each input element quantizes exactly as

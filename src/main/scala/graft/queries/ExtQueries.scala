@@ -2002,7 +2002,14 @@ object ExtQueries {
     * isomorphic, so joining on cid is exact), and then replays the
     * two-step first-wins survivorship exactly as x46. RecallSpec pins
     * separately that the trained store path RETRIEVES at least as well
-    * as the LCG store path at the same probe budget. */
+    * as the LCG store path at the same probe budget.
+    *
+    * The checked config streams with `compactEvery = 1` (a COVERAGE
+    * choice, as x37's — see the streamIngest docstrings for production
+    * sizing): batch 2's verdicts are computed against a store that was
+    * fully compacted — staging-swapped, counts-rebuilt, ledger-pruned —
+    * after batch 1, so the oracle proves the maintenance pass preserves
+    * dedup semantics across the batch boundary. */
   private val x49 = Q("x49_stream_vec_trained",
     (s, d) => graft.util.Sessions.withShufflePartitions(s,
         graft.util.Sessions.streamingShufflePartitions) {
@@ -2031,7 +2038,7 @@ object ExtQueries {
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       val job = graft.ext.VectorStore.streamIngestTrained(stream, "vec_id",
         "embedding", table = "x49_vec_store", buckets = 8, minCosine = 0.4,
-        nProbe = 4, outPath = out, checkpoint = chk)
+        nProbe = 4, outPath = out, checkpoint = chk, compactEvery = 1)
       job.awaitTermination()
       s.read.parquet(out)
         .select(col("vec_id"), col("kept"), col("n_store_matches"),

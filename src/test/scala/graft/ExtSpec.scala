@@ -401,6 +401,36 @@ class IncrementalDedupSpec extends SparkSpec {
     (13L, "too short")))                                        // < 3 words: no signature
     .toDF("doc_id", "text")
 
+  test("files-per-bucket trigger: compactStoreIfNeeded fires only past the decay threshold") {
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_fpb_store", 4)
+    val before = spark.table("inc_fpb_store")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // freshly written: exactly one generation — nothing to do
+    assert(!IncrementalDedup.compactStoreIfNeeded(spark, "inc_fpb_store", 4,
+      maxFilesPerBucket = 1))
+    // two appended generations push past maxFilesPerBucket = 1
+    IncrementalDedup.appendSignatures(
+      df(Seq((20L, "novel words for the first appended generation here")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 4, "inc_fpb_store", 4)
+    IncrementalDedup.appendSignatures(
+      df(Seq((21L, "and different novel words for the second generation")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 4, "inc_fpb_store", 4)
+    assert(graft.core.Bucketing.dataFileCount(spark, "inc_fpb_store") > 4)
+    assert(IncrementalDedup.compactStoreIfNeeded(spark, "inc_fpb_store", 4,
+      maxFilesPerBucket = 1), "decayed store must trigger a compaction")
+    // compacted back to <= one file per bucket, contents preserved
+    assert(graft.core.Bucketing.dataFileCount(spark, "inc_fpb_store") <= 4)
+    val after = spark.table("inc_fpb_store")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after.size == before.size + 8) // 2 appended docs x 4 bands
+    // and the trigger is quiescent again right after the compaction
+    assert(!IncrementalDedup.compactStoreIfNeeded(spark, "inc_fpb_store", 4,
+      maxFilesPerBucket = 1))
+  }
+
   test("store matches drop the new doc; fresh and signatureless docs keep") {
     IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
       "inc_dedup_store_spec", 4)
@@ -1028,6 +1058,53 @@ class VectorStoreSpec extends SparkSpec {
       val expectKept = !store.exists { case (_, sv) => cos(v, sv) >= 0.95 }
       assert(got(id) == expectKept, s"vec $id kept=${got(id)} expected=$expectKept")
     }
+  }
+
+  test("recluster converts an LCG store to a trained store in place: ledger kept, loop continues trained") {
+    val F = org.apache.spark.sql.functions
+    val root = java.nio.file.Files.createTempDirectory("graft-vec-recl-")
+    val d = Seq(0f, 0f, 0f, 1f)
+    VectorStore.writeVectorStore(vdf(Seq((1L, a), (2L, b), (3L, c))), "vec_id",
+      "embedding", nCentroids = 4, dim = 4, seedOffset = 7L,
+      table = "vec_recl_store", buckets = 4)
+    VectorStore.ingestBatch(vdf(Seq((10L, d))), 0L, "vec_id", "embedding",
+      "vec_recl_store", 4, minCosine = 0.9, nCentroids = 4, nProbe = 4,
+      dim = 4, seedOffset = 7L, outPath = s"$root/out")
+    VectorStore.recluster(spark, "vec_recl_store", 4, "vec_id", "embedding",
+      k = 2, rounds = 2)
+    // the codebook is persisted, and the rewritten store cells are
+    // exactly what the persisted scorer assigns — no drift between the
+    // stored assignments and what future appends/probes compute
+    assert(spark.catalog.tableExists(VectorStore.codebookTable("vec_recl_store")))
+    val scorer = VectorStore.trainedScorer(spark, "vec_recl_store")
+    val stored = spark.table("vec_recl_store")
+      .select(F.col("vec_id"), F.col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fresh = VectorStore.assignedWith(
+        spark.table("vec_recl_store").select("vec_id", "embedding"),
+        "vec_id", "embedding", scorer)
+      .select(F.col("vec_id"), F.col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored == fresh, s"stored cells $stored != recomputed $fresh")
+    // counts rebuilt consistently under the NEW cells
+    val totals = VectorStore.cellCountTotals(
+        spark.table(VectorStore.countsTable("vec_recl_store")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val recount = spark.table("vec_recl_store").groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(totals == recount)
+    // the applied-batch ledger survives (same vectors, same batch space)
+    assert(graft.core.IngestLedger.applied(spark, "vec_recl_store", 0L))
+    // the loop continues TRAINED: a twin of the batch-0 survivor drops
+    // against a store row whose cell the recluster just rewrote
+    VectorStore.ingestBatchTrained(vdf(Seq((20L, d))), 1L, "vec_id",
+      "embedding", "vec_recl_store", 4, minCosine = 0.9, nProbe = 2,
+      outPath = s"$root/out")
+    val got = spark.read.parquet(s"$root/out")
+      .filter(F.col("vec_id") === 20L).select("kept", "dup_of")
+      .collect().head
+    assert(!got.getBoolean(0) && got.getLong(1) == 10L,
+      s"post-recluster twin must drop against 10, got $got")
   }
 
   test("streamIngest compactEvery: vector store compacts in-loop; cross-batch dedup survives") {

@@ -419,6 +419,45 @@ class PlanSpec extends SparkSpec {
       "expected the hot-cell semi filter to compile as a sort-merge semi join")
   }
 
+  test("trained-store dedup reads the store bucketed, no Exchange on the store side (x49's probe join)") {
+    val F = org.apache.spark.sql.functions
+    val emb = graft.util.Tables.embeddings(spark, sf)
+    val shard0 = emb.filter(F.col("vec_id") % 3 === 0)
+    val codebook = graft.ext.KMeans.fit(shard0, "vec_id", "embedding",
+      k = 16, rounds = 2)
+    graft.ext.VectorStore.writeVectorStoreTrained(shard0, "vec_id",
+      "embedding", codebook, table = "plan_vec_tr", buckets = 8)
+    val df = graft.ext.VectorStore.dedupAgainstStoreWith(
+      emb.filter(F.col("vec_id") % 3 === 1), "vec_id", "embedding",
+      spark.table("plan_vec_tr"), minCosine = 0.4,
+      graft.ext.VectorStore.trainedScorer(spark, "plan_vec_tr"), nProbe = 4)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    def storeScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.tableIdentifier.exists(_.table == "plan_vec_tr") => f
+    }
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right))
+      .filter(s => storeScans(s).nonEmpty &&
+        s.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty)
+    assert(storeSides.nonEmpty,
+      s"no sort-merge join reads the bucketed trained store:\n${root.toString.take(1500)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"trained store side must read its buckets in place, found shuffles: $es")
+    }
+  }
+
   test("x48 trained-codebook IVF broadcasts the probes; assignment is per-row (no cartesian, no extra join)") {
     val p = plan("x48_knn_ivf_trained")
     assert(!p.contains("CartesianProduct"))
