@@ -21,22 +21,41 @@ import org.apache.spark.sql.functions.col
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, per-bucket-sorted catalog table. */
+  /** Repartition `df` onto the bucket layout it is about to be written
+    * in: `repartition(buckets, keys)` uses the SAME hash family as the
+    * bucket id (Murmur3 pmod), so with numPartitions = buckets each
+    * task holds exactly one bucket's rows and the bucketed write emits
+    * AT MOST one file per bucket (empty buckets write nothing) —
+    * deterministic regardless of the input's task layout. Without it a
+    * bucketed write emits one file per (task × bucket): a fresh
+    * 32-task write of a 4-bucket store would be born with 128 files,
+    * its scan would never qualify for the in-bucket Sort elision, and
+    * [[needsCompaction]]'s generation arithmetic would be meaningless.
+    * When the input already satisfies the layout (a pinned bucketed
+    * scan — [[compact]]), the planner elides the exchange entirely. */
+  private def onBucketLayout(df: DataFrame, keys: Seq[String],
+                             buckets: Int): DataFrame =
+    df.repartition(buckets, keys.map(col): _*)
+
+  /** Write `df` as a bucketed, per-bucket-sorted catalog table — ONE
+    * file per (non-empty) bucket, so a fresh store starts with the
+    * in-bucket Sort elision available and exactly one "generation" of
+    * files (the [[needsCompaction]] unit). */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int): Unit =
-    df.write.mode("overwrite")
+    onBucketLayout(df, keys, buckets).write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 
   /** Append to an existing bucketed table with the SAME layout (Spark
-    * rejects a mismatched spec): new rows land as additional
-    * per-bucket files, so downstream joins stay Exchange-free — the
-    * recurring-ingest write path (each shard appends, nothing
-    * rewrites). Periodic compaction (re-running [[writeBucketed]] over
-    * the accumulated table) restores one-file-per-bucket and with it
-    * the sort-elision fast path. */
+    * rejects a mismatched spec): new rows land as at most one
+    * additional file per bucket per append generation, so downstream
+    * joins stay Exchange-free and [[dataFileCount]] counts decay
+    * exactly — the recurring-ingest write path (each shard appends,
+    * nothing rewrites). Periodic compaction ([[compact]]) restores
+    * one-file-per-bucket and with it the sort-elision fast path. */
   def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
                      buckets: Int): Unit = {
     // `mode("append").saveAsTable` on a NONEXISTENT table silently
@@ -48,7 +67,7 @@ object Bucketing {
       throw new IllegalArgumentException(
         s"appendBucketed: table '$table' does not exist — create it with " +
           "writeBucketed first (refusing to silently fork a new store)")
-    df.write.mode("append")
+    onBucketLayout(df, keys, buckets).write.mode("append")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
@@ -109,9 +128,14 @@ object Bucketing {
     spark.catalog.refreshTable(table)
   }
 
-  /** Number of parquet data files currently under `table`'s location —
-    * the files-per-bucket decay metric. One filesystem listing, no
-    * Spark job; a maintenance-cadence cost, not a per-read one. */
+  /** Number of parquet data files currently under `table`'s location.
+    * Because every write path lands on the bucket layout
+    * ([[onBucketLayout]] — at most one file per bucket per write), this
+    * is EXACTLY Σ over generations of that generation's non-empty
+    * buckets: ≤ buckets after a fresh write or a [[compact]], growing
+    * by ≤ buckets per [[appendBucketed]] — the files-per-bucket decay
+    * metric [[needsCompaction]] triggers on. One filesystem listing,
+    * no Spark job; a maintenance-cadence cost, not a per-read one. */
   def dataFileCount(spark: SparkSession, table: String): Int = {
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
@@ -147,13 +171,11 @@ object Bucketing {
     * it, and fewer/larger files pay off in scan and open-file cost even
     * with the ordering conf left at its default.
     *
-    * Mechanics: `repartition(buckets, keys)` uses the SAME hash family
-    * as the bucket id (Murmur3 pmod), so with numPartitions = buckets
-    * each task holds exactly one bucket's rows and the bucketed write
-    * emits exactly one file per bucket — deterministic regardless of
-    * the input file layout. The rewrite lands through
-    * [[replaceBucketed]]'s staging swap (entry additionally completes
-    * any swap a previous compaction left stranded — [[recoverSwap]]).
+    * Mechanics: the write path itself lands on the bucket layout
+    * ([[onBucketLayout]] — one task per bucket, one file per bucket).
+    * The rewrite lands through [[replaceBucketed]]'s staging swap
+    * (entry additionally completes any swap a previous compaction left
+    * stranded — [[recoverSwap]]).
     *
     * `prepare` runs on the accumulated rows before the rewrite —
     * [[graft.ext.IncrementalDedup.compactStore]] passes a full-row
@@ -168,19 +190,16 @@ object Bucketing {
         s"compact: table '$table' does not exist")
     // pin the BUCKETED scan (autoBucketedScan=false disables the
     // planner's auto-downgrade to a plain file scan): the planner
-    // elides the repartition either way because the bucketed layout
-    // already "satisfies" it, but after the auto-downgrade the write
-    // would inherit the plain scan's task layout — each task holding
-    // many buckets, multiplying files instead of compacting them. With
-    // the bucketed scan pinned, the scan is one partition per bucket,
-    // the repartition elides as genuinely redundant, and the identity
-    // path compacts with NO shuffle at all.
+    // elides the write path's repartition either way because the
+    // bucketed layout already "satisfies" it, but after the
+    // auto-downgrade the repartition would shuffle for real. With the
+    // bucketed scan pinned, the scan is one partition per bucket, the
+    // repartition elides as genuinely redundant, and the identity path
+    // compacts with NO shuffle at all.
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(conf)
     spark.conf.set(conf, "false")
-    try replaceBucketed(
-      prepare(spark.table(table)).repartition(buckets, keys.map(col): _*),
-      table, keys, buckets)
+    try replaceBucketed(prepare(spark.table(table)), table, keys, buckets)
     finally spark.conf.set(conf, prev)
   }
 }

@@ -55,9 +55,12 @@ import org.apache.spark.sql.SparkSession
   * re-runs (the verdict rewrite is deterministic — the store is
   * unchanged — and dynamic partition overwrite replaces the partition).
   *
-  * Batch ids must be unique per logical shard; `foreachBatch`
-  * guarantees this for streaming callers, and loop-driving callers own
-  * the contract.
+  * Batch ids must be unique per logical shard and APPLIED IN
+  * INCREASING ORDER; `foreachBatch` guarantees both for streaming
+  * callers (ids are monotonic per checkpoint), and loop-driving
+  * callers own the contract. The order half is what lets [[prune]]
+  * seed its watermark from the lowest committed id when none exists —
+  * out-of-order application could mask a lower id as applied.
   *
   * Upgrade note (pre-two-phase ledgers): a loop that crashed mid-append
   * under the OLD single-marker protocol left no intent marker, so its
@@ -162,7 +165,17 @@ object IngestLedger {
       .flatMap(n => scala.util.Try(n.stripPrefix("batch-").toLong).toOption)
       .toSet
     val w0 = watermark(spark, table)
-    var w = w0
+    // With no watermark yet, seed from (min committed − 1) rather than
+    // −1: a loop whose ids start above 0 (a stream resuming a retained
+    // checkpoint against a rewritten store) would otherwise never
+    // advance the watermark and the marker files would accumulate
+    // forever. Safe under the ledger's application-order contract
+    // (ids are applied in increasing order): with no watermark, every
+    // applied id has a marker, so nothing below min(committed) was ever
+    // applied — or ever will be.
+    var w =
+      if (w0 < 0 && committed.nonEmpty) committed.min - 1
+      else w0
     while (committed.contains(w + 1)) w += 1
     if (w > w0) {
       val tmp = new Path(dir, "applied-through.tmp")
@@ -171,12 +184,17 @@ object IngestLedger {
       org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
         .rename(tmp, watermarkFile(spark, table),
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      names.foreach { n =>
-        val id = scala.util.Try(
-          n.stripPrefix("batch-").stripSuffix(".intent").toLong).toOption
-        if (n.startsWith("batch-") && id.exists(_ <= w))
-          fs.delete(new Path(dir, n), false)
-      }
+    }
+    // the delete sweep runs UNCONDITIONALLY against the current
+    // watermark (not only when it advanced): a re-run after a crash
+    // between the watermark rename and the deletes actually finishes
+    // the deletes instead of deferring them to the next commit
+    val cur = math.max(w, w0)
+    if (cur >= 0) names.foreach { n =>
+      val id = scala.util.Try(
+        n.stripPrefix("batch-").stripSuffix(".intent").toLong).toOption
+      if (n.startsWith("batch-") && id.exists(_ <= cur))
+        fs.delete(new Path(dir, n), false)
     }
   }
 

@@ -26,9 +26,24 @@ sealed trait CellScorer {
   def nCells: Int
   /** Argbest cell of an embedding — ties to the lowest cell id. */
   def cell(emb: Column): Column
-  /** Per-cell score array (index = cell id) for probe ranking. */
+  /** The `min(nProbe, nCells)` best cells, best-first, ties to the
+    * lowest cell id — probe generation as ONE codegen'd expression
+    * ([[graft.functions.TrainedTopCells]] /
+    * [[graft.functions.LcgTopCells]]): O(k·dim) compute and O(nProbe)
+    * output rows per vector, no k-wide explode, no Window, no Exchange
+    * — the formulation every probe path uses (the shard side of
+    * [[VectorStore.dedupAgainstStoreWith]] is the one that scales).
+    * Selection is order-identical to ranking [[cellScores]] by
+    * ([[probeRank]] asc, cell asc) — the parity spec pins it. */
+  def topCells(emb: Column, nProbe: Int): Column
+  /** Per-cell score array (index = cell id) — the readable semantic
+    * spec of [[topCells]]'s ranking and the parity-test reference;
+    * probe paths use [[topCells]]. */
   def cellScores(emb: Column): Column
-  /** A column whose ASCENDING order ranks cells best-first. */
+  /** A column whose ASCENDING order ranks cells best-first. NaN scores
+    * (non-finite embeddings — out of contract upstream) rank LAST on
+    * the LCG path (`negate` maps NaN to NaN, which Spark sorts
+    * largest), matching [[topCells]]'s NaN-never-beats rule. */
   def probeRank(score: Column): Column
 }
 
@@ -40,6 +55,8 @@ final case class LcgCellScorer(nCentroids: Int, dim: Int, seedOffset: Long)
   def nCells: Int = nCentroids
   def cell(emb: Column): Column =
     graft.functions.NearestCentroid(emb, nCentroids, dim, seedOffset)
+  def topCells(emb: Column, nProbe: Int): Column =
+    graft.functions.LcgTopCells(emb, nCentroids, dim, seedOffset, nProbe)
   def cellScores(emb: Column): Column =
     Similarity.centroidScores(emb, nCentroids, dim, seedOffset)
   def probeRank(score: Column): Column = negate(score) // higher = better
@@ -59,6 +76,8 @@ final case class TrainedCellScorer(cents: Array[Long], dim: Int)
   def nCells: Int = cents.length / dim
   def cell(emb: Column): Column =
     graft.functions.TrainedNearestCell(emb, cents, dim)
+  def topCells(emb: Column, nProbe: Int): Column =
+    graft.functions.TrainedTopCells(emb, cents, dim, nProbe)
   def cellScores(emb: Column): Column =
     graft.functions.TrainedCellDists(emb, cents, dim)
   def probeRank(score: Column): Column = score // lower = better

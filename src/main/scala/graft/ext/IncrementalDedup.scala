@@ -195,9 +195,7 @@ object IncrementalDedup {
     // a crash there would strand the capped dedup path on a missing
     // side table); the swap's own crash window self-heals via
     // Bucketing.recoverSwap at the next maintenance/ingest entry
-    Bucketing.replaceBucketed(
-      bandKeyCounts(spark.table(table))
-        .repartition(buckets, keys.map(col): _*),
+    Bucketing.replaceBucketed(bandKeyCounts(spark.table(table)),
       countsTable(table), keys, buckets)
     // compaction is also the amortized moment to collapse the ledger's
     // per-batch marker files below the contiguous-commit watermark
@@ -212,7 +210,11 @@ object IncrementalDedup {
     * sizing). Returns whether a compaction ran. */
   def compactStoreIfNeeded(spark: SparkSession, table: String, buckets: Int,
                            maxFilesPerBucket: Int): Boolean = {
+    // heal BOTH swap windows: a stranded COUNTS swap would otherwise
+    // persist until the store itself came due, failing any capped
+    // reader on a missing side table in the meantime
     Bucketing.recoverSwap(spark, table)
+    Bucketing.recoverSwap(spark, countsTable(table))
     val due = Bucketing.needsCompaction(spark, table, buckets, maxFilesPerBucket)
     if (due) compactStore(spark, table, buckets)
     due
@@ -254,12 +256,19 @@ object IncrementalDedup {
     * ([[graft.core.Reconcile.appendExact]]): the committed verdicts are
     * reused and store + counts converge to the exact post-append state
     * — there is no residual window (IngestRecoverySpec drives every
-    * crash point). */
+    * crash point).
+    *
+    * Upgrade note (pre-two-phase ledgers): before resuming a loop whose
+    * previous run predates the ledger's INTENT markers and crashed
+    * mid-append, run [[compactStore]] once — its full-row distinct and
+    * recount collapse the old crash's duplicate rows, after which the
+    * replay is safe ([[graft.core.IngestLedger]]'s upgrade note). */
   def streamIngest(newDocs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, numHashes: Int, nBands: Int,
                    table: String, buckets: Int, minJaccard: Double,
                    outPath: String, checkpoint: String,
-                   maxBandDocs: Int = 0, compactEvery: Int = 0)
+                   maxBandDocs: Int = 0, compactEvery: Int = 0,
+                   maxFilesPerBucket: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -281,14 +290,20 @@ object IncrementalDedup {
         // (Bucketing.recoverSwap).
         //
         // Sizing: each compaction is a FULL-STORE rewrite — O(store)
-        // work per trigger — so a production loop wants N ≫ 1 (or an
-        // files-per-bucket trigger — compactStoreIfNeeded), sized so one rewrite
-        // amortizes over many O(shard) appends. x37's checked
-        // `compactEvery = 1` is a COVERAGE configuration (prove dedup
-        // survives the compaction boundary on every batch), not a
-        // production template.
+        // work per trigger — so a production loop wants N ≫ 1, sized so
+        // one rewrite amortizes over many O(shard) appends. x37's
+        // checked `compactEvery = 1` is a COVERAGE configuration (prove
+        // dedup survives the compaction boundary on every batch), not a
+        // production template. `maxFilesPerBucket` is the PRODUCTION
+        // cadence: trigger on the store's measured file decay
+        // (compactStoreIfNeeded), independent of shard sizing.
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(batch.sparkSession, table, buckets)
+        else if (maxFilesPerBucket > 0) {
+          compactStoreIfNeeded(batch.sparkSession, table, buckets,
+            maxFilesPerBucket)
+          ()
+        }
       }
       .start()
 

@@ -204,15 +204,13 @@ object Similarity {
                   idCol: String, embCol: String, k: Int,
                   scorer: CellScorer, nProbe: Int): DataFrame = {
     val assigned = corpus.withColumn("__centroid", scorer.cell(col(embCol)))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("__rank").asc, col("__centroid").asc)
+    // probe selection is one codegen'd expression + a narrow explode
+    // (CellScorer.topCells — no k-wide score explode, no Window); the
+    // query side is small by contract, but the same machinery serves
+    // the shard side of VectorStore.dedupAgainstStoreWith, which scales
     val probes = queries
       .select(col(idCol).as("query_id"), col(embCol).as("__qe"),
-        posexplode(scorer.cellScores(col(embCol))).as(Seq("__centroid", "__score")))
-      .withColumn("__rank", scorer.probeRank(col("__score")))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nProbe)
-      .select(col("query_id"), col("__qe"), col("__centroid"))
+        explode(scorer.topCells(col(embCol), nProbe)).as("__centroid"))
     val scored = assigned.join(broadcast(probes), Seq("__centroid"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),

@@ -198,8 +198,7 @@ object VectorStore {
   def compactStore(spark: SparkSession, table: String, buckets: Int): Unit = {
     Bucketing.compact(spark, table, Seq("cell"), buckets,
       prepare = _.dropDuplicates())
-    Bucketing.replaceBucketed(
-      cellCounts(spark.table(table)).repartition(buckets, col("cell")),
+    Bucketing.replaceBucketed(cellCounts(spark.table(table)),
       countsTable(table), Seq("cell"), buckets)
     IngestLedger.prune(spark, table)
   }
@@ -212,10 +211,58 @@ object VectorStore {
     * sizing). Returns whether a compaction ran. */
   def compactStoreIfNeeded(spark: SparkSession, table: String, buckets: Int,
                            maxFilesPerBucket: Int): Boolean = {
+    // heal BOTH swap windows (a stranded counts swap would otherwise
+    // persist until the store itself came due) and any crashed
+    // recluster before measuring decay
     Bucketing.recoverSwap(spark, table)
+    Bucketing.recoverSwap(spark, countsTable(table))
+    recoverRecluster(spark, table)
     val due = Bucketing.needsCompaction(spark, table, buckets, maxFilesPerBucket)
     if (due) compactStore(spark, table, buckets)
     due
+  }
+
+  /** Path of the recluster-in-progress marker — the [[graft.core.IngestLedger]]
+    * dir convention applied to the one maintenance pass that is not
+    * single-table-atomic: written (with the pass's parameters) BEFORE
+    * the codebook overwrite, deleted only after the counts rewrite, so
+    * the window where the persisted codebook and the store's
+    * assignments describe DIFFERENT cell spaces is always detectable. */
+  private def reclusterMarker(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      IngestLedger.ledgerDir(spark, table), "recluster.intent")
+
+  /** Is a recluster of `table` in progress (or crashed mid-pass)? */
+  def reclusterPending(spark: SparkSession, table: String): Boolean = {
+    val m = reclusterMarker(spark, table)
+    m.getFileSystem(spark.sessionState.newHadoopConf()).exists(m)
+  }
+
+  /** Complete a crashed recluster by RE-RUNNING it with the marker's
+    * recorded parameters (the crashed pass's intent wins over whatever
+    * the resuming caller would pass). Safe at every crash point: the
+    * trainer's input — the store's (id, embedding) rows — is unchanged
+    * by any prefix of the pass (only the `cell` column is rewritten),
+    * and [[KMeans.fit]] is deterministic, so the re-run fits the SAME
+    * codebook and converges codebook, assignments, and counts to the
+    * intended post-recluster state. Returns true when a repair ran. */
+  def recoverRecluster(spark: SparkSession, table: String): Boolean = {
+    val m = reclusterMarker(spark, table)
+    val fs = m.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(m)) return false
+    val in = fs.open(m)
+    val params = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+    finally in.close()
+    params.split('\t') match {
+      case Array(buckets, idCol, embCol, k, rounds) =>
+        recluster(spark, table, buckets.toInt, idCol, embCol,
+          k.toInt, rounds.toInt)
+      case other => throw new IllegalStateException(
+        s"recluster marker for '$table' is unreadable: '$params' — " +
+          "complete the pass by calling recluster explicitly")
+    }
+    true
   }
 
   /** Compaction-time RE-CLUSTERING: retrain the codebook on the store's
@@ -230,13 +277,26 @@ object VectorStore {
     *
     * After a recluster the store is a TRAINED store: continue the loop
     * through the `*Trained` entry points. The pass is not crash-atomic
-    * across its tables, but it IS idempotent-deterministic: the trainer
-    * sees the same vectors on a re-run and fits the same codebook, so
-    * the repair for a mid-recluster crash is simply to run `recluster`
-    * again before resuming ingest. */
+    * across its tables, but the whole span is covered by an INTENT
+    * MARKER carrying the pass's parameters: a crash anywhere between
+    * the codebook overwrite and the counts rewrite leaves the marker in
+    * place, and [[ingestBatchTrained]] (so both resumed loops) and
+    * [[compactStoreIfNeeded]] call [[recoverRecluster]] at entry —
+    * the pass re-runs deterministically (same vectors → same codebook)
+    * instead of silently probing a cell space the store rows were never
+    * assigned with (IngestRecoverySpec drives the crash window through
+    * a resumed trained loop). */
   def recluster(spark: SparkSession, table: String, buckets: Int,
                 idCol: String, embCol: String, k: Int, rounds: Int): Unit = {
     Bucketing.recoverSwap(spark, table)
+    Bucketing.recoverSwap(spark, countsTable(table))
+    val marker = reclusterMarker(spark, table)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, true)
+    try out.write(
+      s"$buckets\t$idCol\t$embCol\t$k\t$rounds".getBytes("UTF-8"))
+    finally out.close()
     val vecs = spark.table(table).select(col(idCol), col(embCol))
     KMeans.fit(vecs, idCol, embCol, k, rounds)
       .write.mode("overwrite").format("parquet")
@@ -244,9 +304,9 @@ object VectorStore {
     val scorer = trainedScorer(spark, table)
     Bucketing.replaceBucketed(assignedWith(vecs, idCol, embCol, scorer),
       table, Seq("cell"), buckets)
-    Bucketing.replaceBucketed(
-      cellCounts(spark.table(table)).repartition(buckets, col("cell")),
+    Bucketing.replaceBucketed(cellCounts(spark.table(table)),
       countsTable(table), Seq("cell"), buckets)
+    fs.delete(marker, false)
   }
 
   /** The continuous-ingest form ([[IncrementalDedup.streamIngest]]'s
@@ -259,17 +319,29 @@ object VectorStore {
     * vectors, so the next micro-batch dedups against everything
     * ingested so far.
     *
-    * `compactEvery` guidance: a compaction is a FULL-STORE rewrite —
-    * O(store) work per trigger, so a production loop wants N ≫ 1 (or an
-    * files-per-bucket trigger — [[compactStoreIfNeeded]]), sized so the rewrite amortizes
-    * over many O(shard) appends. x49's checked `compactEvery = 1` is a
-    * COVERAGE configuration (prove dedup survives the compaction
-    * boundary on every batch), not a production template. */
+    * In-loop compaction cadence — two alternatives: `compactEvery = N`
+    * compacts every N batches (a compaction is a FULL-STORE rewrite —
+    * O(store) work per trigger, so a production loop wants N ≫ 1, sized
+    * so the rewrite amortizes over many O(shard) appends; x49's checked
+    * `compactEvery = 1` is a COVERAGE configuration — prove dedup
+    * survives the compaction boundary on every batch — not a production
+    * template). `maxFilesPerBucket = M` is the PRODUCTION trigger
+    * ([[compactStoreIfNeeded]]): compact only when the store's actual
+    * file decay passes M appended generations — pays the rewrite
+    * exactly when the scan-side cost has accrued, independent of shard
+    * sizing.
+    *
+    * Upgrade note (pre-two-phase ledgers): before resuming a loop whose
+    * previous run predates the ledger's INTENT markers and crashed
+    * mid-append, run [[compactStore]] once — its full-row distinct and
+    * recount collapse the old crash's duplicate rows, after which the
+    * replay is safe ([[graft.core.IngestLedger]]'s upgrade note). */
   def streamIngest(newVecs: DataFrame, idCol: String, embCol: String,
                    table: String, buckets: Int, minCosine: Double,
                    nCentroids: Int, nProbe: Int, dim: Int, seedOffset: Long,
                    outPath: String, checkpoint: String,
-                   maxCellVecs: Long = 0L, compactEvery: Int = 0)
+                   maxCellVecs: Long = 0L, compactEvery: Int = 0,
+                   maxFilesPerBucket: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newVecs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -288,6 +360,11 @@ object VectorStore {
         // (Bucketing.recoverSwap).
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(batch.sparkSession, table, buckets)
+        else if (maxFilesPerBucket > 0) {
+          compactStoreIfNeeded(batch.sparkSession, table, buckets,
+            maxFilesPerBucket)
+          ()
+        }
       }
       .start()
 
@@ -295,12 +372,15 @@ object VectorStore {
     * [[writeVectorStoreTrained]] or converted by [[recluster]]): each
     * micro-batch assigns and probes with the store's PERSISTED codebook
     * — re-read per batch, so the loop keeps following the store even
-    * across an interleaved recluster. Same exactly-once and
-    * `compactEvery` contracts as [[streamIngest]]. */
+    * across an interleaved recluster (a recluster that CRASHED mid-pass
+    * is completed at batch entry — [[recoverRecluster]]). Same
+    * exactly-once, compaction-cadence, and upgrade contracts as
+    * [[streamIngest]]. */
   def streamIngestTrained(newVecs: DataFrame, idCol: String, embCol: String,
                           table: String, buckets: Int, minCosine: Double,
                           nProbe: Int, outPath: String, checkpoint: String,
-                          maxCellVecs: Long = 0L, compactEvery: Int = 0)
+                          maxCellVecs: Long = 0L, compactEvery: Int = 0,
+                          maxFilesPerBucket: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newVecs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -310,6 +390,11 @@ object VectorStore {
           minCosine, nProbe, outPath, maxCellVecs)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactStore(batch.sparkSession, table, buckets)
+        else if (maxFilesPerBucket > 0) {
+          compactStoreIfNeeded(batch.sparkSession, table, buckets,
+            maxFilesPerBucket)
+          ()
+        }
       }
       .start()
 
@@ -333,6 +418,11 @@ object VectorStore {
                          nProbe: Int, outPath: String,
                          maxCellVecs: Long = 0L): Unit = {
     Bucketing.recoverSwap(batch.sparkSession, table)
+    // a recluster that crashed between its codebook overwrite and its
+    // assignment rewrite would otherwise have this batch probe a cell
+    // space the store rows were never assigned with — silently missing
+    // duplicates; complete the pass (deterministic re-run) first
+    recoverRecluster(batch.sparkSession, table)
     ingestBatchWith(batch, batchId, idCol, embCol, table, buckets,
       minCosine, trainedScorer(batch.sparkSession, table), nProbe,
       outPath, maxCellVecs)
@@ -395,19 +485,19 @@ object VectorStore {
   }
 
   /** Each query/shard row's `nProbe` best cells under `scorer` (ties to
-    * the lowest cell), carrying the embedding for the exact re-score. */
+    * the lowest cell), carrying the embedding for the exact re-score.
+    * Probe generation is ONE codegen'd expression per row
+    * ([[CellScorer.topCells]]) followed by a narrow explode: O(k·dim)
+    * compute and O(nProbe) output rows per vector — no k-wide score
+    * explode, no Window, no Exchange (PlanSpec pins the subtree free of
+    * both). This is the path that runs per SHARD vector in
+    * [[dedupAgainstStoreWith]], so its cost shape is the one that has
+    * to survive IVF-realistic k (thousands of cells) at 100 TB. */
   private def probeCells(df: DataFrame, idCol: String, embCol: String,
                          scorer: CellScorer, nProbe: Int,
-                         outId: String): DataFrame = {
-    val probeW = Window.partitionBy(outId)
-      .orderBy(col("__rank").asc, col("cell").asc)
+                         outId: String): DataFrame =
     df.select(col(idCol).as(outId), col(embCol).as("__qe"),
-        posexplode(scorer.cellScores(col(embCol))).as(Seq("cell", "__score")))
-      .withColumn("__rank", scorer.probeRank(col("__score")))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nProbe)
-      .select(col(outId), col("__qe"), col("cell"))
-  }
+      explode(scorer.topCells(col(embCol), nProbe)).as("cell"))
 
   /** Deduplicate a NEW shard of vectors against a persisted `store`
     * under the LCG codebook (the historical signature). */

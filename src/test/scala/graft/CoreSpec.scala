@@ -351,6 +351,49 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("fresh writes land one file per bucket; appends one per bucket per generation; Sort elision from birth") {
+    val s = spark; import s.implicits._
+    // adversarial task layout: without the write path's own repartition
+    // onto the bucket layout, 13 tasks x 8 buckets would emit ~104 files
+    val rows = (1 to 1000).map(i => (s"S${i % 50}", i.toLong))
+      .toDF("symbol", "v").repartition(13)
+    graft.core.Bucketing.writeBucketed(rows, "bkt_fresh_a", Seq("symbol"), 8)
+    graft.core.Bucketing.writeBucketed(rows.withColumnRenamed("v", "w"),
+      "bkt_fresh_b", Seq("symbol"), 8)
+    try {
+      assert(graft.core.Bucketing.dataFileCount(spark, "bkt_fresh_a") <= 8)
+      // FRESH stores (no compaction ever ran) already qualify for the
+      // in-bucket Sort elision: single-file buckets, sorted at write
+      val conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      val prev = spark.conf.get(conf)
+      spark.conf.set(conf, "true")
+      try {
+        val j = spark.table("bkt_fresh_a")
+          .join(spark.table("bkt_fresh_b").hint("merge"), "symbol")
+        val root = j.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case p => p
+        }
+        assert(root.toString.contains("SortMergeJoin"))
+        assert(!root.toString.contains("ShuffleExchange"),
+          "bucketed join must not shuffle:\n" + root.toString.take(800))
+        val sorts = root.collect {
+          case se: org.apache.spark.sql.execution.SortExec => se }
+        assert(sorts.isEmpty,
+          "fresh single-generation stores must elide the in-bucket Sort")
+      } finally spark.conf.set(conf, prev)
+      // each append generation adds at most one file per bucket, so
+      // dataFileCount measures appended generations exactly
+      graft.core.Bucketing.appendBucketed(rows, "bkt_fresh_a", Seq("symbol"), 8)
+      val n1 = graft.core.Bucketing.dataFileCount(spark, "bkt_fresh_a")
+      assert(n1 > 8 && n1 <= 16, s"expected 2 generations x <= 8 files, got $n1")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_fresh_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_fresh_b")
+    }
+  }
+
   test("appendBucketed refuses to create a store on a nonexistent table name") {
     val s = spark; import s.implicits._
     val rows = (1 to 10).map(i => (s"S$i", i.toLong)).toDF("symbol", "v")

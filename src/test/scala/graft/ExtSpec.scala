@@ -273,6 +273,46 @@ class SimilaritySpec extends SparkSpec {
     assert(b0.exceptAll(b1).count() == 0)
   }
 
+  test("topCells selection is bit-identical to ranking cellScores by (probeRank, cell) — both codebooks") {
+    import org.apache.spark.sql.expressions.Window
+    val real = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def windowed(scorer: graft.ext.CellScorer, nProbe: Int): Seq[(Long, Int, Int)] = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("__rank").asc, col("cell").asc)
+      real.select(col("vec_id"),
+          posexplode(scorer.cellScores(col("embedding"))).as(Seq("cell", "__score")))
+        .withColumn("__rank", scorer.probeRank(col("__score")))
+        .withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= nProbe)
+        .select(col("vec_id"), (col("pr") - 1).cast("int"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    }
+    def fused(scorer: graft.ext.CellScorer, nProbe: Int): Seq[(Long, Int, Int)] =
+      real.select(col("vec_id"),
+          posexplode(scorer.topCells(col("embedding"), nProbe)).as(Seq("pos", "cell")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    val lcg = graft.ext.LcgCellScorer(16, 64, 100000L)
+    assert(fused(lcg, 4) == windowed(lcg, 4))
+    val codebook = graft.ext.KMeans.fit(real.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", k = 8, rounds = 2)
+    val trained = graft.ext.TrainedCellScorer.fromCodebook(codebook)
+    assert(fused(trained, 3) == windowed(trained, 3))
+    // nProbe past the cell count returns every cell, best-first
+    assert(fused(trained, 99).groupBy(_._1).forall(_._2.size == trained.nCells))
+  }
+
+  test("topCells on a NaN embedding is deterministic: all-NaN scores select the lowest cell ids") {
+    // a NaN component poisons every LCG cell score, so selection falls
+    // back to the stable id order — pinned so degenerate inputs (out of
+    // contract upstream) stay deterministic rather than crashing
+    val bad = df(Seq((0L, Seq(Float.NaN, 1.0f, 0.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val cells = bad.select(
+        graft.ext.LcgCellScorer(8, 4, 100000L).topCells(col("embedding"), 3).as("c"))
+      .collect().head.getSeq[Int](0)
+    assert(cells == Seq(0, 1, 2))
+  }
+
   test("native hyperplane signature is bit-identical to the HOF formulation (float + double)") {
     val real = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def both(df: org.apache.spark.sql.DataFrame, embCol: String) = {
@@ -878,6 +918,63 @@ class IncrementalDedupSpec extends SparkSpec {
     val recount = spark.table("inc_autocompact_store")
       .groupBy("band", "band_key").agg(F.count(F.lit(1)).as("n_docs"))
     assert(totals.exceptAll(recount).isEmpty && recount.exceptAll(totals).isEmpty)
+  }
+
+  test("streamIngest maxFilesPerBucket: in-loop compaction fires on measured decay, not on schedule") {
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-fpbloop-")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_fpbloop_store", 4)
+    IncrementalDedup.writeSignatureStore(store, "doc_id", "text", 3, 16, 4,
+      "inc_fpbloop_twin", 4)
+    val shards = Seq(
+      df(Seq(
+        (20L, "completely different content about spark engines and parquet files"),
+        (21L, "fresh material sharing nothing with the ingested corpus")))
+        .toDF("doc_id", "text"),
+      df(Seq(
+        (22L, "and now for something else entirely unrelated to every shard"),
+        (23L, "more novel words arriving with the second generation")))
+        .toDF("doc_id", "text"),
+      df(Seq(
+        (24L, "a final batch of previously unseen vocabulary closes the loop")))
+        .toDF("doc_id", "text"))
+    shards.zipWithIndex.foreach { case (d, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inc-fpbstage-")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = in.resolve(s"$i.parquet")
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 60000L))
+    }
+    def src = spark.readStream.schema(shards.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    // decay-triggered loop: compactEvery stays 0 — maintenance is driven
+    // purely by the measured files-per-bucket decay
+    IncrementalDedup.streamIngest(src, "doc_id", "text", 3, 16, 4,
+        "inc_fpbloop_store", 4, 0.5, s"$root/out", s"$root/chk",
+        maxFilesPerBucket = 1)
+      .awaitTermination()
+    // twin loop with NO maintenance at all: identical verdicts
+    IncrementalDedup.streamIngest(src, "doc_id", "text", 3, 16, 4,
+        "inc_fpbloop_twin", 4, 0.5, s"$root/outT", s"$root/chkT")
+      .awaitTermination()
+    def sink(p: String) = spark.read.parquet(p)
+      .select("doc_id", "kept", "n_store_matches", "dup_of", "batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(sink(s"$root/out") == sink(s"$root/outT"))
+    spark.catalog.refreshTable("inc_fpbloop_store")
+    spark.catalog.refreshTable("inc_fpbloop_twin")
+    // the trigger held the store at <= 1 file per bucket through the
+    // loop (every post-batch check that saw decay compacted; the bound
+    // is an invariant of the trigger, not of the batch count) — while
+    // the untriggered twin visibly decayed past it
+    val triggered = graft.core.Bucketing.dataFileCount(spark, "inc_fpbloop_store")
+    val decayed = graft.core.Bucketing.dataFileCount(spark, "inc_fpbloop_twin")
+    assert(triggered <= 4, s"decay trigger must hold <= 1 file/bucket, got $triggered")
+    assert(decayed > 4, s"twin without maintenance should have decayed, got $decayed")
   }
 }
 

@@ -405,6 +405,101 @@ class IngestRecoverySpec extends SparkSpec {
     assert(IngestLedger.applied(spark, "rec_vtr_store", 0L))
   }
 
+  test("recluster crash between codebook write and assignment rewrite: the resumed trained loop repairs first") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-recl-")
+    def vdf(rows: Seq[(Long, Seq[Float])]) = {
+      val s = spark; import s.implicits._
+      rows.toDF("vec_id", "embedding")
+    }
+    val seed = vdf(Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f))))
+    val tbl = "rec_recl_store"
+    VectorStore.writeVectorStore(seed, "vec_id", "embedding",
+      nCentroids = 8, dim = 4, seedOffset = 100000L, table = tbl, buckets = 4)
+    // replay the crashed recluster PREFIX by hand: intent marker written,
+    // new codebook persisted — killed before the assignment rewrite. The
+    // store's rows still carry LCG cells; the codebook describes k-means
+    // cells they were never assigned with.
+    val marker = new org.apache.hadoop.fs.Path(
+      IngestLedger.ledgerDir(spark, tbl), "recluster.intent")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, true)
+    try out.write("4\tvec_id\tembedding\t2\t2".getBytes("UTF-8"))
+    finally out.close()
+    graft.ext.KMeans.fit(spark.table(tbl).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, rounds = 2)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(VectorStore.codebookTable(tbl))
+    assert(VectorStore.reclusterPending(spark, tbl))
+    // resume the trained loop with a twin of store vector 3: batch entry
+    // must complete the recluster (deterministic re-run) BEFORE probing,
+    // so the duplicate is found instead of silently kept
+    VectorStore.ingestBatchTrained(vdf(Seq((10L, Seq(0f, 1f, 0f, 0f)))), 0L,
+      "vec_id", "embedding", tbl, 4, minCosine = 0.9,
+      nProbe = 1, outPath = s"$root/out")
+    assert(!VectorStore.reclusterPending(spark, tbl))
+    val v = spark.read.parquet(s"$root/out")
+      .select("vec_id", "kept", "dup_of").collect().head
+    assert(v.getLong(0) == 10L && !v.getBoolean(1) && v.getLong(2) == 3L,
+      s"twin of store vector 3 must be dropped after the repair, got $v")
+    // the repaired store's assignments are consistent with the persisted
+    // codebook — the invariant the crash had broken
+    val scorer = VectorStore.trainedScorer(spark, tbl)
+    val stored = spark.table(tbl).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val expected = VectorStore.assignedWith(
+        spark.table(tbl).select("vec_id", "embedding"),
+        "vec_id", "embedding", scorer)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(stored == expected)
+    // and recoverRecluster with no marker is a no-op
+    assert(!VectorStore.recoverRecluster(spark, tbl))
+  }
+
+  test("prune seeds the watermark from the lowest committed id when a loop starts above 0") {
+    val t = "rec_prune_seed"
+    IngestLedger.reset(spark, t)
+    // a stream resuming a retained checkpoint against a rewritten store:
+    // first applied ids are 5..7, no watermark exists yet
+    for (id <- 5L to 7L) {
+      IngestLedger.intent(spark, t, id); IngestLedger.record(spark, t, id)
+    }
+    IngestLedger.prune(spark, t)
+    val dir = IngestLedger.ledgerDir(spark, t)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(IngestLedger.watermark(spark, t) == 7L,
+      "watermark must seed from min(committed) - 1, not -1")
+    assert(fs.listStatus(dir).length == 1, "markers must collapse")
+    assert((5L to 7L).forall(IngestLedger.applied(spark, t, _)))
+    assert(!IngestLedger.applied(spark, t, 8L))
+    IngestLedger.reset(spark, t)
+  }
+
+  test("a prune re-run after a crash between watermark rename and deletes finishes the deletes") {
+    val t = "rec_prune_crash"
+    IngestLedger.reset(spark, t)
+    for (id <- 0L to 2L) {
+      IngestLedger.intent(spark, t, id); IngestLedger.record(spark, t, id)
+    }
+    IngestLedger.prune(spark, t)
+    val dir = IngestLedger.ledgerDir(spark, t)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(dir).length == 1)
+    // crash window: watermark landed but the delete sweep didn't — put a
+    // stale pair back under the watermark by hand
+    IngestLedger.intent(spark, t, 1L); IngestLedger.record(spark, t, 1L)
+    assert(fs.listStatus(dir).length == 3)
+    // a re-run with NO new commits must still finish the deletes
+    IngestLedger.prune(spark, t)
+    assert(fs.listStatus(dir).length == 1,
+      "stale markers at/below the watermark must be swept unconditionally")
+    assert(IngestLedger.watermark(spark, t) == 2L)
+    IngestLedger.reset(spark, t)
+  }
+
   test("ledger markers: intent precedes commit; applied wins; reset clears both") {
     val t = "rec_ledger_probe"
     IngestLedger.reset(spark, t)

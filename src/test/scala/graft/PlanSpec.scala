@@ -458,6 +458,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shard probe generation is a narrow expression: no Window, doc-keyed exchanges only, O(nProbe) rows") {
+    // the scale guard for probe GENERATION (VectorStore.probeCells):
+    // selection is one codegen'd topCells expression + a narrow explode
+    // of nProbe cells — never a k-wide score explode ranked through a
+    // row_number Window (k×|shard| rows through an Exchange at
+    // IVF-realistic k). The whole dedup plan must contain NO Window at
+    // all, and the shard side exactly ONE exchange (the candidate
+    // join's partition-by-cell) — for both codebook families.
+    val F = org.apache.spark.sql.functions
+    val emb = graft.util.Tables.embeddings(spark, sf)
+    val shard0 = emb.filter(F.col("vec_id") % 3 === 0)
+    val codebook = graft.ext.KMeans.fit(shard0, "vec_id", "embedding",
+      k = 16, rounds = 2)
+    graft.ext.VectorStore.writeVectorStoreTrained(shard0, "vec_id",
+      "embedding", codebook, table = "plan_vec_probe", buckets = 8)
+    val scorers = Seq(
+      graft.ext.VectorStore.trainedScorer(spark, "plan_vec_probe"),
+      graft.ext.LcgCellScorer(16, 64, 100000L))
+    scorers.foreach { scorer =>
+      val df = graft.ext.VectorStore.dedupAgainstStoreWith(
+        emb.filter(F.col("vec_id") % 3 === 1), "vec_id", "embedding",
+        spark.table("plan_vec_probe"), minCosine = 0.4, scorer, nProbe = 4)
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+      val windows = root.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"probe generation must not rank through a Window:\n${root.toString.take(1200)}")
+      val exchanges = root.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // every exchange in the plan is doc-keyed (candidate join on cell,
+      // pair/per-doc rollups, final verdict join) — O(shard) rows each,
+      // never O(k·shard); the k-wide probe-rank exchange the Window
+      // formulation needed is gone. Count pinned so it cannot creep back.
+      assert(exchanges.size <= 4,
+        s"expected at most 4 doc-keyed exchanges, got " +
+          s"${exchanges.size}:\n${root.toString.take(1200)}")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(a => a.name == "__score" || a.name == "__pr"),
+          s"a probe-rank exchange crept back: ${e.output}")
+      }
+      assert(root.toString.contains("top_cells"),
+        s"probe side must select cells via the fused topCells expression:\n${root.toString.take(800)}")
+    }
+  }
+
   test("x48 trained-codebook IVF broadcasts the probes; assignment is per-row (no cartesian, no extra join)") {
     val p = plan("x48_knn_ivf_trained")
     assert(!p.contains("CartesianProduct"))
