@@ -2123,8 +2123,47 @@ object ExtQueries {
             FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
             ORDER BY vec_id"""))
 
+  /** Incremental EXACT dedup against a persisted fingerprint store
+    * ([[graft.ext.ExactDedup.dedupExactAgainstStore]]) — in production
+    * the FIRST dedup stage, run before any near-dup pass: the corpus
+    * minus shard 2 (doc_id % 3 ≠ 2) is ingested as a bucketed
+    * `(fp, canonical_id)` store, and the new shard — the %3 = 2 docs
+    * plus a deterministic RE-CRAWL (doc_id % 7 = 0 docs re-arriving
+    * under id + 100000, the operational case exact dedup exists for) —
+    * left-joins it on the md5 fingerprint of normalized text. Re-crawls
+    * of STORE docs drop with `dup_of` = the original id; re-crawls of
+    * shard-2 docs keep (their original is not in the store — that
+    * cross-shard gap is the near-dup/batch operators' jurisdiction);
+    * novel docs keep. Store side reads bucketed, shuffle-free (PlanSpec
+    * pins it); no text on the wire. */
+  private val x50 = Q("x50_incremental_exact_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      ExactDedup.writeFingerprintStore(docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", table = "x50_fp_store", buckets = 8)
+      val fresh = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      ExactDedup.dedupExactAgainstStore(fresh, "doc_id", "text",
+          s.table("x50_fp_store"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+                         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                       FROM documents),
+                 store AS (SELECT fp, min(doc_id) AS canonical_id
+                           FROM f WHERE doc_id % 3 <> 2 GROUP BY fp),
+                 fresh AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 2
+                           UNION ALL
+                           SELECT doc_id + 100000, fp FROM f WHERE doc_id % 7 = 0)
+            SELECT fr.doc_id, (s.canonical_id IS NULL) AS kept,
+                   s.canonical_id AS dup_of
+            FROM fresh fr LEFT JOIN store s ON fr.fp = s.fp
+            ORDER BY fr.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
+    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50)
 }

@@ -1350,3 +1350,71 @@ class StarCcSpec extends SparkSpec {
     }
   }
 }
+
+/** Incremental EXACT dedup against a persisted fingerprint store
+  * ([[graft.ext.ExactDedup]]'s store surface — the first-stage dedup
+  * that precedes the near-dup passes in a production loop). */
+class IncrementalExactDedupSpec extends SparkSpec {
+  import graft.ext.ExactDedup
+
+  test("store fingerprints drop re-arrivals; survivors append; next shard sees them") {
+    val store = df(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines")))
+      .toDF("doc_id", "text")
+    ExactDedup.writeFingerprintStore(store, "doc_id", "text",
+      "exd_store_spec", 4)
+    try {
+      // shard 1: a re-crawl of doc 1 (whitespace/case noise — the
+      // normalized fingerprint is identity under it), a novel doc, and
+      // an intra-shard twin pair of another novel doc
+      val shard1 = df(Seq(
+        (10L, "  The quick  brown fox jumps over the LAZY dog "),
+        (11L, "fresh material sharing nothing with the corpus"),
+        (12L, "twin content arriving twice within one shard"),
+        (13L, "twin content arriving twice within one shard")))
+        .toDF("doc_id", "text")
+      val v1 = ExactDedup.dedupExactAgainstStore(shard1, "doc_id", "text",
+          spark.table("exd_store_spec"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      // verdicts are vs the STORE only: both intra-shard twins keep
+      // (collapsing them is the batch operator's job — ExactDedup.dedup)
+      assert(v1 == Seq((10L, false, 1L), (11L, true, -1L),
+        (12L, true, -1L), (13L, true, -1L)))
+      // append survivors; the twins collapse to one (fp, min id) row
+      val kept1 = shard1.filter(col("doc_id") =!= 10L)
+      ExactDedup.appendFingerprints(kept1, "doc_id", "text",
+        "exd_store_spec", 4)
+      assert(spark.table("exd_store_spec").groupBy("fp").count()
+        .filter(col("count") > 1).count() == 0, "one row per fp")
+      // shard 2: re-arrivals of shard-1 survivors drop against the
+      // evolved store with the MIN surviving id as canonical
+      val v2 = ExactDedup.dedupExactAgainstStore(
+          df(Seq((20L, "twin content arriving twice within one shard"),
+            (21L, "fresh material sharing nothing with the corpus")))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", spark.table("exd_store_spec"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+      assert(v2 == Seq((20L, false, 12L), (21L, false, 11L)))
+    } finally spark.sql("DROP TABLE IF EXISTS exd_store_spec")
+  }
+
+  test("null-text docs have no fingerprint: never stored, always kept") {
+    val s = spark; import s.implicits._
+    val store = Seq((1L, Some("some real content here")), (2L, None))
+      .toDF("doc_id", "text")
+    ExactDedup.writeFingerprintStore(store, "doc_id", "text",
+      "exd_null_spec", 4)
+    try {
+      assert(spark.table("exd_null_spec").count() == 1) // null fp filtered
+      val v = ExactDedup.dedupExactAgainstStore(
+          Seq((10L, Option.empty[String])).toDF("doc_id", "text"),
+          "doc_id", "text", spark.table("exd_null_spec"))
+        .collect().head
+      assert(v.getBoolean(1) && v.isNullAt(2))
+    } finally spark.sql("DROP TABLE IF EXISTS exd_null_spec")
+  }
+}

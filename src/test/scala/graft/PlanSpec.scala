@@ -458,6 +458,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x50 exact-dedup store side reads bucketed, Exchange-free; no text on the wire") {
+    val df = Registry.queries("x50_incremental_exact_dedup")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right)).filter(_.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.tableIdentifier.exists(_.table == "x50_fp_store") => f
+    }.nonEmpty)
+    assert(storeSides.nonEmpty,
+      s"no sort-merge join reads the bucketed fingerprint store:\n${root.toString.take(1200)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"fingerprint store side must read its buckets in place, found: $es")
+    }
+    // the dedup join moves fingerprints and ids only — never text
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross the dedup shuffle: ${e.output}")
+    }
+  }
+
   test("shard probe generation is a narrow expression: no Window, doc-keyed exchanges only, O(nProbe) rows") {
     // the scale guard for probe GENERATION (VectorStore.probeCells):
     // selection is one codegen'd topCells expression + a narrow explode
