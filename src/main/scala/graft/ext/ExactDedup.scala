@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.core.Bucketing
+import graft.core.{Bucketing, IngestLedger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -59,11 +59,15 @@ object ExactDedup {
       .groupBy("fp").agg(min(col(idCol)).as("canonical_id"))
 
   /** Compute and persist the fingerprint store for `docs` as the
-    * bucketed catalog table `table` (bucketed+sorted by `fp`). */
+    * bucketed catalog table `table` (bucketed+sorted by `fp`). A fresh
+    * store restarts its batch-id space, so any stale applied-batch
+    * ledger is dropped ([[graft.core.IngestLedger.reset]]). */
   def writeFingerprintStore(docs: DataFrame, idCol: String, textCol: String,
-                            table: String, buckets: Int): Unit =
+                            table: String, buckets: Int): Unit = {
     Bucketing.writeBucketed(storeRows(docs, idCol, textCol),
       table, Seq("fp"), buckets)
+    IngestLedger.reset(docs.sparkSession, table)
+  }
 
   /** Append a shard's fingerprints into an existing store (same
     * layout). The ingest loop appends SURVIVORS only — their
@@ -81,11 +85,114 @@ object ExactDedup {
     * canonical id for the content (null when kept). The merge hint pins
     * the sort-merge strategy so a small test-scale shard cannot
     * silently broadcast and bypass the bucketed layout being proven
-    * (PlanSpec pins the store side Exchange-free). */
+    * (PlanSpec pins the store side Exchange-free).
+    *
+    * The store side pre-collapses to one row per fp (min canonical id):
+    * a no-op on a clean store, but the guard that keeps store rows
+    * duplicated OUTSIDE the loop's contract (a crashed replay's
+    * residual, a caller appending a shard twice by hand) from emitting
+    * duplicate VERDICT rows — the same defensive grain the near-dup
+    * stores collapse to. In-bucket (the store is bucketed by `fp`), so
+    * it costs no Exchange. */
   def dedupExactAgainstStore(newDocs: DataFrame, idCol: String,
                              textCol: String, store: DataFrame): DataFrame =
     fingerprints(newDocs, idCol, textCol)
-      .join(store.select(col("fp"), col("canonical_id").as("dup_of"))
+      .join(store.groupBy("fp").agg(min("canonical_id").as("dup_of"))
         .hint("merge"), Seq("fp"), "left")
       .select(col(idCol), col("dup_of").isNull.as("kept"), col("dup_of"))
+
+  /** Periodic store maintenance: one file per bucket
+    * ([[graft.core.Bucketing.compact]]), duplicate fps collapsed to the
+    * min canonical id (the [[dedupExactAgainstStore]] read grain made
+    * durable), and the ledger's markers pruned below the
+    * contiguous-commit watermark. */
+  def compactStore(spark: SparkSession, table: String, buckets: Int): Unit = {
+    Bucketing.compact(spark, table, Seq("fp"), buckets,
+      prepare = _.groupBy("fp").agg(min("canonical_id").as("canonical_id")))
+    IngestLedger.prune(spark, table)
+  }
+
+  /** [[compactStore]] behind the files-per-bucket decay trigger
+    * ([[graft.core.Bucketing.needsCompaction]]) — the production
+    * cadence. Returns whether a compaction ran. */
+  def compactStoreIfNeeded(spark: SparkSession, table: String, buckets: Int,
+                           maxFilesPerBucket: Int): Boolean = {
+    Bucketing.recoverSwap(spark, table)
+    val due = Bucketing.needsCompaction(spark, table, buckets, maxFilesPerBucket)
+    if (due) compactStore(spark, table, buckets)
+    due
+  }
+
+  /** The CONTINUOUS-ingest form ([[IncrementalDedup.streamIngest]]'s
+    * exact-fingerprint twin, and in production the loop that runs
+    * AHEAD of it): each micro-batch is a shard — dedup it against the
+    * fingerprint store, write the per-doc verdicts EXACTLY-ONCE
+    * (partitioned by `batch_id` with dynamic partition overwrite),
+    * append the SURVIVORS' fingerprints, so the next micro-batch
+    * dedups against everything ingested so far. Replay is
+    * exactly-once end to end via the two-phase ledger
+    * ([[graft.core.IngestLedger]]): a committed batch id is skipped
+    * outright, and one that crashed mid-append reconciles by
+    * re-appending only the fps the crash left missing (reusing the
+    * committed verdicts — a re-run of the dedup would see the shard's
+    * own appended fps and flip intra-shard twins from kept to
+    * dropped). In-loop compaction: `compactEvery = N` (fixed cadence;
+    * checked configs use 1 for coverage) or `maxFilesPerBucket = M`
+    * (the production decay trigger — [[compactStoreIfNeeded]]). */
+  def streamIngest(newDocs: DataFrame, idCol: String, textCol: String,
+                   table: String, buckets: Int,
+                   outPath: String, checkpoint: String,
+                   compactEvery: Int = 0, maxFilesPerBucket: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, idCol, textCol, table, buckets, outPath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactStore(batch.sparkSession, table, buckets)
+        else if (maxFilesPerBucket > 0) {
+          compactStoreIfNeeded(batch.sparkSession, table, buckets,
+            maxFilesPerBucket)
+          ()
+        }
+      }
+      .start()
+
+  /** One micro-batch of [[streamIngest]] — also the non-streaming entry
+    * point for a caller-driven loop. Verdicts are eagerly materialized
+    * (`localCheckpoint`) BEFORE the store append, so the lazy plan over
+    * the store table cannot observe the shard's own fingerprints. */
+  def ingestBatch(batch: DataFrame, batchId: Long,
+                  idCol: String, textCol: String,
+                  table: String, buckets: Int, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    Bucketing.recoverSwap(spark, table)
+    if (IngestLedger.applied(spark, table, batchId)) return
+    if (IngestLedger.intended(spark, table, batchId)) {
+      // a prior attempt committed this batch's verdicts and crashed
+      // inside its append: reuse them and append only the missing fps
+      // (idempotent — a completed prior append makes this zero rows)
+      val kept = spark.read.parquet(outPath)
+        .filter(col("batch_id") === batchId && col("kept"))
+        .select(col(idCol))
+      val missing = storeRows(batch.join(kept, Seq(idCol)), idCol, textCol)
+        .join(spark.table(table), Seq("fp"), "left_anti")
+      Bucketing.appendBucketed(missing, table, Seq("fp"), buckets)
+    } else {
+      val verdicts = dedupExactAgainstStore(batch, idCol, textCol,
+          spark.table(table))
+        .localCheckpoint(true)
+      verdicts.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outPath)
+      IngestLedger.intent(spark, table, batchId)
+      val kept = verdicts.filter(col("kept")).select(col(idCol))
+      appendFingerprints(batch.join(kept, Seq(idCol)), idCol, textCol,
+        table, buckets)
+    }
+    IngestLedger.record(spark, table, batchId)
+  }
 }

@@ -2162,8 +2162,102 @@ object ExtQueries {
             FROM fresh fr LEFT JOIN store s ON fr.fp = s.fp
             ORDER BY fr.doc_id"""))
 
+  /** The CONTINUOUS-ingest form of x50 ([[graft.ext.ExactDedup.streamIngest]]):
+    * the fingerprint store is seeded with shard 0 (doc_id ≡ 0 mod 3);
+    * two shards then land as one staged file each and stream through
+    * the exactly-once loop. Shard 1 = the %3 = 1 originals plus a
+    * RE-CRAWL of part of the store (doc_id % 3 = 0 ∧ % 5 = 0 under
+    * id + 100000 — dropped, `dup_of` = the original). Shard 2 = the
+    * %3 = 2 originals plus re-crawls of SHARD-1 docs (%3 = 1 ∧ %4 = 1
+    * under +200000 — their originals entered the store only through
+    * batch 0's append, the cross-batch proof) and a SECOND re-crawl of
+    * the shard-1 re-crawls (+300000 — still `dup_of` = the ORIGINAL
+    * store id, proving first-wins canonical survives a dropped copy).
+    * In-loop compaction runs on the files-per-bucket DECAY trigger
+    * (`maxFilesPerBucket = 1` — the production cadence x37/x49 check
+    * via fixed `compactEvery`), so the oracle additionally proves
+    * verdicts are compaction-invariant under the trigger. Batch order
+    * is pinned by staged-file modification times. */
+  private val x51 = Q("x51_stream_exact_dedup",
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
+      val root = java.nio.file.Files.createTempDirectory("graft-x51-")
+      val in = root.resolve("in"); val out = s"$root/out"; val chk = s"$root/chk"
+      java.nio.file.Files.createDirectories(in)
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      graft.ext.ExactDedup.writeFingerprintStore(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        table = "x51_fp_store", buckets = 8)
+      def recrawl(pred: org.apache.spark.sql.Column, offset: Long) =
+        docs.filter(pred).select((col("doc_id") + offset).as("doc_id"),
+          col("text"))
+      val shard1 = docs.filter(col("doc_id") % 3 === 1)
+        .unionByName(recrawl(col("doc_id") % 3 === 0 &&
+          col("doc_id") % 5 === 0, 100000L))
+      val shard2 = docs.filter(col("doc_id") % 3 === 2)
+        .unionByName(recrawl(col("doc_id") % 3 === 1 &&
+          col("doc_id") % 4 === 1, 200000L))
+        .unionByName(recrawl(col("doc_id") % 3 === 0 &&
+          col("doc_id") % 5 === 0, 300000L))
+      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-x51-stage-")
+        shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = in.resolve(name)
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(ts))
+      }
+      stage(shard1, "shard1.parquet", 1704067200000L)
+      stage(shard2, "shard2.parquet", 1704067260000L)
+      val stream = s.readStream.schema(shard1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      graft.ext.ExactDedup.streamIngest(stream, "doc_id", "text",
+          table = "x51_fp_store", buckets = 8, outPath = out,
+          checkpoint = chk, maxFilesPerBucket = 1)
+        .awaitTermination()
+      s.read.parquet(out)
+        .select(col("doc_id"), col("kept"), col("dup_of"),
+          col("batch_id").cast("long").as("batch_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+                         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                       FROM documents),
+                 store0 AS (SELECT fp, min(doc_id) AS cid
+                            FROM f WHERE doc_id % 3 = 0 GROUP BY fp),
+                 b1 AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 1
+                        UNION ALL
+                        SELECT doc_id + 100000, fp FROM f
+                        WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+                 v1 AS (SELECT b1.doc_id, (s.cid IS NULL) AS kept, s.cid AS dup_of,
+                               CAST(0 AS BIGINT) AS batch_id
+                        FROM b1 LEFT JOIN store0 s ON b1.fp = s.fp),
+                 grow AS (SELECT b1.fp, min(b1.doc_id) AS cid
+                          FROM b1 JOIN v1 ON v1.doc_id = b1.doc_id
+                          LEFT JOIN store0 s ON b1.fp = s.fp
+                          WHERE v1.kept AND s.cid IS NULL
+                          GROUP BY b1.fp),
+                 store1 AS (SELECT fp, cid FROM store0
+                            UNION ALL SELECT fp, cid FROM grow),
+                 b2 AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 2
+                        UNION ALL
+                        SELECT doc_id + 200000, fp FROM f
+                        WHERE doc_id % 3 = 1 AND doc_id % 4 = 1
+                        UNION ALL
+                        SELECT doc_id + 300000, fp FROM f
+                        WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+                 s1m AS (SELECT fp, min(cid) AS cid FROM store1 GROUP BY fp),
+                 v2 AS (SELECT b2.doc_id, (s.cid IS NULL) AS kept, s.cid AS dup_of,
+                               CAST(1 AS BIGINT) AS batch_id
+                        FROM b2 LEFT JOIN s1m s ON b2.fp = s.fp)
+            SELECT doc_id, kept, dup_of, batch_id
+            FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+            ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50)
+    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
 }

@@ -405,6 +405,42 @@ class IngestRecoverySpec extends SparkSpec {
     assert(IngestLedger.applied(spark, "rec_vtr_store", 0L))
   }
 
+  test("exact-fingerprint store: replay after crash-before-commit preserves twin verdicts, store converges") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rec-exd-")
+    val tbl = "rec_exd_store"
+    graft.ext.ExactDedup.writeFingerprintStore(store, "doc_id", "text", tbl, 4)
+    // 40/41 are exact twins OF EACH OTHER, absent from the store: both
+    // keep on attempt 1 (verdicts are vs the store only) and their fp
+    // appends ONCE (min id 40). A naive replay that re-ran the dedup
+    // would see that appended fp and flip both to dropped.
+    val shard = df(Seq(
+      (40L, "twin payload arriving twice in one exact shard"),
+      (41L, "twin payload arriving twice in one exact shard"),
+      (42L, "a calm baseline document with entirely unrelated words inside")))
+      .toDF("doc_id", "text")
+    graft.ext.ExactDedup.ingestBatch(shard, 0L, "doc_id", "text", tbl, 4,
+      s"$root/out")
+    def vx = spark.read.parquet(s"$root/out")
+      .select("doc_id", "kept", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val expected = Set((40L, true, -1L), (41L, true, -1L), (42L, false, 1L))
+    assert(vx == expected)
+    val rows1 = spark.table(tbl).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    crashBeforeCommit(tbl, 0L)
+    graft.ext.ExactDedup.ingestBatch(shard, 0L, "doc_id", "text", tbl, 4,
+      s"$root/out")
+    assert(vx == expected, "twin verdicts must not flip on replay")
+    assert(spark.table(tbl).collect().map(_.toSeq).sortBy(_.toString).toSeq
+      == rows1, "replayed append must not duplicate fingerprint rows")
+    assert(IngestLedger.applied(spark, tbl, 0L))
+    // and a fully-committed batch replays as a no-op skip
+    graft.ext.ExactDedup.ingestBatch(shard, 0L, "doc_id", "text", tbl, 4,
+      s"$root/out")
+    assert(vx == expected)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("recluster crash between codebook write and assignment rewrite: the resumed trained loop repairs first") {
     val root = java.nio.file.Files.createTempDirectory("graft-rec-recl-")
     def vdf(rows: Seq[(Long, Seq[Float])]) = {
