@@ -119,4 +119,77 @@ object Decontaminate {
       .select(col(idCol), col("n_grams"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
   }
+
+  /** Name of the 1-row meta table kept next to a benchmark store
+    * `table`: `(n, fpp, n_grams, bloom)` — the gram size the store was
+    * built with (read back by [[contaminatedAgainstStore]], so a shard
+    * can never be checked with a mismatched n), the bloom's target
+    * false-positive rate, the measured distinct-gram count, and the
+    * serialized bloom filter itself. */
+  def benchmarkMeta(table: String): String = s"${table}_meta"
+
+  /** Persist a held-out benchmark's decontamination state — the
+    * PRODUCTION shape of [[contaminatedBloom]]: the benchmark (eval
+    * set) changes rarely while training shards arrive continuously, so
+    * its distinct gram fingerprints are written ONCE as a catalog table
+    * bucketed by `gram_fp` (the exact-confirm side — every later
+    * shard's semi-join reads these buckets in place, shuffle-free) and
+    * the bloom filter over them is trained ONCE and stored in the
+    * 1-row meta table ([[benchmarkMeta]]) next to it (the prefilter
+    * side — a shard reads the serialized bits back instead of
+    * re-aggregating the benchmark per run). Bloom sizing is exact
+    * (measured gram count), clamped to the session caps. */
+  def writeBenchmarkStore(evalDocs: DataFrame, textCol: String, n: Int,
+                          table: String, buckets: Int,
+                          fpp: Double = 0.01): Unit = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = evalDocs.sparkSession
+    graft.core.Bucketing.writeBucketed(grams(evalDocs, textCol, n),
+      table, Seq("gram_fp"), buckets)
+    val nEval = math.min(math.max(spark.table(table).count(), 1L),
+      MaxBloomItems)
+    val numBits = math.min(MaxBloomBits, math.max(64L,
+      math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    spark.table(table)
+      .agg(graft.functions.Bloom.agg(col("gram_fp"), nEval, numBits)
+        .as("bloom"))
+      .select(lit(n).as("n"), lit(fpp).as("fpp"), lit(nEval).as("n_grams"),
+        col("bloom"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(benchmarkMeta(table))
+  }
+
+  /** Decontaminate a TRAINING shard against a persisted benchmark store
+    * (written by [[writeBenchmarkStore]]) — identical results to
+    * [[contaminatedBloom]] over the same split, without touching the
+    * benchmark's documents: the gram size and bloom bits come from the
+    * meta table (a 1-row driver read), candidates bloom-prefilter
+    * map-side, and the exact confirm is a semi-join whose store side
+    * reads its buckets in place (PlanSpec pins it Exchange-free).
+    * Per-shard cost is O(shard grams) + the (shard ∩ benchmark)-sized
+    * join — never a re-tokenization or re-aggregation of the benchmark.
+    *
+    * Same cache-lifetime contract as [[contaminatedBloom]]: the result
+    * references the persisted train-gram rows; long-lived sessions
+    * release them with `spark.catalog.clearCache()` after consuming. */
+  def contaminatedAgainstStore(trainDocs: DataFrame, idCol: String,
+                               textCol: String, table: String): DataFrame = {
+    val spark = trainDocs.sparkSession
+    val meta = spark.table(benchmarkMeta(table)).head()
+    val n = meta.getAs[Int]("n")
+    val bloomBytes = meta.getAs[Array[Byte]]("bloom")
+    val trainGrams = grams(trainDocs, textCol, n, col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates =
+      if (bloomBytes == null) trainGrams.filter(lit(false)) // empty benchmark
+      else trainGrams.filter(
+        graft.functions.Bloom.mightContain(lit(bloomBytes), col("gram_fp")))
+    val shared = candidates
+      .join(spark.table(table).hint("merge"), Seq("gram_fp"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val totals = trainGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    shared.join(totals, Seq(idCol))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
+  }
 }

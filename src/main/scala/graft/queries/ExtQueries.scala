@@ -2256,8 +2256,41 @@ object ExtQueries {
             FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
             ORDER BY doc_id"""))
 
+  /** x44's decontamination served from a PERSISTED benchmark store
+    * ([[graft.ext.Decontaminate.writeBenchmarkStore]] /
+    * `contaminatedAgainstStore`): the eval split's distinct gram
+    * fingerprints land once as a gram_fp-bucketed table with the
+    * trained bloom filter in a 1-row meta table beside it, and the
+    * training shard is checked against the store — bloom prefilter
+    * map-side, exact confirm semi-join reading the store's buckets in
+    * place (plan-pinned Exchange-free on the store side). Must produce
+    * exactly x44's answer over the same split — the oracle IS x44's. */
+  private val x52 = Q("x52_decontaminate_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
+        "text", n = 8, table = "x52_bench_store", buckets = 8)
+      Decontaminate.contaminatedAgainstStore(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          "x52_bench_store")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $tokSql,
+             g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+                      i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
+                   FROM toks WHERE len(w) >= 8),
+             dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
+             ev AS (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
+             tr AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
+             tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
+             sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                    FROM tr JOIN ev USING (gram_fp) GROUP BY 1)
+             SELECT s.doc_id, t.n_grams, s.n_shared,
+                    CAST(s.n_shared AS DOUBLE) / t.n_grams AS contamination
+             FROM sh s JOIN tot t USING (doc_id) ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
+    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52)
 }

@@ -71,6 +71,36 @@ class DecontaminateSpec extends SparkSpec {
       col("doc_id") < 0, n = 3).count() == 0)
   }
 
+  test("persisted benchmark store serves identical results; gram size comes from the meta table") {
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // store built at n = 3; the shard check takes NO n — it must read
+    // the store's, so a mismatched gram size cannot be silently used
+    Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 2 === 0),
+      "text", n = 3, table = "deco_bench_spec", buckets = 4)
+    try {
+      val meta = spark.table(Decontaminate.benchmarkMeta("deco_bench_spec"))
+        .collect().head
+      assert(meta.getAs[Int]("n") == 3 && meta.getAs[Long]("n_grams") == 2L)
+      assert(rows(Decontaminate.contaminatedAgainstStore(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+          "deco_bench_spec"))
+        == rows(Decontaminate.contaminated(docs, "doc_id", "text",
+          col("doc_id") % 2 === 0, n = 3)))
+      // an EMPTY benchmark persists a null bloom and flags nothing
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") < 0),
+        "text", n = 3, table = "deco_bench_empty", buckets = 4)
+      assert(Decontaminate.contaminatedAgainstStore(docs, "doc_id", "text",
+        "deco_bench_empty").count() == 0)
+    } finally {
+      Seq("deco_bench_spec", "deco_bench_empty").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${Decontaminate.benchmarkMeta(t)}")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bloom variant agrees with exact on randomized corpora (false positives confirmed away)") {
     var seed = 0xB100FL
     def nxt(bound: Int): Int = {
