@@ -139,11 +139,20 @@ object Decontaminate {
     * side — a shard reads the serialized bits back instead of
     * re-aggregating the benchmark per run). Bloom sizing is exact
     * (measured gram count), clamped to the session caps. */
+  /** Crash-consistency: the meta table is the COMMIT MARKER of a store
+    * (re)build — it is DROPPED first and written LAST, so a crash
+    * anywhere inside the rebuild leaves a store with NO meta table and
+    * [[contaminatedAgainstStore]] fails loudly instead of silently
+    * checking shards against a gram table / bloom pair from two
+    * different benchmark versions (a stale bloom over fresh grams would
+    * false-negative exactly the newly-added benchmark grams). The
+    * repair is to re-run this method. */
   def writeBenchmarkStore(evalDocs: DataFrame, textCol: String, n: Int,
                           table: String, buckets: Int,
                           fpp: Double = 0.01): Unit = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val spark = evalDocs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${benchmarkMeta(table)}`")
     graft.core.Bucketing.writeBucketed(grams(evalDocs, textCol, n),
       table, Seq("gram_fp"), buckets)
     val nEval = math.min(math.max(spark.table(table).count(), 1L),
@@ -175,6 +184,9 @@ object Decontaminate {
   def contaminatedAgainstStore(trainDocs: DataFrame, idCol: String,
                                textCol: String, table: String): DataFrame = {
     val spark = trainDocs.sparkSession
+    require(spark.catalog.tableExists(benchmarkMeta(table)),
+      s"benchmark store '$table' has no meta table — a (re)build crashed " +
+        "before committing; re-run writeBenchmarkStore before checking shards")
     val meta = spark.table(benchmarkMeta(table)).head()
     val n = meta.getAs[Int]("n")
     val bloomBytes = meta.getAs[Array[Byte]]("bloom")

@@ -447,6 +447,16 @@ object VectorStore {
     val spark = batch.sparkSession
     Bucketing.recoverSwap(spark, table)
     Bucketing.recoverSwap(spark, countsTable(table))
+    // a pending recluster means the store is (or is mid-conversion to)
+    // a TRAINED store: a caller-supplied scorer would probe a cell
+    // space the store rows were not assigned with and silently miss
+    // duplicates. The trained entry point repairs this automatically
+    // (ingestBatchTrained → recoverRecluster, which clears the marker
+    // BEFORE reaching here); any other caller must not proceed.
+    require(!reclusterPending(spark, table),
+      s"a recluster of '$table' is pending (crashed mid-pass) — resume " +
+        "through ingestBatchTrained/streamIngestTrained (which complete " +
+        "it), or run recoverRecluster first")
     if (IngestLedger.applied(spark, table, batchId)) return
     if (IngestLedger.intended(spark, table, batchId)) {
       // a prior attempt committed this batch's verdicts and crashed

@@ -470,6 +470,17 @@ class IngestRecoverySpec extends SparkSpec {
       .write.mode("overwrite").format("parquet")
       .saveAsTable(VectorStore.codebookTable(tbl))
     assert(VectorStore.reclusterPending(spark, tbl))
+    // the LCG entry point must REFUSE while the pass is pending — an
+    // LCG-probing batch against a store mid-conversion to trained cells
+    // would silently miss duplicates
+    val refused = intercept[IllegalArgumentException] {
+      VectorStore.ingestBatch(vdf(Seq((99L, Seq(0f, 1f, 0f, 0f)))), 99L,
+        "vec_id", "embedding", tbl, 4, minCosine = 0.9,
+        nCentroids = 8, nProbe = 1, dim = 4, seedOffset = 100000L,
+        outPath = s"$root/refused")
+    }
+    assert(refused.getMessage.contains("recluster"))
+    assert(VectorStore.reclusterPending(spark, tbl)) // refusal repairs nothing
     // resume the trained loop with a twin of store vector 3: batch entry
     // must complete the recluster (deterministic re-run) BEFORE probing,
     // so the duplicate is found instead of silently kept

@@ -92,6 +92,15 @@ class DecontaminateSpec extends SparkSpec {
         "text", n = 3, table = "deco_bench_empty", buckets = 4)
       assert(Decontaminate.contaminatedAgainstStore(docs, "doc_id", "text",
         "deco_bench_empty").count() == 0)
+      // the meta table is the rebuild's COMMIT marker: without it (a
+      // crash mid-rebuild) shard checks must fail loudly, not silently
+      // run a stale bloom over fresh grams
+      spark.sql(s"DROP TABLE ${Decontaminate.benchmarkMeta("deco_bench_spec")}")
+      val crashed = intercept[IllegalArgumentException] {
+        Decontaminate.contaminatedAgainstStore(docs, "doc_id", "text",
+          "deco_bench_spec")
+      }
+      assert(crashed.getMessage.contains("re-run writeBenchmarkStore"))
     } finally {
       Seq("deco_bench_spec", "deco_bench_empty").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
