@@ -32,7 +32,14 @@ object Bucketing {
     * its scan would never qualify for the in-bucket Sort elision, and
     * [[needsCompaction]]'s generation arithmetic would be meaningless.
     * When the input already satisfies the layout (a pinned bucketed
-    * scan — [[compact]]), the planner elides the exchange entirely. */
+    * scan — [[compact]]), the planner elides the exchange entirely.
+    *
+    * Cost model: one O(rows-being-written) exchange per write — on the
+    * append path that is O(shard), never O(store). The bucket count is
+    * therefore also the write path's parallelism unit (one task per
+    * bucket): size `buckets` for the TARGET corpus the way any bucketed
+    * warehouse table is sized (hundreds-to-thousands at 100 TB), not
+    * for the first shard. */
   private def onBucketLayout(df: DataFrame, keys: Seq[String],
                              buckets: Int): DataFrame =
     df.repartition(buckets, keys.map(col): _*)
