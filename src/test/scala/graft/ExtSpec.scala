@@ -301,6 +301,45 @@ class SimilaritySpec extends SparkSpec {
     assert(fused(trained, 99).groupBy(_._1).forall(_._2.size == trained.nCells))
   }
 
+  test("topCells tie-break: duplicated centroids resolve to the LOWEST cell id, matching the windowed rule") {
+    import org.apache.spark.sql.expressions.Window
+    // codebook with deliberate duplicates: cells 0/2 and 1/4 are
+    // identical, so every embedding ties on them — the selection must
+    // prefer the lower id, exactly as `ORDER BY rank, cell` does
+    val q = graft.functions.TrainedCells.quantize _
+    val c0 = Array(1.0, 0.0).map(q)
+    val c1 = Array(0.0, 1.0).map(q)
+    val c2 = Array(-1.0, 0.5).map(q)
+    val cents = (c0 ++ c1 ++ c0 ++ c2 ++ c1).map(identity)
+    val scorer = graft.ext.TrainedCellScorer(cents, dim = 2)
+    val vecs = df(Seq(
+      (0L, Seq(0.9f, 0.1f)), (1L, Seq(0.1f, 0.9f)),
+      (2L, Seq(-0.7f, 0.6f)), (3L, Seq(0.5f, 0.5f))))
+      .toDF("vec_id", "embedding")
+    val w = Window.partitionBy("vec_id").orderBy(col("__rank").asc, col("cell").asc)
+    def windowed(nProbe: Int) = vecs.select(col("vec_id"),
+        posexplode(scorer.cellScores(col("embedding"))).as(Seq("cell", "__score")))
+      .withColumn("__rank", scorer.probeRank(col("__score")))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id"), (col("pr") - 1).cast("int"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    def fused(nProbe: Int) = vecs.select(col("vec_id"),
+        posexplode(scorer.topCells(col("embedding"), nProbe)).as(Seq("pos", "cell")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    (1 to 5).foreach { nProbe =>
+      assert(fused(nProbe) == windowed(nProbe), s"diverged at nProbe=$nProbe")
+    }
+    // the duplicated cells' lower ids must win: cell 2 (== cell 0) and
+    // cell 4 (== cell 1) can never be selected while their twin fits
+    val all = fused(5)
+    Seq(0L, 1L, 2L, 3L).foreach { v =>
+      val order = all.filter(_._1 == v).sortBy(_._2).map(_._3)
+      assert(order.indexOf(0) < order.indexOf(2), s"vec $v: $order")
+      assert(order.indexOf(1) < order.indexOf(4), s"vec $v: $order")
+    }
+  }
+
   test("topCells on a NaN embedding is deterministic: all-NaN scores select the lowest cell ids") {
     // a NaN component poisons every LCG cell score, so selection falls
     // back to the stable id order — pinned so degenerate inputs (out of
