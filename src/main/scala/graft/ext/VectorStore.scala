@@ -258,7 +258,7 @@ object VectorStore {
       case Array(buckets, idCol, embCol, k, rounds) =>
         recluster(spark, table, buckets.toInt, idCol, embCol,
           k.toInt, rounds.toInt)
-      case other => throw new IllegalStateException(
+      case _ => throw new IllegalStateException(
         s"recluster marker for '$table' is unreadable: '$params' — " +
           "complete the pass by calling recluster explicitly")
     }

@@ -7,6 +7,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 // top-level: Spark codegen cannot instantiate case classes nested in the
 // Properties object
 final case class DocGen(doc_id: Long, text: String)
+final case class VecRow(vec_id: Long, embedding: Seq[Float])
 
 /** Property-based invariants for the round-6 training-data operators,
   * each checked against a plain-Scala reference computation on randomly
@@ -107,5 +108,78 @@ object ExtProps extends Properties("ext") {
           }
         }
         out == expected
+    }
+
+  // --- probe-cell selection (functions/TopCells) -----------------------
+  // values from a tiny finite set so exact score TIES occur routinely —
+  // the tie-break (lowest cell id) is the oracle-parity hazard
+  private val embValGen = Gen.oneOf(-1.0f, 0.0f, 0.5f, 1.0f)
+
+  private def topByScore[A](scores: IndexedSeq[A], nProbe: Int)
+                           (better: (A, A) => Boolean): Seq[Int] =
+    scores.zipWithIndex.sortWith { case ((sa, ca), (sb, cb)) =>
+      if (better(sa, sb)) true
+      else if (better(sb, sa)) false
+      else ca < cb
+    }.take(nProbe).map(_._2)
+
+  property("LcgTopCells equals a plain-Scala selection over the exact codebook arithmetic") =
+    Prop.forAll(Gen.choose(2, 4), Gen.choose(2, 6), Gen.choose(1, 7),
+      Gen.choose(1, 5)) { (dim, nCells, nProbe, nVecs) =>
+      Prop.forAll(Gen.listOfN(nVecs,
+        Gen.listOfN(dim, embValGen))) { embs =>
+        val s = spark
+        import s.implicits._
+        val rows = embs.zipWithIndex.map { case (e, i) =>
+          VecRow(i.toLong, e) }
+        val out = spark.createDataset(rows).toDF()
+          .select(col("vec_id"),
+            graft.ext.LcgCellScorer(nCells, dim, 100000L)
+              .topCells(col("embedding"), nProbe).as("cells"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+        val (w, norms) =
+          graft.functions.NearestCentroid.codebook(nCells, dim, 100000L)
+        val expected = rows.map { r =>
+          val scores = (0 until nCells).map { k =>
+            var dot = 0.0; var j = 0
+            while (j < dim) { dot += r.embedding(j).toDouble * w(k * dim + j); j += 1 }
+            dot / norms(k)
+          }
+          r.vec_id -> topByScore(scores, nProbe)(_ > _)
+        }.toMap
+        out == expected
+      }
+    }
+
+  property("TrainedTopCells equals a plain-Scala selection in the quantized-L2 domain") =
+    Prop.forAll(Gen.choose(2, 4), Gen.choose(2, 6), Gen.choose(1, 7),
+      Gen.choose(1, 5)) { (dim, nCells, nProbe, nVecs) =>
+      val centGen = Gen.listOfN(nCells * dim, embValGen)
+      Prop.forAll(centGen, Gen.listOfN(nVecs,
+        Gen.listOfN(dim, embValGen))) { (centVals, embs) =>
+        val cents = centVals.map(v =>
+          graft.functions.TrainedCells.quantize(v.toDouble)).toArray
+        val scorer = graft.ext.TrainedCellScorer(cents, dim)
+        val s = spark
+        import s.implicits._
+        val rows = embs.zipWithIndex.map { case (e, i) =>
+          VecRow(i.toLong, e) }
+        val out = spark.createDataset(rows).toDF()
+          .select(col("vec_id"),
+            scorer.topCells(col("embedding"), nProbe).as("cells"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+        val expected = rows.map { r =>
+          val u = r.embedding.map(x =>
+            graft.functions.TrainedCells.quantize(x.toDouble))
+          val dists = (0 until nCells).map { c =>
+            var acc = 0L; var j = 0
+            while (j < dim) {
+              val d = u(j) - cents(c * dim + j); acc += d * d; j += 1 }
+            acc
+          }
+          r.vec_id -> topByScore(dists, nProbe)(_ < _)
+        }.toMap
+        out == expected
+      }
     }
 }
