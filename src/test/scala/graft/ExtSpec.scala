@@ -1302,6 +1302,68 @@ class VectorStoreSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(totals == recount)
   }
+
+  test("streamIngest maxFilesPerBucket: vector loop compacts on measured decay; verdicts unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vec-fpbloop-")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val e0 = Seq(1f, 0f, 0f, 0f)
+    val e1 = Seq(0f, 1f, 0f, 0f)
+    val e2 = Seq(0f, 0f, 1f, 0f)
+    val e3 = Seq(0f, 0f, 0f, 1f)
+    val diag = Seq(0.70710678f, 0.70710678f, 0f, 0f) // cos 0.707 to e0/e1
+    Seq("vec_fpbloop_store", "vec_fpbloop_twin").foreach { t =>
+      VectorStore.writeVectorStore(vdf(Seq((1L, Seq(-1f, 0f, 0f, 0f)))),
+        "vec_id", "embedding", nCentroids = 4, dim = 4, seedOffset = 7L,
+        table = t, buckets = 4)
+    }
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vec-fpbstage-")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = in.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    // five all-novel single-vector batches (each appends >= 1 file —
+    // the untriggered twin is GUARANTEED past 4 files after them), then
+    // a twin of batch 0's vector to prove cross-batch dedup survives
+    // the triggered compactions
+    Seq(e0, e1, e2, e3, diag, e0).zipWithIndex.foreach { case (v, i) =>
+      stage(vdf(Seq(((i + 1) * 10L, v))), s"b$i.parquet",
+        1704067200000L + i * 60000L)
+    }
+    def src = spark.readStream.schema(vdf(Seq((0L, e0))).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    // decay-driven maintenance only: compactEvery stays 0
+    VectorStore.streamIngest(src, "vec_id", "embedding",
+        "vec_fpbloop_store", 4, minCosine = 0.9,
+        nCentroids = 4, nProbe = 4, dim = 4, seedOffset = 7L,
+        outPath = s"$root/out", checkpoint = s"$root/chk",
+        maxFilesPerBucket = 1)
+      .awaitTermination()
+    VectorStore.streamIngest(src, "vec_id", "embedding",
+        "vec_fpbloop_twin", 4, minCosine = 0.9,
+        nCentroids = 4, nProbe = 4, dim = 4, seedOffset = 7L,
+        outPath = s"$root/outT", checkpoint = s"$root/chkT")
+      .awaitTermination()
+    def sink(p: String) = spark.read.parquet(p)
+      .select("vec_id", "kept", "dup_of", "batch_id").collect()
+      .map(_.toSeq).toSet
+    assert(sink(s"$root/out") == sink(s"$root/outT"))
+    // batch 5's vector is batch 0's survivor re-arriving: dropped, even
+    // though triggered compactions rewrote the store in between
+    val last = spark.read.parquet(s"$root/out")
+      .filter(col("vec_id") === 60L).select("kept", "dup_of").collect().head
+    assert(!last.getBoolean(0) && last.getLong(1) == 10L)
+    spark.catalog.refreshTable("vec_fpbloop_store")
+    spark.catalog.refreshTable("vec_fpbloop_twin")
+    val triggered = graft.core.Bucketing.dataFileCount(spark, "vec_fpbloop_store")
+    val decayed = graft.core.Bucketing.dataFileCount(spark, "vec_fpbloop_twin")
+    assert(triggered <= 4, s"decay trigger must hold <= 1 file/bucket, got $triggered")
+    assert(decayed > 4, s"twin without maintenance should have decayed, got $decayed")
+  }
 }
 
 /** Large-star/small-star connected components agree with label
