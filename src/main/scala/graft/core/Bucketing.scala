@@ -165,6 +165,22 @@ object Bucketing {
     dataFileCount(spark, table) > buckets * maxFilesPerBucket
   }
 
+  /** Shared in-loop maintenance cadence for the streaming ingest loops
+    * (signature / vector / fingerprint stores — one policy, one place):
+    * `compactEvery = N` compacts unconditionally every N batches (the
+    * coverage cadence the checked streaming queries use at N = 1);
+    * otherwise `maxFilesPerBucket = M > 0` compacts only when the
+    * store's measured file decay passes the bound (the PRODUCTION
+    * cadence — [[needsCompaction]]). Runs AFTER the batch's ledger
+    * record, outside the exactly-once contract: compaction is
+    * best-effort, idempotent under replay, and a crash inside its
+    * staging swap self-heals at the next maintenance/ingest entry
+    * ([[recoverSwap]]). */
+  def maintainInLoop(batchId: Long, compactEvery: Int, maxFilesPerBucket: Int)
+                    (compact: => Unit)(compactIfNeeded: Int => Unit): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) compact
+    else if (maxFilesPerBucket > 0) compactIfNeeded(maxFilesPerBucket)
+
   /** Compact an accumulated (much-appended) bucketed table back to ONE
     * file per bucket, restoring the scan's per-bucket sortedness and
     * with it the sort-merge join's Sort elision (a bucketed scan only

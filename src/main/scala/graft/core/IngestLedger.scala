@@ -60,7 +60,13 @@ import org.apache.spark.sql.SparkSession
   * callers (ids are monotonic per checkpoint), and loop-driving
   * callers own the contract. The order half is what lets [[prune]]
   * seed its watermark from the lowest committed id when none exists —
-  * out-of-order application could mask a lower id as applied.
+  * out-of-order application could mask a lower id as applied. NOTE
+  * this is a TIGHTENING over the original unique-only contract: a
+  * caller-driven loop that deliberately applies ids out of order
+  * (none of the engine's loops do) must not interleave [[prune]] —
+  * once a prune runs, [[applied]] answers true for EVERY id at or
+  * below the watermark, so a lower id applied later would silently
+  * skip.
   *
   * Upgrade note (pre-two-phase ledgers): a loop that crashed mid-append
   * under the OLD single-marker protocol left no intent marker, so its

@@ -58,6 +58,16 @@ object Decontaminate {
   private val MaxBloomItems = 4000000L
   private val MaxBloomBits = 67108864L
 
+  /** Exact bloom sizing from a measured distinct-gram count, clamped to
+    * the session caps — shared by the inline and persisted-store paths
+    * so the two can never desynchronize. */
+  private def bloomSizing(count: Long, fpp: Double): (Long, Long) = {
+    val items = math.min(math.max(count, 1L), MaxBloomItems)
+    val bits = math.min(MaxBloomBits, math.max(64L,
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    (items, bits)
+  }
+
   /** [[contaminated]] with a BLOOM PREFILTER on the eval gram set —
     * identical results (the bloom is a prefilter; an exact semi-join
     * confirm removes its false positives), cheaper shape at corpus
@@ -101,9 +111,7 @@ object Decontaminate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloomBytes =
       try {
-        val nEval = math.min(math.max(evalGrams.count(), 1L), MaxBloomItems)
-        val numBits = math.min(MaxBloomBits, math.max(64L,
-          math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+        val (nEval, numBits) = bloomSizing(evalGrams.count(), fpp)
         evalGrams
           .agg(graft.functions.Bloom.agg(col("gram_fp"), nEval, numBits))
           .head.getAs[Array[Byte]](0)
@@ -155,17 +163,20 @@ object Decontaminate {
     spark.sql(s"DROP TABLE IF EXISTS `${benchmarkMeta(table)}`")
     graft.core.Bucketing.writeBucketed(grams(evalDocs, textCol, n),
       table, Seq("gram_fp"), buckets)
-    val nEval = math.min(math.max(spark.table(table).count(), 1L),
-      MaxBloomItems)
-    val numBits = math.min(MaxBloomBits, math.max(64L,
-      math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
-    spark.table(table)
-      .agg(graft.functions.Bloom.agg(col("gram_fp"), nEval, numBits)
-        .as("bloom"))
-      .select(lit(n).as("n"), lit(fpp).as("fpp"), lit(nEval).as("n_grams"),
-        col("bloom"))
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(benchmarkMeta(table))
+    // the written grams feed two eager actions (count + bloom agg):
+    // persist across them, the contaminatedBloom convention
+    val written = spark.table(table)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (nEval, numBits) = bloomSizing(written.count(), fpp)
+      written
+        .agg(graft.functions.Bloom.agg(col("gram_fp"), nEval, numBits)
+          .as("bloom"))
+        .select(lit(n).as("n"), lit(fpp).as("fpp"), lit(nEval).as("n_grams"),
+          col("bloom"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(benchmarkMeta(table))
+    } finally written.unpersist()
   }
 
   /** Decontaminate a TRAINING shard against a persisted benchmark store

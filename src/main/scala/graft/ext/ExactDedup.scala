@@ -149,13 +149,9 @@ object ExactDedup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, idCol, textCol, table, buckets, outPath)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          compactStore(batch.sparkSession, table, buckets)
-        else if (maxFilesPerBucket > 0) {
-          compactStoreIfNeeded(batch.sparkSession, table, buckets,
-            maxFilesPerBucket)
-          ()
-        }
+        Bucketing.maintainInLoop(batchId, compactEvery, maxFilesPerBucket)(
+          compactStore(batch.sparkSession, table, buckets))(
+          m => compactStoreIfNeeded(batch.sparkSession, table, buckets, m))
       }
       .start()
 

@@ -297,13 +297,9 @@ object IncrementalDedup {
         // production template. `maxFilesPerBucket` is the PRODUCTION
         // cadence: trigger on the store's measured file decay
         // (compactStoreIfNeeded), independent of shard sizing.
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          compactStore(batch.sparkSession, table, buckets)
-        else if (maxFilesPerBucket > 0) {
-          compactStoreIfNeeded(batch.sparkSession, table, buckets,
-            maxFilesPerBucket)
-          ()
-        }
+        Bucketing.maintainInLoop(batchId, compactEvery, maxFilesPerBucket)(
+          compactStore(batch.sparkSession, table, buckets))(
+          m => compactStoreIfNeeded(batch.sparkSession, table, buckets, m))
       }
       .start()
 

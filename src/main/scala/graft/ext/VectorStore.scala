@@ -358,13 +358,9 @@ object VectorStore {
         // drop→rename window strands a state the next entry of any
         // maintenance/ingest path completes automatically
         // (Bucketing.recoverSwap).
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          compactStore(batch.sparkSession, table, buckets)
-        else if (maxFilesPerBucket > 0) {
-          compactStoreIfNeeded(batch.sparkSession, table, buckets,
-            maxFilesPerBucket)
-          ()
-        }
+        Bucketing.maintainInLoop(batchId, compactEvery, maxFilesPerBucket)(
+          compactStore(batch.sparkSession, table, buckets))(
+          m => compactStoreIfNeeded(batch.sparkSession, table, buckets, m))
       }
       .start()
 
@@ -388,13 +384,9 @@ object VectorStore {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatchTrained(batch, batchId, idCol, embCol, table, buckets,
           minCosine, nProbe, outPath, maxCellVecs)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          compactStore(batch.sparkSession, table, buckets)
-        else if (maxFilesPerBucket > 0) {
-          compactStoreIfNeeded(batch.sparkSession, table, buckets,
-            maxFilesPerBucket)
-          ()
-        }
+        Bucketing.maintainInLoop(batchId, compactEvery, maxFilesPerBucket)(
+          compactStore(batch.sparkSession, table, buckets))(
+          m => compactStoreIfNeeded(batch.sparkSession, table, buckets, m))
       }
       .start()
 

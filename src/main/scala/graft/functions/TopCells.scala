@@ -47,6 +47,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 case class TrainedTopCells(child: Expression, cents: Array[Long], dim: Int,
                            nProbe: Int)
     extends UnaryExpression with TrainedCellExpr {
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
 
   override def prettyName: String = "trained_top_cells"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -119,10 +120,14 @@ case class TrainedTopCells(child: Expression, cents: Array[Long], dim: Int,
 }
 
 object TrainedTopCells {
-  def apply(emb: Column, cents: Array[Long], dim: Int, nProbe: Int): Column =
+  def apply(emb: Column, cents: Array[Long], dim: Int, nProbe: Int): Column = {
+    // eager — the registry builder only runs at analysis, which would
+    // defer (or on a cached plan skip) the misuse signal
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     Natives.callRegistered(
       s"trained_top_cells_${nProbe}_${TrainedCells.nameSuffix(cents, dim)}",
       exprs => TrainedTopCells(exprs.head, cents, dim, nProbe), emb)
+  }
 }
 
 /** The `nProbe` best cells of the deterministic LCG codebook (maximum
@@ -132,6 +137,8 @@ object TrainedTopCells {
 case class LcgTopCells(child: Expression, nCentroids: Int, dim: Int,
                        seedOffset: Long, nProbe: Int)
     extends UnaryExpression {
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+  require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
 
   override def prettyName: String = "lcg_top_cells"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -232,9 +239,11 @@ case class LcgTopCells(child: Expression, nCentroids: Int, dim: Int,
 
 object LcgTopCells {
   def apply(emb: Column, nCentroids: Int, dim: Int, seedOffset: Long,
-            nProbe: Int): Column =
+            nProbe: Int): Column = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     Natives.callRegistered(
       s"lcg_top_cells_${nCentroids}_${dim}_${seedOffset}_$nProbe",
       exprs => LcgTopCells(exprs.head, nCentroids, dim, seedOffset, nProbe),
       emb)
+  }
 }

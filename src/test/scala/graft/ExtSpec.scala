@@ -340,6 +340,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topCells rejects a zero probe budget at construction instead of failing per row") {
+    def rootMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val lcg = intercept[Throwable] {
+      df(Seq((0L, Seq(1f, 0f, 0f, 0f)))).toDF("vec_id", "embedding")
+        .select(graft.ext.LcgCellScorer(8, 4, 100000L)
+          .topCells(col("embedding"), 0))
+        .collect()
+    }
+    assert(rootMessages(lcg).contains("nProbe"))
+    val trained = intercept[Throwable] {
+      graft.functions.TrainedTopCells(col("embedding"),
+        Array(1L, 2L, 3L, 4L), dim = 2, nProbe = 0)
+    }
+    assert(rootMessages(trained).contains("nProbe"))
+  }
+
   test("topCells on a NaN embedding is deterministic: all-NaN scores select the lowest cell ids") {
     // a NaN component poisons every LCG cell score, so selection falls
     // back to the stable id order — pinned so degenerate inputs (out of
