@@ -504,6 +504,15 @@ class IngestRecoverySpec extends SparkSpec {
     assert(stored == expected)
     // and recoverRecluster with no marker is a no-op
     assert(!VectorStore.recoverRecluster(spark, tbl))
+    // an unreadable marker (crash inside the marker write itself) must
+    // fail LOUDLY — never proceed as if no recluster were pending
+    val out2 = fs.create(marker, true)
+    try out2.write("garbage".getBytes("UTF-8")) finally out2.close()
+    val bad = intercept[IllegalStateException] {
+      VectorStore.recoverRecluster(spark, tbl)
+    }
+    assert(bad.getMessage.contains("unreadable"))
+    fs.delete(marker, false)
   }
 
   test("prune seeds the watermark from the lowest committed id when a loop starts above 0") {
