@@ -2289,8 +2289,61 @@ object ExtQueries {
                     CAST(s.n_shared AS DOUBLE) / t.n_grams AS contamination
              FROM sh s JOIN tot t USING (doc_id) ORDER BY doc_id"""))
 
+  /** Bigram-LM quality scoring ([[graft.ext.LmScore]] — the
+    * CCNet/KenLM filtering pattern): bigram statistics are fitted on
+    * the reference split (doc_id % 10 ≠ 0) and EVERY document is scored
+    * by its mean transition probability
+    * `avg over positions of c(w₁w₂)/c(w₁)`, unseen transitions backing
+    * off to 0 — so the held-out (%10 = 0) docs exercise the
+    * unfamiliar-mass path. Probabilities are quantized to floor(p·2⁴⁰)
+    * integers before the per-doc sum (order-free, engine-exact; the
+    * volatility discipline applied to probabilities), and the oracle
+    * replays the identical division/quantize/sum/divide sequence, so
+    * the DOUBLE scores hash bit-exact. */
+  private val x53 = Q("x53_lm_quality_score",
+    (s, d) => {
+      val docs = documents(s, d)
+      val ref = docs.filter(col("doc_id") % 10 =!= 0)
+      // fit is ONE pass over the reference; the model is eagerly
+      // materialized (score consumes it once per gram order)
+      val model = graft.ext.LmScore.fit(ref, "text").localCheckpoint(true)
+      graft.ext.LmScore.score(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $tokSql,
+             pairs AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
+                       FROM toks, unnest(list_transform(generate_series(1, len(w)-1),
+                         i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
+                               'bf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
+                       WHERE len(w) >= 2),
+             c1 AS (SELECT fp, count(*) AS c FROM (
+                      SELECT unnest(list_transform(generate_series(1, len(w)),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                      FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 1)
+                    GROUP BY fp),
+             c2 AS (SELECT fp, count(*) AS c FROM (
+                      SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                      FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 2)
+                    GROUP BY fp),
+             sc AS (SELECT p.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(sum(CAST(floor(COALESCE(CAST(c2.c AS DOUBLE) / CAST(c1.c AS DOUBLE), 0.0)
+                                          * 1099511627776.0) AS BIGINT)) AS BIGINT) AS p_sum_q
+                    FROM pairs p
+                    LEFT JOIN c2 ON p.bi_fp = c2.fp
+                    LEFT JOIN c1 ON p.uni_fp = c1.fp
+                    GROUP BY p.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+                   sc.p_sum_q,
+                   CAST(sc.p_sum_q AS DOUBLE) / 1099511627776.0
+                     / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52)
+    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53)
 }

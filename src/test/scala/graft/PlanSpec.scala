@@ -211,6 +211,28 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one tokenization in the x20 plan, found $tokenizes")
   }
 
+  test("x53 LM scoring: one-pass fit (single tokenization), fp-keyed joins, no text on the wire") {
+    val df = Registry.queries("x53_lm_quality_score")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val p = root.toString
+    // the model was checkpointed from a ONE-pass fit; the remaining
+    // tokenization is the candidate side's — exactly one in this plan
+    val tokenizes = "regexp_extract_all".r.findAllIn(p).length
+    assert(tokenizes == 1,
+      s"expected exactly one tokenization in the scoring plan, found $tokenizes")
+    // count joins move 60-bit fps + counts only — never document text
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross a scoring shuffle: ${e.output}")
+    }
+  }
+
   test("x40 PII scrub is pure map-side work: the only exchange is the ORDER BY range sort") {
     val df = Registry.queries("x40_pii_scrub")(spark, sf)
     shuffles(df).foreach { e =>

@@ -730,3 +730,48 @@ class Scd2Spec extends SparkSpec {
       == h2.orderBy("k", "effective_from").collect().map(_.toSeq).toSeq)
   }
 }
+
+/** Bigram-LM quality scoring ([[graft.ext.LmScore]]): mean transition
+  * probability against a reference corpus, quantized-integer exact. */
+class LmScoreSpec extends SparkSpec {
+  import graft.ext.LmScore
+
+  test("scores are mean transition probabilities; unseen transitions back off to zero") {
+    val ref = df(Seq((1L, "a b a b"), (2L, "a c"))).toDF("doc_id", "text")
+    // reference stats: c(a)=3, c(b)=2, c(c)=1; c(a b)=2, c(b a)=1, c(a c)=1
+    val cand = df(Seq(
+      (3L, "a b c"),   // p(b|a)=2/3, p(c|b)=0 (unseen bigram)
+      (4L, "z z"),     // wholly unseen: 0.0 exactly
+      (5L, "a")))      // no transitions: null score
+      .toDF("doc_id", "text")
+    val out = LmScore.score(cand, "doc_id", "text",
+        LmScore.fit(ref, "text").localCheckpoint(true))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    val q23 = math.floor(2.0 / 3.0 * 1099511627776.0).toLong
+    assert(out(0) == ((3L, 2L, q23,
+      q23.toDouble / 1099511627776.0 / 2.0)))
+    assert(out(1) == ((4L, 1L, 0L, 0.0)))
+    assert(out(2)._1 == 5L && out(2)._2 == 0L && out(2)._3 == -1L
+      && out(2)._4.isNaN)
+  }
+
+  test("a fluent in-domain doc outscores shuffled junk under the same model") {
+    val ref = df(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox runs over the lazy cat")))
+      .toDF("doc_id", "text")
+    val cand = df(Seq(
+      (10L, "the quick brown fox"),    // transitions all seen
+      (11L, "fox the brown quick")))   // same words, junk order
+      .toDF("doc_id", "text")
+    val scores = LmScore.score(cand, "doc_id", "text",
+        LmScore.fit(ref, "text").localCheckpoint(true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(10L) > scores(11L))
+    // (p(quick|the)=2/4 + p(brown|quick)=1 + p(fox|brown)=1) / 3
+    assert(math.abs(scores(10L) - 2.5 / 3) < 1e-9)
+  }
+}
