@@ -16,13 +16,18 @@ import org.apache.spark.sql.functions._
   * Engine-portable arithmetic (the volatility/cents discipline applied
   * to probabilities): each ratio is one IEEE double division of two
   * exact integer counts — identical in any engine — and is then
-  * QUANTIZED to floor(ratio·2⁴⁰) (exact: scaling by a power of two,
+  * QUANTIZED to floor(ratio·2³⁰) (exact: scaling by a power of two,
   * ratio ≤ 1 since every `w₁w₂` occurrence is a `w₁` occurrence), so
   * the per-doc aggregation is an ORDER-FREE integer sum, never a
   * float reduction whose value depends on Spark's partial-aggregate
   * order. The final score divides two exact values once, in a pinned
   * operation order mirrored by the oracle. No logs, no transcendental
   * functions — nothing that could differ by an ulp across engines.
+  * The 2³⁰ scale keeps probabilities to ~1e-9 (ample for a [0,1]
+  * filtering signal) while bounding the per-doc sum at
+  * n_bigrams·2³⁰ — overflow would need a single ~2³³-token document
+  * (tens of GB of text), far past anything a document-grain pipeline
+  * feeds this operator.
   *
   * Scale shape at 100 TB: grams are the codegen'd 60-bit
   * [[graft.functions.ShingleMd5]] fingerprints (no gram string ever
@@ -37,7 +42,7 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  private val QScale = 1099511627776.0 // 2^40
+  private val QScale = 1073741824.0 // 2^30
 
   private def toks(textCol: String) =
     Ngrams.normTokens(col(textCol)).as("__toks")
@@ -68,38 +73,42 @@ object LmScore {
   /** Score `docs` against a fitted model (the [[fit]] relation): one
     * row per doc — `(id, n_bigrams, p_sum_q, lm_score)` with `p_sum_q`
     * the exact integer sum of the quantized transition probabilities
-    * and `lm_score = (p_sum_q / 2⁴⁰) / n_bigrams` ∈ [0, 1] (null for
-    * docs with fewer than two tokens — no transitions to judge). */
+    * and `lm_score = (p_sum_q / 2³⁰) / n_bigrams` ∈ [0, 1] (null for
+    * docs with fewer than two tokens — no transitions to judge).
+    *
+    * `docs` is scanned ONCE: an OUTER position explode keeps a single
+    * null-bigram row for transition-less docs, so the per-doc rollup
+    * itself is the full id spine — no second pass over (a possibly
+    * expensive upstream of) `docs` for a final verdict join. */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: DataFrame): DataFrame = {
     val uniCounts = model.filter(col("n") === 1).select(col("fp"), col("c"))
     val biCounts = model.filter(col("n") === 2).select(col("fp"), col("c"))
     // per-position (prefix-unigram fp, bigram fp) pairs: the two
     // shingle arrays are position-aligned, so the prefix of bigram i is
-    // unigram i
+    // unigram i; a doc with no bigrams keeps one all-null row
     val pairs = docs
       .select(col(idCol), toks(textCol))
       .select(col(idCol),
         graft.functions.ShingleMd5(col("__toks"), 1).as("__u"),
-        posexplode(graft.functions.ShingleMd5(col("__toks"), 2))
+        posexplode_outer(graft.functions.ShingleMd5(col("__toks"), 2))
           .as(Seq("__pos", "bi_fp")))
       .select(col(idCol), col("bi_fp"),
         element_at(col("__u"), col("__pos") + 1).as("uni_fp"))
-    val scored = pairs
+    pairs
       .join(biCounts.select(col("fp").as("bi_fp"), col("c").as("__c2")),
         Seq("bi_fp"), "left")
       .join(uniCounts.select(col("fp").as("uni_fp"), col("c").as("__c1")),
         Seq("uni_fp"), "left")
       // an unseen bigram (or prefix) carries no familiar mass: ratio 0
-      .select(col(idCol),
+      .select(col(idCol), col("bi_fp"),
         floor(coalesce(col("__c2").cast("double") / col("__c1").cast("double"),
           lit(0.0)) * lit(QScale)).as("__q"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum("__q").as("p_sum_q"))
-    docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
+      .agg(count(col("bi_fp")).as("n_bigrams"), // null spine rows don't count
+        sum(when(col("bi_fp").isNotNull, col("__q"))).as("p_sum_q"))
       .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("n_bigrams"),
         col("p_sum_q"),
         (col("p_sum_q").cast("double") / lit(QScale) /
           col("n_bigrams").cast("double")).as("lm_score"))

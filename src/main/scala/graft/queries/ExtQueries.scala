@@ -2295,7 +2295,7 @@ object ExtQueries {
     * by its mean transition probability
     * `avg over positions of c(w₁w₂)/c(w₁)`, unseen transitions backing
     * off to 0 — so the held-out (%10 = 0) docs exercise the
-    * unfamiliar-mass path. Probabilities are quantized to floor(p·2⁴⁰)
+    * unfamiliar-mass path. Probabilities are quantized to floor(p·2³⁰)
     * integers before the per-doc sum (order-free, engine-exact; the
     * volatility discipline applied to probabilities), and the oracle
     * replays the identical division/quantize/sum/divide sequence, so
@@ -2329,7 +2329,7 @@ object ExtQueries {
              sc AS (SELECT p.doc_id,
                       CAST(count(*) AS BIGINT) AS n_bigrams,
                       CAST(sum(CAST(floor(COALESCE(CAST(c2.c AS DOUBLE) / CAST(c1.c AS DOUBLE), 0.0)
-                                          * 1099511627776.0) AS BIGINT)) AS BIGINT) AS p_sum_q
+                                          * 1073741824.0) AS BIGINT)) AS BIGINT) AS p_sum_q
                     FROM pairs p
                     LEFT JOIN c2 ON p.bi_fp = c2.fp
                     LEFT JOIN c1 ON p.uni_fp = c1.fp
@@ -2337,7 +2337,7 @@ object ExtQueries {
             SELECT d.doc_id,
                    COALESCE(sc.n_bigrams, 0) AS n_bigrams,
                    sc.p_sum_q,
-                   CAST(sc.p_sum_q AS DOUBLE) / 1099511627776.0
+                   CAST(sc.p_sum_q AS DOUBLE) / 1073741824.0
                      / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
             FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             ORDER BY d.doc_id"""))

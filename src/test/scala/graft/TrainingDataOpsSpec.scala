@@ -750,9 +750,9 @@ class LmScoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) -1L else r.getLong(2),
         if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
-    val q23 = math.floor(2.0 / 3.0 * 1099511627776.0).toLong
+    val q23 = math.floor(2.0 / 3.0 * 1073741824.0).toLong
     assert(out(0) == ((3L, 2L, q23,
-      q23.toDouble / 1099511627776.0 / 2.0)))
+      q23.toDouble / 1073741824.0 / 2.0)))
     assert(out(1) == ((4L, 1L, 0L, 0.0)))
     assert(out(2)._1 == 5L && out(2)._2 == 0L && out(2)._3 == -1L
       && out(2)._4.isNaN)
