@@ -180,8 +180,20 @@ object IngestLedger {
     // applied id has a marker, so nothing below min(committed) was ever
     // applied — or ever will be.
     var w =
-      if (w0 < 0 && committed.nonEmpty) committed.min - 1
-      else w0
+      if (w0 < 0 && committed.nonEmpty) {
+        // surface the seed loudly: from here on, [[applied]] answers
+        // true for EVERY id below min(committed) — correct under the
+        // increasing-order contract, silently wrong for a caller-driven
+        // loop applying ids out of order (which must not interleave
+        // prune; see the object doc)
+        if (committed.min > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"IngestLedger.prune('$table'): seeding watermark at " +
+              s"${committed.min - 1} from the lowest committed id — ids " +
+              "below it will answer applied=true; valid only if batches " +
+              "are applied in increasing order")
+        committed.min - 1
+      } else w0
     while (committed.contains(w + 1)) w += 1
     if (w > w0) {
       val tmp = new Path(dir, "applied-through.tmp")

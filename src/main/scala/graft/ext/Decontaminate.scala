@@ -54,19 +54,85 @@ object Decontaminate {
   }
 
   // session caps on Spark's runtime bloom filter (the expression
-  // rejects larger values): 4e6 items / 6.7e7 bits by default
+  // rejects larger values): 4e6 items / 6.7e7 bits by default. These
+  // cap ONE filter; benchmark suites larger than that are STRIPED by
+  // fp range (below) rather than clamped.
   private val MaxBloomItems = 4000000L
   private val MaxBloomBits = 67108864L
 
-  /** Exact bloom sizing from a measured distinct-gram count, clamped to
-    * the session caps — shared by the inline and persisted-store paths
-    * so the two can never desynchronize. */
+  /** Upper bound on bloom stripes — bounds driver/plan memory, not
+    * correctness: 64 stripes × 8 MiB ≈ 512 MiB of filter bytes, enough
+    * for ~256 M distinct benchmark grams at the default per-stripe
+    * caps. Past it the per-stripe sizing clamps (fpp degrades toward 1
+    * and the prefilter stops paying for itself — results stay correct
+    * via the exact confirm join), a loud warning fires at build time,
+    * and the persisted meta records `clamped = true` so the
+    * degradation is durable-visible, not silent. */
+  val MaxBloomStripes = 64
+
+  /** Exact bloom sizing for ONE stripe from its expected item count,
+    * clamped to the expression caps — shared by the inline and
+    * persisted-store paths so the two can never desynchronize. */
   private def bloomSizing(count: Long, fpp: Double): (Long, Long) = {
     val items = math.min(math.max(count, 1L), MaxBloomItems)
     val bits = math.min(MaxBloomBits, math.max(64L,
       math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
     (items, bits)
   }
+
+  /** Stripe plan for `count` distinct grams at `maxItemsPerBloom` per
+    * stripe: (nStripes, clamped). `maxItemsPerBloom` defaults to the
+    * expression cap and exists as a knob for tests and for deployments
+    * that raise the session's runtime-bloom-filter confs. */
+  private def stripePlan(count: Long, maxItemsPerBloom: Long): (Int, Boolean) = {
+    val wanted = math.max(1L, (count + maxItemsPerBloom - 1) / maxItemsPerBloom)
+    val clamped = wanted > MaxBloomStripes
+    if (clamped)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Decontaminate: $count distinct benchmark grams exceed " +
+          s"$MaxBloomStripes stripes x $maxItemsPerBloom items — bloom fpp " +
+          "will degrade toward 1 and the prefilter stops paying for itself " +
+          "(results stay correct via the exact confirm join). Raise the " +
+          "session runtime-bloom-filter caps or shrink the benchmark.")
+    (math.min(wanted, MaxBloomStripes.toLong).toInt, clamped)
+  }
+
+  /** Map-side stripe id of a gram fp: `pmod(fp, nStripes)` — the same
+    * arithmetic on the build and probe sides, so a probe always
+    * consults the stripe its fp was trained into. */
+  private def stripeOf(fp: Column, nStripes: Int): Column =
+    pmod(fp, lit(nStripes.toLong))
+
+  /** One serialized bloom per stripe: `(stripe, bloom)` rows from a
+    * single map-side-combined grouped aggregation (nStripes ≤
+    * [[MaxBloomStripes]] groups — each filter stays inside the
+    * expression caps). Stripes with no grams emit no row; the probe
+    * treats a missing stripe as a definite miss. */
+  private def stripedBloomAgg(grams: DataFrame, nStripes: Int,
+                              itemsPerStripe: Long, fpp: Double): DataFrame = {
+    val (items, bits) = bloomSizing(itemsPerStripe, fpp)
+    grams.groupBy(stripeOf(col("gram_fp"), nStripes).as("stripe"))
+      .agg(graft.functions.Bloom.agg(col("gram_fp"), items, bits).as("bloom"))
+  }
+
+  /** Membership probe against a striped bloom set: selects the fp's
+    * stripe map-side and probes THAT stripe's constant filter — a
+    * foldable-literal CASE chain (BloomFilterMightContain requires a
+    * constant filter per branch), still fully codegen'd. A missing
+    * stripe (no benchmark grams hashed there) is a definite miss. With
+    * one stripe this collapses to the plain single-bloom probe. */
+  private def mightContainStriped(blooms: Map[Int, Array[Byte]],
+                                  nStripes: Int, fp: Column): Column =
+    if (blooms.isEmpty) lit(false)
+    else if (nStripes == 1)
+      graft.functions.Bloom.mightContain(lit(blooms(0)), fp)
+    else {
+      val stripe = stripeOf(fp, nStripes)
+      blooms.foldLeft(lit(false)) { case (acc, (i, b)) =>
+        when(stripe === lit(i.toLong),
+          graft.functions.Bloom.mightContain(lit(b), fp)).otherwise(acc)
+      }
+    }
 
   /** [[contaminated]] with a BLOOM PREFILTER on the eval gram set —
     * identical results (the bloom is a prefilter; an exact semi-join
@@ -80,9 +146,13 @@ object Decontaminate {
     * (bloom over the benchmark n-grams, streamed over the corpus), and
     * it is Spark's own runtime-filter pattern made explicit
     * ([[graft.functions.Bloom]]); the one driver-side value is the
-    * serialized filter itself (same O(1)-scalar convention as the
+    * serialized filter set itself (same O(1)-scalar convention as the
     * surrogate-id max). Bloom sizing is exact (the eval gram count is
-    * measured, not guessed), clamped to the expression's caps.
+    * measured, not guessed); eval sets past one filter's expression cap
+    * STRIPE by fp range ([[stripePlan]] — one filter per stripe, the
+    * probe selects its stripe map-side), so sizing stays exact to
+    * [[MaxBloomStripes]] × the per-filter cap and degrades loudly, not
+    * silently, past that.
     *
     * CACHE LIFETIME CONTRACT (the MinHash convention, stated loudly):
     * the returned DataFrame keeps referencing the persisted train-gram
@@ -97,7 +167,8 @@ object Decontaminate {
     * [[MaxBloomBits]] bits. */
   def contaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
                         evalPred: Column, n: Int,
-                        fpp: Double = 0.01): DataFrame = {
+                        fpp: Double = 0.01,
+                        maxItemsPerBloom: Long = MaxBloomItems): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     // train grams are consumed twice lazily (totals + candidates):
     // persist the narrow (id, long) rows — released by the caller per
@@ -109,17 +180,17 @@ object Decontaminate {
     // returning — the lazy confirm join recomputes the eval side once
     val evalGrams = grams(docs.filter(evalPred), textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloomBytes =
+    val (blooms, nStripes) =
       try {
-        val (nEval, numBits) = bloomSizing(evalGrams.count(), fpp)
-        evalGrams
-          .agg(graft.functions.Bloom.agg(col("gram_fp"), nEval, numBits))
-          .head.getAs[Array[Byte]](0)
+        val nEval = evalGrams.count()
+        val (ns, _) = stripePlan(nEval, maxItemsPerBloom)
+        val itemsPerStripe = (nEval + ns - 1) / ns
+        val rows = stripedBloomAgg(evalGrams, ns, itemsPerStripe, fpp).collect()
+        (rows.map(r => r.getAs[Number]("stripe").intValue() ->
+          r.getAs[Array[Byte]]("bloom")).toMap, ns)
       } finally evalGrams.unpersist()
-    val candidates =
-      if (bloomBytes == null) trainGrams.filter(lit(false)) // empty eval split
-      else trainGrams.filter(
-        graft.functions.Bloom.mightContain(lit(bloomBytes), col("gram_fp")))
+    val candidates = trainGrams.filter(
+      mightContainStriped(blooms, nStripes, col("gram_fp")))
     val shared = candidates.join(evalGrams, Seq("gram_fp"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
     val totals = trainGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
@@ -128,12 +199,18 @@ object Decontaminate {
         (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
   }
 
-  /** Name of the 1-row meta table kept next to a benchmark store
-    * `table`: `(n, fpp, n_grams, bloom)` — the gram size the store was
-    * built with (read back by [[contaminatedAgainstStore]], so a shard
-    * can never be checked with a mismatched n), the bloom's target
-    * false-positive rate, the measured distinct-gram count, and the
-    * serialized bloom filter itself. */
+  /** Name of the meta table kept next to a benchmark store `table`:
+    * one row PER BLOOM STRIPE,
+    * `(n, fpp, n_grams, n_stripes, clamped, stripe, bloom)` — the gram
+    * size the store was built with (read back by
+    * [[contaminatedAgainstStore]], so a shard can never be checked with
+    * a mismatched n), the blooms' target false-positive rate, the
+    * measured distinct-gram count, the stripe layout, whether the
+    * sizing was clamped at [[MaxBloomStripes]] (the durable advisory —
+    * a clamped store's prefilter selectivity is degraded for its whole
+    * lifetime), and each stripe's serialized filter. Benchmarks up to
+    * one stripe's capacity get exactly the old 1-row shape plus the
+    * layout columns. */
   def benchmarkMeta(table: String): String = s"${table}_meta"
 
   /** Persist a held-out benchmark's decontamination state — the
@@ -146,7 +223,9 @@ object Decontaminate {
     * 1-row meta table ([[benchmarkMeta]]) next to it (the prefilter
     * side — a shard reads the serialized bits back instead of
     * re-aggregating the benchmark per run). Bloom sizing is exact
-    * (measured gram count), clamped to the session caps. */
+    * (measured gram count), striped past one filter's expression cap
+    * ([[stripePlan]]); only past [[MaxBloomStripes]] stripes does it
+    * clamp — loudly, with the `clamped` flag persisted in the meta. */
   /** Crash-consistency: the meta table is the COMMIT MARKER of a store
     * (re)build — it is DROPPED first and written LAST, so a crash
     * anywhere inside the rebuild leaves a store with NO meta table and
@@ -157,7 +236,8 @@ object Decontaminate {
     * repair is to re-run this method. */
   def writeBenchmarkStore(evalDocs: DataFrame, textCol: String, n: Int,
                           table: String, buckets: Int,
-                          fpp: Double = 0.01): Unit = {
+                          fpp: Double = 0.01,
+                          maxItemsPerBloom: Long = MaxBloomItems): Unit = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val spark = evalDocs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `${benchmarkMeta(table)}`")
@@ -168,12 +248,23 @@ object Decontaminate {
     val written = spark.table(table)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (nEval, numBits) = bloomSizing(written.count(), fpp)
-      written
-        .agg(graft.functions.Bloom.agg(col("gram_fp"), nEval, numBits)
-          .as("bloom"))
+      val nEval = written.count()
+      val (nStripes, clamped) = stripePlan(nEval, maxItemsPerBloom)
+      val itemsPerStripe = (nEval + nStripes - 1) / nStripes
+      // all stripe rows land in ONE write job, so the commit-marker
+      // property is preserved: the meta table exists fully or not at
+      // all. An empty benchmark still writes one (null-bloom) row —
+      // meta presence, not row count, is the commit signal.
+      val stripeRows =
+        if (nEval == 0)
+          spark.range(1).select(
+            lit(null).cast("long").as("stripe"),
+            lit(null).cast("binary").as("bloom"))
+        else stripedBloomAgg(written, nStripes, itemsPerStripe, fpp)
+      stripeRows
         .select(lit(n).as("n"), lit(fpp).as("fpp"), lit(nEval).as("n_grams"),
-          col("bloom"))
+          lit(nStripes).as("n_stripes"), lit(clamped).as("clamped"),
+          col("stripe").cast("int").as("stripe"), col("bloom"))
         .write.mode("overwrite").format("parquet")
         .saveAsTable(benchmarkMeta(table))
     } finally written.unpersist()
@@ -191,22 +282,35 @@ object Decontaminate {
     *
     * Same cache-lifetime contract as [[contaminatedBloom]]: the result
     * references the persisted train-gram rows; long-lived sessions
-    * release them with `spark.catalog.clearCache()` after consuming. */
+    * release them with `spark.catalog.clearCache()` after consuming.
+    *
+    * CONSUME-BEFORE-REBUILD CONTRACT: the meta row (gram size + bloom)
+    * is read EAGERLY here, but the gram-table semi-join evaluates
+    * lazily at the caller's first action. A [[writeBenchmarkStore]]
+    * interleaved between this call and that action would pair the OLD
+    * build's bloom with the NEW build's grams — grams present only in
+    * the new build would be prefiltered away before the exact confirm
+    * (silent under-reporting, the cross-build analogue of the crash
+    * window the meta-as-commit-marker closes). Consume the returned
+    * frame before any rebuild of `table`; a loop that must overlap the
+    * two should `localCheckpoint` the result first. */
   def contaminatedAgainstStore(trainDocs: DataFrame, idCol: String,
                                textCol: String, table: String): DataFrame = {
     val spark = trainDocs.sparkSession
     require(spark.catalog.tableExists(benchmarkMeta(table)),
       s"benchmark store '$table' has no meta table — a (re)build crashed " +
         "before committing; re-run writeBenchmarkStore before checking shards")
-    val meta = spark.table(benchmarkMeta(table)).head()
-    val n = meta.getAs[Int]("n")
-    val bloomBytes = meta.getAs[Array[Byte]]("bloom")
+    val metaRows = spark.table(benchmarkMeta(table)).collect()
+    val n = metaRows.head.getAs[Int]("n")
+    val nStripes = metaRows.head.getAs[Int]("n_stripes")
+    val blooms = metaRows.iterator
+      .filter(_.getAs[Array[Byte]]("bloom") != null)
+      .map(r => r.getAs[Int]("stripe") -> r.getAs[Array[Byte]]("bloom"))
+      .toMap
     val trainGrams = grams(trainDocs, textCol, n, col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates =
-      if (bloomBytes == null) trainGrams.filter(lit(false)) // empty benchmark
-      else trainGrams.filter(
-        graft.functions.Bloom.mightContain(lit(bloomBytes), col("gram_fp")))
+    val candidates = trainGrams.filter(
+      mightContainStriped(blooms, nStripes, col("gram_fp")))
     val shared = candidates
       .join(spark.table(table).hint("merge"), Seq("gram_fp"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))

@@ -288,6 +288,14 @@ object VectorStore {
     * a resumed trained loop). */
   def recluster(spark: SparkSession, table: String, buckets: Int,
                 idCol: String, embCol: String, k: Int, rounds: Int): Unit = {
+    // the intent marker serializes these tab-separated; reject the two
+    // characters that would make a crashed pass's marker unreadable AT
+    // WRITE TIME (the unreadable-marker recovery path fails loudly, but
+    // preventing the state beats surviving it)
+    require(!Seq(idCol, embCol).exists(c => c.contains('\t') || c.contains('\n')),
+      s"recluster: column names must not contain tab/newline " +
+        s"(idCol='$idCol', embCol='$embCol') — they are serialized into " +
+        "the crash-recovery intent marker")
     Bucketing.recoverSwap(spark, table)
     Bucketing.recoverSwap(spark, countsTable(table))
     val marker = reclusterMarker(spark, table)

@@ -1261,6 +1261,20 @@ class VectorStoreSpec extends SparkSpec {
       s"post-recluster twin must drop against 10, got $got")
   }
 
+  test("recluster rejects column names that would corrupt the intent marker") {
+    // the crash-recovery marker serializes idCol/embCol tab-separated:
+    // a tab or newline must be rejected AT ENTRY, before any state is
+    // touched, not discovered as an unreadable marker during repair
+    Seq("id\tcol" -> "embedding", "vec_id" -> "emb\ncol").foreach {
+      case (idc, embc) =>
+        val e = intercept[IllegalArgumentException] {
+          VectorStore.recluster(spark, "no_such_store", 4, idc, embc,
+            k = 2, rounds = 1)
+        }
+        assert(e.getMessage.contains("tab/newline"))
+    }
+  }
+
   test("streamIngest compactEvery: vector store compacts in-loop; cross-batch dedup survives") {
     val F = org.apache.spark.sql.functions
     val root = java.nio.file.Files.createTempDirectory("graft-vec-autocompact-")

@@ -110,6 +110,69 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("striped blooms past the per-filter cap: identical results, stripe layout persisted") {
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val exact = rows(Decontaminate.contaminated(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0, n = 3))
+    // per-bloom capacity 1 forces one stripe per gram (eval doc 0 has
+    // two distinct 3-grams → 2 stripes); the striped CASE-chain probe
+    // must agree with the exact join bit for bit
+    assert(rows(Decontaminate.contaminatedBloom(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0, n = 3, maxItemsPerBloom = 1)) == exact)
+    Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 2 === 0),
+      "text", n = 3, table = "deco_bench_striped", buckets = 4,
+      maxItemsPerBloom = 1)
+    try {
+      val meta = spark.table(Decontaminate.benchmarkMeta("deco_bench_striped"))
+        .collect()
+      assert(meta.head.getAs[Int]("n_stripes") == 2)
+      assert(!meta.head.getAs[Boolean]("clamped"))
+      // ≤ 1 row per stripe, every persisted bloom non-null
+      assert(meta.length <= 2 &&
+        meta.forall(_.getAs[Array[Byte]]("bloom") != null))
+      assert(rows(Decontaminate.contaminatedAgainstStore(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        "deco_bench_striped")) == exact)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS deco_bench_striped")
+      spark.sql(
+        s"DROP TABLE IF EXISTS ${Decontaminate.benchmarkMeta("deco_bench_striped")}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("past MaxBloomStripes the sizing clamps LOUDLY: flag persisted, results still exact") {
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // one eval doc of 72 distinct words → 70 distinct 3-grams; at
+    // capacity 1/bloom that wants 70 stripes > MaxBloomStripes = 64
+    val evalText = (0 until 72).map(i => s"w$i").mkString(" ")
+    val d = df(Seq((0L, evalText),
+      (1L, "w10 w11 w12 w13"), // shares 3-grams with eval
+      (3L, "zz yy xx ww"))).toDF("doc_id", "text")
+    Decontaminate.writeBenchmarkStore(d.filter(col("doc_id") % 2 === 0),
+      "text", n = 3, table = "deco_bench_clamped", buckets = 4,
+      maxItemsPerBloom = 1)
+    try {
+      val meta = spark.table(Decontaminate.benchmarkMeta("deco_bench_clamped"))
+        .collect()
+      assert(meta.head.getAs[Int]("n_stripes") == Decontaminate.MaxBloomStripes)
+      assert(meta.head.getAs[Boolean]("clamped"),
+        "over-capacity build must persist the clamped advisory")
+      assert(rows(Decontaminate.contaminatedAgainstStore(
+          d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+          "deco_bench_clamped"))
+        == rows(Decontaminate.contaminated(d, "doc_id", "text",
+          col("doc_id") % 2 === 0, n = 3)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS deco_bench_clamped")
+      spark.sql(
+        s"DROP TABLE IF EXISTS ${Decontaminate.benchmarkMeta("deco_bench_clamped")}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bloom variant agrees with exact on randomized corpora (false positives confirmed away)") {
     var seed = 0xB100FL
     def nxt(bound: Int): Int = {
