@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import graft.core.{Bucketing, IngestLedger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Language-model quality scoring (the CCNet/KenLM filtering pattern,
@@ -112,5 +113,200 @@ object LmScore {
         col("p_sum_q"),
         (col("p_sum_q").cast("double") / lit(QScale) /
           col("n_bigrams").cast("double")).as("lm_score"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted model store — the production shape the [[fit]] docstring
+  // names: the count relations written ONCE as a catalog table bucketed
+  // by `fp`, read in place by every scoring run. Completes the
+  // every-pipeline-stage-has-a-persisted-store invariant (exact
+  // fingerprints, near-dup signatures, vector cells, benchmark grams,
+  // and now the quality model).
+  // ---------------------------------------------------------------------
+
+  /** Name of the 1-row meta table kept next to a model store `table`:
+    * `(max_n, q_scale, n_unigram_fps, n_bigram_fps, unigram_tokens,
+    * bigram_tokens)` — the gram/quantizer CONTRACT the store was built
+    * under (read back by [[scoreAgainstStore]], so a scoring run can
+    * never silently pair a model with a different quantizer scale or
+    * gram recipe) plus the initial build's size counters (the
+    * reference-corpus identity at build time; [[appendToModel]] grows
+    * the store WITHOUT rewriting the meta — the contract columns are
+    * immutable, and keeping the meta out of the append path is what
+    * keeps appends O(shard) and single-table-atomic).
+    *
+    * Crash-consistency: the meta table is the COMMIT MARKER of a store
+    * (re)build — dropped first, written last ([[writeModelStore]]), so
+    * a crash mid-build leaves a store with no meta and
+    * [[scoreAgainstStore]] refuses loudly; the repair is to re-run the
+    * build. */
+  def modelMeta(table: String): String = s"${table}_meta"
+
+  /** Store grain: the [[fit]] relation plus a `batch_id` column —
+    * append GENERATIONS stay distinguishable, which is what makes the
+    * streamed loop's crash repair exact (delete one batch's delta rows,
+    * re-append) and costs nothing at score time (counts are summed by
+    * `(n, fp)` in-bucket regardless, the delta-store read grain). */
+  private def modelRows(refDocs: DataFrame, textCol: String,
+                        batchId: Long): DataFrame =
+    fit(refDocs, textCol).withColumn("batch_id", lit(batchId))
+
+  /** Fit on `refDocs` and persist the model as the bucketed catalog
+    * table `table` (bucketed+sorted by `fp`; both gram orders in one
+    * relation — [[score]]'s per-order filters preserve the bucketing,
+    * so each count join reads the buckets in place). A fresh store
+    * restarts its batch-id space ([[IngestLedger.reset]]). */
+  def writeModelStore(refDocs: DataFrame, textCol: String,
+                      table: String, buckets: Int): Unit = {
+    val spark = refDocs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${modelMeta(table)}`")
+    // the build's rows carry the -1 sentinel (like compacted rows):
+    // a streamed loop's ids start at 0, so no batch repair can ever
+    // filter the base build away
+    Bucketing.writeBucketed(modelRows(refDocs, textCol, batchId = -1L),
+      table, Seq("fp"), buckets)
+    IngestLedger.reset(spark, table)
+    spark.table(table)
+      .agg(
+        sum(when(col("n") === 1, lit(1L))).as("n_unigram_fps"),
+        sum(when(col("n") === 2, lit(1L))).as("n_bigram_fps"),
+        sum(when(col("n") === 1, col("c"))).as("unigram_tokens"),
+        sum(when(col("n") === 2, col("c"))).as("bigram_tokens"))
+      .select(lit(2).as("max_n"), lit(QScale.toLong).as("q_scale"),
+        coalesce(col("n_unigram_fps"), lit(0L)).as("n_unigram_fps"),
+        coalesce(col("n_bigram_fps"), lit(0L)).as("n_bigram_fps"),
+        coalesce(col("unigram_tokens"), lit(0L)).as("unigram_tokens"),
+        coalesce(col("bigram_tokens"), lit(0L)).as("bigram_tokens"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(modelMeta(table))
+  }
+
+  /** Grow the model with a new slice of the reference corpus at
+    * O(shard) cost: the slice's counts land as DELTA rows in the same
+    * bucket layout — never a refit, never a rewrite of existing rows.
+    * Score-time reads sum the generations by `(n, fp)` in-bucket
+    * ([[modelFromStore]]), so append-then-score ≡ refit-on-the-union
+    * exactly (integer count addition is associative; LmStoreSpec pins
+    * it). Periodic [[compactModelStore]] collapses the generations.
+    * Caller-driven appends own their atomicity (the
+    * [[ExactDedup.appendFingerprints]] convention); the streamed loop
+    * ([[streamIngestModel]]) adds the exactly-once ledger. */
+  def appendToModel(refDocs: DataFrame, textCol: String,
+                    table: String, buckets: Int,
+                    batchId: Long = -1L): Unit =
+    Bucketing.appendBucketed(modelRows(refDocs, textCol, batchId),
+      table, Seq("fp"), buckets)
+
+  /** The model relation served FROM the store: `(n, fp, c)` with delta
+    * generations summed — an in-bucket aggregation (the store is
+    * bucketed by `fp`, a subset of the grouping key, so no Exchange)
+    * with the merge hint pinning the count joins to sort-merge against
+    * the bucketed layout (a small test-scale model must not silently
+    * broadcast and bypass the layout being proven — PlanSpec pins the
+    * store subtree Exchange-free). */
+  def modelFromStore(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .groupBy("n", "fp").agg(sum(col("c")).as("c"))
+      .hint("merge")
+
+  /** [[score]] served from a persisted model store — identical results
+    * to scoring against the in-memory [[fit]] relation of the same
+    * reference corpus (the x52/x44 adjudication pattern: same answer,
+    * cheaper plan), without refitting anything: the candidate shard is
+    * tokenized once and its count joins read the store's buckets in
+    * place. Refuses a store whose (re)build never committed (no meta —
+    * see [[modelMeta]]) or whose quantizer scale differs from this
+    * build of the engine (a silent scale mismatch would skew every
+    * score; scores are only comparable under ONE contract). */
+  def scoreAgainstStore(docs: DataFrame, idCol: String, textCol: String,
+                        table: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(spark.catalog.tableExists(modelMeta(table)),
+      s"model store '$table' has no meta table — a (re)build crashed " +
+        "before committing; re-run writeModelStore before scoring")
+    val meta = spark.table(modelMeta(table)).head()
+    require(meta.getAs[Long]("q_scale") == QScale.toLong,
+      s"model store '$table' was built with quantizer scale " +
+        s"${meta.getAs[Long]("q_scale")}, this engine scores at " +
+        s"${QScale.toLong} — rebuild the store or match the scale")
+    score(docs, idCol, textCol, modelFromStore(spark, table))
+  }
+
+  /** Collapse accumulated delta generations to one `(n, fp)` row and
+    * one file per bucket; compacted rows carry `batch_id = -1` (the
+    * "folded" sentinel — safe because in-loop compaction runs strictly
+    * AFTER the current batch's commit record, so only fully-committed
+    * batches' rows are ever folded; a batch still under repair cannot
+    * have been compacted). Ledger markers prune below the watermark. */
+  def compactModelStore(spark: SparkSession, table: String,
+                        buckets: Int): Unit = {
+    Bucketing.compact(spark, table, Seq("fp"), buckets,
+      prepare = _.groupBy("n", "fp").agg(sum(col("c")).as("c"))
+        .withColumn("batch_id", lit(-1L))
+        .select("n", "fp", "c", "batch_id"))
+    IngestLedger.prune(spark, table)
+  }
+
+  /** [[compactModelStore]] behind the files-per-bucket decay trigger —
+    * the production cadence. Returns whether a compaction ran. */
+  def compactModelStoreIfNeeded(spark: SparkSession, table: String,
+                                buckets: Int,
+                                maxFilesPerBucket: Int): Boolean = {
+    Bucketing.recoverSwap(spark, table)
+    val due = Bucketing.needsCompaction(spark, table, buckets,
+      maxFilesPerBucket)
+    if (due) compactModelStore(spark, table, buckets)
+    due
+  }
+
+  /** The CONTINUOUS form: each micro-batch is a new slice of the
+    * reference corpus whose count deltas append exactly-once under the
+    * two-phase ledger ([[graft.core.IngestLedger]]) — the
+    * [[ExactDedup.streamIngest]] pattern minus the verdict sink (a
+    * model ingest has no per-doc output; the store IS the product). */
+  def streamIngestModel(refDocs: DataFrame, textCol: String,
+                        table: String, buckets: Int, checkpoint: String,
+                        compactEvery: Int = 0, maxFilesPerBucket: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    refDocs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestModelBatch(batch, batchId, textCol, table, buckets)
+        Bucketing.maintainInLoop(batchId, compactEvery, maxFilesPerBucket)(
+          compactModelStore(batch.sparkSession, table, buckets))(
+          m => compactModelStoreIfNeeded(batch.sparkSession, table,
+            buckets, m))
+      }
+      .start()
+
+  /** One micro-batch of [[streamIngestModel]] — also the non-streaming
+    * entry point for a caller-driven loop that wants the ledger.
+    * Replay of a batch that crashed mid-append converges EXACTLY: the
+    * batch's delta rows are tagged with its id, so the repair rewrites
+    * the store without them (a partial append's stragglers included)
+    * and re-appends deterministically — an O(store) rewrite, paid only
+    * on the rare crash-repair path, never per batch. */
+  def ingestModelBatch(batch: DataFrame, batchId: Long, textCol: String,
+                       table: String, buckets: Int): Unit = {
+    require(batchId >= 0,
+      s"ingestModelBatch: batchId must be >= 0 (got $batchId) — negative " +
+        "ids are the base-build/compacted sentinel and a repair keyed on " +
+        "one would delete the folded rows")
+    val spark = batch.sparkSession
+    Bucketing.recoverSwap(spark, table)
+    if (IngestLedger.applied(spark, table, batchId)) return
+    if (IngestLedger.intended(spark, table, batchId)) {
+      // a prior attempt crashed somewhere inside its append: the delta
+      // may have landed fully, partially, or not at all — drop whatever
+      // landed and re-append (deterministic: same slice, same counts)
+      Bucketing.replaceBucketed(
+        spark.table(table).filter(col("batch_id") =!= batchId),
+        table, Seq("fp"), buckets)
+    } else {
+      IngestLedger.intent(spark, table, batchId)
+    }
+    appendToModel(batch, textCol, table, buckets, batchId)
+    IngestLedger.record(spark, table, batchId)
   }
 }

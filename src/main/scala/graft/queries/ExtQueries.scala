@@ -2300,17 +2300,12 @@ object ExtQueries {
     * volatility discipline applied to probabilities), and the oracle
     * replays the identical division/quantize/sum/divide sequence, so
     * the DOUBLE scores hash bit-exact. */
-  private val x53 = Q("x53_lm_quality_score",
-    (s, d) => {
-      val docs = documents(s, d)
-      val ref = docs.filter(col("doc_id") % 10 =!= 0)
-      // fit is ONE pass over the reference; the model is eagerly
-      // materialized (score consumes it once per gram order)
-      val model = graft.ext.LmScore.fit(ref, "text").localCheckpoint(true)
-      graft.ext.LmScore.score(docs, "doc_id", "text", model)
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH $tokSql,
+  /** The LM-scoring oracle, shared by x53 (in-memory model), x54
+    * (persisted model store), and x55 (store grown by an O(shard)
+    * append): all three formulations MUST land on the same reference
+    * model over `doc_id % 10 ≠ 0` and therefore byte-identical scores —
+    * the x52/x44 adjudication pattern (same answer, cheaper plan). */
+  private val lmScoreOracle = s"""WITH $tokSql,
              pairs AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
                        FROM toks, unnest(list_transform(generate_series(1, len(w)-1),
                          i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
@@ -2340,10 +2335,64 @@ object ExtQueries {
                    CAST(sc.p_sum_q AS DOUBLE) / 1073741824.0
                      / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
             FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
-            ORDER BY d.doc_id"""))
+            ORDER BY d.doc_id"""
+
+  private val x53 = Q("x53_lm_quality_score",
+    (s, d) => {
+      val docs = documents(s, d)
+      val ref = docs.filter(col("doc_id") % 10 =!= 0)
+      // fit is ONE pass over the reference; the model is eagerly
+      // materialized (score consumes it once per gram order)
+      val model = graft.ext.LmScore.fit(ref, "text").localCheckpoint(true)
+      graft.ext.LmScore.score(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    Some(lmScoreOracle))
+
+  /** x53's scoring served from a PERSISTED model store
+    * ([[graft.ext.LmScore.writeModelStore]] / `scoreAgainstStore`): the
+    * reference corpus's unigram+bigram counts land once as an
+    * fp-bucketed catalog table with the gram/quantizer contract in a
+    * 1-row meta table beside it (the build's commit marker), and every
+    * scoring run reads the count buckets in place — no refit, no
+    * re-tokenization of the reference, one tokenize of the candidates.
+    * Must produce exactly x53's answer — the oracle IS x53's. */
+  private val x54 = Q("x54_lm_score_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", table = "x54_lm_model", buckets = 8)
+      graft.ext.LmScore.scoreAgainstStore(docs, "doc_id", "text",
+          "x54_lm_model")
+        .orderBy("doc_id")
+    },
+    Some(lmScoreOracle))
+
+  /** The model store GROWN INCREMENTALLY (the reference corpus grows
+    * like every other store): the store is built from half the
+    * reference (odd doc ids) and the other half lands as O(shard)
+    * count DELTAS ([[graft.ext.LmScore.appendToModel]] — never a
+    * refit), summed by (n, fp) in-bucket at score time. Integer count
+    * addition is associative, so append-then-score must equal
+    * refit-on-the-union byte for byte — the oracle is x53's, fitted on
+    * the WHOLE reference in one pass. */
+  private val x55 = Q("x55_lm_model_append",
+    (s, d) => {
+      val docs = documents(s, d)
+      val ref = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.ext.LmScore.writeModelStore(ref.filter(col("doc_id") % 2 === 1),
+        "text", table = "x55_lm_model", buckets = 8)
+      graft.ext.LmScore.appendToModel(ref.filter(col("doc_id") % 2 === 0),
+        "text", table = "x55_lm_model", buckets = 8)
+      graft.ext.LmScore.scoreAgainstStore(docs, "doc_id", "text",
+          "x55_lm_model")
+        .orderBy("doc_id")
+    },
+    Some(lmScoreOracle))
 
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
-    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53)
+    x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
+    x54, x55)
 }

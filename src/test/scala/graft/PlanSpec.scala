@@ -542,6 +542,55 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x54 model-store scoring: count sides read buckets Exchange-free, one tokenize, no bloom") {
+    val df = Registry.queries("x54_lm_score_store")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val p = root.toString
+    // the model is persisted — the only tokenization left is the
+    // candidate side's single pass
+    val tokenizes = "regexp_extract_all".r.findAllIn(p).length
+    assert(tokenizes == 1,
+      s"expected exactly one tokenization in the store-served plan, found $tokenizes")
+    // counts need the exact join — a bloom prefilter would be wrong here
+    assert(!p.contains("might_contain"),
+      "model-count joins must be exact, no bloom prefilter")
+    // BOTH count joins (unigram + bigram) read the store's buckets in
+    // place: every SMJ side containing the store scan must be shuffle-free
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    // the PURE store subtrees (one per count join): contain the bucketed
+    // model scan and no nested join — the candidate side's exchanges
+    // live under the other child
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right))
+      .filter(s => s.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.bucketedScan && f.tableIdentifier.exists(_.table == "x54_lm_model") => f
+      }.nonEmpty && s.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty)
+    assert(storeSides.size >= 2,
+      s"expected both count joins to read the bucketed model store:\n${p.take(1500)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"model store side must read its buckets in place, found: $es")
+    }
+    // fp-keyed count joins move fps + counts only — never document text
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross a scoring shuffle: ${e.output}")
+    }
+  }
+
   test("shard probe generation is a narrow expression: no Window, doc-keyed exchanges only, O(nProbe) rows") {
     // the scale guard for probe GENERATION (VectorStore.probeCells):
     // selection is one codegen'd topCells expression + a narrow explode

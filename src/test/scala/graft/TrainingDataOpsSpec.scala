@@ -837,4 +837,142 @@ class LmScoreSpec extends SparkSpec {
     // (p(quick|the)=2/4 + p(brown|quick)=1 + p(fox|brown)=1) / 3
     assert(math.abs(scores(10L) - 2.5 / 3) < 1e-9)
   }
+
+  private val refA = Seq((1L, "a b a b"), (2L, "a c"))
+  private val refB = Seq((6L, "b c a"), (7L, "a b c c"))
+  private val cand = Seq((3L, "a b c"), (4L, "z z"), (5L, "a"))
+
+  private def rows(d: org.apache.spark.sql.DataFrame) =
+    d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+  private def dropStore(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${graft.ext.LmScore.modelMeta(t)}")
+    graft.core.IngestLedger.reset(spark, t)
+  }
+
+  test("store-served scoring equals the in-memory model; contract lives in the meta") {
+    val ref = df(refA).toDF("doc_id", "text")
+    val c = df(cand).toDF("doc_id", "text")
+    val expected = rows(LmScore.score(c, "doc_id", "text",
+      LmScore.fit(ref, "text").localCheckpoint(true)))
+    LmScore.writeModelStore(ref, "text", "lm_store_spec", buckets = 4)
+    try {
+      assert(rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
+        "lm_store_spec")) == expected)
+      val meta = spark.table(LmScore.modelMeta("lm_store_spec")).head()
+      // refA: unigrams a,b,c (3 fps, 6 tokens); bigrams ab,ba,ac (3 fps, 4 tokens)
+      assert(meta.getAs[Int]("max_n") == 2)
+      assert(meta.getAs[Long]("q_scale") == 1073741824L)
+      assert(meta.getAs[Long]("n_unigram_fps") == 3L)
+      assert(meta.getAs[Long]("n_bigram_fps") == 3L)
+      assert(meta.getAs[Long]("unigram_tokens") == 6L)
+      assert(meta.getAs[Long]("bigram_tokens") == 4L)
+      // a (re)build that never committed (no meta) must refuse loudly
+      spark.sql(s"DROP TABLE ${LmScore.modelMeta("lm_store_spec")}")
+      val e = intercept[IllegalArgumentException] {
+        LmScore.scoreAgainstStore(c, "doc_id", "text", "lm_store_spec")
+      }
+      assert(e.getMessage.contains("re-run writeModelStore"))
+    } finally dropStore("lm_store_spec")
+  }
+
+  test("appendToModel grows the model at O(shard): append-then-score == refit-on-union") {
+    val a = df(refA).toDF("doc_id", "text")
+    val b = df(refB).toDF("doc_id", "text")
+    val c = df(cand).toDF("doc_id", "text")
+    val union = rows(LmScore.score(c, "doc_id", "text",
+      LmScore.fit(a.unionByName(b), "text").localCheckpoint(true)))
+    LmScore.writeModelStore(a, "text", "lm_append_spec", buckets = 4)
+    try {
+      LmScore.appendToModel(b, "text", "lm_append_spec", buckets = 4)
+      assert(rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
+        "lm_append_spec")) == union)
+      // compaction collapses the delta generations without changing a score
+      LmScore.compactModelStore(spark, "lm_append_spec", buckets = 4)
+      assert(spark.table("lm_append_spec")
+        .groupBy("n", "fp").count().filter(col("count") > 1).isEmpty,
+        "compaction must leave one row per (n, fp)")
+      assert(rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
+        "lm_append_spec")) == union)
+    } finally dropStore("lm_append_spec")
+  }
+
+  test("ingestModelBatch is exactly-once: committed batches skip, a crashed append repairs exactly") {
+    val a = df(refA).toDF("doc_id", "text")
+    val b = df(refB).toDF("doc_id", "text")
+    val c = df(cand).toDF("doc_id", "text")
+    val union = rows(LmScore.score(c, "doc_id", "text",
+      LmScore.fit(a.unionByName(b), "text").localCheckpoint(true)))
+    LmScore.writeModelStore(a, "text", "lm_ledger_spec", buckets = 4)
+    try {
+      LmScore.ingestModelBatch(b, 0L, "text", "lm_ledger_spec", buckets = 4)
+      val after = rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
+        "lm_ledger_spec"))
+      assert(after == union)
+      // replay of a COMMITTED batch is a no-op (counts would double otherwise)
+      LmScore.ingestModelBatch(b, 0L, "text", "lm_ledger_spec", buckets = 4)
+      assert(rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
+        "lm_ledger_spec")) == union)
+      // crash window: intent written, append landed (fully here — the
+      // worst case the repair must also survive), no commit record.
+      // The replay must converge to exactly one copy of the deltas.
+      graft.core.IngestLedger.intent(spark, "lm_ledger_spec", 1L)
+      LmScore.appendToModel(b, "text", "lm_ledger_spec", buckets = 4,
+        batchId = 1L)
+      LmScore.ingestModelBatch(b, 1L, "text", "lm_ledger_spec", buckets = 4)
+      assert(graft.core.IngestLedger.applied(spark, "lm_ledger_spec", 1L))
+      // the repair must have deleted the stranded batch-1 copy before
+      // re-appending: the store holds exactly a + b(batch 0) +
+      // b(batch 1) — i.e. fit(a ∪ b ∪ b), never b a third time
+      val unionBB = rows(LmScore.score(c, "doc_id", "text",
+        LmScore.fit(a.unionByName(b).unionByName(b), "text")
+          .localCheckpoint(true)))
+      assert(rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
+        "lm_ledger_spec")) == unionBB)
+      // negative ids are the base-build sentinel: refused
+      val e = intercept[IllegalArgumentException] {
+        LmScore.ingestModelBatch(b, -1L, "text", "lm_ledger_spec", buckets = 4)
+      }
+      assert(e.getMessage.contains("sentinel"))
+    } finally dropStore("lm_ledger_spec")
+  }
+
+  test("streamIngestModel: reference slices stream into the store; in-loop compaction keeps scores exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lm-stream-")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val a = df(refA).toDF("doc_id", "text")
+    val b = df(refB).toDF("doc_id", "text")
+    val c = df(cand).toDF("doc_id", "text")
+    val union = rows(LmScore.score(c, "doc_id", "text",
+      LmScore.fit(a.unionByName(b), "text").localCheckpoint(true)))
+    LmScore.writeModelStore(a.filter(col("doc_id") < 0), "text",
+      "lm_stream_spec", buckets = 4) // empty base: the loop builds it all
+    def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm-stage-")
+      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = in.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    stage(a, "sliceA.parquet", 1704067200000L)
+    stage(b, "sliceB.parquet", 1704067260000L)
+    try {
+      val stream = spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      LmScore.streamIngestModel(stream, "text", "lm_stream_spec",
+          buckets = 4, checkpoint = s"$root/chk", compactEvery = 1)
+        .awaitTermination()
+      assert(graft.core.IngestLedger.applied(spark, "lm_stream_spec", 1L))
+      // the loop's writes ran in the micro-batch's cloned session: this
+      // session must refresh before its next read (the documented
+      // cross-session contract of Bucketing.replaceBucketed)
+      spark.catalog.refreshTable("lm_stream_spec")
+      assert(rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
+        "lm_stream_spec")) == union)
+    } finally dropStore("lm_stream_spec")
+  }
 }
