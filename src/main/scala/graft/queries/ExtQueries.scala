@@ -2390,9 +2390,273 @@ object ExtQueries {
     },
     Some(lmScoreOracle))
 
+  /** The PRODUCTION curation topology composed end to end
+    * ([[graft.ext.CurationLoop.ingestShard]]): exact dedup → near-dup →
+    * vector dedup → decontamination gate → LM quality gate, every stage
+    * against its persisted store, two shards through the caller-driven
+    * loop (shard 2 dedups against shard 1's survivors — the cross-batch
+    * store growth of x51/x37/x46 composed across THREE stores at once).
+    * Split: the %10 = 0 docs are the held-out benchmark (never
+    * ingested); the remaining train docs seed the stores (%3 = 0) and
+    * arrive as shards (%3 = 1, then %3 = 2) with their embeddings
+    * joined by id. Stage recipes are x34's MinHash, x45's LCG IVF,
+    * x52's 8-gram benchmark store, and x53's LM model (fitted on the
+    * whole train side). The oracle replays the full cascade: per-stage
+    * two-batch store growth, gates at contamination ≤ 0.5 and
+    * lm_score ≥ 0.033 (no-transition docs pass — no evidence, no
+    * drop). One row per shard doc: kept, the dropping stage, the dup
+    * target, and the gate metrics where the doc reached them. */
+  private val x56 = Q("x56_curation_loop",
+    (s, d) => {
+      val docs = documents(s, d)
+      val emb = embeddings(s, d)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val full = train
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val seed = full.filter(col("doc_id") % 3 === 0)
+      ExactDedup.writeFingerprintStore(seed, "doc_id", "text",
+        table = "x56_fp", buckets = 8)
+      graft.ext.IncrementalDedup.writeSignatureStore(seed, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, table = "x56_sig",
+        buckets = 8)
+      graft.ext.VectorStore.writeVectorStore(
+        seed.select(col("doc_id"), col("embedding")), "doc_id", "embedding",
+        nCentroids = 16, dim = 64, seedOffset = 100000L,
+        table = "x56_vec", buckets = 8)
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
+        "text", n = 8, table = "x56_bench", buckets = 8)
+      graft.ext.LmScore.writeModelStore(train, "text",
+        table = "x56_model", buckets = 8)
+      val root = java.nio.file.Files.createTempDirectory("graft-x56-").toString
+      val stores = graft.ext.CurationLoop.Stores("x56_fp", "x56_sig",
+        "x56_vec", "x56_bench", "x56_model", buckets = 8)
+      val params = graft.ext.CurationLoop.Params(shingleN = 3,
+        numHashes = 16, nBands = 4, minJaccard = 0.5, minCosine = 0.4,
+        nCentroids = 16, nProbe = 4, dim = 64, seedOffset = 100000L,
+        maxContamination = 0.5, minLmScore = 0.033)
+      graft.ext.CurationLoop.ingestShard(full.filter(col("doc_id") % 3 === 1),
+        0L, "doc_id", "text", "embedding", stores, params, root)
+      // shard 2 carries a deterministic RE-CRAWL of part of the seed
+      // corpus (ids + 100000, same content) — the operational case the
+      // exact stage exists for: these must drop at 'exact' with dup_of
+      // = the original, never reaching the expensive stages
+      val shard2 = full.filter(col("doc_id") % 3 === 2)
+        .unionByName(full
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            col("embedding")))
+      graft.ext.CurationLoop.ingestShard(shard2,
+        1L, "doc_id", "text", "embedding", stores, params, root)
+      s.read.parquet(s"$root/verdicts")
+        .select(col("doc_id"), col("kept"), col("dropped_at"),
+          col("dup_of"), col("contamination"), col("lm_score"),
+          col("batch_id").cast("long").as("batch_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $tokSql,
+-- ======== stage 1: exact dedup (two-batch store growth) ========
+f AS (SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 10 <> 0),
+fs0 AS (SELECT fp, min(doc_id) AS cid FROM f WHERE doc_id % 3 = 0 GROUP BY fp),
+e1 AS (SELECT f.doc_id, s.cid AS dup_of
+       FROM f LEFT JOIN fs0 s ON f.fp = s.fp WHERE f.doc_id % 3 = 1),
+fg1 AS (SELECT f.fp, min(f.doc_id) AS cid
+        FROM f JOIN e1 ON e1.doc_id = f.doc_id
+        WHERE e1.dup_of IS NULL GROUP BY f.fp),
+fs1 AS (SELECT fp, min(cid) AS cid FROM (
+          SELECT * FROM fs0 UNION ALL SELECT * FROM fg1) GROUP BY fp),
+b2 AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 2
+       UNION ALL
+       SELECT doc_id + 100000, fp FROM f
+       WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+e2 AS (SELECT b2.doc_id, s.cid AS dup_of
+       FROM b2 LEFT JOIN fs1 s ON b2.fp = s.fp),
+ever AS (SELECT doc_id, dup_of, 0 AS b FROM e1
+         UNION ALL SELECT doc_id, dup_of, 1 AS b FROM e2),
+-- ======== stage 2: MinHash near-dup (x34 recipe, two-batch growth) ========
+sh AS (SELECT doc_id,
+         list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+       FROM toks WHERE len(w) >= 3),
+hs AS (SELECT doc_id, list_transform(sgl, s ->
+         CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+       FROM sh),
+sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+          list_min(list_transform(hh, h ->
+            (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+              + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+        FROM hs),
+bands AS (SELECT doc_id, b AS bb,
+            CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+              ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+          FROM sig, (SELECT unnest(range(0,4)) AS b)),
+nb0 AS (SELECT doc_id, bb, bk FROM bands
+        WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0),
+n1in AS (SELECT doc_id FROM ever WHERE b = 0 AND dup_of IS NULL),
+n1 AS (SELECT i.doc_id, a.dup_of FROM n1in i LEFT JOIN (
+         SELECT new_id, min(store_id) AS dup_of FROM (
+           SELECT DISTINCT bnd.doc_id AS new_id, st.doc_id AS store_id
+           FROM bands bnd JOIN n1in s1 ON s1.doc_id = bnd.doc_id
+           JOIN nb0 st ON bnd.bb = st.bb AND bnd.bk = st.bk) p
+         JOIN sig sa ON sa.doc_id = p.new_id
+         JOIN sig sb ON sb.doc_id = p.store_id
+         WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8
+         GROUP BY new_id) a ON a.new_id = i.doc_id),
+nb1 AS (SELECT * FROM nb0
+        UNION ALL
+        SELECT bnd.doc_id, bnd.bb, bnd.bk FROM bands bnd
+        JOIN n1 ON n1.doc_id = bnd.doc_id WHERE n1.dup_of IS NULL),
+n2in AS (SELECT doc_id FROM ever WHERE b = 1 AND dup_of IS NULL),
+n2 AS (SELECT i.doc_id, a.dup_of FROM n2in i LEFT JOIN (
+         SELECT new_id, min(store_id) AS dup_of FROM (
+           SELECT DISTINCT bnd.doc_id AS new_id, st.doc_id AS store_id
+           FROM bands bnd JOIN n2in s2 ON s2.doc_id = bnd.doc_id
+           JOIN nb1 st ON bnd.bb = st.bb AND bnd.bk = st.bk) p
+         JOIN sig sa ON sa.doc_id = p.new_id
+         JOIN sig sb ON sb.doc_id = p.store_id
+         WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8
+         GROUP BY new_id) a ON a.new_id = i.doc_id),
+nver AS (SELECT doc_id, dup_of, 0 AS b FROM n1
+         UNION ALL SELECT doc_id, dup_of, 1 AS b FROM n2),
+-- ======== stage 3: LCG-IVF vector dedup (x45 recipe, two-batch growth) ========
+sc AS (SELECT vec_id, embedding,
+         list_transform(range(0,16), kk ->
+           list_sum(list_transform(list_zip(embedding, range(0,64)),
+             x -> CAST(x[1] AS DOUBLE) *
+                  (CAST((1103515245*(100000 + kk*64 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                   / 2147483648.0 * 2 - 1)))
+           / sqrt(list_sum(list_transform(range(0,64), j ->
+               (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                / 2147483648.0 * 2 - 1)
+               * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                  / 2147483648.0 * 2 - 1))))) AS scores
+       FROM embeddings),
+va0 AS (SELECT vec_id, embedding,
+          CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
+        FROM sc WHERE vec_id % 10 <> 0 AND vec_id % 3 = 0),
+v1in AS (SELECT doc_id FROM nver WHERE b = 0 AND dup_of IS NULL),
+p1 AS (SELECT new_id, qe, cell FROM (
+         SELECT s.vec_id AS new_id, s.embedding AS qe, CAST(j AS INT) AS cell,
+                row_number() OVER (PARTITION BY s.vec_id
+                  ORDER BY s.scores[j+1] DESC, j) AS pr
+         FROM sc s JOIN v1in ON v1in.doc_id = s.vec_id,
+              (SELECT unnest(range(0,16)) AS j))
+       WHERE pr <= 4),
+v1 AS (SELECT i.doc_id, a.dup_of FROM v1in i LEFT JOIN (
+         SELECT new_id, min(store_id) AS dup_of FROM (
+           SELECT p.new_id, a0.vec_id AS store_id
+           FROM p1 p JOIN va0 a0 ON a0.cell = p.cell AND a0.vec_id <> p.new_id
+           WHERE list_sum(list_transform(list_zip(p.qe, a0.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(a0.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                 >= 0.4) GROUP BY new_id) a ON a.new_id = i.doc_id),
+va1 AS (SELECT * FROM va0
+        UNION ALL
+        SELECT s.vec_id, s.embedding,
+               CAST(list_position(s.scores, list_max(s.scores)) - 1 AS INT) AS cell
+        FROM sc s JOIN v1 ON v1.doc_id = s.vec_id WHERE v1.dup_of IS NULL),
+v2in AS (SELECT doc_id FROM nver WHERE b = 1 AND dup_of IS NULL),
+p2 AS (SELECT new_id, qe, cell FROM (
+         SELECT s.vec_id AS new_id, s.embedding AS qe, CAST(j AS INT) AS cell,
+                row_number() OVER (PARTITION BY s.vec_id
+                  ORDER BY s.scores[j+1] DESC, j) AS pr
+         FROM sc s JOIN v2in ON v2in.doc_id = s.vec_id,
+              (SELECT unnest(range(0,16)) AS j))
+       WHERE pr <= 4),
+v2 AS (SELECT i.doc_id, a.dup_of FROM v2in i LEFT JOIN (
+         SELECT new_id, min(store_id) AS dup_of FROM (
+           SELECT p.new_id, a1.vec_id AS store_id
+           FROM p2 p JOIN va1 a1 ON a1.cell = p.cell AND a1.vec_id <> p.new_id
+           WHERE list_sum(list_transform(list_zip(p.qe, a1.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(a1.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                 >= 0.4) GROUP BY new_id) a ON a.new_id = i.doc_id),
+vver AS (SELECT doc_id, dup_of, 0 AS b FROM v1
+         UNION ALL SELECT doc_id, dup_of, 1 AS b FROM v2),
+-- ======== stage 4: decontamination gate (x52 recipe, read-only) ========
+s4in AS (SELECT doc_id FROM vver WHERE dup_of IS NULL),
+g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+         i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
+      FROM toks WHERE len(w) >= 8),
+dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
+evg AS (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
+tr4 AS (SELECT dg.doc_id, dg.gram_fp FROM dg JOIN s4in ON s4in.doc_id = dg.doc_id),
+tot4 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr4 GROUP BY 1),
+sh4 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM tr4 JOIN evg USING (gram_fp) GROUP BY 1),
+cont AS (SELECT t.doc_id,
+           CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams AS cont
+         FROM tot4 t LEFT JOIN sh4 s ON s.doc_id = t.doc_id),
+-- ======== stage 5: LM quality gate (x53 recipe, read-only) ========
+s5in AS (SELECT i.doc_id FROM s4in i LEFT JOIN cont c ON c.doc_id = i.doc_id
+         WHERE COALESCE(c.cont, 0.0) <= 0.5),
+pairs AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
+          FROM toks, unnest(list_transform(generate_series(1, len(w)-1),
+            i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
+                  'bf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
+          WHERE len(w) >= 2),
+c1 AS (SELECT fp, count(*) AS c FROM (
+         SELECT unnest(list_transform(generate_series(1, len(w)),
+           i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+         FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 1)
+       GROUP BY fp),
+c2 AS (SELECT fp, count(*) AS c FROM (
+         SELECT unnest(list_transform(generate_series(1, len(w)-1),
+           i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+         FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 2)
+       GROUP BY fp),
+lmsc AS (SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(floor(COALESCE(CAST(c2.c AS DOUBLE) / CAST(c1.c AS DOUBLE), 0.0)
+                               * 1073741824.0) AS BIGINT)) AS BIGINT) AS p_sum_q
+         FROM pairs p
+         JOIN s5in ON s5in.doc_id = p.doc_id
+         LEFT JOIN c2 ON p.bi_fp = c2.fp
+         LEFT JOIN c1 ON p.uni_fp = c1.fp
+         GROUP BY p.doc_id),
+lm AS (SELECT i.doc_id, COALESCE(s.n_bigrams, 0) AS nb,
+         CAST(s.p_sum_q AS DOUBLE) / 1073741824.0
+           / CAST(s.n_bigrams AS DOUBLE) AS lm_score
+       FROM s5in i LEFT JOIN lmsc s ON s.doc_id = i.doc_id),
+-- ======== final verdict rows ========
+fin AS (SELECT e.doc_id, e.b,
+          e.dup_of AS e_dup, n.dup_of AS n_dup, v.dup_of AS v_dup,
+          (v.doc_id IS NOT NULL AND v.dup_of IS NULL) AS reached4,
+          c.cont, (s5.doc_id IS NOT NULL) AS reached5,
+          l.nb, l.lm_score
+        FROM ever e
+        LEFT JOIN nver n ON n.doc_id = e.doc_id
+        LEFT JOIN vver v ON v.doc_id = e.doc_id
+        LEFT JOIN cont c ON c.doc_id = e.doc_id
+        LEFT JOIN s5in s5 ON s5.doc_id = e.doc_id
+        LEFT JOIN lm l ON l.doc_id = e.doc_id)
+SELECT doc_id,
+       (CASE WHEN e_dup IS NOT NULL THEN 'exact'
+             WHEN n_dup IS NOT NULL THEN 'neardup'
+             WHEN v_dup IS NOT NULL THEN 'vector'
+             WHEN reached4 AND COALESCE(cont, 0.0) > 0.5 THEN 'decontam'
+             WHEN reached5 AND nb > 0 AND lm_score < 0.033 THEN 'lm'
+        END) IS NULL AS kept,
+       CASE WHEN e_dup IS NOT NULL THEN 'exact'
+            WHEN n_dup IS NOT NULL THEN 'neardup'
+            WHEN v_dup IS NOT NULL THEN 'vector'
+            WHEN reached4 AND COALESCE(cont, 0.0) > 0.5 THEN 'decontam'
+            WHEN reached5 AND nb > 0 AND lm_score < 0.033 THEN 'lm'
+       END AS dropped_at,
+       COALESCE(e_dup, n_dup, v_dup) AS dup_of,
+       CASE WHEN reached4 THEN COALESCE(cont, 0.0) END AS contamination,
+       CASE WHEN reached5 THEN lm_score END AS lm_score,
+       CAST(b AS BIGINT) AS batch_id
+FROM fin
+ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
-    x54, x55)
+    x54, x55, x56)
 }

@@ -573,3 +573,149 @@ class IngestRecoverySpec extends SparkSpec {
     assert(!IngestLedger.intended(spark, t, 5L))
   }
 }
+
+/** The composed curation cascade ([[graft.ext.CurationLoop]]): every
+  * stage drops its designed doc, the funnel matches a recount, and a
+  * crash BETWEEN stage commits resumes to exactly the clean run's
+  * verdicts (each stage's own ledger carries the composition — no new
+  * crash window is introduced by composing them). */
+class CurationLoopRecoverySpec extends SparkSpec {
+  import graft.ext.{CurationLoop, Decontaminate, ExactDedup, IncrementalDedup, LmScore, VectorStore}
+
+  // seed corpus (already ingested): ids 1-2 with orthogonal embeddings
+  private val seedRows = Seq(
+    (1L, "a calm baseline document with entirely unrelated words inside",
+      Seq(1f, 0f, 0f, 0f)),
+    (2L, "the quick brown fox jumps over the lazy dog",
+      Seq(0f, 1f, 0f, 0f)))
+  // one shard, one doc per stage outcome
+  private val shardRows = Seq(
+    (40L, "a calm baseline document with entirely unrelated words inside",
+      Seq(0f, 0f, 1f, 0f)),                                  // exact copy of 1
+    (41L, "the quick brown fox jumps over the lazy dog again",
+      Seq(0f, 0f, 0f, 1f)),                                  // near-dup of 2
+    (42L, "nothing textual in common with anything stored before",
+      Seq(1f, 0f, 0f, 0f)),                                  // vector twin of 1
+    (43L, "alpha beta gamma delta something else entirely new content",
+      Seq(0f, 0f, -1f, 0f)),                                 // contaminated
+    (44L, "zz yy xx ww vv",
+      Seq(0f, 0f, 0f, -1f)),                                 // junk: LM drop
+    (45L, "crisp reference prose describes the engine pipeline",
+      Seq(0f, -1f, 0f, 0f)))                                 // clean: kept
+  private val benchRows = Seq(
+    (100L, "alpha beta gamma delta epsilon"))
+  private val refRows = Seq(
+    (900L, "crisp reference prose describes the engine pipeline"),
+    (901L, "the engine pipeline handles documents quickly"))
+
+  private def corpus(rows: Seq[(Long, String, Seq[Float])]) =
+    df(rows).toDF("doc_id", "text", "embedding")
+
+  private val params = CurationLoop.Params(shingleN = 3, numHashes = 16,
+    nBands = 4, minJaccard = 0.5, minCosine = 0.9, nCentroids = 4,
+    nProbe = 4, dim = 4, seedOffset = 7L, maxContamination = 0.2,
+    minLmScore = 0.1)
+
+  private def seedStores(p: String): CurationLoop.Stores = {
+    val seed = corpus(seedRows)
+    ExactDedup.writeFingerprintStore(seed, "doc_id", "text",
+      table = s"${p}_fp", buckets = 4)
+    IncrementalDedup.writeSignatureStore(seed, "doc_id", "text",
+      shingleN = 3, numHashes = 16, nBands = 4, table = s"${p}_sig",
+      buckets = 4)
+    VectorStore.writeVectorStore(seed.select(col("doc_id"), col("embedding")),
+      "doc_id", "embedding", nCentroids = 4, dim = 4, seedOffset = 7L,
+      table = s"${p}_vec", buckets = 4)
+    Decontaminate.writeBenchmarkStore(df(benchRows).toDF("doc_id", "text"),
+      "text", n = 3, table = s"${p}_bench", buckets = 4)
+    LmScore.writeModelStore(df(refRows).toDF("doc_id", "text"), "text",
+      table = s"${p}_model", buckets = 4)
+    CurationLoop.Stores(s"${p}_fp", s"${p}_sig", s"${p}_vec",
+      s"${p}_bench", s"${p}_model", buckets = 4)
+  }
+
+  private def dropStores(p: String): Unit = {
+    Seq("_fp", "_sig", "_sig_keycounts", "_vec", "_vec_cellcounts",
+      "_bench", "_bench_meta", "_model", "_model_meta").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS $p$s")
+    }
+    Seq("_fp", "_sig", "_vec", "_model").foreach(s =>
+      graft.core.IngestLedger.reset(spark, s"$p$s"))
+    spark.catalog.clearCache()
+  }
+
+  private def verdictRows(root: String) =
+    spark.read.parquet(s"$root/verdicts")
+      .select(col("doc_id"), col("kept"), col("dropped_at"), col("dup_of"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+  test("composed cascade: each stage drops its doc, funnel matches the verdict recount") {
+    val stores = seedStores("cl_a")
+    val root = java.nio.file.Files.createTempDirectory("graft-cl-a-").toString
+    try {
+      CurationLoop.ingestShard(corpus(shardRows), 0L, "doc_id", "text",
+        "embedding", stores, params, root)
+      val got = spark.read.parquet(s"$root/verdicts")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), Option(r.getAs[String]("dropped_at")),
+            if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(got(40L) == ((false, Some("exact"), 1L)))
+      assert(got(41L) == ((false, Some("neardup"), 2L)))
+      assert(got(42L) == ((false, Some("vector"), 1L)))
+      assert(got(43L) == ((false, Some("decontam"), -1L)))
+      assert(got(44L) == ((false, Some("lm"), -1L)))
+      assert(got(45L) == ((true, None, -1L)))
+      // gate metrics recorded exactly where the doc reached the gate
+      val metrics = spark.read.parquet(s"$root/verdicts")
+        .select(col("doc_id"), col("contamination"), col("lm_score"))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(metrics(40L) == ((None, None)))
+      assert(metrics(43L)._1.exists(c =>
+        math.abs(c.asInstanceOf[Double] - 2.0 / 7.0) < 1e-12))
+      assert(metrics(43L)._2.isEmpty)
+      assert(metrics(44L)._2.contains(0.0))
+      assert(metrics(45L) == ((Some(0.0), Some(1.0))))
+      // funnel row equals the verdict recount
+      val funnel = spark.read.parquet(s"$root/funnel").collect().head
+      assert(funnel.getAs[Long]("n_docs") == 6L)
+      assert(funnel.getAs[Long]("n_after_exact") == 5L)
+      assert(funnel.getAs[Long]("n_after_neardup") == 4L)
+      assert(funnel.getAs[Long]("n_after_vector") == 3L)
+      assert(funnel.getAs[Long]("n_after_decontam") == 2L)
+      assert(funnel.getAs[Long]("n_kept") == 1L)
+    } finally dropStores("cl_a")
+  }
+
+  test("crash between stage commits: the resumed shard matches a clean run; replay is idempotent") {
+    val cleanStores = seedStores("cl_c")
+    val cleanRoot = java.nio.file.Files.createTempDirectory("graft-cl-c-").toString
+    val crashStores = seedStores("cl_d")
+    val crashRoot = java.nio.file.Files.createTempDirectory("graft-cl-d-").toString
+    try {
+      CurationLoop.ingestShard(corpus(shardRows), 0L, "doc_id", "text",
+        "embedding", cleanStores, params, cleanRoot)
+      // simulate "crashed between stores": stage 1 committed (its own
+      // ledger records it), stages 2-5 never ran — exactly the state a
+      // driver death after the exact stage leaves behind
+      ExactDedup.ingestBatch(corpus(shardRows).select(col("doc_id"),
+        col("text")), 0L, "doc_id", "text", crashStores.fpTable,
+        crashStores.buckets, s"$crashRoot/exact")
+      assert(graft.core.IngestLedger.applied(spark, crashStores.fpTable, 0L))
+      // the resumed shard: stage 1 skips via its ledger, the rest run
+      CurationLoop.ingestShard(corpus(shardRows), 0L, "doc_id", "text",
+        "embedding", crashStores, params, crashRoot)
+      assert(verdictRows(crashRoot) == verdictRows(cleanRoot))
+      // full replay of the committed shard: verdicts and stores unchanged
+      val storeCounts = Seq(crashStores.fpTable, crashStores.sigTable,
+        crashStores.vecTable).map(t => t -> spark.table(t).count()).toMap
+      CurationLoop.ingestShard(corpus(shardRows), 0L, "doc_id", "text",
+        "embedding", crashStores, params, crashRoot)
+      assert(verdictRows(crashRoot) == verdictRows(cleanRoot))
+      storeCounts.foreach { case (t, c) =>
+        assert(spark.table(t).count() == c,
+          s"replay must not grow store $t")
+      }
+    } finally { dropStores("cl_c"); dropStores("cl_d") }
+  }
+}
