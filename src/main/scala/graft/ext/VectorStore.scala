@@ -502,7 +502,20 @@ object VectorStore {
     * explode, no Window, no Exchange (PlanSpec pins the subtree free of
     * both). This is the path that runs per SHARD vector in
     * [[dedupAgainstStoreWith]], so its cost shape is the one that has
-    * to survive IVF-realistic k (thousands of cells) at 100 TB. */
+    * to survive IVF-realistic k (thousands of cells) at 100 TB.
+    *
+    * CARRYING THE EMBEDDING HERE IS A MEASURED DECISION, not an
+    * accident: the alternative — an (id, cell)-only probe with one
+    * post-candidate embedding rejoin — cuts this exchange nProbe× but
+    * must then move an embedding per CANDIDATE PAIR through the rejoin,
+    * and candidates outnumber probes by the average cell occupancy.
+    * Measured head-to-head (sf0.1 embeddings replicated 64× → 128 K
+    * vectors, k = 256, nProbe = 4, broadcast off, 45.3 M candidates):
+    * embedding-carrying probe 18.3 MiB total shuffle write / ~3 s;
+    * (id, cell) probe + rejoin 614.5 MiB / ~8 s — 34× the wire bytes,
+    * ~2.6× the wall, identical verdicts. The rejoin could only win
+    * where average probed-cell occupancy < 1, i.e. a store so sparse
+    * the IVF is pointless. Rejected. */
   private def probeCells(df: DataFrame, idCol: String, embCol: String,
                          scorer: CellScorer, nProbe: Int,
                          outId: String): DataFrame =

@@ -718,4 +718,59 @@ class CurationLoopRecoverySpec extends SparkSpec {
       }
     } finally { dropStores("cl_c"); dropStores("cl_d") }
   }
+
+  // batch 1: a cross-batch twin (50 copies batch 0's kept doc 45 —
+  // provable only through the stores grown by batch 0's appends) plus
+  // a fresh doc drawn from the LM reference corpus
+  private val shard2Rows = Seq(
+    (50L, "crisp reference prose describes the engine pipeline",
+      Seq(0.5f, 0.5f, 0f, 0f)),
+    (51L, "the engine pipeline handles documents quickly",
+      Seq(0.5f, 0.5f, -0.5f, 0.5f)))
+
+  test("streamIngest drives the cascade per micro-batch and matches the caller-driven loop") {
+    val streamStores = seedStores("cl_e")
+    val loopStores = seedStores("cl_f")
+    val streamRoot = java.nio.file.Files.createTempDirectory("graft-cl-e-").toString
+    val loopRoot = java.nio.file.Files.createTempDirectory("graft-cl-f-").toString
+    try {
+      // the reference run: caller-driven, two batches
+      CurationLoop.ingestShard(corpus(shardRows), 0L, "doc_id", "text",
+        "embedding", loopStores, params, loopRoot)
+      CurationLoop.ingestShard(corpus(shard2Rows), 1L, "doc_id", "text",
+        "embedding", loopStores, params, loopRoot)
+      // the streamed run: same shards as one staged file each
+      val in = java.nio.file.Files.createTempDirectory("graft-cl-in-")
+      def stage(rows: Seq[(Long, String, Seq[Float])], name: String,
+                ts: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-cl-stage-")
+        corpus(rows).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dest = in.resolve(name)
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(ts))
+      }
+      stage(shardRows, "shard1.parquet", 1704067200000L)
+      stage(shard2Rows, "shard2.parquet", 1704067260000L)
+      val stream = spark.readStream.schema(corpus(shardRows).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      CurationLoop.streamIngest(stream, "doc_id", "text", "embedding",
+          streamStores, params, streamRoot,
+          checkpoint = s"$streamRoot/chk", maxFilesPerBucket = 1)
+        .awaitTermination()
+      def all(root: String) = spark.read.parquet(s"$root/verdicts")
+        .select(col("doc_id"), col("kept"), col("dropped_at"), col("dup_of"),
+          col("batch_id").cast("long").as("batch_id"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(all(streamRoot) == all(loopRoot))
+      // the cross-batch twin is caught through batch 0's store growth
+      val v50 = spark.read.parquet(s"$streamRoot/verdicts")
+        .filter(col("doc_id") === 50L).collect().head
+      assert(!v50.getAs[Boolean]("kept")
+        && v50.getAs[String]("dropped_at") == "exact"
+        && v50.getAs[Long]("dup_of") == 45L)
+    } finally { dropStores("cl_e"); dropStores("cl_f") }
+  }
 }
