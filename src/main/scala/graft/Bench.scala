@@ -42,8 +42,13 @@ object Bench {
     // It stays in the Verify/oracle gate; the bench reports the data-
     // proportional query surface (incl. q32, the data-proportional MERGE).
     // q35 is the same fixture driven through the streaming cascade —
-    // same reasoning.
-    val skip = Set("q28_pipeline_cascade", "q35_stream_cascade")
+    // same reasoning. x56/x57 are the training-data twins (the composed
+    // five-store curation loop run twice over a 300-doc corpus: five
+    // store builds + ~40 tiny jobs — ~16 s of pure scheduler fixed cost
+    // at sf0.1); every STAGE of that cascade is separately timed via
+    // x50/x34/x45/x52/x54, which is the data-proportional surface.
+    val skip = Set("q28_pipeline_cascade", "q35_stream_cascade",
+      "x56_curation_loop", "x57_curation_funnel")
     // SPARK_GRAFT_BENCH_ONLY=x27,x34 limits the run (substring match on
     // query names) — perf-iteration convenience mirroring Verify's
     // SPARK_GRAFT_ONLY; the driver's full runs leave it unset

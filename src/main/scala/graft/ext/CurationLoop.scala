@@ -87,7 +87,15 @@ object CurationLoop {
     *
     * `batch` must carry `idCol`, `textCol`, and `embCol` (join the
     * embedding relation before calling — at 100 TB that join is the
-    * caller's bucketed id-keyed join, not this loop's business). */
+    * caller's bucketed id-keyed join, not this loop's business).
+    *
+    * Cache lifetime: the decontamination stage persists the shard's
+    * gram rows (the [[Decontaminate]] contract); once the combined
+    * verdicts are materialized this call releases the session cache
+    * (`clearCache`) so a long-running loop cannot accumulate one gram
+    * cache per batch — callers holding their OWN persisted frames
+    * across ingestShard calls should re-persist after it returns (the
+    * session-owning convention of a streaming `foreachBatch` loop). */
   def ingestShard(batch: DataFrame, batchId: Long,
                   idCol: String, textCol: String, embCol: String,
                   stores: Stores, params: Params, outRoot: String): Unit = {
@@ -183,6 +191,13 @@ object CurationLoop {
       .parquet(stageOut(outRoot, "verdicts"))
 
     // ---- funnel counts: the per-batch numbers a curation run reports ----
+    // the decontamination stage persisted the shard's train grams (the
+    // Decontaminate cache contract); the verdicts above are eagerly
+    // materialized, so this batch is done with every cached plan —
+    // release them, or a long-running loop accumulates a gram cache per
+    // batch. (localCheckpoints are checkpointed RDDs, not catalog
+    // cache — clearCache cannot touch the verdicts.)
+    spark.catalog.clearCache()
     verdicts
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("dropped_at").isNull ||

@@ -2406,8 +2406,13 @@ object ExtQueries {
     * lm_score ≥ 0.033 (no-transition docs pass — no evidence, no
     * drop). One row per shard doc: kept, the dropping stage, the dup
     * target, and the gate metrics where the doc reached them. */
-  private val x56 = Q("x56_curation_loop",
-    (s, d) => {
+  /** Seed the five x56 stores from the driver tables and run the
+    * two-shard composed loop; returns the loop's output root. Shared
+    * by x56 (per-doc verdicts) and x57 (funnel counts) — each
+    * invocation rebuilds the stores from scratch (overwrite + ledger
+    * reset), so the two checked queries stay independent. */
+  private def runCurationLoop(s: org.apache.spark.sql.SparkSession,
+                              d: String): String = {
       val docs = documents(s, d)
       val emb = embeddings(s, d)
       val train = docs.filter(col("doc_id") % 10 =!= 0)
@@ -2449,13 +2454,14 @@ object ExtQueries {
             col("embedding")))
       graft.ext.CurationLoop.ingestShard(shard2,
         1L, "doc_id", "text", "embedding", stores, params, root)
-      s.read.parquet(s"$root/verdicts")
-        .select(col("doc_id"), col("kept"), col("dropped_at"),
-          col("dup_of"), col("contamination"), col("lm_score"),
-          col("batch_id").cast("long").as("batch_id"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH $tokSql,
+      root
+  }
+
+  /** The x56 cascade replay as a CTE prefix (everything up to the
+    * per-doc `fin` relation), shared by x56's per-doc verdict oracle
+    * and x57's funnel oracle — the two must read the SAME replayed
+    * cascade or they could silently diverge. */
+  private val curationCascadeSql = s"""WITH $tokSql,
 -- ======== stage 1: exact dedup (two-batch store growth) ========
 f AS (SELECT doc_id,
         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
@@ -2633,7 +2639,18 @@ fin AS (SELECT e.doc_id, e.b,
         LEFT JOIN vver v ON v.doc_id = e.doc_id
         LEFT JOIN cont c ON c.doc_id = e.doc_id
         LEFT JOIN s5in s5 ON s5.doc_id = e.doc_id
-        LEFT JOIN lm l ON l.doc_id = e.doc_id)
+        LEFT JOIN lm l ON l.doc_id = e.doc_id)"""
+
+  private val x56 = Q("x56_curation_loop",
+    (s, d) => {
+      val root = runCurationLoop(s, d)
+      s.read.parquet(s"$root/verdicts")
+        .select(col("doc_id"), col("kept"), col("dropped_at"),
+          col("dup_of"), col("contamination"), col("lm_score"),
+          col("batch_id").cast("long").as("batch_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""$curationCascadeSql
 SELECT doc_id,
        (CASE WHEN e_dup IS NOT NULL THEN 'exact'
              WHEN n_dup IS NOT NULL THEN 'neardup'
@@ -2654,9 +2671,34 @@ SELECT doc_id,
 FROM fin
 ORDER BY doc_id"""))
 
+  /** The loop's SECOND artifact oracle-checked: the per-batch funnel
+    * counts [[graft.ext.CurationLoop.ingestShard]] writes (docs
+    * surviving after each stage — the numbers a curation run
+    * publishes). Same cascade replay as x56, aggregated per batch —
+    * this checks the funnel WRITER (the loop's own rollup), which
+    * x56's per-doc hash cannot see. */
+  private val x57 = Q("x57_curation_funnel",
+    (s, d) => {
+      val root = runCurationLoop(s, d)
+      s.read.parquet(s"$root/funnel")
+        .select(col("batch_id").cast("long").as("batch_id"),
+          col("n_docs"), col("n_after_exact"), col("n_after_neardup"),
+          col("n_after_vector"), col("n_after_decontam"), col("n_kept"))
+        .orderBy("batch_id")
+    },
+    Some(s"""$curationCascadeSql
+SELECT CAST(b AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE e_dup IS NULL) AS BIGINT) AS n_after_exact,
+       CAST(count(*) FILTER (WHERE e_dup IS NULL AND n_dup IS NULL) AS BIGINT) AS n_after_neardup,
+       CAST(count(*) FILTER (WHERE reached4) AS BIGINT) AS n_after_vector,
+       CAST(count(*) FILTER (WHERE reached5) AS BIGINT) AS n_after_decontam,
+       CAST(count(*) FILTER (WHERE reached5 AND NOT (nb > 0 AND lm_score < 0.033)) AS BIGINT) AS n_kept
+FROM fin GROUP BY b ORDER BY batch_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
-    x54, x55, x56)
+    x54, x55, x56, x57)
 }
