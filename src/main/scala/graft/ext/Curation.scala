@@ -105,4 +105,45 @@ object Curation {
     flags.unpersist()
     out
   }
+
+  /** Per-group quality-quantile gate — the per-DOMAIN top-fraction
+    * selection the published curation recipes apply instead of one
+    * global threshold (a cutoff tuned on web text would gut a
+    * high-value but stylistically different domain; ranking WITHIN the
+    * domain keeps every domain's best half). Keeps the top `fraction`
+    * of each group by `scoreCol`: `cume_dist` over the group ascending
+    * in score — `(rows ≤ current)/n`, identical arithmetic and
+    * whole-tie-group semantics in every engine — kept iff
+    * `cume_dist > 1 − fraction`. cume_dist (not percent_rank) is the
+    * deliberate choice: a singleton group ranks 1.0 and KEEPS its only
+    * row (percent_rank would rank it 0.0 and a half-fraction gate
+    * would gut every tiny domain), and a tie group is kept or dropped
+    * WHOLE (no arbitrary winner among equals). Rows with a NULL score
+    * (nothing to judge) bypass the ranking with null
+    * `cume_dist`/`kept`: policy decides them, not this operator — and
+    * cross-engine null-ORDERING semantics never enter the window.
+    *
+    * Scale shape: ONE scan of the (possibly expensive — e.g. a full LM
+    * scoring plan) input: the null bypass is a window PARTITION key
+    * (`scoreCol IS NULL`), not a second filter branch that would
+    * re-evaluate the input's lineage, and the null partition's window
+    * values are masked to null in the projection — so one hash
+    * exchange on (group, is-null) + an in-partition sort, no global
+    * sort, no driver quantile, no double scan (measured: the
+    * two-branch union form re-ran x59's LM scoring twice, 3.45 s →
+    * this shape). */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                          fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"fraction must be in (0,1], got $fraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col(scoreCol).isNull)
+      .orderBy(col(scoreCol))
+    df.withColumn("__cd", cume_dist().over(w))
+      .withColumn("cume_dist",
+        when(col(scoreCol).isNotNull, col("__cd")))
+      .withColumn("kept",
+        when(col(scoreCol).isNotNull, col("__cd") > lit(1.0 - fraction)))
+      .drop("__cd")
+  }
 }

@@ -81,14 +81,16 @@ object LmScore {
     * null-bigram row for transition-less docs, so the per-doc rollup
     * itself is the full id spine — no second pass over (a possibly
     * expensive upstream of) `docs` for a final verdict join. */
-  def score(docs: DataFrame, idCol: String, textCol: String,
-            model: DataFrame): DataFrame = {
-    val uniCounts = model.filter(col("n") === 1).select(col("fp"), col("c"))
-    val biCounts = model.filter(col("n") === 2).select(col("fp"), col("c"))
-    // per-position (prefix-unigram fp, bigram fp) pairs: the two
-    // shingle arrays are position-aligned, so the prefix of bigram i is
-    // unigram i; a doc with no bigrams keeps one all-null row
-    val pairs = docs
+  /** Per-position (prefix-unigram fp, bigram fp) pairs for every doc:
+    * the two shingle arrays are position-aligned, so the prefix of
+    * bigram i is unigram i; a doc with no bigrams keeps one all-null
+    * row (an OUTER explode), making the per-doc rollup the full id
+    * spine. ONE tokenization of `docs` — shared by [[score]] and
+    * [[dsirMargin]], whose only difference is how many count relations
+    * the pairs then meet. */
+  private def transitionPairs(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs
       .select(col(idCol), toks(textCol))
       .select(col(idCol),
         graft.functions.ShingleMd5(col("__toks"), 1).as("__u"),
@@ -96,7 +98,12 @@ object LmScore {
           .as(Seq("__pos", "bi_fp")))
       .select(col(idCol), col("bi_fp"),
         element_at(col("__u"), col("__pos") + 1).as("uni_fp"))
-    pairs
+
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: DataFrame): DataFrame = {
+    val uniCounts = model.filter(col("n") === 1).select(col("fp"), col("c"))
+    val biCounts = model.filter(col("n") === 2).select(col("fp"), col("c"))
+    transitionPairs(docs, idCol, textCol)
       .join(biCounts.select(col("fp").as("bi_fp"), col("c").as("__c2")),
         Seq("bi_fp"), "left")
       .join(uniCounts.select(col("fp").as("uni_fp"), col("c").as("__c1")),
@@ -221,6 +228,14 @@ object LmScore {
   def scoreAgainstStore(docs: DataFrame, idCol: String, textCol: String,
                         table: String): DataFrame = {
     val spark = docs.sparkSession
+    requireModelContract(spark, table)
+    score(docs, idCol, textCol, modelFromStore(spark, table))
+  }
+
+  /** Enforce a model store's contract before serving from it: the
+    * build committed (meta present — see [[modelMeta]]) and the
+    * quantizer scale matches this engine's. */
+  private def requireModelContract(spark: SparkSession, table: String): Unit = {
     require(spark.catalog.tableExists(modelMeta(table)),
       s"model store '$table' has no meta table — a (re)build crashed " +
         "before committing; re-run writeModelStore before scoring")
@@ -229,7 +244,69 @@ object LmScore {
       s"model store '$table' was built with quantizer scale " +
         s"${meta.getAs[Long]("q_scale")}, this engine scores at " +
         s"${QScale.toLong} — rebuild the store or match the scale")
-    score(docs, idCol, textCol, modelFromStore(spark, table))
+  }
+
+  /** DSIR-style domain-targeted selection (Xie et al.'s data-selection
+    * pattern: score every candidate by a TARGET-domain model against a
+    * SOURCE/background model and keep the target-leaning mass). The
+    * published form uses the log-likelihood ratio of two hashed n-gram
+    * models; this engine's form replaces the log-ratio with the mean
+    * transition-probability MARGIN — `avg over transitions of
+    * (p_target − p_source)` — deliberately: both are monotone
+    * target-affinity signals, but the margin stays inside the
+    * quantized-integer discipline (each probability floor(p·2³⁰)
+    * before the order-free sums; the selection verdict
+    * `t_sum_q > s_sum_q` is an exact integer comparison), so verdicts
+    * and scores hash bit-exact across engines — no logs, nothing
+    * transcendental.
+    *
+    * One row per doc: `(id, n_bigrams, t_sum_q, s_sum_q, dsir_margin,
+    * selected)` — `selected` null for docs with no transitions to
+    * judge (no evidence either way; route them by policy, not here).
+    *
+    * Scale shape: ONE tokenization of the candidates
+    * ([[transitionPairs]]), four fp-keyed count joins (target/source ×
+    * unigram/bigram — each model side reads its buckets in place when
+    * served from a store), one doc-keyed rollup. */
+  def dsirMargin(docs: DataFrame, idCol: String, textCol: String,
+                 targetModel: DataFrame, sourceModel: DataFrame): DataFrame = {
+    def side(model: DataFrame, n: Int, key: String, out: String) =
+      model.filter(col("n") === n)
+        .select(col("fp").as(key), col("c").as(out))
+    transitionPairs(docs, idCol, textCol)
+      .join(side(targetModel, 2, "bi_fp", "__tc2"), Seq("bi_fp"), "left")
+      .join(side(targetModel, 1, "uni_fp", "__tc1"), Seq("uni_fp"), "left")
+      .join(side(sourceModel, 2, "bi_fp", "__sc2"), Seq("bi_fp"), "left")
+      .join(side(sourceModel, 1, "uni_fp", "__sc1"), Seq("uni_fp"), "left")
+      .select(col(idCol), col("bi_fp"),
+        floor(coalesce(col("__tc2").cast("double") / col("__tc1").cast("double"),
+          lit(0.0)) * lit(QScale)).as("__qt"),
+        floor(coalesce(col("__sc2").cast("double") / col("__sc1").cast("double"),
+          lit(0.0)) * lit(QScale)).as("__qs"))
+      .groupBy(idCol)
+      .agg(count(col("bi_fp")).as("n_bigrams"),
+        sum(when(col("bi_fp").isNotNull, col("__qt"))).as("t_sum_q"),
+        sum(when(col("bi_fp").isNotNull, col("__qs"))).as("s_sum_q"))
+      .select(col(idCol), col("n_bigrams"), col("t_sum_q"), col("s_sum_q"),
+        ((col("t_sum_q") - col("s_sum_q")).cast("double") / lit(QScale) /
+          col("n_bigrams").cast("double")).as("dsir_margin"),
+        when(col("n_bigrams") > 0, col("t_sum_q") > col("s_sum_q"))
+          .as("selected"))
+  }
+
+  /** [[dsirMargin]] served from two PERSISTED model stores (the x54
+    * pattern twice): both stores' meta contracts are enforced, both
+    * count sides read their buckets in place. This is the production
+    * topology — the target model (the domain you want more of) and the
+    * source model (the background corpus) are long-lived stores
+    * maintained by [[appendToModel]]/[[streamIngestModel]], and every
+    * candidate shard scores against them without refitting anything. */
+  def dsirAgainstStores(docs: DataFrame, idCol: String, textCol: String,
+                        targetTable: String, sourceTable: String): DataFrame = {
+    val spark = docs.sparkSession
+    Seq(targetTable, sourceTable).foreach(requireModelContract(spark, _))
+    dsirMargin(docs, idCol, textCol,
+      modelFromStore(spark, targetTable), modelFromStore(spark, sourceTable))
   }
 
   /** Collapse accumulated delta generations to one `(n, fp)` row and

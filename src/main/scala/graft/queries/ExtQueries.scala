@@ -2305,7 +2305,10 @@ object ExtQueries {
     * append): all three formulations MUST land on the same reference
     * model over `doc_id % 10 ≠ 0` and therefore byte-identical scores —
     * the x52/x44 adjudication pattern (same answer, cheaper plan). */
-  private val lmScoreOracle = s"""WITH $tokSql,
+  /** x53's model/pairs replay as a CTE prefix (pairs + unigram/bigram
+    * counts + per-doc quantized sums), shared by the scoring oracles
+    * (x53/x54/x55) and x59's per-source quantile gate. */
+  private val lmCascadeSql = s"""WITH $tokSql,
              pairs AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
                        FROM toks, unnest(list_transform(generate_series(1, len(w)-1),
                          i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
@@ -2328,7 +2331,9 @@ object ExtQueries {
                     FROM pairs p
                     LEFT JOIN c2 ON p.bi_fp = c2.fp
                     LEFT JOIN c1 ON p.uni_fp = c1.fp
-                    GROUP BY p.doc_id)
+                    GROUP BY p.doc_id)"""
+
+  private val lmScoreOracle = s"""$lmCascadeSql
             SELECT d.doc_id,
                    COALESCE(sc.n_bigrams, 0) AS n_bigrams,
                    sc.p_sum_q,
@@ -2696,9 +2701,121 @@ SELECT CAST(b AS BIGINT) AS batch_id,
        CAST(count(*) FILTER (WHERE reached5 AND NOT (nb > 0 AND lm_score < 0.033)) AS BIGINT) AS n_kept
 FROM fin GROUP BY b ORDER BY batch_id"""))
 
+  /** DSIR-style domain-targeted selection
+    * ([[graft.ext.LmScore.dsirAgainstStores]] — Xie et al.'s
+    * data-selection pattern): a TARGET bigram model (the English split)
+    * and a SOURCE/background model (everything else) land as two
+    * persisted stores, and every document scores against BOTH in one
+    * tokenization pass — importance = the mean transition-probability
+    * margin (the published log-likelihood ratio replaced by a
+    * probability margin so the score stays quantized-integer exact; the
+    * `selected` verdict is the exact integer comparison
+    * `t_sum_q > s_sum_q`). Docs with no transitions get a null verdict
+    * (no evidence either way). The oracle replays both models and the
+    * identical divide/quantize/sum arithmetic. */
+  private val x58 = Q("x58_dsir_selection",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") === "en"),
+        "text", table = "x58_target", buckets = 8)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") =!= "en"),
+        "text", table = "x58_source", buckets = 8)
+      graft.ext.LmScore.dsirAgainstStores(docs, "doc_id", "text",
+          "x58_target", "x58_source")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $tokSql,
+             tokl AS (SELECT t.doc_id, t.w, d.lang
+                      FROM toks t JOIN documents d USING (doc_id)),
+             pairs AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
+                       FROM toks, unnest(list_transform(generate_series(1, len(w)-1),
+                         i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
+                               'bf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
+                       WHERE len(w) >= 2),
+             tc1 AS (SELECT fp, count(*) AS c FROM (
+                       SELECT unnest(list_transform(generate_series(1, len(w)),
+                         i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                       FROM tokl WHERE lang = 'en' AND len(w) >= 1)
+                     GROUP BY fp),
+             tc2 AS (SELECT fp, count(*) AS c FROM (
+                       SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                         i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                       FROM tokl WHERE lang = 'en' AND len(w) >= 2)
+                     GROUP BY fp),
+             sc1 AS (SELECT fp, count(*) AS c FROM (
+                       SELECT unnest(list_transform(generate_series(1, len(w)),
+                         i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                       FROM tokl WHERE lang <> 'en' AND len(w) >= 1)
+                     GROUP BY fp),
+             sc2 AS (SELECT fp, count(*) AS c FROM (
+                       SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                         i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                       FROM tokl WHERE lang <> 'en' AND len(w) >= 2)
+                     GROUP BY fp),
+             agg AS (SELECT p.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(CAST(floor(COALESCE(CAST(t2.c AS DOUBLE) / CAST(t1.c AS DOUBLE), 0.0)
+                                           * 1073741824.0) AS BIGINT)) AS BIGINT) AS t_sum_q,
+                       CAST(sum(CAST(floor(COALESCE(CAST(s2.c AS DOUBLE) / CAST(s1.c AS DOUBLE), 0.0)
+                                           * 1073741824.0) AS BIGINT)) AS BIGINT) AS s_sum_q
+                     FROM pairs p
+                     LEFT JOIN tc2 t2 ON p.bi_fp = t2.fp
+                     LEFT JOIN tc1 t1 ON p.uni_fp = t1.fp
+                     LEFT JOIN sc2 s2 ON p.bi_fp = s2.fp
+                     LEFT JOIN sc1 s1 ON p.uni_fp = s1.fp
+                     GROUP BY p.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   a.t_sum_q, a.s_sum_q,
+                   CAST(a.t_sum_q - a.s_sum_q AS DOUBLE) / 1073741824.0
+                     / CAST(a.n_bigrams AS DOUBLE) AS dsir_margin,
+                   CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+                        THEN a.t_sum_q > a.s_sum_q END AS selected
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
+  /** Per-SOURCE quality-quantile gate
+    * ([[graft.ext.Curation.topFractionPerGroup]] over the x53 LM
+    * scores): each `source` keeps its own top half by lm_score — the
+    * per-domain selection the published recipes use instead of one
+    * global threshold. `cume_dist` arithmetic is (rows ≤ current)/n in
+    * both engines — singleton domains keep their row, tie groups keep
+    * or drop WHOLE — and null-scored docs bypass the window entirely,
+    * so the verdicts hash exactly. */
+  private val x59 = Q("x59_source_quality_gate",
+    (s, d) => {
+      val docs = documents(s, d)
+      val model = graft.ext.LmScore.fit(docs.filter(col("doc_id") % 10 =!= 0),
+        "text").localCheckpoint(true)
+      val scored = graft.ext.LmScore.score(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("lm_score"))
+      graft.ext.Curation.topFractionPerGroup(scored, "source", "lm_score",
+          fraction = 0.5)
+        .orderBy("doc_id")
+    },
+    Some(s"""$lmCascadeSql,
+             base AS (SELECT d.doc_id, d.source,
+                        CAST(sc.p_sum_q AS DOUBLE) / 1073741824.0
+                          / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
+                      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+             ranked AS (SELECT doc_id, source, lm_score,
+                          cume_dist() OVER (PARTITION BY source
+                            ORDER BY lm_score) AS cume_dist
+                        FROM base WHERE lm_score IS NOT NULL)
+            SELECT doc_id, source, lm_score, cume_dist,
+                   (cume_dist > 0.5) AS kept
+            FROM ranked
+            UNION ALL
+            SELECT doc_id, source, lm_score,
+                   CAST(NULL AS DOUBLE) AS cume_dist,
+                   CAST(NULL AS BOOLEAN) AS kept
+            FROM base WHERE lm_score IS NULL
+            ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
-    x54, x55, x56, x57)
+    x54, x55, x56, x57, x58, x59)
 }

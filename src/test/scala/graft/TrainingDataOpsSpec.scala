@@ -661,6 +661,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out == Seq.fill(5)(false -> 0L))
   }
 
+  test("topFractionPerGroup: top half per group, singleton kept, tie groups whole, nulls abstain") {
+    val rows = df(Seq(
+      ("g1", 10L, Some(1.0)), ("g1", 11L, Some(2.0)),
+      ("g1", 12L, Some(3.0)), ("g1", 13L, Some(4.0)),
+      ("g2", 20L, Some(7.0)),                    // singleton: must keep
+      ("g3", 30L, Some(5.0)), ("g3", 31L, Some(5.0)), // all tied: whole group
+      ("g1", 14L, None)))                        // unscored: abstain
+      .toDF("source", "doc_id", "lm_score")
+    val out = graft.ext.Curation.topFractionPerGroup(rows, "source",
+        "lm_score", fraction = 0.5)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    assert(out(10L) == Some(false) && out(11L) == Some(false))
+    assert(out(12L) == Some(true) && out(13L) == Some(true))
+    assert(out(20L) == Some(true), "singleton group must keep its row")
+    assert(out(30L) == Some(true) && out(31L) == Some(true),
+      "a tie group is kept or dropped whole")
+    assert(out(14L).isEmpty, "unscored rows must abstain, not rank")
+  }
+
   test("a zero-token stratum neither zeroes others' budgets nor goes NULL") {
     val docs = df(Seq((1L, "en", "a b"), (2L, "zz", ""))).toDF("doc_id", "lang", "text")
     val out = graft.ext.Mixing.uniformRates(docs, "lang", "text")
@@ -974,5 +994,39 @@ class LmScoreSpec extends SparkSpec {
       assert(rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
         "lm_stream_spec")) == union)
     } finally dropStore("lm_stream_spec")
+  }
+
+  test("dsirMargin: target-leaning selects, source-leaning rejects, no-transition abstains") {
+    val target = df(Seq((1L, "a b a b"))).toDF("doc_id", "text")
+    val source = df(Seq((2L, "a c a c"))).toDF("doc_id", "text")
+    val cand = df(Seq(
+      (3L, "a b"),   // p_t(b|a)=1, p_s(b|a)=0 → margin +1, selected
+      (4L, "a c"),   // p_t=0, p_s=1 → margin −1, rejected
+      (5L, "a")))    // no transitions: abstain (null verdict)
+      .toDF("doc_id", "text")
+    val inMem = LmScore.dsirMargin(cand, "doc_id", "text",
+        LmScore.fit(target, "text").localCheckpoint(true),
+        LmScore.fit(source, "text").localCheckpoint(true))
+      .orderBy("doc_id").collect()
+    val q = 1073741824L
+    assert(inMem(0).toSeq == Seq(3L, 1L, q, 0L, 1.0, true))
+    assert(inMem(1).toSeq == Seq(4L, 1L, 0L, q, -1.0, false))
+    assert(inMem(2).getLong(1) == 0L && inMem(2).isNullAt(4)
+      && inMem(2).isNullAt(5))
+    // store-served form: identical rows, contract enforced per store
+    LmScore.writeModelStore(target, "text", "dsir_t_spec", buckets = 4)
+    LmScore.writeModelStore(source, "text", "dsir_s_spec", buckets = 4)
+    try {
+      assert(LmScore.dsirAgainstStores(cand, "doc_id", "text",
+          "dsir_t_spec", "dsir_s_spec")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        == inMem.map(_.toSeq).toSeq)
+      spark.sql(s"DROP TABLE ${LmScore.modelMeta("dsir_s_spec")}")
+      val e = intercept[IllegalArgumentException] {
+        LmScore.dsirAgainstStores(cand, "doc_id", "text",
+          "dsir_t_spec", "dsir_s_spec")
+      }
+      assert(e.getMessage.contains("re-run writeModelStore"))
+    } finally { dropStore("dsir_t_spec"); dropStore("dsir_s_spec") }
   }
 }
