@@ -123,6 +123,65 @@ object ExtProps extends Properties("ext") {
       else ca < cb
     }.take(nProbe).map(_._2)
 
+  property("LM model append == refit on the union, for any split of any corpus") =
+    Prop.forAll(corpusGen, Gen.choose(1, 4)) { (rows, mod) =>
+      // split the corpus arbitrarily; fit-on-union must equal
+      // write(base-slice) + append(rest) served from the store
+      val base = rows.filter(_.doc_id % mod == 0)
+      val rest = rows.filter(_.doc_id % mod != 0)
+      val cand = toDf(rows)
+      val expect = graft.ext.LmScore.score(cand, "doc_id", "text",
+          graft.ext.LmScore.fit(toDf(rows), "text").localCheckpoint(true))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      graft.ext.LmScore.writeModelStore(toDf(base), "text",
+        "lm_prop_store", buckets = 2)
+      try {
+        if (rest.nonEmpty)
+          graft.ext.LmScore.appendToModel(toDf(rest), "text",
+            "lm_prop_store", buckets = 2)
+        val got = graft.ext.LmScore.scoreAgainstStore(cand, "doc_id",
+            "text", "lm_prop_store")
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        got == expect
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS lm_prop_store")
+        spark.sql(s"DROP TABLE IF EXISTS ${graft.ext.LmScore.modelMeta("lm_prop_store")}")
+        graft.core.IngestLedger.reset(spark, "lm_prop_store")
+      }
+    }
+
+  property("topFractionPerGroup: kept scores dominate dropped, whole tie groups, nulls abstain") =
+    Prop.forAll(corpusGen, Gen.choose(1, 3)) { (rows, groups) =>
+      val s = spark
+      import s.implicits._
+      // score by token count (ties common on the tiny vocab); empty
+      // docs get a NULL score to exercise the abstain path
+      val scored = rows.map { d =>
+        val n = toks(d.text).length
+        (d.doc_id, s"g${d.doc_id % groups}",
+          if (n == 0) None else Some(n.toDouble))
+      }
+      val out = graft.ext.Curation.topFractionPerGroup(
+          spark.createDataset(scored).toDF("doc_id", "source", "lm_score"),
+          "source", "lm_score", fraction = 0.5)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toSeq
+      out.groupBy(_._2).forall { case (_, g) =>
+        val kept = g.filter(_._4.contains(true)).flatMap(_._3)
+        val dropped = g.filter(_._4.contains(false)).flatMap(_._3)
+        val nulls = g.filter(_._3.isEmpty)
+        // every kept score strictly above every dropped score (a tie
+        // group is never split), nulls always abstain, and the kept
+        // fraction is at least half of the scored rows (cume_dist
+        // keeps whole tie groups, so >= not ==)
+        kept.forall(k => dropped.forall(k > _)) &&
+          nulls.forall(_._4.isEmpty) &&
+          (kept.size + dropped.size == 0 ||
+            kept.size * 2 >= kept.size + dropped.size)
+      }
+    }
+
   property("LcgTopCells equals a plain-Scala selection over the exact codebook arithmetic") =
     Prop.forAll(Gen.choose(2, 4), Gen.choose(2, 6), Gen.choose(1, 7),
       Gen.choose(1, 5)) { (dim, nCells, nProbe, nVecs) =>
