@@ -191,4 +191,34 @@ object ExactDedup {
     }
     IngestLedger.record(spark, table, batchId)
   }
+
+  /** Release diff: compare a corpus against a previous release's
+    * persisted fingerprint store — the dataset-versioning audit every
+    * corpus release publishes ("N documents added, M removed, K
+    * retained"). One row per distinct fingerprint across either side:
+    * `added` (in the corpus, not the store), `removed` (in the store,
+    * not the corpus), `retained` (both), with the corpus-side
+    * occurrence count and min id and the store's canonical id.
+    *
+    * Shape at 100 TB: the corpus reduces to one (fp, min id, count)
+    * row per content in a single map-side-combined groupBy, then meets
+    * the store in ONE full-outer sort-merge join whose store side
+    * reads its buckets in place (the [[dedupExactAgainstStore]]
+    * layout contract) — the only corpus-sized exchange is the fp
+    * groupBy; no text ever crosses the wire. */
+  def diffAgainstStore(docs: DataFrame, idCol: String, textCol: String,
+                       store: DataFrame): DataFrame = {
+    val cur = fingerprints(docs, idCol, textCol)
+      .filter(col("fp").isNotNull)
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("cur_id"), count(lit(1)).as("n_docs"))
+    cur.join(store.groupBy("fp").agg(min("canonical_id").as("prev_id"))
+        .hint("merge"), Seq("fp"), "full_outer")
+      .select(col("fp"),
+        when(col("prev_id").isNull, "added")
+          .when(col("cur_id").isNull, "removed")
+          .otherwise("retained").as("status"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("prev_id"), col("cur_id"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,4 +44,95 @@ object Mixing {
           .otherwise(col("__min").cast("double") / col("n_tokens"))
           .as("mix_rate"))
   }
+
+  /** Per-stratum corpus stats: the shared (stratum, n_docs, n_tokens)
+    * aggregation under [[uniformRates]] and [[repeatFactors]] — one
+    * map-side-combined groupBy over exact int64 token counts. */
+  private def stratumStats(docs: DataFrame, stratumCol: String,
+                           textCol: String): DataFrame =
+    docs
+      .select(col(stratumCol),
+        coalesce(size(Ngrams.normTokens(col(textCol))).cast("long"), lit(0L))
+          .as("__nt"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+
+  /** Target-weight repeat factors — the UPSAMPLING-capable step of a
+    * published mixture recipe (the "epochs per domain" table of
+    * Gopher/MassiveText, The Pile, and DoReMi-style mixtures): given a
+    * total token budget and a target weight per stratum, stratum s must
+    * contribute `budget·w_s` tokens, so each of its documents repeats
+    * `budget·w_s / tokens_s` times — above 1.0 the stratum is
+    * upsampled (multiple epochs), below 1.0 downsampled. Strata
+    * missing from `weights` get weight 0 (excluded from the mixture).
+    *
+    * Determinism: the factor is one double multiply + one divide of
+    * exact int64-derived operands, replayed with the identical IEEE op
+    * sequence by the oracle — bit-exact.
+    *
+    * @return (stratum, n_docs, n_tokens, weight, repeat_factor); a
+    *         token-less stratum gets factor 0.0 (it has nothing to
+    *         contribute — the division would be ±Inf). */
+  def repeatFactors(docs: DataFrame, stratumCol: String, textCol: String,
+                    weights: Map[String, Double],
+                    budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    weights.values.foreach(w =>
+      require(w >= 0, s"weights must be >= 0, got $w"))
+    val weightCase = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0): Column) { case ((s0, w), acc) =>
+        when(col(stratumCol) === s0, lit(w)).otherwise(acc)
+      }
+    stratumStats(docs, stratumCol, textCol)
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        weightCase.as("weight"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(lit(budgetTokens).cast("double") * weightCase
+            / col("n_tokens"))
+          .as("repeat_factor"))
+  }
+
+  /** Materialize a mixture from precomputed repeat factors: every
+    * document gets `floor(factor)` full copies plus one extra copy iff
+    * its stable key-hash bucket falls under the factor's fractional
+    * part (the [[Sampling.hashBucket]] primitive — deterministic across
+    * runs, engines, partitionings and retries, unlike `rand()`), so the
+    * expected token contribution of stratum s is exactly
+    * `factor_s · tokens_s = budget·w_s`. Output rows carry
+    * (`n_copies`, `copy_idx` ∈ [0, n_copies)) next to the document
+    * columns; zero-copy documents are dropped.
+    *
+    * Shape at 100 TB: `factors` is stratum-cardinality (dozens of
+    * rows) and joins BROADCAST; copy generation is a narrow per-row
+    * `explode(sequence(...))` directly over the scan — the corpus is
+    * never shuffled, and output size is the materialized mixture
+    * itself (inherent). Production keeps the factor table as a tiny
+    * persisted artifact of the recipe; the [[materializeMixture]]
+    * overload below computes it inline for one-shot runs. */
+  def materializeMixture(docs: DataFrame, stratumCol: String,
+                         keyCol: String, factors: DataFrame): DataFrame = {
+    val full = floor(col("repeat_factor")).cast("long")
+    val thr = floor(col("repeat_factor") * lit(Sampling.Denom.toDouble))
+      .cast("long") - full * Sampling.Denom.toLong
+    docs
+      .join(broadcast(factors.select(col(stratumCol), col("repeat_factor"))),
+        Seq(stratumCol))
+      .withColumn("n_copies",
+        full + when(Sampling.hashBucket(col(keyCol)) < thr, lit(1L))
+          .otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("repeat_factor")
+  }
+
+  /** One-shot [[materializeMixture]]: compute [[repeatFactors]] inline
+    * (a second projection-pruned pass over `docs` for the token
+    * stats — production persists the factor table instead). */
+  def materializeMixture(docs: DataFrame, stratumCol: String,
+                         keyCol: String, textCol: String,
+                         weights: Map[String, Double],
+                         budgetTokens: Long): DataFrame =
+    materializeMixture(docs, stratumCol, keyCol,
+      repeatFactors(docs, stratumCol, textCol, weights, budgetTokens))
 }

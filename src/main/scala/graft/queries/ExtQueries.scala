@@ -2813,9 +2813,199 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM base WHERE lm_score IS NULL
             ORDER BY doc_id"""))
 
+  /** Token-budget mixture materialization
+    * ([[graft.ext.Mixing.materializeMixture]] — the UPSAMPLING-capable
+    * "epochs per domain" step of Gopher/DoReMi-style recipes, the
+    * production successor of x29's downsample-only uniform rates):
+    * target weights en 0.6 / zh 0.25 / fr 0.15 over a budget of 3× the
+    * corpus' total tokens, so en repeats > 1× (multiple epochs, full
+    * copies + a deterministic hash-Bernoulli fractional copy), zh/fr
+    * land fractional, and de/es are excluded (weight 0). The factor
+    * table is stratum-cardinality and joins BROADCAST; copy generation
+    * is a narrow `explode(sequence)` over the scan — the corpus is
+    * never shuffled. The oracle replays the factor arithmetic (one
+    * double multiply + divide of exact int64 counts) and the
+    * md5-bucket fractional draw bit-exactly. */
+  private val x60 = Q("x60_mixture_materialize",
+    (s, d) => {
+      val docs = documents(s, d)
+      // O(1) driver scalar (the q05 surrogate-max convention): the
+      // budget is an absolute token count in production; here it is
+      // pinned to 3x the corpus total so the mixture exercises both
+      // up- and downsampling at every scale factor
+      val total = docs.agg(
+        sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
+          .cast("long"), lit(0L)))).head.getLong(0)
+      Mixing.materializeMixture(docs, "lang", "doc_id", "text",
+          Map("en" -> 0.6, "zh" -> 0.25, "fr" -> 0.15),
+          budgetTokens = 3L * total)
+        .select(col("doc_id"), col("lang"), col("copy_idx"), col("n_copies"))
+        .orderBy("doc_id", "copy_idx")
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang,
+                    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS nt
+                  FROM documents),
+             b AS (SELECT 3 * CAST(sum(nt) AS BIGINT) AS budget FROM tok),
+             s AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+             f AS (SELECT lang,
+                     CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE CAST((SELECT budget FROM b) AS DOUBLE)
+                               * (CASE lang WHEN 'en' THEN 0.6 WHEN 'fr' THEN 0.15
+                                            WHEN 'zh' THEN 0.25 ELSE 0.0 END)
+                               / n_tokens END AS factor
+                   FROM s),
+             d AS (SELECT t.doc_id, t.lang,
+                     CAST(floor(f.factor) AS BIGINT) AS full_copies,
+                     CAST(floor(f.factor * 10000.0) AS BIGINT)
+                       - CAST(floor(f.factor) AS BIGINT) * 10000 AS thr
+                   FROM tok t JOIN f USING (lang)),
+             c AS (SELECT doc_id, lang,
+                     full_copies + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < thr
+                                         THEN 1 ELSE 0 END) AS n_copies
+                   FROM d)
+            SELECT doc_id, lang, copy_idx, n_copies FROM (
+              SELECT doc_id, lang,
+                     CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx,
+                     CAST(n_copies AS BIGINT) AS n_copies
+              FROM c WHERE n_copies > 0)
+            ORDER BY doc_id, copy_idx"""))
+
+  /** Gopher/C4-style heuristic rule gate ([[graft.ext.RuleGate]]): six
+    * published-band per-document signals (word-count bounds, mean word
+    * length bounds, minimum stopword hits, maximum top-word share,
+    * maximum symbol-to-word ratio, minimum alphabetic-word fraction),
+    * each as its own flag plus the `keep` conjunction — the cheap
+    * rule-bundle stage that precedes model-based scoring in every
+    * published pipeline. One narrow per-row projection, token array
+    * projected once, no shuffle; every ratio is a single double
+    * division of exact int64 counts, bit-exact in the oracle. */
+  private val x61 = Q("x61_gopher_rule_gate",
+    (s, d) => graft.ext.RuleGate.flags(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, text,
+                    regexp_extract_all(lower(trim(text)), '\S+') AS toks
+                  FROM documents),
+             f AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     END AS mean_word_len,
+                     CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stop_hits,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(list_max(list_transform(list_distinct(toks),
+                                 w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / len(toks)
+                     END AS top_word_share,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)
+                                    + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS DOUBLE) / len(toks)
+                     END AS symbol_ratio,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)
+                     END AS alpha_word_ratio
+                   FROM t)
+            SELECT doc_id, n_words, mean_word_len, stop_hits, top_word_share,
+                   symbol_ratio, alpha_word_ratio,
+                   (n_words >= 20 AND n_words <= 80) AS ok_words,
+                   (mean_word_len >= 4.0 AND mean_word_len <= 5.0) AS ok_word_len,
+                   (stop_hits >= 2) AS ok_stop,
+                   (top_word_share <= 0.2) AS ok_top_word,
+                   (symbol_ratio <= 0.1) AS ok_symbols,
+                   (alpha_word_ratio >= 0.8) AS ok_alpha,
+                   (n_words >= 20 AND n_words <= 80
+                    AND mean_word_len >= 4.0 AND mean_word_len <= 5.0
+                    AND stop_hits >= 2 AND top_word_share <= 0.2
+                    AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8) AS keep
+            FROM f ORDER BY doc_id"""))
+
+  /** Per-source corpus data card ([[graft.ext.DataCard.perSource]] —
+    * the datasheet table a corpus release publishes): per source, doc
+    * and exact token counts, language spread, the dominant language
+    * (count desc / lang asc tie-break in both engines) with its share,
+    * the CORPUS-WIDE exact-duplicate rate (fp counts joined back — the
+    * one corpus-keyed shuffle pair, 16-byte fps on the wire), and the
+    * mean x03 quality score, summed as floor(score·2²⁰) int64 so the
+    * only cross-row float reduction is order-free (the x53 quantizer
+    * pattern) and the mean divides back to double bit-exactly. */
+  private val x62 = Q("x62_data_card",
+    (s, d) => graft.ext.DataCard.perSource(documents(s, d),
+        "doc_id", "text", "lang", "source")
+      .orderBy("source"),
+    Some("""WITH f AS (SELECT doc_id, lang, source,
+                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                    CAST(length(text) AS BIGINT) AS nc,
+                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
+                    CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+                    END AS digit_ratio,
+                    CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                              / len(regexp_extract_all(lower(text), '[a-z]+'))
+                    END AS stop_ratio
+                  FROM documents),
+             q AS (SELECT *, CASE WHEN nt = 0 THEN 0.0
+                     ELSE CAST(nc - nt + 1 AS DOUBLE) / nt END AS avg_len FROM f),
+             sc AS (SELECT *,
+                     CAST(floor((0.4 * stop_ratio + 0.3 * (least(avg_len, 10.0) / 10.0)
+                                 + 0.3 * (1.0 - digit_ratio)) * 1048576.0) AS BIGINT) AS score_q
+                   FROM q),
+             fpn AS (SELECT fp, count(*) AS fp_n FROM sc GROUP BY 1),
+             g AS (SELECT sc.*, CASE WHEN fpn.fp_n > 1 THEN 1 ELSE 0 END AS is_dup
+                   FROM sc JOIN fpn USING (fp)),
+             roll AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(nt) AS BIGINT) AS n_tokens,
+                        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                        CAST(sum(is_dup) AS BIGINT) AS n_dup,
+                        CAST(sum(score_q) AS BIGINT) AS score_sum_q
+                      FROM g GROUP BY 1),
+             tl AS (SELECT source, lang AS top_lang, ln FROM (
+                      SELECT source, lang, count(*) AS ln,
+                             row_number() OVER (PARTITION BY source
+                               ORDER BY count(*) DESC, lang ASC) AS rk
+                      FROM g GROUP BY source, lang) WHERE rk = 1)
+            SELECT r.source, r.n_docs, r.n_tokens, r.n_langs, t.top_lang,
+                   CAST(t.ln AS DOUBLE) / r.n_docs AS top_lang_share,
+                   CAST(r.n_dup AS DOUBLE) / r.n_docs AS dup_rate,
+                   CAST(r.score_sum_q AS DOUBLE) / 1048576.0 / r.n_docs AS mean_quality
+            FROM roll r JOIN tl t USING (source) ORDER BY source"""))
+
+  /** Corpus release diff ([[graft.ext.ExactDedup.diffAgainstStore]]):
+    * release 1 (doc_id % 3 ≠ 0) is persisted as the bucketed
+    * fingerprint store; the current corpus (doc_id % 5 ≠ 1) then diffs
+    * against it IN PLACE — one (fp, min id, count) row per current
+    * content from a single map-side-combined groupBy, met by the store
+    * in one full-outer sort-merge join whose store side reads its
+    * buckets shuffle-free. Statuses: `added` / `removed` /
+    * `retained` — the dataset-versioning audit a release publishes. */
+  private val x63 = Q("x63_release_diff",
+    (s, d) => {
+      val docs = documents(s, d)
+      ExactDedup.writeFingerprintStore(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", table = "x63_fp_store", buckets = 8)
+      ExactDedup.diffAgainstStore(docs.filter(col("doc_id") % 5 =!= 1),
+          "doc_id", "text", s.table("x63_fp_store"))
+        .orderBy("fp")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                  FROM documents),
+             store AS (SELECT fp, min(doc_id) AS prev_id
+                       FROM f WHERE doc_id % 3 <> 0 GROUP BY fp),
+             cur AS (SELECT fp, min(doc_id) AS cur_id,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                     FROM f WHERE doc_id % 5 <> 1 GROUP BY fp)
+            SELECT COALESCE(c.fp, st.fp) AS fp,
+                   CASE WHEN st.prev_id IS NULL THEN 'added'
+                        WHEN c.cur_id IS NULL THEN 'removed'
+                        ELSE 'retained' END AS status,
+                   COALESCE(c.n_docs, 0) AS n_docs,
+                   st.prev_id, c.cur_id
+            FROM cur c FULL OUTER JOIN store st ON c.fp = st.fp
+            ORDER BY fp"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
-    x54, x55, x56, x57, x58, x59)
+    x54, x55, x56, x57, x58, x59, x60, x61, x62, x63)
 }

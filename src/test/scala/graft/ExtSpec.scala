@@ -1550,4 +1550,58 @@ class IncrementalExactDedupSpec extends SparkSpec {
       assert(v.getBoolean(1) && v.isNullAt(2))
     } finally spark.sql("DROP TABLE IF EXISTS exd_null_spec")
   }
+
+  test("release diff classifies added/removed/retained with counts and both canonical ids") {
+    val release1 = df(Seq(
+      (1L, "kept across both releases"),
+      (2L, "dropped in the second release")))
+      .toDF("doc_id", "text")
+    ExactDedup.writeFingerprintStore(release1, "doc_id", "text",
+      "exd_diff_spec", 4)
+    try {
+      val current = df(Seq(
+        (10L, "kept across both releases"),
+        (11L, "brand new in the second release"),
+        (12L, "brand new in the second release"))) // dup of 11 within r2
+        .toDF("doc_id", "text")
+      val out = ExactDedup.diffAgainstStore(current, "doc_id", "text",
+          spark.table("exd_diff_spec"))
+        .orderBy("status", "n_docs").collect()
+        .map(r => (r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+      assert(out == Seq(
+        ("added", 2L, -1L, 11L),      // new content, 2 copies, min id 11
+        ("removed", 0L, 2L, -1L),     // only in the store
+        ("retained", 1L, 1L, 10L)))   // prev canonical 1, current min 10
+    } finally spark.sql("DROP TABLE IF EXISTS exd_diff_spec")
+  }
+}
+
+/** Per-source corpus data card ([[graft.ext.DataCard]]). */
+class DataCardSpec extends SparkSpec {
+  test("counts, dominant language with asc tie-break, corpus-wide dup rate") {
+    val docs = df(Seq(
+      (1L, "en", "a", "same text twice"),
+      (2L, "de", "a", "unique text one"),
+      (3L, "en", "b", "same text twice"),   // dup of doc 1, OTHER source
+      (4L, "fr", "b", "unique text two"),
+      (5L, "de", "b", "unique text three")))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = graft.ext.DataCard.perSource(docs, "doc_id", "text",
+        "lang", "source")
+      .orderBy("source").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_docs") == 2L && a.getAs[Long]("n_langs") == 2L)
+    // one doc per lang in source a: tie broken to the ascending lang
+    assert(a.getAs[String]("top_lang") == "de")
+    assert(a.getAs[Double]("top_lang_share") == 0.5)
+    // doc 1 is a duplicate via doc 3 in ANOTHER source: corpus-wide rate
+    assert(a.getAs[Double]("dup_rate") == 0.5)
+    val b = out(1)
+    assert(b.getAs[Long]("n_docs") == 3L && b.getAs[Long]("n_langs") == 3L)
+    assert(b.getAs[Double]("dup_rate") == 1.0 / 3)
+    val mq = b.getAs[Double]("mean_quality")
+    assert(mq > 0.0 && mq < 1.0, s"quality mean out of band: $mq")
+  }
 }

@@ -685,4 +685,63 @@ class PlanSpec extends SparkSpec {
         s"bucketed merge must not shuffle for the join: ${e.outputPartitioning}")
     }
   }
+
+  test("x60 mixture factors broadcast; the corpus is never hash-shuffled") {
+    val df = Registry.queries("x60_mixture_materialize")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the stratum-cardinality factor table must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the only exchanges are the tiny stats aggregation (broadcast
+    // side) and the final ORDER BY range partitioning — never a hash
+    // exchange of the document rows on the probe side
+    shuffles(df).foreach { e =>
+      val part = e.outputPartitioning.toString
+      assert(!part.contains("doc_id") || part.toLowerCase.contains("range"),
+        s"corpus must not hash-shuffle: $part")
+    }
+  }
+
+  test("x63 release diff: store side reads bucketed Exchange-free; no text on any exchange") {
+    val df = Registry.queries("x63_release_diff")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right)).filter(_.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.tableIdentifier.exists(_.table == "x63_fp_store") => f
+    }.nonEmpty)
+    assert(storeSides.nonEmpty,
+      s"no sort-merge join reads the bucketed fingerprint store:\n${root.toString.take(1200)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"fingerprint store side must read its buckets in place, found: $es")
+    }
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"diff must move fps and ids only, never text: ${e.output}")
+    }
+  }
+
+  test("x61 rule gate is one scan, no join, no aggregate exchange") {
+    val df = Registry.queries("x61_gopher_rule_gate")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"rule gate must be join-free:\n${p.take(800)}")
+    // a single narrow projection over the scan: the only exchange is
+    // the final ORDER BY range partitioning
+    shuffles(df).foreach { e =>
+      assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"rule gate must not hash-shuffle: ${e.outputPartitioning}")
+    }
+  }
 }

@@ -755,6 +755,97 @@ class MixingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(out == Seq(("de", 1L, 3L, 1.0), ("en", 2L, 6L, 0.5)))
   }
+
+  test("an integer repeat factor materializes exactly that many copies; weight-0 strata drop") {
+    val docs = df(Seq(
+      (1L, "en", "a b c d"), (2L, "en", "e f"),     // en: 6 tokens
+      (3L, "de", "x y z"))).toDF("doc_id", "lang", "text") // de: weight 0
+    // budget 12 x weight 1.0 over 6 en tokens -> factor exactly 2.0:
+    // the fractional threshold is 0, so every en doc gets 2 full copies
+    val out = graft.ext.Mixing.materializeMixture(docs, "lang", "doc_id",
+        "text", Map("en" -> 1.0), budgetTokens = 12L)
+      .select("doc_id", "copy_idx", "n_copies")
+      .orderBy("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 0L, 2L), (1L, 1L, 2L), (2L, 0L, 2L), (2L, 1L, 2L)))
+  }
+
+  test("a fractional factor draws the extra copy from the stable key hash, deterministically") {
+    val docs = df((1L to 40L).map(i => (i, "en", "a b c")))
+      .toDF("doc_id", "lang", "text") // 40 docs x 3 tokens = 120
+    // budget 180 -> factor 1.5: every doc gets 1 or 2 copies and the
+    // extra-copy draw is a pure function of doc_id (~half draw it)
+    def run() = graft.ext.Mixing.materializeMixture(docs, "lang", "doc_id",
+        "text", Map("en" -> 1.0), budgetTokens = 180L)
+      .groupBy("doc_id").count()
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first.map(_._2).forall(c => c == 1L || c == 2L))
+    val extras = first.count(_._2 == 2L)
+    assert(extras > 5 && extras < 35,
+      s"~half the docs should draw the fractional copy, got $extras/40")
+    assert(run() == first, "the draw must be deterministic across runs")
+  }
+
+  test("repeatFactors: token-less strata get factor 0.0, listed weights echo back") {
+    val docs = df(Seq((1L, "en", "a b"), (2L, "zz", "")))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ext.Mixing.repeatFactors(docs, "lang", "text",
+        Map("en" -> 0.5, "zz" -> 0.5), budgetTokens = 100L)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq(("en", 0.5, 25.0), ("zz", 0.5, 0.0)))
+  }
+}
+
+class RuleGateSpec extends SparkSpec {
+  private def gate(rows: Seq[(Long, String)]) =
+    graft.ext.RuleGate.flags(df(rows).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+  test("an empty document reports zero ratios and fails the word-count rule") {
+    val r = gate(Seq((1L, ""))).head
+    assert(r.getAs[Long]("n_words") == 0L)
+    assert(r.getAs[Double]("mean_word_len") == 0.0)
+    assert(r.getAs[Double]("top_word_share") == 0.0)
+    assert(!r.getAs[Boolean]("ok_words") && !r.getAs[Boolean]("keep"))
+  }
+
+  test("word soup fails the top-word-share rule; a crafted clean doc passes every rule") {
+    val soup = (1 to 30).map(_ => "spam").mkString(" ")
+    val clean = ("the able baker cable dance eagle fable gable haste ideal " +
+      "joker kneel label mango noble ocean pedal queen rider the " +
+      "sugar tiger ultra vocal") // 24 words, mean len 116/24, 2x 'the'
+    val out = gate(Seq((1L, soup), (2L, clean)))
+    val s = out(0)
+    assert(s.getAs[Double]("top_word_share") == 1.0)
+    assert(!s.getAs[Boolean]("ok_top_word") && !s.getAs[Boolean]("ok_stop"))
+    assert(!s.getAs[Boolean]("keep"))
+    val c = out(1)
+    assert(c.getAs[Long]("n_words") == 24L)
+    assert(c.getAs[Long]("stop_hits") == 2L)
+    assert(c.getAs[Boolean]("keep"),
+      s"clean doc must pass every rule: $c")
+  }
+
+  test("symbol and non-alphabetic tokens fail their rules") {
+    val r = gate(Seq((1L, "word ... word ..."))).head
+    // 4 tokens, 2 of them '...': symbol ratio 0.5 > 0.1, alpha 0.5 < 0.8
+    assert(r.getAs[Double]("symbol_ratio") == 0.5)
+    assert(r.getAs[Double]("alpha_word_ratio") == 0.5)
+    assert(!r.getAs[Boolean]("ok_symbols") && !r.getAs[Boolean]("ok_alpha"))
+  }
+
+  test("keep is exactly the conjunction of the per-rule flags (corpus sweep)") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bad = graft.ext.RuleGate.flags(docs, "doc_id", "text")
+      .filter(col("keep") =!= (col("ok_words") && col("ok_word_len") &&
+        col("ok_stop") && col("ok_top_word") && col("ok_symbols") &&
+        col("ok_alpha")))
+      .count()
+    assert(bad == 0L)
+  }
 }
 
 class ZOrderSpec extends SparkSpec {
