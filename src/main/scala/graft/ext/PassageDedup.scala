@@ -48,4 +48,71 @@ object PassageDedup {
             s => s.getField("passage")),
           " ").as("text_kept"))
   }
+
+  /** IN-DOCUMENT repetition removal (the C4 "three-sentence span seen
+    * before in the SAME page" cleanup, at passage grain): within each
+    * document, keep only the first occurrence of every distinct
+    * passage and reassemble — repeated boilerplate inside one page
+    * (navigation blocks, duplicated paragraphs) collapses without
+    * consulting any other document.
+    *
+    * Shape at 100 TB: this is the rare corpus operator that needs NO
+    * shuffle at all — the whole computation is one narrow per-row
+    * projection (passage split, an indexed `filter` HOF keeping
+    * first occurrences, re-join), so it composes into any scan at
+    * marginal cost. Per-doc work is O(passages²) array compares,
+    * bounded by document length, not corpus size. */
+  def dedupWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int): DataFrame = {
+    val ps = col("__ps")
+    // first occurrence: no equal passage strictly before position i
+    val kept = filter(ps, (p, i) => !exists(slice(ps, lit(1), i), q => q === p))
+    docs
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), Ngrams.passages(col("__toks"), chunkTokens).as("__ps"))
+      .select(col(idCol), ps, kept.as("__kept"))
+      .select(col(idCol),
+        size(ps).cast("long").as("n_passages"),
+        (size(ps) - size(col("__kept"))).cast("long").as("n_repeated"),
+        array_join(col("__kept"), " ").as("text_kept"))
+  }
+
+  /** CORPUS boilerplate removal (the CCNet cleanup): drop EVERY
+    * occurrence of any passage that appears in at least `minDocFreq`
+    * distinct documents — ubiquitous headers/footers/navigation are
+    * noise wherever they occur, so unlike [[dedup]] no first
+    * occurrence survives; passages under the threshold keep all their
+    * occurrences.
+    *
+    * Shape at 100 TB: the document-frequency count leg prunes to
+    * (fp, doc id) — 16-byte fps + ids only, map-side combined; the
+    * boilerplate verdict comes back through a fp-keyed left join and
+    * reassembly groups on doc id with the [[dedup]]
+    * `array_sort(collect_list(struct))` idiom (those two carry the
+    * passage text exactly as [[dedup]]'s rank/reassembly pair does —
+    * inherent to reassembling documents). */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int, minDocFreq: Int): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val passages = docs
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(Ngrams.passages(col("__toks"), chunkTokens))
+          .as(Seq("idx", "passage")))
+      .withColumn("fp", md5(col("passage")))
+    val boiler = passages
+      .groupBy("fp").agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("fp"), lit(1L).as("__b"))
+    passages.join(boiler, Seq("fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_passages"),
+        coalesce(sum(col("__b")), lit(0L)).as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__b").isNull,
+              struct(col("idx"), col("passage"))))),
+            s => s.getField("passage")),
+          " ").as("text_kept"))
+  }
 }

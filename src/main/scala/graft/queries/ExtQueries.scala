@@ -3003,9 +3003,65 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM cur c FULL OUTER JOIN store st ON c.fp = st.fp
             ORDER BY fp"""))
 
+  /** In-document repetition removal
+    * ([[graft.ext.PassageDedup.dedupWithinDoc]] — the C4 same-page
+    * span cleanup at passage grain): repeated passages WITHIN one
+    * document collapse to their first occurrence and the text
+    * reassembles, all in one narrow per-row projection — the rare
+    * corpus operator with NO shuffle at all (the plan pin). The
+    * indexed-filter first-occurrence rule replays in DuckDB as
+    * `list_position(prefix) = 0`. */
+  private val x64 = Q("x64_indoc_repetition",
+    (s, d) => PassageDedup.dedupWithinDoc(documents(s, d), "doc_id",
+        "text", chunkTokens = 10)
+      .orderBy("doc_id"),
+    Some(s"""WITH $tokSql,
+             p AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN ['']
+                     ELSE list_transform(generate_series(0, CAST((len(w)-1)//10 AS INT)),
+                            c -> array_to_string(w[c*10+1:c*10+10], ' ')) END AS ps
+                   FROM toks),
+             k AS (SELECT doc_id, ps,
+                     list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0) AS kept
+                   FROM p)
+            SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_passages,
+                   CAST(len(ps) - len(kept) AS BIGINT) AS n_repeated,
+                   array_to_string(kept, ' ') AS text_kept
+            FROM k ORDER BY doc_id"""))
+
+  /** Corpus boilerplate removal
+    * ([[graft.ext.PassageDedup.removeBoilerplate]] — the CCNet
+    * cleanup): any passage appearing in ≥ 2 distinct documents is
+    * boilerplate and EVERY occurrence drops (unlike x21's first-wins
+    * dedup, nothing survives); the document-frequency count leg
+    * prunes to 16-byte fps + doc ids and reduces map-side, and the
+    * verdict comes back through one fp-keyed join before the x21-style
+    * doc-keyed reassembly. */
+  private val x65 = Q("x65_boilerplate_removal",
+    (s, d) => PassageDedup.removeBoilerplate(documents(s, d), "doc_id",
+        "text", chunkTokens = 10, minDocFreq = 2)
+      .orderBy("doc_id"),
+    Some(s"""WITH $tokSql,
+             p AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN ['']
+                     ELSE list_transform(generate_series(0, CAST((len(w)-1)//10 AS INT)),
+                            c -> array_to_string(w[c*10+1:c*10+10], ' ')) END AS ps
+                   FROM toks),
+             e AS (SELECT doc_id, u.e.i AS idx, u.e.p AS passage
+                   FROM p, unnest(list_transform(generate_series(1, len(ps)),
+                          i -> {'i': i-1, 'p': ps[i]})) AS u(e)),
+             f AS (SELECT md5(passage) AS fp, count(DISTINCT doc_id) AS df
+                   FROM e GROUP BY 1),
+             b AS (SELECT fp FROM f WHERE df >= 2),
+             j AS (SELECT e.doc_id, e.idx, e.passage,
+                     (b.fp IS NOT NULL) AS is_b
+                   FROM e LEFT JOIN b ON md5(e.passage) = b.fp)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+                   CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   coalesce(string_agg(CASE WHEN NOT is_b THEN passage END, ' ' ORDER BY idx), '') AS text_kept
+            FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
-    x54, x55, x56, x57, x58, x59, x60, x61, x62, x63)
+    x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65)
 }

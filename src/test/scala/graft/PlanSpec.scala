@@ -733,6 +733,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x64 in-doc repetition removal is pure map-side: no join, only the ORDER BY exchange") {
+    val df = Registry.queries("x64_indoc_repetition")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"in-doc dedup must be join-free:\n${p.take(800)}")
+    shuffles(df).foreach { e =>
+      assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"in-doc dedup must not hash-shuffle: ${e.outputPartitioning}")
+    }
+  }
+
+  test("x65 boilerplate df-count leg is pruned to fp + doc id (no passage text)") {
+    val df = Registry.queries("x65_boilerplate_removal")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    // the aggregate under the frequency count must not carry the
+    // passage column through its exchange — only fp and the doc id
+    val aggExchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+           e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] => e
+    }
+    assert(aggExchanges.nonEmpty, s"expected a map-side-combined df count:\n${root.toString.take(1200)}")
+    aggExchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("passage"),
+        s"df-count exchange must not carry passage text: ${e.output}")
+    }
+  }
+
   test("x61 rule gate is one scan, no join, no aggregate exchange") {
     val df = Registry.queries("x61_gopher_rule_gate")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

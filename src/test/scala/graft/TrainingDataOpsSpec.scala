@@ -234,6 +234,35 @@ class PassageDedupSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out(1).getString(3) == "" && out(1).getLong(2) == 1L)
   }
+
+  test("in-doc dedup collapses repeats inside a page but never across pages") {
+    // chunk=2: doc 1 repeats "a b" internally (first occurrence kept,
+    // order preserved); doc 2 repeats doc 1's passage — untouched,
+    // no other document is ever consulted
+    val docs = df(Seq((1L, "a b x y a b"), (2L, "a b c d")))
+      .toDF("doc_id", "text")
+    val out = PassageDedup.dedupWithinDoc(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 1L, "a b x y")))
+    assert(out(1) == ((2L, 2L, 0L, "a b c d")))
+  }
+
+  test("boilerplate removal drops EVERY occurrence past the doc-frequency threshold") {
+    // "a b" appears in all three docs (df=3 >= 2): every copy drops,
+    // including the first — unlike first-wins dedup. "x y" repeats
+    // only WITHIN doc 3 (df=1): all its occurrences survive.
+    val docs = df(Seq(
+      (1L, "a b c d"), (2L, "a b e f"), (3L, "a b x y x y")))
+      .toDF("doc_id", "text")
+    val out = PassageDedup.removeBoilerplate(docs, "doc_id", "text",
+        chunkTokens = 2, minDocFreq = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 2L, 1L, "c d")))
+    assert(out(1) == ((2L, 2L, 1L, "e f")))
+    assert(out(2) == ((3L, 3L, 1L, "x y x y")))
+  }
 }
 
 class TopTermsSpec extends SparkSpec {
