@@ -146,4 +146,60 @@ object Curation {
         when(col(scoreCol).isNotNull, col("__cd") > lit(1.0 - fraction)))
       .drop("__cd")
   }
+
+  /** The ONE-SHOT batch recipe composed end to end — the static-corpus
+    * counterpart of [[CurationLoop.ingestShard]]'s incremental loop,
+    * chaining the published recipe stages in their production order:
+    *
+    *   1. heuristic rule gate            ([[RuleGate]], x61 — cheapest first)
+    *   2. corpus boilerplate removal     ([[PassageDedup.removeBoilerplate]], x65)
+    *   3. exact dedup ON THE CLEANED TEXT ([[ExactDedup.dedup]], x01 —
+    *      after cleanup, because boilerplate-stripped twins only become
+    *      identical once their shared noise is gone)
+    *   4. per-source quality-quantile gate over the heuristic score
+    *      ([[topFractionPerGroup]], x59's shape)
+    *   5. token-budget mixture materialization ([[Mixing]], x60)
+    *
+    * Every downstream stage consumes the stage-2 CLEANED text (scores,
+    * fingerprints and token budgets all see what training would see).
+    * The output is the materialized mixture itself — one row per
+    * (document, copy), the corpus a trainer reads.
+    *
+    * Scale shape: each stage keeps its own pinned plan (this method
+    * composes the checked operators; it re-plans nothing) — the gate
+    * stages are narrow or fp/source-keyed, and the one corpus-sized
+    * join chain is id-keyed survivor filtering exactly as the
+    * streaming loop does it. */
+  def batchRecipe(docs: DataFrame, idCol: String, textCol: String,
+                  langCol: String, sourceCol: String,
+                  rules: RuleGate.Rules, chunkTokens: Int, minDocFreq: Int,
+                  keepFraction: Double, weights: Map[String, Double],
+                  budgetTokens: Long): DataFrame = {
+    // stage 1: rule gate
+    val ruleKept = RuleGate.flags(docs, idCol, textCol, rules)
+      .filter(col("keep")).select(col(idCol))
+    val s1 = docs.join(ruleKept, Seq(idCol))
+      .select(col(idCol), col(langCol), col(sourceCol), col(textCol))
+    // stage 2: boilerplate removal — cleaned text replaces the original
+    val cleaned = PassageDedup.removeBoilerplate(s1, idCol, textCol,
+        chunkTokens, minDocFreq)
+      .select(col(idCol), col("text_kept").as("__clean"))
+    val s2 = s1.join(cleaned, Seq(idCol))
+      .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
+    // stage 3: exact dedup on the cleaned text, min-id canonical keeps
+    val canon = ExactDedup.dedup(s2, idCol, "__clean")
+      .select(col("canonical_id").as(idCol))
+    val s3 = s2.join(canon, Seq(idCol))
+    // stage 4: per-source top fraction by the heuristic quality score
+    val gated = topFractionPerGroup(
+        s3.withColumn("__q", TextAnalysis.qualityScore(col("__clean"))),
+        sourceCol, "__q", keepFraction)
+      .filter(col("kept"))
+      .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
+    // stage 5: materialize the mixture over the cleaned token counts
+    Mixing.materializeMixture(gated, langCol, idCol, "__clean",
+        weights, budgetTokens)
+      .select(col(idCol), col(langCol), col(sourceCol),
+        col("copy_idx"), col("n_copies"))
+  }
 }

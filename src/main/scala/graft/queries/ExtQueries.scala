@@ -3059,9 +3059,119 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    coalesce(string_agg(CASE WHEN NOT is_b THEN passage END, ' ' ORDER BY idx), '') AS text_kept
             FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** The one-shot BATCH recipe composed end to end
+    * ([[graft.ext.Curation.batchRecipe]] — the static-corpus
+    * counterpart of x56's incremental loop): rule gate (x61) →
+    * boilerplate removal (x65, downstream stages consume the CLEANED
+    * text) → exact dedup on the cleaned text (x01) → per-source
+    * quality-quantile gate (x59's shape over the x03 score) → mixture
+    * materialization (x60). The checked output is the materialized
+    * mixture itself — one row per (doc, copy) — so a divergence at ANY
+    * stage shifts the final rows; the oracle replays the entire chain
+    * as one CTE cascade. */
+  private val x66 = Q("x66_recipe_batch",
+    (s, d) => Curation.batchRecipe(documents(s, d), "doc_id", "text",
+        "lang", "source", graft.ext.RuleGate.Rules(), chunkTokens = 10,
+        minDocFreq = 2, keepFraction = 0.5,
+        weights = Map("en" -> 0.6, "fr" -> 0.25, "de" -> 0.15),
+        budgetTokens = 20000L)
+      .orderBy("doc_id", "copy_idx"),
+    Some("""WITH t0 AS (SELECT doc_id, lang, source, text,
+                    regexp_extract_all(lower(trim(text)), '\S+') AS toks
+                  FROM documents),
+             rf AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     END AS mwl,
+                     CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stp,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(list_max(list_transform(list_distinct(toks),
+                                 w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / len(toks)
+                     END AS tws,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)
+                                    + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS DOUBLE) / len(toks)
+                     END AS smr,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)
+                     END AS awr
+                   FROM t0),
+             s1 AS (SELECT t0.* FROM t0 JOIN rf USING (doc_id)
+                    WHERE rf.n_words >= 20 AND rf.n_words <= 80
+                      AND rf.mwl >= 4.0 AND rf.mwl <= 5.0 AND rf.stp >= 2
+                      AND rf.tws <= 0.2 AND rf.smr <= 0.1 AND rf.awr >= 0.8),
+             p AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN ['']
+                     ELSE list_transform(generate_series(0, CAST((len(toks)-1)//10 AS INT)),
+                            c -> array_to_string(toks[c*10+1:c*10+10], ' ')) END AS ps
+                   FROM s1),
+             e AS (SELECT doc_id, u.e.i AS idx, u.e.p AS passage
+                   FROM p, unnest(list_transform(generate_series(1, len(ps)),
+                          i -> {'i': i-1, 'p': ps[i]})) AS u(e)),
+             bfreq AS (SELECT md5(passage) AS fp, count(DISTINCT doc_id) AS df
+                       FROM e GROUP BY 1),
+             jb AS (SELECT e.doc_id, e.idx, e.passage, (b.fp IS NOT NULL) AS is_b
+                    FROM e LEFT JOIN (SELECT fp FROM bfreq WHERE df >= 2) b
+                      ON md5(e.passage) = b.fp),
+             clean AS (SELECT doc_id,
+                         coalesce(string_agg(CASE WHEN NOT is_b THEN passage END, ' ' ORDER BY idx), '') AS ctext
+                       FROM jb GROUP BY doc_id),
+             s2 AS (SELECT s1.doc_id, s1.lang, s1.source, clean.ctext
+                    FROM s1 JOIN clean USING (doc_id)),
+             canon AS (SELECT min(doc_id) AS doc_id FROM (
+                         SELECT doc_id,
+                           md5(regexp_replace(lower(trim(ctext)), '\s+', ' ', 'g')) AS fp
+                         FROM s2) GROUP BY fp),
+             s3 AS (SELECT s2.* FROM s2 JOIN canon USING (doc_id)),
+             qf AS (SELECT *,
+                     CAST(length(ctext) AS BIGINT) AS nc,
+                     CAST(len(regexp_extract_all(ctext, '\S+')) AS BIGINT) AS nt,
+                     CASE WHEN length(ctext) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(ctext, '[^0-9]', '', 'g')) AS DOUBLE) / length(ctext)
+                     END AS digit_ratio,
+                     CASE WHEN len(regexp_extract_all(lower(ctext), '[a-z]+')) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(regexp_extract_all(lower(ctext), '[a-z]+'),
+                                 x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                               / len(regexp_extract_all(lower(ctext), '[a-z]+'))
+                     END AS stop_ratio
+                   FROM s3),
+             qq AS (SELECT *, CASE WHEN nt = 0 THEN 0.0
+                      ELSE CAST(nc - nt + 1 AS DOUBLE) / nt END AS avg_len FROM qf),
+             sc AS (SELECT *, 0.4 * stop_ratio + 0.3 * (least(avg_len, 10.0) / 10.0)
+                              + 0.3 * (1.0 - digit_ratio) AS q FROM qq),
+             g AS (SELECT doc_id, lang, source, ctext FROM (
+                     SELECT *, cume_dist() OVER (PARTITION BY source ORDER BY q) AS cd
+                     FROM sc) WHERE cd > 0.5),
+             gt AS (SELECT doc_id, lang, source,
+                      CAST(len(regexp_extract_all(lower(trim(ctext)), '\S+')) AS BIGINT) AS nt
+                    FROM g),
+             st AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM gt GROUP BY 1),
+             fct AS (SELECT lang,
+                      CASE WHEN n_tokens = 0 THEN 0.0
+                           ELSE CAST(20000 AS DOUBLE)
+                                * (CASE lang WHEN 'de' THEN 0.15 WHEN 'en' THEN 0.6
+                                             WHEN 'fr' THEN 0.25 ELSE 0.0 END)
+                                / n_tokens END AS factor
+                     FROM st),
+             dd AS (SELECT gt.doc_id, gt.lang, gt.source,
+                      CAST(floor(fct.factor) AS BIGINT) AS full_copies,
+                      CAST(floor(fct.factor * 10000.0) AS BIGINT)
+                        - CAST(floor(fct.factor) AS BIGINT) * 10000 AS thr
+                    FROM gt JOIN fct USING (lang)),
+             cc AS (SELECT doc_id, lang, source,
+                      full_copies + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < thr
+                                          THEN 1 ELSE 0 END) AS n_copies
+                    FROM dd)
+            SELECT doc_id, lang, source, copy_idx, n_copies FROM (
+              SELECT doc_id, lang, source,
+                     CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx,
+                     CAST(n_copies AS BIGINT) AS n_copies
+              FROM cc WHERE n_copies > 0)
+            ORDER BY doc_id, copy_idx"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
-    x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65)
+    x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66)
 }

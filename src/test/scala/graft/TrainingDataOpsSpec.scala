@@ -539,6 +539,31 @@ class CurationSpec extends SparkSpec {
     // the german doc fails the language gate; the dup dies in dedup
     assert(out(1)._2 <= 3L && out(3)._2 < out(1)._2)
   }
+
+  test("batch recipe invariants: copy counts consistent, weighted langs only, rule-gate survivors") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val weights = Map("en" -> 0.7, "fr" -> 0.3)
+    val out = graft.ext.Curation.batchRecipe(docs, "doc_id", "text",
+        "lang", "source", graft.ext.RuleGate.Rules(), chunkTokens = 10,
+        minDocFreq = 2, keepFraction = 0.5, weights = weights,
+        budgetTokens = 5000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty, "the recipe must keep something at sf0.001")
+    // per doc: copy_idx runs 0..n_copies-1 and every row agrees on n_copies
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val n = rows.head._4
+      assert(rows.length == n && rows.map(_._3).sorted.toSeq == (0L until n),
+        s"doc $id: inconsistent copies ${rows.toSeq}")
+    }
+    // only weighted strata can materialize
+    assert(out.map(_._2).toSet.subsetOf(weights.keySet))
+    // every surviving doc passed the rule gate (stage 1 is a filter)
+    val ruleKept = graft.ext.RuleGate.flags(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet.subsetOf(ruleKept))
+  }
 }
 
 class PackingSpec extends SparkSpec {
