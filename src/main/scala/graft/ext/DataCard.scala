@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import graft.core.{Bucketing, IngestLedger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,18 +32,15 @@ object DataCard {
     * overflow: 2⁶³/2²⁰ ≈ 8.8e12 documents). */
   val QualityScale = 1048576L
 
-  /** @return one row per source:
-    *         (source, n_docs, n_tokens, n_langs, top_lang,
-    *         top_lang_share, dup_rate, mean_quality), ordered by
-    *         nothing (callers order). */
-  def perSource(docs: DataFrame, idCol: String, textCol: String,
-                langCol: String, sourceCol: String): DataFrame = {
+  /** Per-doc card features in one projection: token count, quantized
+    * quality score (the x03 formula), corpus-dedup fingerprint —
+    * shared by the batch card and the persisted count store. */
+  private def qualityFeats(docs: DataFrame, idCol: String, textCol: String,
+                           langCol: String, sourceCol: String): DataFrame = {
     val t = col(textCol)
-    // per-doc features in one projection: token count, quantized
-    // quality score (the x03 formula), corpus-dedup fingerprint
     val avgLen = when(col("__nt") === 0, 0.0)
       .otherwise((col("__nc") - col("__nt") + 1).cast("double") / col("__nt"))
-    val feats = docs.select(col(idCol), col(langCol), col(sourceCol),
+    docs.select(col(idCol), col(langCol), col(sourceCol),
         TextAnalysis.fingerprintMd5(t).as("fp"),
         length(t).cast("long").as("__nc"),
         size(TextAnalysis.wsTokens(t)).cast("long").as("__nt"),
@@ -53,6 +51,15 @@ object DataCard {
           + lit(0.3) * (least(avgLen, lit(10.0)) / 10.0)
           + lit(0.3) * (lit(1.0) - col("__digit")))
           * lit(QualityScale.toDouble)).cast("long"))
+  }
+
+  /** @return one row per source:
+    *         (source, n_docs, n_tokens, n_langs, top_lang,
+    *         top_lang_share, dup_rate, mean_quality), ordered by
+    *         nothing (callers order). */
+  def perSource(docs: DataFrame, idCol: String, textCol: String,
+                langCol: String, sourceCol: String): DataFrame = {
+    val feats = qualityFeats(docs, idCol, textCol, langCol, sourceCol)
     // corpus-wide duplicate flag: fp occurrence counts joined back
     val fpCounts = feats.groupBy("fp").agg(count(lit(1)).as("__fp_n"))
     val flagged = feats.join(fpCounts, Seq("fp"))
@@ -80,4 +87,183 @@ object DataCard {
         (col("__score_sum_q").cast("double") / lit(QualityScale.toDouble)
           / col("n_docs")).as("mean_quality"))
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted card store — the corpus datasheet maintained INCREMENTALLY:
+  // a 100 TB pipeline cannot re-scan the corpus per shard to refresh its
+  // data card, so the ADDITIVE counters (doc/token counts, quantized
+  // quality sums) live as per-(source, lang) delta rows in a tiny
+  // bucketed store, grown at O(shard-strata) per shard and rolled up at
+  // serve time. The corpus-wide duplicate rate is deliberately NOT in
+  // the store: it is not additive (a later twin retroactively flips its
+  // first copy's flag), so it stays a batch audit ([[perSource]]) /
+  // funnel metric — the store serves every OTHER card column exactly.
+  // ---------------------------------------------------------------------
+
+  /** Name of the 1-row meta table kept next to a card store `table`:
+    * `(q_scale)` — the quantizer contract ([[serveCard]] refuses a
+    * mismatch: quality sums are only additive under ONE scale). As
+    * everywhere in the store family, the meta is the build's COMMIT
+    * MARKER: dropped first, written last, so a crashed (re)build
+    * serves nothing rather than a half-written card. */
+  def cardMeta(table: String): String = s"${table}_meta"
+
+  /** Store grain: one `(source, lang, n_docs, n_tokens, score_sum_q,
+    * batch_id)` delta row per shard stratum — generations stay
+    * distinguishable, which makes the ledgered loop's crash repair
+    * exact (drop one batch's rows by id, re-append). */
+  private def cardRows(docs: DataFrame, idCol: String, textCol: String,
+                       langCol: String, sourceCol: String,
+                       batchId: Long): DataFrame =
+    qualityFeats(docs, idCol, textCol, langCol, sourceCol)
+      .groupBy(sourceCol, langCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+        sum("__score_q").as("score_sum_q"))
+      .withColumn("batch_id", lit(batchId))
+
+  /** Build the card store from an initial corpus slice (bucketed by
+    * `sourceCol`; base rows carry the −1 sentinel so no batch repair
+    * can touch them). A fresh store restarts its batch-id space. */
+  def writeCardStore(docs: DataFrame, idCol: String, textCol: String,
+                     langCol: String, sourceCol: String,
+                     table: String, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${cardMeta(table)}`")
+    Bucketing.writeBucketed(
+      cardRows(docs, idCol, textCol, langCol, sourceCol, batchId = -1L),
+      table, Seq(sourceCol), buckets)
+    IngestLedger.reset(spark, table)
+    spark.range(1)
+      .select(lit(QualityScale).as("q_scale"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(cardMeta(table))
+  }
+
+  /** Grow the card with a shard's counter deltas at O(shard-strata)
+    * cost — never a recount of anything already ingested. Caller-driven
+    * appends own their atomicity; the ledgered loop
+    * ([[ingestCardBatch]]/[[streamIngestCard]]) adds exactly-once. */
+  def appendCardDeltas(docs: DataFrame, idCol: String, textCol: String,
+                       langCol: String, sourceCol: String,
+                       table: String, buckets: Int,
+                       batchId: Long = -1L): Unit =
+    Bucketing.appendBucketed(
+      cardRows(docs, idCol, textCol, langCol, sourceCol, batchId),
+      table, Seq(sourceCol), buckets)
+
+  /** The card served FROM the store: delta generations summed by
+    * (source, lang) — an in-bucket aggregation (the store is bucketed
+    * by source, a subset of the grouping key) — then the [[perSource]]
+    * rollup arithmetic minus the non-additive duplicate rate.
+    * Append-then-serve ≡ batch card on the union (integer counter
+    * addition is associative; CardStoreSpec pins it). Refuses a store
+    * whose build never committed or whose quantizer scale differs. */
+  def serveCard(spark: SparkSession, table: String,
+                langCol: String = "lang",
+                sourceCol: String = "source"): DataFrame = {
+    require(spark.catalog.tableExists(cardMeta(table)),
+      s"card store '$table' has no meta table — a (re)build crashed " +
+        "before committing; re-run writeCardStore before serving")
+    val scale = spark.table(cardMeta(table)).head().getAs[Long]("q_scale")
+    require(scale == QualityScale,
+      s"card store '$table' was built with quantizer scale $scale, this " +
+        s"engine serves at $QualityScale — rebuild the store")
+    val counts = spark.table(table)
+      .groupBy(sourceCol, langCol)
+      .agg(sum("n_docs").as("__ln"), sum("n_tokens").as("__lt"),
+        sum("score_sum_q").as("__lq"))
+    val rollup = counts.groupBy(sourceCol)
+      .agg(sum("__ln").as("n_docs"), sum("__lt").as("n_tokens"),
+        count(lit(1)).as("n_langs"), sum("__lq").as("__score_sum_q"))
+    val langRank = Window.partitionBy(sourceCol)
+      .orderBy(col("__ln").desc, col(langCol).asc)
+    val topLang = counts
+      .withColumn("__rk", row_number().over(langRank))
+      .filter(col("__rk") === 1)
+      .select(col(sourceCol), col(langCol).as("top_lang"),
+        col("__ln").as("__top_n"))
+    rollup.join(broadcast(topLang), Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("top_lang"),
+        (col("__top_n").cast("double") / col("n_docs")).as("top_lang_share"),
+        (col("__score_sum_q").cast("double") / lit(QualityScale.toDouble)
+          / col("n_docs")).as("mean_quality"))
+  }
+
+  /** Collapse accumulated delta generations to one (source, lang) row
+    * and one file per bucket; folded rows carry the −1 sentinel (safe:
+    * in-loop compaction runs strictly after the batch's commit record,
+    * so only committed generations fold). */
+  def compactCardStore(spark: SparkSession, table: String, buckets: Int,
+                       langCol: String = "lang",
+                       sourceCol: String = "source"): Unit = {
+    Bucketing.compact(spark, table, Seq(sourceCol), buckets,
+      prepare = _.groupBy(sourceCol, langCol)
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("score_sum_q").as("score_sum_q"))
+        .withColumn("batch_id", lit(-1L))
+        .select(sourceCol, langCol, "n_docs", "n_tokens", "score_sum_q",
+          "batch_id"))
+    IngestLedger.prune(spark, table)
+  }
+
+  /** [[compactCardStore]] behind the files-per-bucket decay trigger. */
+  def compactCardStoreIfNeeded(spark: SparkSession, table: String,
+                               buckets: Int, maxFilesPerBucket: Int,
+                               langCol: String = "lang",
+                               sourceCol: String = "source"): Boolean = {
+    Bucketing.recoverSwap(spark, table)
+    val due = Bucketing.needsCompaction(spark, table, buckets,
+      maxFilesPerBucket)
+    if (due) compactCardStore(spark, table, buckets, langCol, sourceCol)
+    due
+  }
+
+  /** One exactly-once micro-batch ([[LmScore.ingestModelBatch]]'s
+    * pattern): committed batches skip; a batch that crashed mid-append
+    * repairs exactly by dropping its tagged delta rows and
+    * re-appending deterministically. */
+  def ingestCardBatch(batch: DataFrame, batchId: Long,
+                      idCol: String, textCol: String,
+                      langCol: String, sourceCol: String,
+                      table: String, buckets: Int): Unit = {
+    require(batchId >= 0,
+      s"ingestCardBatch: batchId must be >= 0 (got $batchId) — negative " +
+        "ids are the base-build/compacted sentinel and a repair keyed on " +
+        "one would delete the folded rows")
+    val spark = batch.sparkSession
+    Bucketing.recoverSwap(spark, table)
+    if (IngestLedger.applied(spark, table, batchId)) return
+    if (IngestLedger.intended(spark, table, batchId)) {
+      Bucketing.replaceBucketed(
+        spark.table(table).filter(col("batch_id") =!= batchId),
+        table, Seq(sourceCol), buckets)
+    } else {
+      IngestLedger.intent(spark, table, batchId)
+    }
+    appendCardDeltas(batch, idCol, textCol, langCol, sourceCol,
+      table, buckets, batchId)
+    IngestLedger.record(spark, table, batchId)
+  }
+
+  /** The CONTINUOUS form: every micro-batch's counters land
+    * exactly-once; in-loop maintenance on the shared cadence policy. */
+  def streamIngestCard(shards: DataFrame, idCol: String, textCol: String,
+                       langCol: String, sourceCol: String,
+                       table: String, buckets: Int, checkpoint: String,
+                       compactEvery: Int = 0, maxFilesPerBucket: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    shards.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestCardBatch(batch, batchId, idCol, textCol, langCol,
+          sourceCol, table, buckets)
+        Bucketing.maintainInLoop(batchId, compactEvery, maxFilesPerBucket)(
+          compactCardStore(batch.sparkSession, table, buckets, langCol,
+            sourceCol))(
+          m => compactCardStoreIfNeeded(batch.sparkSession, table,
+            buckets, m, langCol, sourceCol))
+      }
+      .start()
 }

@@ -3169,9 +3169,63 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
               FROM cc WHERE n_copies > 0)
             ORDER BY doc_id, copy_idx"""))
 
+  /** The data card maintained INCREMENTALLY from a persisted counter
+    * store ([[graft.ext.DataCard.writeCardStore]]/`ingestCardBatch`/
+    * `serveCard` — x62's production form): shard 0 builds the
+    * per-(source, lang) count store, shards 1–2 land their deltas
+    * through the exactly-once ledgered entry, and the card is served
+    * from the summed generations — never a corpus re-scan. The three
+    * shards partition the corpus, so the oracle is x62's batch SQL
+    * over ALL documents minus the deliberately-absent (non-additive)
+    * duplicate rate: append-then-serve ≡ batch card on the union, the
+    * x55 adjudication pattern. */
+  private val x67 = Q("x67_card_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.ext.DataCard.writeCardStore(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", "lang", "source", table = "x67_card", buckets = 4)
+      graft.ext.DataCard.ingestCardBatch(docs.filter(col("doc_id") % 3 === 1),
+        0L, "doc_id", "text", "lang", "source", "x67_card", 4)
+      graft.ext.DataCard.ingestCardBatch(docs.filter(col("doc_id") % 3 === 2),
+        1L, "doc_id", "text", "lang", "source", "x67_card", 4)
+      graft.ext.DataCard.serveCard(s, "x67_card").orderBy("source")
+    },
+    Some("""WITH f AS (SELECT doc_id, lang, source,
+                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
+                    CAST(length(text) AS BIGINT) AS nc,
+                    CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+                    END AS digit_ratio,
+                    CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                              / len(regexp_extract_all(lower(text), '[a-z]+'))
+                    END AS stop_ratio
+                  FROM documents),
+             q AS (SELECT *, CASE WHEN nt = 0 THEN 0.0
+                     ELSE CAST(nc - nt + 1 AS DOUBLE) / nt END AS avg_len FROM f),
+             sc AS (SELECT *,
+                     CAST(floor((0.4 * stop_ratio + 0.3 * (least(avg_len, 10.0) / 10.0)
+                                 + 0.3 * (1.0 - digit_ratio)) * 1048576.0) AS BIGINT) AS score_q
+                   FROM q),
+             roll AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(nt) AS BIGINT) AS n_tokens,
+                        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                        CAST(sum(score_q) AS BIGINT) AS score_sum_q
+                      FROM sc GROUP BY 1),
+             tl AS (SELECT source, lang AS top_lang, ln FROM (
+                      SELECT source, lang, count(*) AS ln,
+                             row_number() OVER (PARTITION BY source
+                               ORDER BY count(*) DESC, lang ASC) AS rk
+                      FROM sc GROUP BY source, lang) WHERE rk = 1)
+            SELECT r.source, r.n_docs, r.n_tokens, r.n_langs, t.top_lang,
+                   CAST(t.ln AS DOUBLE) / r.n_docs AS top_lang_share,
+                   CAST(r.score_sum_q AS DOUBLE) / 1048576.0 / r.n_docs AS mean_quality
+            FROM roll r JOIN tl t USING (source) ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
-    x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66)
+    x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67)
 }

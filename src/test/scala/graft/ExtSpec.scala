@@ -1578,6 +1578,86 @@ class IncrementalExactDedupSpec extends SparkSpec {
   }
 }
 
+/** The persisted incremental card store ([[graft.ext.DataCard]]'s
+  * store surface — x67). */
+class CardStoreSpec extends SparkSpec {
+  import graft.ext.DataCard
+
+  private def corpus = df(Seq(
+    (1L, "en", "a", "the quick brown fox jumps high"),
+    (2L, "de", "a", "der hund ist nicht mit der katze"),
+    (3L, "en", "b", "spark engines process the data"),
+    (4L, "fr", "b", "le chat est pour la table"),
+    (5L, "en", "b", "a tiny doc for the test")))
+    .toDF("doc_id", "lang", "source", "text")
+
+  private def card(dfr: org.apache.spark.sql.DataFrame) =
+    dfr.orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5), r.getAs[Double]("mean_quality"))).toSeq
+
+  test("append-then-serve equals the batch card on the union (minus the non-additive dup rate)") {
+    val base = corpus.filter(col("doc_id") <= 2)
+    val s1 = corpus.filter(col("doc_id") === 3 || col("doc_id") === 4)
+    val s2 = corpus.filter(col("doc_id") === 5)
+    DataCard.writeCardStore(base, "doc_id", "text", "lang", "source",
+      "card_spec", 2)
+    try {
+      DataCard.ingestCardBatch(s1, 0L, "doc_id", "text", "lang", "source",
+        "card_spec", 2)
+      DataCard.ingestCardBatch(s2, 1L, "doc_id", "text", "lang", "source",
+        "card_spec", 2)
+      val served = card(DataCard.serveCard(spark, "card_spec"))
+      val batch = card(DataCard.perSource(corpus, "doc_id", "text",
+          "lang", "source")
+        .drop("dup_rate"))
+      assert(served == batch, s"served=$served\nbatch=$batch")
+      // replaying a committed batch is a no-op
+      DataCard.ingestCardBatch(s2, 1L, "doc_id", "text", "lang", "source",
+        "card_spec", 2)
+      assert(card(DataCard.serveCard(spark, "card_spec")) == batch)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS card_spec")
+      spark.sql("DROP TABLE IF EXISTS card_spec_meta")
+      graft.core.IngestLedger.reset(spark, "card_spec")
+    }
+  }
+
+  test("a crashed append repairs exactly; a store without its meta refuses to serve") {
+    val base = corpus.filter(col("doc_id") <= 2)
+    val s1 = corpus.filter(col("doc_id") >= 3)
+    DataCard.writeCardStore(base, "doc_id", "text", "lang", "source",
+      "card_crash_spec", 2)
+    try {
+      // simulate a crash mid-append: intent recorded, a PARTIAL delta
+      // landed (only doc 3's stratum), no commit record
+      graft.core.IngestLedger.intent(spark, "card_crash_spec", 0L)
+      DataCard.appendCardDeltas(s1.filter(col("doc_id") === 3),
+        "doc_id", "text", "lang", "source", "card_crash_spec", 2,
+        batchId = 0L)
+      // replay converges to the clean result (partial rows dropped,
+      // full batch re-appended)
+      DataCard.ingestCardBatch(s1, 0L, "doc_id", "text", "lang", "source",
+        "card_crash_spec", 2)
+      val served = card(DataCard.serveCard(spark, "card_crash_spec"))
+      val batch = card(DataCard.perSource(corpus, "doc_id", "text",
+          "lang", "source")
+        .drop("dup_rate"))
+      assert(served == batch, s"served=$served\nbatch=$batch")
+      // the meta is the commit marker: without it, serving refuses
+      spark.sql("DROP TABLE IF EXISTS card_crash_spec_meta")
+      val e = intercept[IllegalArgumentException] {
+        DataCard.serveCard(spark, "card_crash_spec")
+      }
+      assert(e.getMessage.contains("no meta table"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS card_crash_spec")
+      spark.sql("DROP TABLE IF EXISTS card_crash_spec_meta")
+      graft.core.IngestLedger.reset(spark, "card_crash_spec")
+    }
+  }
+}
+
 /** Per-source corpus data card ([[graft.ext.DataCard]]). */
 class DataCardSpec extends SparkSpec {
   test("counts, dominant language with asc tie-break, corpus-wide dup rate") {

@@ -764,6 +764,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x67 card store serves from bucketed counters: in-bucket aggs, broadcast top-lang, range exchange only") {
+    // the store build/ingest side effects run once; the served plan is
+    // what the pin is about
+    val df = Registry.queries("x67_card_store")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val scans = root.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.tableIdentifier.exists(_.table == "x67_card") => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+      s"card store must read its buckets:\n${root.toString.take(1200)}")
+    assert(root.toString.contains("BroadcastHashJoin"),
+      "the source-cardinality top-lang table must broadcast")
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"card serving must aggregate in-bucket, found hash exchange: ${e.outputPartitioning}")
+    }
+  }
+
   test("x61 rule gate is one scan, no join, no aggregate exchange") {
     val df = Registry.queries("x61_gopher_rule_gate")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
