@@ -1658,6 +1658,55 @@ class CardStoreSpec extends SparkSpec {
   }
 }
 
+/** The continuous card-ingest loop ([[graft.ext.DataCard.streamIngestCard]]). */
+class CardStreamSpec extends SparkSpec {
+  import graft.ext.DataCard
+
+  test("streamIngestCard: shard counters land exactly-once; in-loop compaction keeps the card exact") {
+    val corpus = df(Seq(
+      (1L, "en", "a", "the quick brown fox jumps high"),
+      (2L, "de", "a", "der hund ist nicht mit der katze"),
+      (3L, "en", "b", "spark engines process the data"),
+      (4L, "fr", "b", "le chat est pour la table")))
+      .toDF("doc_id", "lang", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-card-stream-")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-card-stage-")
+      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = in.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    stage(corpus.filter(col("doc_id") <= 2), "s0.parquet", 1704067200000L)
+    stage(corpus.filter(col("doc_id") > 2), "s1.parquet", 1704067260000L)
+    DataCard.writeCardStore(corpus.filter(col("doc_id") < 0), "doc_id",
+      "text", "lang", "source", "card_stream_spec", 2) // empty base
+    try {
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      DataCard.streamIngestCard(stream, "doc_id", "text", "lang", "source",
+          "card_stream_spec", 2, checkpoint = s"$root/chk", compactEvery = 1)
+        .awaitTermination()
+      assert(graft.core.IngestLedger.applied(spark, "card_stream_spec", 1L))
+      spark.catalog.refreshTable("card_stream_spec")
+      val served = DataCard.serveCard(spark, "card_stream_spec")
+        .orderBy("source").collect().map(_.toSeq).toSeq
+      val batch = DataCard.perSource(corpus, "doc_id", "text", "lang",
+          "source").drop("dup_rate")
+        .orderBy("source").collect().map(_.toSeq).toSeq
+      assert(served == batch, s"served=$served\nbatch=$batch")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS card_stream_spec")
+      spark.sql("DROP TABLE IF EXISTS card_stream_spec_meta")
+      graft.core.IngestLedger.reset(spark, "card_stream_spec")
+    }
+  }
+}
+
 /** Per-source corpus data card ([[graft.ext.DataCard]]). */
 class DataCardSpec extends SparkSpec {
   test("counts, dominant language with asc tie-break, corpus-wide dup rate") {
