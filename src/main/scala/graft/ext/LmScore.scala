@@ -122,6 +122,87 @@ object LmScore {
           col("n_bigrams").cast("double")).as("lm_score"))
   }
 
+  /** [[fit]] extended to TRIGRAM order (the CCNet/KenLM-realistic
+    * model depth): one pass, one tokenization, three position-aligned
+    * shingle streams counted in one map-side-combined shuffle. Output
+    * `(n, fp, c)` with n ∈ {1, 2, 3} — a strict superset of [[fit]]'s
+    * relation, so the persisted-store pattern (bucketed by `fp`, the
+    * x54 shape) drops in unchanged. */
+  def fit3(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(toks(textCol))
+      .select(explode(concat(
+        transform(graft.functions.ShingleMd5(col("__toks"), 1),
+          f => struct(lit(1).as("n"), f.as("fp"))),
+        transform(graft.functions.ShingleMd5(col("__toks"), 2),
+          f => struct(lit(2).as("n"), f.as("fp"))),
+        transform(graft.functions.ShingleMd5(col("__toks"), 3),
+          f => struct(lit(3).as("n"), f.as("fp"))))).as("g"))
+      .groupBy(col("g.n").as("n"), col("g.fp").as("fp"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-position trigram transition tuples: the three shingle arrays
+    * are position-aligned, so trigram i's CONTEXT bigram (w₁w₂) is
+    * bigram i, its BACKOFF bigram (w₂w₃) is bigram i+1, and the
+    * backoff context unigram (w₂) is token i+1. OUTER explode keeps
+    * the sub-3-token id spine, the [[transitionPairs]] convention. */
+  private def trigramPairs(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs
+      .select(col(idCol), toks(textCol))
+      .select(col(idCol),
+        graft.functions.ShingleMd5(col("__toks"), 1).as("__u"),
+        graft.functions.ShingleMd5(col("__toks"), 2).as("__b"),
+        posexplode_outer(graft.functions.ShingleMd5(col("__toks"), 3))
+          .as(Seq("__pos", "tri_fp")))
+      .select(col(idCol), col("tri_fp"),
+        element_at(col("__b"), col("__pos") + 1).as("ctx_fp"),
+        element_at(col("__b"), col("__pos") + 2).as("bo_fp"),
+        element_at(col("__u"), col("__pos") + 2).as("bo_ctx_fp"))
+
+  /** Trigram scoring with STUPID BACKOFF (Brants et al.): a seen
+    * trigram scores its exact conditional `c(w₁w₂w₃)/c(w₁w₂)`; an
+    * unseen one backs off to the bigram conditional at HALF weight —
+    * the published 0.4 backoff constant is replaced by 0.5 so the
+    * penalty is one exact integer halving (`shiftright(q, 1)`) of the
+    * already-quantized floor(p·2³⁰) value, keeping the per-doc sum in
+    * the order-free integer discipline (the same published-constant →
+    * exact-arithmetic substitution as [[dsirMargin]]'s margin-for-
+    * log-ratio; both signals are monotone in the quantity they
+    * replace). An unseen backoff bigram contributes 0, [[score]]'s
+    * convention. One tokenization of `docs`; four fp-keyed joins
+    * against the compact count relations; `(id, n_trigrams, p_sum_q,
+    * lm3_score)` with a null score for sub-3-token docs. */
+  def score3(docs: DataFrame, idCol: String, textCol: String,
+             model: DataFrame): DataFrame = {
+    val c1 = model.filter(col("n") === 1).select(col("fp"), col("c"))
+    val c2 = model.filter(col("n") === 2).select(col("fp"), col("c"))
+    val c3 = model.filter(col("n") === 3).select(col("fp"), col("c"))
+    val direct = floor(col("__c3").cast("double") / col("__c12").cast("double")
+      * lit(QScale))
+    val backoff = shiftright(
+      floor(coalesce(col("__c23").cast("double") / col("__c2").cast("double"),
+        lit(0.0)) * lit(QScale)), 1)
+    trigramPairs(docs, idCol, textCol)
+      .join(c3.select(col("fp").as("tri_fp"), col("c").as("__c3")),
+        Seq("tri_fp"), "left")
+      .join(c2.select(col("fp").as("ctx_fp"), col("c").as("__c12")),
+        Seq("ctx_fp"), "left")
+      .join(c2.select(col("fp").as("bo_fp"), col("c").as("__c23")),
+        Seq("bo_fp"), "left")
+      .join(c1.select(col("fp").as("bo_ctx_fp"), col("c").as("__c2")),
+        Seq("bo_ctx_fp"), "left")
+      .select(col(idCol), col("tri_fp"),
+        when(col("__c3").isNotNull, direct).otherwise(backoff).as("__q"))
+      .groupBy(idCol)
+      .agg(count(col("tri_fp")).as("n_trigrams"),
+        sum(when(col("tri_fp").isNotNull, col("__q"))).as("p_sum_q"))
+      .select(col(idCol),
+        col("n_trigrams"),
+        col("p_sum_q"),
+        (col("p_sum_q").cast("double") / lit(QScale) /
+          col("n_trigrams").cast("double")).as("lm3_score"))
+  }
+
   // ---------------------------------------------------------------------
   // Persisted model store — the production shape the [[fit]] docstring
   // names: the count relations written ONCE as a catalog table bucketed

@@ -3223,9 +3223,73 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    CAST(r.score_sum_q AS DOUBLE) / 1048576.0 / r.n_docs AS mean_quality
             FROM roll r JOIN tl t USING (source) ORDER BY source"""))
 
+  /** Trigram LM scoring with stupid backoff
+    * ([[graft.ext.LmScore.fit3]]/`score3` — the CCNet/KenLM-realistic
+    * model depth over x53's bigram core): a seen trigram scores its
+    * exact conditional c(w₁w₂w₃)/c(w₁w₂); an unseen one backs off to
+    * the bigram conditional at HALF weight (the published 0.4 constant
+    * replaced by 0.5 = one exact integer halving of the quantized
+    * value — the dsir-margin substitution pattern), unseen backoff
+    * scores 0. Same reference split as x53 (doc_id % 10 ≠ 0), same
+    * one-tokenize / fp-keyed-joins shape with one more gram order. */
+  private val x68 = Q("x68_lm_trigram_backoff",
+    (s, d) => {
+      val docs = documents(s, d)
+      val model = graft.ext.LmScore.fit3(
+        docs.filter(col("doc_id") % 10 =!= 0), "text").localCheckpoint(true)
+      graft.ext.LmScore.score3(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $tokSql,
+             pairs3 AS (SELECT doc_id, u.pr.tf AS tri_fp, u.pr.cf AS ctx_fp,
+                          u.pr.bf AS bo_fp, u.pr.gf AS bo_ctx_fp
+                        FROM toks, unnest(list_transform(generate_series(1, len(w)-2),
+                          i -> {'tf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15) AS UBIGINT) AS BIGINT),
+                                'cf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT),
+                                'bf': CAST(CAST('0x'||substr(md5(w[i+1]||' '||w[i+2]),1,15) AS UBIGINT) AS BIGINT),
+                                'gf': CAST(CAST('0x'||substr(md5(w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
+                        WHERE len(w) >= 3),
+             c1 AS (SELECT fp, count(*) AS c FROM (
+                      SELECT unnest(list_transform(generate_series(1, len(w)),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                      FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 1)
+                    GROUP BY fp),
+             c2 AS (SELECT fp, count(*) AS c FROM (
+                      SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                      FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 2)
+                    GROUP BY fp),
+             c3 AS (SELECT fp, count(*) AS c FROM (
+                      SELECT unnest(list_transform(generate_series(1, len(w)-2),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                      FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 3)
+                    GROUP BY fp),
+             sc3 AS (SELECT p.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_trigrams,
+                       CAST(sum(CASE WHEN t3.c IS NOT NULL
+                                 THEN CAST(floor(CAST(t3.c AS DOUBLE) / CAST(t12.c AS DOUBLE)
+                                                 * 1073741824.0) AS BIGINT)
+                                 ELSE CAST(floor(COALESCE(CAST(t23.c AS DOUBLE) / CAST(t2.c AS DOUBLE), 0.0)
+                                                 * 1073741824.0) AS BIGINT) // 2
+                                END) AS BIGINT) AS p_sum_q
+                     FROM pairs3 p
+                     LEFT JOIN c3 t3 ON p.tri_fp = t3.fp
+                     LEFT JOIN c2 t12 ON p.ctx_fp = t12.fp
+                     LEFT JOIN c2 t23 ON p.bo_fp = t23.fp
+                     LEFT JOIN c1 t2 ON p.bo_ctx_fp = t2.fp
+                     GROUP BY p.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(sc3.n_trigrams, 0) AS n_trigrams,
+                   sc3.p_sum_q,
+                   CAST(sc3.p_sum_q AS DOUBLE) / 1073741824.0
+                     / CAST(sc3.n_trigrams AS DOUBLE) AS lm3_score
+            FROM documents d LEFT JOIN sc3 ON sc3.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
-    x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67)
+    x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
+    x68)
 }

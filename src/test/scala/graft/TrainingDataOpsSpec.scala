@@ -986,6 +986,29 @@ class LmScoreSpec extends SparkSpec {
       && out(2)._4.isNaN)
   }
 
+  test("trigram stupid backoff: seen trigram exact, unseen backs off at half weight, dead end zero") {
+    val ref = df(Seq((1L, "a b c"), (2L, "a b d"))).toDF("doc_id", "text")
+    // c(a b)=2, c(b)=2, c(b c)=1; c(a b c)=1
+    val cand = df(Seq(
+      (3L, "a b c"),   // seen trigram: q = floor(1/2 * 2^30) = 2^29
+      (4L, "x b c"),   // unseen trigram, backoff p(c|b)=1/2 halved: 2^28
+      (5L, "x y z"),   // dead end everywhere: 0
+      (6L, "a b")))    // no trigram: null score
+      .toDF("doc_id", "text")
+    val out = LmScore.score3(cand, "doc_id", "text",
+        LmScore.fit3(ref, "text").localCheckpoint(true))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    val S = 1073741824.0
+    assert(out(0) == ((3L, 1L, 536870912L, 536870912L / S / 1.0)))
+    assert(out(1) == ((4L, 1L, 268435456L, 268435456L / S / 1.0)))
+    assert(out(2) == ((5L, 1L, 0L, 0.0)))
+    assert(out(3)._1 == 6L && out(3)._2 == 0L && out(3)._3 == -1L
+      && out(3)._4.isNaN)
+  }
+
   test("a fluent in-domain doc outscores shuffled junk under the same model") {
     val ref = df(Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
