@@ -230,28 +230,34 @@ object LmScore {
     * build. */
   def modelMeta(table: String): String = s"${table}_meta"
 
-  /** Store grain: the [[fit]] relation plus a `batch_id` column —
-    * append GENERATIONS stay distinguishable, which is what makes the
-    * streamed loop's crash repair exact (delete one batch's delta rows,
-    * re-append) and costs nothing at score time (counts are summed by
-    * `(n, fp)` in-bucket regardless, the delta-store read grain). */
+  /** Store grain: the [[fit]] (or, for a `maxN = 3` store, [[fit3]])
+    * relation plus a `batch_id` column — append GENERATIONS stay
+    * distinguishable, which is what makes the streamed loop's crash
+    * repair exact (delete one batch's delta rows, re-append) and costs
+    * nothing at score time (counts are summed by `(n, fp)` in-bucket
+    * regardless, the delta-store read grain). */
   private def modelRows(refDocs: DataFrame, textCol: String,
-                        batchId: Long): DataFrame =
-    fit(refDocs, textCol).withColumn("batch_id", lit(batchId))
+                        batchId: Long, maxN: Int): DataFrame =
+    (if (maxN == 3) fit3(refDocs, textCol) else fit(refDocs, textCol))
+      .withColumn("batch_id", lit(batchId))
 
   /** Fit on `refDocs` and persist the model as the bucketed catalog
-    * table `table` (bucketed+sorted by `fp`; both gram orders in one
+    * table `table` (bucketed+sorted by `fp`; all gram orders in one
     * relation — [[score]]'s per-order filters preserve the bucketing,
-    * so each count join reads the buckets in place). A fresh store
-    * restarts its batch-id space ([[IngestLedger.reset]]). */
+    * so each count join reads the buckets in place). `maxN = 2` (the
+    * default) persists the bigram model; `maxN = 3` the trigram one —
+    * the meta records which, and appends read it back so a delta can
+    * never carry a different gram depth than the store it grows. A
+    * fresh store restarts its batch-id space ([[IngestLedger.reset]]). */
   def writeModelStore(refDocs: DataFrame, textCol: String,
-                      table: String, buckets: Int): Unit = {
+                      table: String, buckets: Int, maxN: Int = 2): Unit = {
+    require(maxN == 2 || maxN == 3, s"maxN must be 2 or 3, got $maxN")
     val spark = refDocs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `${modelMeta(table)}`")
     // the build's rows carry the -1 sentinel (like compacted rows):
     // a streamed loop's ids start at 0, so no batch repair can ever
     // filter the base build away
-    Bucketing.writeBucketed(modelRows(refDocs, textCol, batchId = -1L),
+    Bucketing.writeBucketed(modelRows(refDocs, textCol, batchId = -1L, maxN),
       table, Seq("fp"), buckets)
     IngestLedger.reset(spark, table)
     spark.table(table)
@@ -260,7 +266,7 @@ object LmScore {
         sum(when(col("n") === 2, lit(1L))).as("n_bigram_fps"),
         sum(when(col("n") === 1, col("c"))).as("unigram_tokens"),
         sum(when(col("n") === 2, col("c"))).as("bigram_tokens"))
-      .select(lit(2).as("max_n"), lit(QScale.toLong).as("q_scale"),
+      .select(lit(maxN).as("max_n"), lit(QScale.toLong).as("q_scale"),
         coalesce(col("n_unigram_fps"), lit(0L)).as("n_unigram_fps"),
         coalesce(col("n_bigram_fps"), lit(0L)).as("n_bigram_fps"),
         coalesce(col("unigram_tokens"), lit(0L)).as("unigram_tokens"),
@@ -275,15 +281,24 @@ object LmScore {
     * Score-time reads sum the generations by `(n, fp)` in-bucket
     * ([[modelFromStore]]), so append-then-score ≡ refit-on-the-union
     * exactly (integer count addition is associative; LmStoreSpec pins
-    * it). Periodic [[compactModelStore]] collapses the generations.
+    * it). The delta's gram depth comes FROM THE STORE'S META (so an
+    * append can never silently mix depths — and appending to a store
+    * whose build never committed fails loudly here, not at serve
+    * time). Periodic [[compactModelStore]] collapses the generations.
     * Caller-driven appends own their atomicity (the
     * [[ExactDedup.appendFingerprints]] convention); the streamed loop
     * ([[streamIngestModel]]) adds the exactly-once ledger. */
   def appendToModel(refDocs: DataFrame, textCol: String,
                     table: String, buckets: Int,
-                    batchId: Long = -1L): Unit =
-    Bucketing.appendBucketed(modelRows(refDocs, textCol, batchId),
+                    batchId: Long = -1L): Unit = {
+    val spark = refDocs.sparkSession
+    require(spark.catalog.tableExists(modelMeta(table)),
+      s"model store '$table' has no meta table — a (re)build crashed " +
+        "before committing; re-run writeModelStore before appending")
+    val maxN = spark.table(modelMeta(table)).head().getAs[Int]("max_n")
+    Bucketing.appendBucketed(modelRows(refDocs, textCol, batchId, maxN),
       table, Seq("fp"), buckets)
+  }
 
   /** The model relation served FROM the store: `(n, fp, c)` with delta
     * generations summed — an in-bucket aggregation (the store is
@@ -311,6 +326,24 @@ object LmScore {
     val spark = docs.sparkSession
     requireModelContract(spark, table)
     score(docs, idCol, textCol, modelFromStore(spark, table))
+  }
+
+  /** [[score3]] served from a persisted `maxN = 3` model store — x68's
+    * answer from the cheaper plan (the x54 adjudication pattern): the
+    * four count joins read the store's buckets in place, nothing is
+    * refit. Refuses an uncommitted build, a quantizer mismatch, or a
+    * BIGRAM store (its trigram leg would be silently empty and every
+    * seen trigram would take the backoff path — a depth mismatch must
+    * fail loudly, not skew every score). */
+  def score3AgainstStore(docs: DataFrame, idCol: String, textCol: String,
+                         table: String): DataFrame = {
+    val spark = docs.sparkSession
+    requireModelContract(spark, table)
+    val maxN = spark.table(modelMeta(table)).head().getAs[Int]("max_n")
+    require(maxN == 3,
+      s"model store '$table' was built at gram depth $maxN — trigram " +
+        "scoring needs a maxN = 3 build (writeModelStore(..., maxN = 3))")
+    score3(docs, idCol, textCol, modelFromStore(spark, table))
   }
 
   /** Enforce a model store's contract before serving from it: the

@@ -3232,15 +3232,9 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * value — the dsir-margin substitution pattern), unseen backoff
     * scores 0. Same reference split as x53 (doc_id % 10 ≠ 0), same
     * one-tokenize / fp-keyed-joins shape with one more gram order. */
-  private val x68 = Q("x68_lm_trigram_backoff",
-    (s, d) => {
-      val docs = documents(s, d)
-      val model = graft.ext.LmScore.fit3(
-        docs.filter(col("doc_id") % 10 =!= 0), "text").localCheckpoint(true)
-      graft.ext.LmScore.score3(docs, "doc_id", "text", model)
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH $tokSql,
+  /** x68's trigram-backoff oracle, shared verbatim by x69 (the
+    * store-served form) — the x53/x54 adjudication pattern. */
+  private val lm3ScoreOracle = s"""WITH $tokSql,
              pairs3 AS (SELECT doc_id, u.pr.tf AS tri_fp, u.pr.cf AS ctx_fp,
                           u.pr.bf AS bo_fp, u.pr.gf AS bo_ctx_fp
                         FROM toks, unnest(list_transform(generate_series(1, len(w)-2),
@@ -3284,12 +3278,41 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    CAST(sc3.p_sum_q AS DOUBLE) / 1073741824.0
                      / CAST(sc3.n_trigrams AS DOUBLE) AS lm3_score
             FROM documents d LEFT JOIN sc3 ON sc3.doc_id = d.doc_id
-            ORDER BY d.doc_id"""))
+            ORDER BY d.doc_id"""
+
+  private val x68 = Q("x68_lm_trigram_backoff",
+    (s, d) => {
+      val docs = documents(s, d)
+      val model = graft.ext.LmScore.fit3(
+        docs.filter(col("doc_id") % 10 =!= 0), "text").localCheckpoint(true)
+      graft.ext.LmScore.score3(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    Some(lm3ScoreOracle))
+
+  /** x68's trigram scoring served from a PERSISTED `maxN = 3` model
+    * store ([[graft.ext.LmScore.writeModelStore]] at depth 3 /
+    * `score3AgainstStore`): the reference's three gram orders land
+    * once as one fp-bucketed relation with the depth in the meta
+    * commit marker (appends read it back, a bigram store refuses to
+    * serve trigram scoring), and the four count joins read the
+    * buckets in place. Must produce exactly x68's answer — the oracle
+    * IS x68's. */
+  private val x69 = Q("x69_lm3_score_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", table = "x69_lm3_model", buckets = 8, maxN = 3)
+      graft.ext.LmScore.score3AgainstStore(docs, "doc_id", "text",
+          "x69_lm3_model")
+        .orderBy("doc_id")
+    },
+    Some(lm3ScoreOracle))
 
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
-    x68)
+    x68, x69)
 }

@@ -702,6 +702,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x69 trigram-store scoring: all four count joins read buckets Exchange-free, one tokenize") {
+    val df = Registry.queries("x69_lm3_score_store")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val p = root.toString
+    val tokenizes = "regexp_extract_all".r.findAllIn(p).length
+    assert(tokenizes == 1,
+      s"expected exactly one tokenization in the store-served plan, found $tokenizes")
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right))
+      .filter(s => s.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.bucketedScan && f.tableIdentifier.exists(_.table == "x69_lm3_model") => f
+      }.nonEmpty && s.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty)
+    assert(storeSides.size >= 4,
+      s"expected all four count joins to read the bucketed model store:\n${p.take(1500)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"model store side must read its buckets in place, found: $es")
+    }
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross a scoring shuffle: ${e.output}")
+    }
+  }
+
   test("x63 release diff: store side reads bucketed Exchange-free; no text on any exchange") {
     val df = Registry.queries("x63_release_diff")(spark, sf)
     val root = df.queryExecution.executedPlan match {

@@ -1065,6 +1065,44 @@ class LmScoreSpec extends SparkSpec {
     } finally dropStore("lm_store_spec")
   }
 
+  test("trigram store serves score3 exactly; a bigram store refuses; appends inherit the depth") {
+    val a = df(refA).toDF("doc_id", "text")
+    val b = df(refB).toDF("doc_id", "text")
+    val c = df(cand).toDF("doc_id", "text")
+    LmScore.writeModelStore(a, "text", "lm3_store_spec", buckets = 4,
+      maxN = 3)
+    try {
+      // store-served == in-memory fit3 on the same reference
+      assert(rows(LmScore.score3AgainstStore(c, "doc_id", "text",
+          "lm3_store_spec")) ==
+        rows(LmScore.score3(c, "doc_id", "text",
+          LmScore.fit3(a, "text").localCheckpoint(true))))
+      assert(spark.table(LmScore.modelMeta("lm3_store_spec"))
+        .head().getAs[Int]("max_n") == 3)
+      // appends read the depth from the meta: append-then-score3 ==
+      // refit3 on the union (the delta carried trigram rows)
+      LmScore.appendToModel(b, "text", "lm3_store_spec", buckets = 4)
+      assert(rows(LmScore.score3AgainstStore(c, "doc_id", "text",
+          "lm3_store_spec")) ==
+        rows(LmScore.score3(c, "doc_id", "text",
+          LmScore.fit3(a.unionByName(b), "text").localCheckpoint(true))))
+      // the bigram legs of a depth-3 store serve plain score() too
+      assert(rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
+          "lm3_store_spec")) ==
+        rows(LmScore.score(c, "doc_id", "text",
+          LmScore.fit(a.unionByName(b), "text").localCheckpoint(true))))
+    } finally dropStore("lm3_store_spec")
+    // a BIGRAM store must refuse trigram scoring (its trigram leg
+    // would be silently empty — every seen trigram would back off)
+    LmScore.writeModelStore(a, "text", "lm2_depth_spec", buckets = 4)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LmScore.score3AgainstStore(c, "doc_id", "text", "lm2_depth_spec")
+      }
+      assert(e.getMessage.contains("gram depth"))
+    } finally dropStore("lm2_depth_spec")
+  }
+
   test("appendToModel grows the model at O(shard): append-then-score == refit-on-union") {
     val a = df(refA).toDF("doc_id", "text")
     val b = df(refB).toDF("doc_id", "text")
