@@ -2468,9 +2468,14 @@ object ExtQueries {
     * cascade or they could silently diverge. */
   private val curationCascadeSql = s"""WITH $tokSql,
 -- ======== stage 1: exact dedup (two-batch store growth) ========
+-- shard membership mirrors the Spark side's pre-loop embedding join
+-- (full = train docs INNER JOIN embeddings ON vec_id = doc_id): at
+-- scale factors where the embeddings table covers fewer ids than the
+-- documents table, only embedded docs enter the loop
 f AS (SELECT doc_id,
         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-      FROM documents WHERE doc_id % 10 <> 0),
+      FROM documents WHERE doc_id % 10 <> 0
+        AND doc_id IN (SELECT vec_id FROM embeddings)),
 fs0 AS (SELECT fp, min(doc_id) AS cid FROM f WHERE doc_id % 3 = 0 GROUP BY fp),
 e1 AS (SELECT f.doc_id, s.cid AS dup_of
        FROM f LEFT JOIN fs0 s ON f.fp = s.fp WHERE f.doc_id % 3 = 1),
@@ -2504,7 +2509,8 @@ bands AS (SELECT doc_id, b AS bb,
               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
           FROM sig, (SELECT unnest(range(0,4)) AS b)),
 nb0 AS (SELECT doc_id, bb, bk FROM bands
-        WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0),
+        WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0
+          AND doc_id IN (SELECT vec_id FROM embeddings)),
 n1in AS (SELECT doc_id FROM ever WHERE b = 0 AND dup_of IS NULL),
 n1 AS (SELECT i.doc_id, a.dup_of FROM n1in i LEFT JOIN (
          SELECT new_id, min(store_id) AS dup_of FROM (
