@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Chunking, Packing, PassageDedup, Repetition}
+import graft.ext.{Chunking, LmScore, Packing, PassageDedup, Repetition}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
@@ -122,6 +122,65 @@ object ExtProps extends Properties("ext") {
       else if (better(sb, sa)) false
       else ca < cb
     }.take(nProbe).map(_._2)
+
+  property("in-doc repetition removal equals first-occurrence filtering of the passage list") =
+    Prop.forAll(corpusGen) { rows =>
+      val got = PassageDedup.dedupWithinDoc(toDf(rows), "doc_id", "text", 3)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      val expect = rows.sortBy(_.doc_id).map { d =>
+        val w = toks(d.text)
+        val ps = if (w.isEmpty) Seq("") else w.grouped(3).map(_.mkString(" ")).toSeq
+        val kept = ps.zipWithIndex
+          .filter { case (p, i) => !ps.take(i).contains(p) }.map(_._1)
+        (d.doc_id, ps.length.toLong, (ps.length - kept.length).toLong,
+          kept.mkString(" "))
+      }
+      got == expect
+    }
+
+  property("trigram backoff scoring equals a plain-Scala reference on any corpus split") =
+    Prop.forAll(corpusGen, Gen.choose(2, 4)) { (rows, mod) =>
+      val ref = rows.filter(_.doc_id % mod == 0)
+      def grams(ws: Seq[String], n: Int): Seq[String] =
+        if (ws.length < n) Seq.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+      def countMap(n: Int): Map[String, Long] =
+        ref.flatMap(d => grams(toks(d.text), n))
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (c1, c2, c3) = (countMap(1), countMap(2), countMap(3))
+      val S = 1073741824.0
+      val expect = rows.sortBy(_.doc_id).map { d =>
+        val w = toks(d.text)
+        val tris = if (w.length < 3) Seq.empty else w.sliding(3).toSeq
+        if (tris.isEmpty) (d.doc_id, 0L, None, None)
+        else {
+          val qs = tris.map { t3 =>
+            val tri = t3.mkString(" ")
+            if (c3.contains(tri))
+              math.floor(c3(tri).toDouble / c2(t3.take(2).mkString(" "))
+                * S).toLong
+            else {
+              val bo = t3.drop(1).mkString(" ")
+              val p = if (c2.contains(bo)) c2(bo).toDouble / c1(t3(1)) else 0.0
+              math.floor(p * S).toLong >> 1
+            }
+          }
+          val sum = qs.sum
+          (d.doc_id, tris.length.toLong, Some(sum),
+            Some(sum / S / tris.length))
+        }
+      }
+      val got = LmScore.score3(toDf(rows), "doc_id", "text",
+          LmScore.fit3(toDf(ref), "text").localCheckpoint(true))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toSeq
+      got == expect
+    }
 
   property("LM model append == refit on the union, for any split of any corpus") =
     Prop.forAll(corpusGen, Gen.choose(1, 4)) { (rows, mod) =>
