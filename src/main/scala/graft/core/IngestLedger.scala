@@ -132,6 +132,31 @@ object IngestLedger {
   def intended(spark: SparkSession, table: String, batchId: Long): Boolean =
     exists(spark, intentMarker(spark, table, batchId))
 
+  /** Batch ids whose append BEGAN (intent marker present) but never
+    * committed (no commit marker) — the batches a delete-by-batch-id
+    * crash repair still needs to find TAGGED in the store. Stores
+    * whose repair works that way (the LM-model and card count-delta
+    * stores) must exclude these rows from any compaction fold: folding
+    * them into the −1 sentinel would strand a partial append where the
+    * repair's `batch_id` filter can no longer see it, double-counting
+    * the batch after the re-append. One directory listing — a
+    * compaction-time cost, never on the per-batch path. (A dangling
+    * intent below the watermark cannot exist: the watermark only
+    * advances over committed ids and [[prune]] deletes both markers
+    * together.) */
+  def danglingIntents(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = ledgerDir(spark, table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val names = fs.listStatus(dir).map(_.getPath.getName).toSet
+      names.filter(_.endsWith(".intent"))
+        .map(_.stripSuffix(".intent").stripPrefix("batch-").toLong)
+        .filter(id => !names.contains(s"batch-$id"))
+        .toSeq.sorted
+    }
+  }
+
   /** Declare that `batchId`'s store append is ABOUT to start — call
     * after the batch's verdicts have committed, immediately before the
     * first store side effect. An atomic empty-file create. */

@@ -33,24 +33,21 @@ object DataCard {
   val QualityScale = 1048576L
 
   /** Per-doc card features in one projection: token count, quantized
-    * quality score (the x03 formula), corpus-dedup fingerprint —
-    * shared by the batch card and the persisted count store. */
+    * quality score (the shared [[TextAnalysis.qualityScore]] x03
+    * formula — ONE definition, so the card's mean can never drift from
+    * the score every gate uses), corpus-dedup fingerprint — shared by
+    * the batch card and the persisted count store. A null text yields
+    * null token count / score (it contributes nothing to those sums)
+    * and a null fingerprint (it can never be a duplicate) — but the
+    * DOCUMENT still counts, on both the batch and incremental paths. */
   private def qualityFeats(docs: DataFrame, idCol: String, textCol: String,
                            langCol: String, sourceCol: String): DataFrame = {
     val t = col(textCol)
-    val avgLen = when(col("__nt") === 0, 0.0)
-      .otherwise((col("__nc") - col("__nt") + 1).cast("double") / col("__nt"))
     docs.select(col(idCol), col(langCol), col(sourceCol),
-        TextAnalysis.fingerprintMd5(t).as("fp"),
-        length(t).cast("long").as("__nc"),
-        size(TextAnalysis.wsTokens(t)).cast("long").as("__nt"),
-        TextAnalysis.digitRatio(t).as("__digit"),
-        TextAnalysis.stopwordRatio(t, TextAnalysis.stopEn).as("__stop"))
-      .withColumn("__score_q",
-        floor((lit(0.4) * col("__stop")
-          + lit(0.3) * (least(avgLen, lit(10.0)) / 10.0)
-          + lit(0.3) * (lit(1.0) - col("__digit")))
-          * lit(QualityScale.toDouble)).cast("long"))
+      TextAnalysis.fingerprintMd5(t).as("fp"),
+      size(TextAnalysis.wsTokens(t)).cast("long").as("__nt"),
+      floor(TextAnalysis.qualityScore(t) * lit(QualityScale.toDouble))
+        .cast("long").as("__score_q"))
   }
 
   /** @return one row per source:
@@ -60,20 +57,28 @@ object DataCard {
   def perSource(docs: DataFrame, idCol: String, textCol: String,
                 langCol: String, sourceCol: String): DataFrame = {
     val feats = qualityFeats(docs, idCol, textCol, langCol, sourceCol)
-    // corpus-wide duplicate flag: fp occurrence counts joined back
-    val fpCounts = feats.groupBy("fp").agg(count(lit(1)).as("__fp_n"))
-    val flagged = feats.join(fpCounts, Seq("fp"))
-      .withColumn("__is_dup", (col("__fp_n") > 1).cast("long"))
+    // corpus-wide duplicate flag: fp occurrence counts joined back.
+    // LEFT join + null-safe flag: a null fingerprint (null text) never
+    // equi-matches, and the doc must still count in every other column
+    // (dropping it would also break serveCard's append≡batch parity)
+    val fpCounts = feats.filter(col("fp").isNotNull)
+      .groupBy("fp").agg(count(lit(1)).as("__fp_n"))
+    val flagged = feats.join(fpCounts, Seq("fp"), "left")
+      .withColumn("__is_dup",
+        (coalesce(col("__fp_n"), lit(0L)) > 1).cast("long"))
     val rollup = flagged.groupBy(sourceCol).agg(
       count(lit(1)).as("n_docs"),
       sum("__nt").as("n_tokens"),
       countDistinct(col(langCol)).as("n_langs"),
       sum("__is_dup").as("__n_dup"),
       sum("__score_q").as("__score_sum_q"))
-    // dominant language per source: count desc, language asc tie-break
+    // dominant language per source: count desc, language asc tie-break.
+    // Derived from feats, NOT flagged: this leg needs (source, lang)
+    // only — routing it through the fp-count join would re-run the
+    // card's one corpus-keyed shuffle pair in a leg that never reads it
     val langRank = Window.partitionBy(sourceCol)
       .orderBy(col("__ln").desc, col(langCol).asc)
-    val topLang = flagged.groupBy(sourceCol, langCol)
+    val topLang = feats.groupBy(sourceCol, langCol)
       .agg(count(lit(1)).as("__ln"))
       .withColumn("__rk", row_number().over(langRank))
       .filter(col("__rk") === 1)
@@ -191,19 +196,33 @@ object DataCard {
   }
 
   /** Collapse accumulated delta generations to one (source, lang) row
-    * and one file per bucket; folded rows carry the −1 sentinel (safe:
-    * in-loop compaction runs strictly after the batch's commit record,
-    * so only committed generations fold). */
+    * and one file per bucket; folded rows carry the −1 sentinel. Rows
+    * of a DANGLING batch (intent without commit record — a crash
+    * mid-append awaiting replay) pass through UNFOLDED, still tagged:
+    * the crash repair removes a partial append by `batch_id` filter
+    * ([[ingestCardBatch]]), so folding those counters into the
+    * sentinel would double-count the batch after its re-append (the
+    * [[LmScore.compactModelStore]] guard — count folds, unlike the
+    * dedup stores' min-id folds, are not idempotent). */
   def compactCardStore(spark: SparkSession, table: String, buckets: Int,
                        langCol: String = "lang",
                        sourceCol: String = "source"): Unit = {
+    val dangling = IngestLedger.danglingIntents(spark, table)
     Bucketing.compact(spark, table, Seq(sourceCol), buckets,
-      prepare = _.groupBy(sourceCol, langCol)
-        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
-          sum("score_sum_q").as("score_sum_q"))
-        .withColumn("batch_id", lit(-1L))
-        .select(sourceCol, langCol, "n_docs", "n_tokens", "score_sum_q",
-          "batch_id"))
+      prepare = df => {
+        val fold = (if (dangling.isEmpty) df
+          else df.filter(!col("batch_id").isin(dangling: _*)))
+          .groupBy(sourceCol, langCol)
+          .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+            sum("score_sum_q").as("score_sum_q"))
+          .withColumn("batch_id", lit(-1L))
+          .select(sourceCol, langCol, "n_docs", "n_tokens", "score_sum_q",
+            "batch_id")
+        if (dangling.isEmpty) fold
+        else fold.unionByName(df.filter(col("batch_id").isin(dangling: _*))
+          .select(sourceCol, langCol, "n_docs", "n_tokens", "score_sum_q",
+            "batch_id"))
+      })
     IngestLedger.prune(spark, table)
   }
 

@@ -170,6 +170,8 @@ object Decontaminate {
                         fpp: Double = 0.01,
                         maxItemsPerBloom: Long = MaxBloomItems): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    require(maxItemsPerBloom > 0,
+      s"maxItemsPerBloom must be > 0, got $maxItemsPerBloom")
     // train grams are consumed twice lazily (totals + candidates):
     // persist the narrow (id, long) rows — released by the caller per
     // the contract above
@@ -239,6 +241,8 @@ object Decontaminate {
                           fpp: Double = 0.01,
                           maxItemsPerBloom: Long = MaxBloomItems): Unit = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    require(maxItemsPerBloom > 0,
+      s"maxItemsPerBloom must be > 0, got $maxItemsPerBloom")
     val spark = evalDocs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `${benchmarkMeta(table)}`")
     graft.core.Bucketing.writeBucketed(grams(evalDocs, textCol, n),

@@ -292,10 +292,7 @@ object LmScore {
                     table: String, buckets: Int,
                     batchId: Long = -1L): Unit = {
     val spark = refDocs.sparkSession
-    require(spark.catalog.tableExists(modelMeta(table)),
-      s"model store '$table' has no meta table — a (re)build crashed " +
-        "before committing; re-run writeModelStore before appending")
-    val maxN = spark.table(modelMeta(table)).head().getAs[Int]("max_n")
+    val maxN = requireModelContract(spark, table).getAs[Int]("max_n")
     Bucketing.appendBucketed(modelRows(refDocs, textCol, batchId, maxN),
       table, Seq("fp"), buckets)
   }
@@ -338,18 +335,20 @@ object LmScore {
   def score3AgainstStore(docs: DataFrame, idCol: String, textCol: String,
                          table: String): DataFrame = {
     val spark = docs.sparkSession
-    requireModelContract(spark, table)
-    val maxN = spark.table(modelMeta(table)).head().getAs[Int]("max_n")
+    val maxN = requireModelContract(spark, table).getAs[Int]("max_n")
     require(maxN == 3,
       s"model store '$table' was built at gram depth $maxN — trigram " +
         "scoring needs a maxN = 3 build (writeModelStore(..., maxN = 3))")
     score3(docs, idCol, textCol, modelFromStore(spark, table))
   }
 
-  /** Enforce a model store's contract before serving from it: the
-    * build committed (meta present — see [[modelMeta]]) and the
-    * quantizer scale matches this engine's. */
-  private def requireModelContract(spark: SparkSession, table: String): Unit = {
+  /** Enforce a model store's contract before serving from (or
+    * appending to) it: the build committed (meta present — see
+    * [[modelMeta]]) and the quantizer scale matches this engine's.
+    * Returns the meta row so callers needing more contract columns
+    * (gram depth) don't pay a second driver-side read. */
+  private def requireModelContract(spark: SparkSession,
+                                   table: String): org.apache.spark.sql.Row = {
     require(spark.catalog.tableExists(modelMeta(table)),
       s"model store '$table' has no meta table — a (re)build crashed " +
         "before committing; re-run writeModelStore before scoring")
@@ -358,6 +357,7 @@ object LmScore {
       s"model store '$table' was built with quantizer scale " +
         s"${meta.getAs[Long]("q_scale")}, this engine scores at " +
         s"${QScale.toLong} — rebuild the store or match the scale")
+    meta
   }
 
   /** DSIR-style domain-targeted selection (Xie et al.'s data-selection
@@ -425,16 +425,31 @@ object LmScore {
 
   /** Collapse accumulated delta generations to one `(n, fp)` row and
     * one file per bucket; compacted rows carry `batch_id = -1` (the
-    * "folded" sentinel — safe because in-loop compaction runs strictly
-    * AFTER the current batch's commit record, so only fully-committed
-    * batches' rows are ever folded; a batch still under repair cannot
-    * have been compacted). Ledger markers prune below the watermark. */
+    * "folded" sentinel). Rows of a DANGLING batch — intent marker
+    * written, commit record never reached (a crash mid-append whose
+    * replay has not run yet) — pass through UNFOLDED, still carrying
+    * their batch id: the crash repair removes a partial append by
+    * `batch_id` filter ([[ingestModelBatch]]), and folding those rows
+    * into the sentinel would strand them where the repair cannot see
+    * them, double-counting the batch after its re-append. (The
+    * in-loop path compacts strictly after the commit record, so it
+    * never has a dangling own batch — this guards the PUBLIC entry
+    * points against compaction interleaved before a replay.) Ledger
+    * markers prune below the watermark. */
   def compactModelStore(spark: SparkSession, table: String,
                         buckets: Int): Unit = {
+    val dangling = IngestLedger.danglingIntents(spark, table)
     Bucketing.compact(spark, table, Seq("fp"), buckets,
-      prepare = _.groupBy("n", "fp").agg(sum(col("c")).as("c"))
-        .withColumn("batch_id", lit(-1L))
-        .select("n", "fp", "c", "batch_id"))
+      prepare = df => {
+        val fold = (if (dangling.isEmpty) df
+          else df.filter(!col("batch_id").isin(dangling: _*)))
+          .groupBy("n", "fp").agg(sum(col("c")).as("c"))
+          .withColumn("batch_id", lit(-1L))
+          .select("n", "fp", "c", "batch_id")
+        if (dangling.isEmpty) fold
+        else fold.unionByName(df.filter(col("batch_id").isin(dangling: _*))
+          .select("n", "fp", "c", "batch_id"))
+      })
     IngestLedger.prune(spark, table)
   }
 

@@ -94,23 +94,27 @@ object PassageDedup {
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int, minDocFreq: Int): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    // OUTER explode: a null text has a null passage array, and the doc
+    // must keep its output row (0 passages, empty reassembly) — an
+    // inner explode would erase it from the corpus entirely
     val passages = docs
       .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        posexplode(Ngrams.passages(col("__toks"), chunkTokens))
+        posexplode_outer(Ngrams.passages(col("__toks"), chunkTokens))
           .as(Seq("idx", "passage")))
       .withColumn("fp", md5(col("passage")))
-    val boiler = passages
+    val boiler = passages.filter(col("fp").isNotNull)
       .groupBy("fp").agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocFreq)
       .select(col("fp"), lit(1L).as("__b"))
     passages.join(boiler, Seq("fp"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_passages"),
+      .agg(count(col("passage")).as("n_passages"),
         coalesce(sum(col("__b")), lit(0L)).as("n_boiler"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("__b").isNull,
+            array_sort(collect_list(when(
+              col("__b").isNull && col("passage").isNotNull,
               struct(col("idx"), col("passage"))))),
             s => s.getField("passage")),
           " ").as("text_kept"))

@@ -1623,6 +1623,66 @@ class CardStoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction interleaved before a crashed append's replay never folds the partial delta") {
+    val base = corpus.filter(col("doc_id") <= 2)
+    val s1 = corpus.filter(col("doc_id") >= 3)
+    DataCard.writeCardStore(base, "doc_id", "text", "lang", "source",
+      "card_fold_spec", 2)
+    try {
+      // crash mid-append: intent + a PARTIAL batch-0 delta landed
+      graft.core.IngestLedger.intent(spark, "card_fold_spec", 0L)
+      DataCard.appendCardDeltas(s1.filter(col("doc_id") === 3),
+        "doc_id", "text", "lang", "source", "card_fold_spec", 2,
+        batchId = 0L)
+      // maintenance runs BEFORE the replay: the dangling batch's rows
+      // must pass through the fold still tagged, or the repair below
+      // cannot remove them and the batch double-counts
+      DataCard.compactCardStore(spark, "card_fold_spec", 2)
+      assert(spark.table("card_fold_spec")
+        .filter(col("batch_id") === 0L).count() > 0,
+        "dangling delta rows must survive compaction untagged-free")
+      DataCard.ingestCardBatch(s1, 0L, "doc_id", "text", "lang", "source",
+        "card_fold_spec", 2)
+      val served = card(DataCard.serveCard(spark, "card_fold_spec"))
+      val batch = card(DataCard.perSource(corpus, "doc_id", "text",
+          "lang", "source")
+        .drop("dup_rate"))
+      assert(served == batch, s"served=$served\nbatch=$batch")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS card_fold_spec")
+      spark.sql("DROP TABLE IF EXISTS card_fold_spec_meta")
+      graft.core.IngestLedger.reset(spark, "card_fold_spec")
+    }
+  }
+
+  test("a null-text document still counts on both the batch and incremental paths") {
+    val s = spark; import s.implicits._
+    val withNull = Seq(
+      (1L, "en", "a", Some("the quick brown fox")),
+      (2L, "en", "a", Option.empty[String]),
+      (3L, "de", "b", Some("der hund ist gross")))
+      .toDF("doc_id", "lang", "source", "text")
+    val batch = DataCard.perSource(withNull, "doc_id", "text",
+        "lang", "source")
+      .orderBy("source").collect()
+    assert(batch.map(_.getAs[Long]("n_docs")).toSeq == Seq(2L, 1L),
+      "the null-text doc must count in n_docs")
+    assert(batch.head.getAs[Double]("dup_rate") == 0.0)
+    DataCard.writeCardStore(withNull, "doc_id", "text", "lang", "source",
+      "card_null_spec", 2)
+    try {
+      val served = card(DataCard.serveCard(spark, "card_null_spec"))
+      val expect = card(DataCard.perSource(withNull, "doc_id", "text",
+          "lang", "source")
+        .drop("dup_rate"))
+      assert(served == expect, s"served=$served\nexpect=$expect")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS card_null_spec")
+      spark.sql("DROP TABLE IF EXISTS card_null_spec_meta")
+      graft.core.IngestLedger.reset(spark, "card_null_spec")
+    }
+  }
+
   test("a crashed append repairs exactly; a store without its meta refuses to serve") {
     val base = corpus.filter(col("doc_id") <= 2)
     val s1 = corpus.filter(col("doc_id") >= 3)

@@ -110,6 +110,16 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("a non-positive per-bloom capacity refuses at entry, like the sibling knobs") {
+    Seq(0L, -4L).foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Decontaminate.contaminatedBloom(docs, "doc_id", "text",
+          col("doc_id") % 2 === 0, n = 3, maxItemsPerBloom = bad)
+      }
+      assert(e.getMessage.contains("maxItemsPerBloom"))
+    }
+  }
+
   test("striped blooms past the per-filter cap: identical results, stripe layout persisted") {
     def rows(d: org.apache.spark.sql.DataFrame) =
       d.orderBy("doc_id").collect().map(_.toSeq).toSeq
@@ -246,6 +256,21 @@ class PassageDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(out(0) == ((1L, 3L, 1L, "a b x y")))
     assert(out(1) == ((2L, 2L, 0L, "a b c d")))
+  }
+
+  test("boilerplate removal keeps a null-text doc's row (0 passages, empty reassembly)") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, Some("a b c d")), (2L, Option.empty[String]),
+        (3L, Some("a b e f")))
+      .toDF("doc_id", "text")
+    val out = PassageDedup.removeBoilerplate(docs, "doc_id", "text",
+        chunkTokens = 2, minDocFreq = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      "every input doc must keep an output row")
+    assert(out(1) == ((2L, 0L, 0L, "")))
+    assert(out(0) == ((1L, 2L, 1L, "c d"))) // "a b" df=2 still drops
   }
 
   test("boilerplate removal drops EVERY occurrence past the doc-frequency threshold") {
@@ -1162,6 +1187,32 @@ class LmScoreSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("sentinel"))
     } finally dropStore("lm_ledger_spec")
+  }
+
+  test("model compaction before a crashed append's replay never folds the partial delta") {
+    val a = df(refA).toDF("doc_id", "text")
+    val b = df(refB).toDF("doc_id", "text")
+    val c = df(cand).toDF("doc_id", "text")
+    LmScore.writeModelStore(a, "text", "lm_fold_spec", buckets = 4)
+    try {
+      // crash mid-append: intent written, a PARTIAL batch-0 delta
+      // landed (doc 6 only), no commit record
+      graft.core.IngestLedger.intent(spark, "lm_fold_spec", 0L)
+      LmScore.appendToModel(b.filter(col("doc_id") === 6L), "text",
+        "lm_fold_spec", buckets = 4, batchId = 0L)
+      // maintenance interleaves BEFORE the replay: folding the
+      // dangling rows into the -1 sentinel would make the repair's
+      // batch_id filter a no-op and double-count the batch
+      LmScore.compactModelStore(spark, "lm_fold_spec", buckets = 4)
+      assert(spark.table("lm_fold_spec")
+        .filter(col("batch_id") === 0L).count() > 0,
+        "dangling delta rows must survive compaction still tagged")
+      LmScore.ingestModelBatch(b, 0L, "text", "lm_fold_spec", buckets = 4)
+      assert(rows(LmScore.scoreAgainstStore(c, "doc_id", "text",
+          "lm_fold_spec")) ==
+        rows(LmScore.score(c, "doc_id", "text",
+          LmScore.fit(a.unionByName(b), "text").localCheckpoint(true))))
+    } finally dropStore("lm_fold_spec")
   }
 
   test("streamIngestModel: reference slices stream into the store; in-loop compaction keeps scores exact") {
