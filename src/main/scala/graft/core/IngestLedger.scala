@@ -142,7 +142,8 @@ object IngestLedger {
     * the batch after the re-append. One directory listing — a
     * compaction-time cost, never on the per-batch path. (A dangling
     * intent below the watermark cannot exist: the watermark only
-    * advances over committed ids and [[prune]] deletes both markers
+    * advances over committed ids, [[prune]]'s no-watermark seed
+    * minimizes over intent markers too, and prune deletes both markers
     * together.) */
   def danglingIntents(spark: SparkSession, table: String): Seq[Long] = {
     val dir = ledgerDir(spark, table)
@@ -195,29 +196,40 @@ object IngestLedger {
       .filter(n => n.startsWith("batch-") && !n.endsWith(".intent"))
       .flatMap(n => scala.util.Try(n.stripPrefix("batch-").toLong).toOption)
       .toSet
+    val intents = names.iterator
+      .filter(_.endsWith(".intent"))
+      .flatMap(n => scala.util.Try(
+        n.stripSuffix(".intent").stripPrefix("batch-").toLong).toOption)
+      .toSet
     val w0 = watermark(spark, table)
-    // With no watermark yet, seed from (min committed − 1) rather than
+    // With no watermark yet, seed from (min marker id − 1) rather than
     // −1: a loop whose ids start above 0 (a stream resuming a retained
     // checkpoint against a rewritten store) would otherwise never
     // advance the watermark and the marker files would accumulate
-    // forever. Safe under the ledger's application-order contract
-    // (ids are applied in increasing order): with no watermark, every
-    // applied id has a marker, so nothing below min(committed) was ever
-    // applied — or ever will be.
+    // forever. The seed minimizes over ALL marker ids — committed AND
+    // dangling intents — so an intent-without-commit (a crash
+    // mid-append awaiting replay) below the lowest committed id bounds
+    // the watermark BELOW itself: the sweep can never delete a dangling
+    // intent, and [[applied]] never answers true for its batch. Safe
+    // under the ledger's application-order contract (ids are applied in
+    // increasing order): with no watermark, every applied id has a
+    // marker, so nothing below min(markers) was ever applied — or ever
+    // will be.
+    val markerMin = (committed ++ intents).reduceOption(_ min _)
     var w =
-      if (w0 < 0 && committed.nonEmpty) {
+      if (w0 < 0 && markerMin.isDefined) {
         // surface the seed loudly: from here on, [[applied]] answers
-        // true for EVERY id below min(committed) — correct under the
+        // true for EVERY id below min(markers) — correct under the
         // increasing-order contract, silently wrong for a caller-driven
         // loop applying ids out of order (which must not interleave
         // prune; see the object doc)
-        if (committed.min > 0)
+        if (markerMin.get > 0)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"IngestLedger.prune('$table'): seeding watermark at " +
-              s"${committed.min - 1} from the lowest committed id — ids " +
+              s"${markerMin.get - 1} from the lowest marker id — ids " +
               "below it will answer applied=true; valid only if batches " +
               "are applied in increasing order")
-        committed.min - 1
+        markerMin.get - 1
       } else w0
     while (committed.contains(w + 1)) w += 1
     if (w > w0) {

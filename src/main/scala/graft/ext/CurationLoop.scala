@@ -91,11 +91,11 @@ object CurationLoop {
     *
     * Cache lifetime: the decontamination stage persists the shard's
     * gram rows (the [[Decontaminate]] contract); once the combined
-    * verdicts are materialized this call releases the session cache
-    * (`clearCache`) so a long-running loop cannot accumulate one gram
-    * cache per batch — callers holding their OWN persisted frames
-    * across ingestShard calls should re-persist after it returns (the
-    * session-owning convention of a streaming `foreachBatch` loop). */
+    * verdicts are materialized this call unpersists exactly that
+    * stage-owned frame ([[Decontaminate.contaminatedAgainstStoreOwned]])
+    * so a long-running loop cannot accumulate one gram cache per batch.
+    * Caller-persisted frames held across ingestShard calls are NOT
+    * touched (CurationLoopCacheSpec pins it). */
   def ingestShard(batch: DataFrame, batchId: Long,
                   idCol: String, textCol: String, embCol: String,
                   stores: Stores, params: Params, outRoot: String): Unit = {
@@ -129,9 +129,12 @@ object CurationLoop {
 
     // ---- stage 4: decontamination gate (read-only) ----
     // contaminatedAgainstStore returns only docs with >= 1 shared gram;
-    // absent docs carry contamination 0 and pass
-    val contam = Decontaminate.contaminatedAgainstStore(s3, idCol, textCol,
-        stores.benchTable)
+    // absent docs carry contamination 0 and pass. The OWNED variant
+    // hands back the stage's persisted gram frame so this loop releases
+    // exactly its own cache below — never the caller's.
+    val (contamRaw, contamCache) = Decontaminate
+      .contaminatedAgainstStoreOwned(s3, idCol, textCol, stores.benchTable)
+    val contam = contamRaw
       .select(col(idCol), col("contamination").as("__cont"))
     val s4 = s3.join(contam, Seq(idCol), "left")
       .filter(coalesce(col("__cont"), lit(0.0)) <= params.maxContamination)
@@ -193,11 +196,13 @@ object CurationLoop {
     // ---- funnel counts: the per-batch numbers a curation run reports ----
     // the decontamination stage persisted the shard's train grams (the
     // Decontaminate cache contract); the verdicts above are eagerly
-    // materialized, so this batch is done with every cached plan —
-    // release them, or a long-running loop accumulates a gram cache per
-    // batch. (localCheckpoints are checkpointed RDDs, not catalog
-    // cache — clearCache cannot touch the verdicts.)
-    spark.catalog.clearCache()
+    // materialized, so this batch is done with its cached plan — release
+    // EXACTLY the stage-owned frame (a long-running loop must not
+    // accumulate one gram cache per batch), and ONLY that frame: a
+    // caller-persisted frame held across ingestShard calls survives
+    // (CurationLoopCacheSpec pins it; the old session-wide clearCache
+    // evicted those too).
+    contamCache.unpersist()
     verdicts
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("dropped_at").isNull ||

@@ -177,9 +177,15 @@ object DataCard {
       .groupBy(sourceCol, langCol)
       .agg(sum("n_docs").as("__ln"), sum("n_tokens").as("__lt"),
         sum("score_sum_q").as("__lq"))
+    // n_langs counts NON-NULL language strata only — [[perSource]] uses
+    // countDistinct(lang), which ignores NULLs, and the append-then-serve
+    // ≡ batch-card parity must hold for corpora containing null-lang
+    // docs too (their doc/token/quality counters still roll up; only the
+    // language-spread count skips the null stratum, on both paths)
     val rollup = counts.groupBy(sourceCol)
       .agg(sum("__ln").as("n_docs"), sum("__lt").as("n_tokens"),
-        count(lit(1)).as("n_langs"), sum("__lq").as("__score_sum_q"))
+        count(when(col(langCol).isNotNull, lit(1))).as("n_langs"),
+        sum("__lq").as("__score_sum_q"))
     val langRank = Window.partitionBy(sourceCol)
       .orderBy(col("__ln").desc, col(langCol).asc)
     val topLang = counts

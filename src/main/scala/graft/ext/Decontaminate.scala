@@ -299,12 +299,34 @@ object Decontaminate {
     * frame before any rebuild of `table`; a loop that must overlap the
     * two should `localCheckpoint` the result first. */
   def contaminatedAgainstStore(trainDocs: DataFrame, idCol: String,
-                               textCol: String, table: String): DataFrame = {
+                               textCol: String, table: String): DataFrame =
+    contaminatedAgainstStoreOwned(trainDocs, idCol, textCol, table)._1
+
+  /** [[contaminatedAgainstStore]] with the stage's cache OWNERSHIP made
+    * explicit: the second element is the persisted train-gram frame the
+    * result references — the caller unpersists THAT frame (and nothing
+    * else) once the result is consumed, instead of reaching for the
+    * session-wide `clearCache()` hammer the plain overload's contract
+    * falls back to (which would also evict every frame the CALLER holds
+    * across calls — the [[CurationLoop.ingestShard]] sharp edge this
+    * variant removes). */
+  def contaminatedAgainstStoreOwned(trainDocs: DataFrame, idCol: String,
+                                    textCol: String, table: String)
+      : (DataFrame, DataFrame) = {
     val spark = trainDocs.sparkSession
     require(spark.catalog.tableExists(benchmarkMeta(table)),
       s"benchmark store '$table' has no meta table — a (re)build crashed " +
         "before committing; re-run writeBenchmarkStore before checking shards")
-    val metaRows = spark.table(benchmarkMeta(table)).collect()
+    val meta = spark.table(benchmarkMeta(table))
+    // meta-format contract: the striped layout added the
+    // n_stripes/clamped/stripe columns; a store persisted under the
+    // pre-stripe 1-row format fails HERE with the versioned message,
+    // not downstream with a generic missing-field resolution error
+    require(meta.columns.contains("n_stripes"),
+      s"benchmark store '$table' was built under an older meta format " +
+        "(no stripe layout columns) — re-run writeBenchmarkStore to " +
+        "upgrade it before checking shards")
+    val metaRows = meta.collect()
     val n = metaRows.head.getAs[Int]("n")
     val nStripes = metaRows.head.getAs[Int]("n_stripes")
     val blooms = metaRows.iterator
@@ -319,8 +341,9 @@ object Decontaminate {
       .join(spark.table(table).hint("merge"), Seq("gram_fp"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
     val totals = trainGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    shared.join(totals, Seq(idCol))
+    val result = shared.join(totals, Seq(idCol))
       .select(col(idCol), col("n_grams"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
+    (result, trainGrams)
   }
 }

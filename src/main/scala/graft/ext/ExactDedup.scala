@@ -200,6 +200,16 @@ object ExactDedup {
     * not the corpus), `retained` (both), with the corpus-side
     * occurrence count and min id and the store's canonical id.
     *
+    * FINGERPRINT-LESS DOCS ARE EXCLUDED, deliberately: a null text has
+    * no fingerprint, so it can neither match a store row nor collide
+    * with another doc — and under the engine-wide "fingerprint-less
+    * docs always keep" convention ([[dedupExactAgainstStore]]) such
+    * docs never enter the store either, so a diff row for them would
+    * compare nothing to nothing. An audit that must account for every
+    * document including null texts should pair this diff with a plain
+    * `count(text IS NULL)` on each side — one scalar per release, not
+    * a per-fingerprint row.
+    *
     * Shape at 100 TB: the corpus reduces to one (fp, min id, count)
     * row per content in a single map-side-combined groupBy, then meets
     * the store in ONE full-outer sort-merge join whose store side

@@ -1683,6 +1683,40 @@ class CardStoreSpec extends SparkSpec {
     }
   }
 
+  test("a null-LANG document keeps append-then-serve ≡ batch-card parity (n_langs skips the null stratum)") {
+    val s = spark; import s.implicits._
+    val withNullLang = Seq(
+      (1L, Some("en"), "a", "the quick brown fox"),
+      (2L, Option.empty[String], "a", "lang detection abstained here"),
+      (3L, Some("de"), "a", "der hund ist gross"),
+      (4L, Some("en"), "b", "spark engines process data"))
+      .toDF("doc_id", "lang", "source", "text")
+    val batch = DataCard.perSource(withNullLang, "doc_id", "text",
+        "lang", "source")
+      .orderBy("source").collect()
+    // countDistinct ignores NULLs: source a has langs {en, de, null} → 2
+    assert(batch.map(r => r.getAs[Long]("n_docs") ->
+        r.getAs[Long]("n_langs")).toSeq == Seq(3L -> 2L, 1L -> 1L),
+      "the null-lang doc counts in n_docs but not in n_langs")
+    DataCard.writeCardStore(
+      withNullLang.filter(col("doc_id") <= 2), "doc_id", "text", "lang",
+      "source", "card_nlang_spec", 2)
+    try {
+      DataCard.ingestCardBatch(withNullLang.filter(col("doc_id") >= 3), 0L,
+        "doc_id", "text", "lang", "source", "card_nlang_spec", 2)
+      val served = card(DataCard.serveCard(spark, "card_nlang_spec"))
+      val expect = card(DataCard.perSource(withNullLang, "doc_id", "text",
+          "lang", "source")
+        .drop("dup_rate"))
+      assert(served == expect,
+        s"null-lang stratum broke serve/batch parity:\nserved=$served\nexpect=$expect")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS card_nlang_spec")
+      spark.sql("DROP TABLE IF EXISTS card_nlang_spec_meta")
+      graft.core.IngestLedger.reset(spark, "card_nlang_spec")
+    }
+  }
+
   test("a crashed append repairs exactly; a store without its meta refuses to serve") {
     val base = corpus.filter(col("doc_id") <= 2)
     val s1 = corpus.filter(col("doc_id") >= 3)

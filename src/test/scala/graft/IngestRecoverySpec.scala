@@ -534,6 +534,32 @@ class IngestRecoverySpec extends SparkSpec {
     IngestLedger.reset(spark, t)
   }
 
+  test("prune's watermark seed stops below a dangling intent, preserving its marker for repair") {
+    val t = "rec_prune_dangle"
+    IngestLedger.reset(spark, t)
+    // an out-of-order (contract-violating, but repairable) state: batch 2
+    // crashed mid-append (intent, no commit) while 5..6 committed. The
+    // seed must minimize over ALL marker ids, or the sweep would delete
+    // batch-2.intent and strand the partial append where danglingIntents
+    // (and the batch-tagged crash repair) can no longer see it.
+    IngestLedger.intent(spark, t, 2L)
+    for (id <- 5L to 6L) {
+      IngestLedger.intent(spark, t, id); IngestLedger.record(spark, t, id)
+    }
+    IngestLedger.prune(spark, t)
+    assert(IngestLedger.watermark(spark, t) == 1L,
+      "seed must stop below the dangling intent, not at min(committed) - 1")
+    assert(!IngestLedger.applied(spark, t, 2L),
+      "the dangling batch must not answer applied=true")
+    assert(IngestLedger.intended(spark, t, 2L),
+      "the dangling intent marker must survive the sweep")
+    assert(IngestLedger.danglingIntents(spark, t) == Seq(2L))
+    // commit markers above the hole stay as markers (watermark can't
+    // advance over the uncommitted 2..4 range) but still answer applied
+    assert((5L to 6L).forall(IngestLedger.applied(spark, t, _)))
+    IngestLedger.reset(spark, t)
+  }
+
   test("a prune re-run after a crash between watermark rename and deletes finishes the deletes") {
     val t = "rec_prune_crash"
     IngestLedger.reset(spark, t)
@@ -685,6 +711,27 @@ class CurationLoopRecoverySpec extends SparkSpec {
       assert(funnel.getAs[Long]("n_after_decontam") == 2L)
       assert(funnel.getAs[Long]("n_kept") == 1L)
     } finally dropStores("cl_a")
+  }
+
+  test("ingestShard releases only its own stage cache: a caller-persisted frame survives") {
+    val stores = seedStores("cl_g")
+    val root = java.nio.file.Files.createTempDirectory("graft-cl-g-").toString
+    val callerFrame = corpus(seedRows).select(col("doc_id")).persist()
+    try {
+      callerFrame.count() // materialize the caller's cache entry
+      assert(callerFrame.storageLevel.useMemory)
+      CurationLoop.ingestShard(corpus(shardRows), 0L, "doc_id", "text",
+        "embedding", stores, params, root)
+      assert(callerFrame.storageLevel.useMemory,
+        "a frame the CALLER persisted across ingestShard calls must stay " +
+          "cached — the loop may release only its own stage-owned frames")
+      // the cache-manager entry itself is intact (not merely a stale
+      // storage-level answer): a re-read of the frame hits the cache
+      assert(callerFrame.count() == seedRows.size)
+    } finally {
+      callerFrame.unpersist()
+      dropStores("cl_g")
+    }
   }
 
   test("crash between stage commits: the resumed shard matches a clean run; replay is idempotent") {

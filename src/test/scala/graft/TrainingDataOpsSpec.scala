@@ -110,6 +110,44 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("a store persisted under the pre-stripe meta format refuses with a versioned message") {
+    Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 2 === 0),
+      "text", n = 3, table = "deco_bench_legacy", buckets = 4)
+    try {
+      // rewrite the meta in the OLD 1-row shape (n, fpp, n_grams, bloom —
+      // no stripe layout columns), exactly what a store persisted before
+      // the striping upgrade carries
+      val legacy = spark.table(Decontaminate.benchmarkMeta("deco_bench_legacy"))
+        .select(col("n"), col("fpp"), col("n_grams"), col("bloom"))
+        .collect()
+      spark.sql(s"DROP TABLE ${Decontaminate.benchmarkMeta("deco_bench_legacy")}")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(legacy.toIndexedSeq),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("fpp",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("n_grams",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("bloom",
+              org.apache.spark.sql.types.BinaryType))))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(Decontaminate.benchmarkMeta("deco_bench_legacy"))
+      val e = intercept[IllegalArgumentException] {
+        Decontaminate.contaminatedAgainstStore(docs, "doc_id", "text",
+          "deco_bench_legacy")
+      }
+      assert(e.getMessage.contains("older meta format"),
+        s"expected the versioned upgrade message, got: ${e.getMessage}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS deco_bench_legacy")
+      spark.sql(
+        s"DROP TABLE IF EXISTS ${Decontaminate.benchmarkMeta("deco_bench_legacy")}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("a non-positive per-bloom capacity refuses at entry, like the sibling knobs") {
     Seq(0L, -4L).foreach { bad =>
       val e = intercept[IllegalArgumentException] {
