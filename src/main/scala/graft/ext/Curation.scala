@@ -147,49 +147,90 @@ object Curation {
       .drop("__cd")
   }
 
-  /** The ONE-SHOT batch recipe composed end to end — the static-corpus
-    * counterpart of [[CurationLoop.ingestShard]]'s incremental loop,
-    * chaining the published recipe stages in their production order:
+  /** Full-depth batch-recipe parameters, one group per stage (stage
+    * numbers are [[batchRecipe]]'s). The near-dup/vector/decontam/LM
+    * knobs deliberately mirror [[CurationLoop.Params]] — the two
+    * topologies share ONE stage inventory, so their knobs must name the
+    * same things. */
+  final case class RecipeParams(
+    rules: RuleGate.Rules,                               // stage 1
+    chunkTokens: Int, minDocFreq: Int,                   // stage 2
+    shingleN: Int, numHashes: Int, nBands: Int,          // stage 4
+    minJaccard: Double,
+    nCentroids: Int, dim: Int, seedOffset: Long,         // stage 5
+    minCosine: Double,
+    maxContamination: Double,                            // stage 6
+    keepFraction: Double,                                // stage 7
+    weights: Map[String, Double], budgetTokens: Long)    // stage 8
+
+  /** The ONE-SHOT batch recipe composed end to end at FULL production
+    * depth — the static-corpus counterpart of
+    * [[CurationLoop.ingestShard]]'s incremental loop. The two
+    * topologies share ONE stage inventory: every stage of the loop
+    * (exact dedup, near-dup, vector dedup, decontamination, LM quality)
+    * appears here in the same order, preceded by the two batch-only
+    * cleanup stages (rule gate, boilerplate removal) a static-corpus
+    * release runs before its first fingerprint — the loop cannot run
+    * them because corpus-frequency boilerplate is undefined on a single
+    * shard. Stage order, cheapest / highest-yield first:
     *
-    *   1. heuristic rule gate            ([[RuleGate]], x61 — cheapest first)
+    *   1. heuristic rule gate            ([[RuleGate]], x61)
     *   2. corpus boilerplate removal     ([[PassageDedup.removeBoilerplate]], x65)
     *   3. exact dedup ON THE CLEANED TEXT ([[ExactDedup.dedup]], x01 —
     *      after cleanup, because boilerplate-stripped twins only become
     *      identical once their shared noise is gone)
-    *   4. per-source quality-quantile gate over the heuristic score
-    *      ([[topFractionPerGroup]], x59's shape)
-    *   5. token-budget mixture materialization ([[Mixing]], x60)
+    *   4. MinHash near-dup               ([[MinHash.nearDupPairs]], x08 —
+    *      greedy-by-id first-wins: a doc drops iff SOME smaller-id doc
+    *      matches it, the [[SemDedup]] convention and the batch twin of
+    *      the loop's signature-store stage)
+    *   5. embedding dedup in the loop's OWN coarse cells
+    *      ([[CellScorer]] top-1 cell buckets + exact cosine, greedy by
+    *      id — the batch twin of the loop's vector-store stage, same
+    *      quantizer; docs without an embedding row keep, the
+    *      fingerprint-less convention)
+    *   6. decontamination against the persisted benchmark store
+    *      ([[Decontaminate.contaminatedAgainstStore]], x52 — read-only,
+    *      exactly the loop's stage)
+    *   7. LM quality, served from the persisted model store and gated
+    *      per source ([[LmScore.scoreAgainstStore]] x54 +
+    *      [[topFractionPerGroup]] x59): the loop gates each shard on an
+    *      absolute score (a shard cannot see the corpus distribution);
+    *      the batch form CAN, so it keeps each source's top
+    *      `keepFraction` — same scoring stage, batch-appropriate gate
+    *      policy. Docs with no transitions (null score) PASS: drop on
+    *      evidence of junk, not on absence of evidence.
+    *   8. token-budget mixture materialization ([[Mixing]], x60)
     *
-    * Every downstream stage consumes the stage-2 CLEANED text (scores,
-    * fingerprints and token budgets all see what training would see).
+    * Every stage from 3 on consumes the stage-2 CLEANED text (scores,
+    * fingerprints and token budgets all see what training would see);
+    * embeddings are the caller's precomputed artifact, joined by id.
     * The output is the materialized mixture itself — one row per
     * (document, copy), the corpus a trainer reads.
     *
     * Scale shape: each stage keeps its own pinned plan (this method
     * composes the checked operators; it re-plans nothing) — the gate
-    * stages are narrow or fp/source-keyed, and the one corpus-sized
-    * join chain is id-keyed survivor filtering exactly as the
-    * streaming loop does it. */
+    * stages are narrow or fp/source/cell-keyed with banded/bucketed
+    * candidate generation (never all-pairs), the two store stages read
+    * their buckets in place, and the corpus-sized join chain is
+    * id-keyed survivor filtering exactly as the streaming loop does it.
+    * The cleaned corpus and the gate output each feed multiple
+    * consumers and are checkpointed once (measured 3.2 s → the
+    * sum-of-stages cost at sf0.1; at 100 TB the staged corpus is the
+    * natural inter-stage artifact, exactly as the incremental loop
+    * persists per-stage verdicts). */
   def batchRecipe(docs: DataFrame, idCol: String, textCol: String,
                   langCol: String, sourceCol: String,
-                  rules: RuleGate.Rules, chunkTokens: Int, minDocFreq: Int,
-                  keepFraction: Double, weights: Map[String, Double],
-                  budgetTokens: Long): DataFrame = {
+                  emb: DataFrame, embCol: String,
+                  benchTable: String, modelTable: String,
+                  p: RecipeParams): DataFrame = {
     // stage 1: rule gate
-    val ruleKept = RuleGate.flags(docs, idCol, textCol, rules)
+    val ruleKept = RuleGate.flags(docs, idCol, textCol, p.rules)
       .filter(col("keep")).select(col(idCol))
     val s1 = docs.join(ruleKept, Seq(idCol))
       .select(col(idCol), col(langCol), col(sourceCol), col(textCol))
-    // stage 2: boilerplate removal — cleaned text replaces the original.
-    // The cleaned corpus feeds THREE downstream consumers (dedup
-    // fingerprints, quality scoring, mixture token stats): eagerly
-    // materialize it once (localCheckpoint) instead of re-running the
-    // passage-frequency cascade per consumer (measured 3.2 s → the
-    // sum-of-stages cost at sf0.1; at 100 TB the staged corpus is the
-    // natural inter-stage artifact, exactly as the incremental loop
-    // persists per-stage verdicts)
+    // stage 2: boilerplate removal — cleaned text replaces the original
     val cleaned = PassageDedup.removeBoilerplate(s1, idCol, textCol,
-        chunkTokens, minDocFreq)
+        p.chunkTokens, p.minDocFreq)
       .select(col(idCol), col("text_kept").as("__clean"))
     val s2 = s1.join(cleaned, Seq(idCol))
       .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
@@ -197,19 +238,55 @@ object Curation {
     // stage 3: exact dedup on the cleaned text, min-id canonical keeps
     val canon = ExactDedup.dedup(s2, idCol, "__clean")
       .select(col("canonical_id").as(idCol))
-    val s3 = s2.join(canon, Seq(idCol))
-    // stage 4: per-source top fraction by the heuristic quality score;
-    // the gate output feeds both the mixture's token stats and its
-    // materialize join — two consumers, one more checkpoint
-    val gated = topFractionPerGroup(
-        s3.withColumn("__q", TextAnalysis.qualityScore(col("__clean"))),
-        sourceCol, "__q", keepFraction)
-      .filter(col("kept"))
+    // s3 feeds the near-dup signature pipeline AND the survivor chain —
+    // checkpoint so the exact-dedup groupBy runs once
+    val s3 = s2.join(canon, Seq(idCol)).localCheckpoint(true)
+    // stage 4: MinHash near-dup, greedy-by-id first-wins over the
+    // banded candidate pairs (doc_a < doc_b by construction)
+    val ndDropped = MinHash.nearDupPairs(s3, idCol, "__clean",
+        p.shingleN, p.numHashes, p.nBands, p.minJaccard)
+      .select(col("doc_b").as(idCol)).distinct()
+    val s4 = s3.join(ndDropped, Seq(idCol), "left_anti")
+    // stage 5: embedding dedup in the loop's own coarse cells — top-1
+    // cell buckets candidates (an equi-join on the cell id, never
+    // all-pairs: Σ|cell|² work, the SemDedup shape with the loop's
+    // quantizer), exact cosine confirms, greedy by id. Docs without an
+    // embedding row never enter the inner join and keep.
+    val scorer = LcgCellScorer(p.nCentroids, p.dim, p.seedOffset)
+    val vecs = s4.select(col(idCol))
+      .join(emb.select(col(idCol), col(embCol)), Seq(idCol))
+      .withColumn("__cell", scorer.cell(col(embCol)))
+    val a = vecs.select(col(idCol).as("__ida"), col(embCol).as("__ea"),
+      col("__cell").as("__ca"))
+    val b = vecs.select(col(idCol).as("__idb"), col(embCol).as("__eb"),
+      col("__cell").as("__cb"))
+    val vecDropped = a
+      .join(b, col("__ca") === col("__cb") && col("__ida") < col("__idb"))
+      .filter(Similarity.cosine(col("__ea"), col("__eb")) >= p.minCosine)
+      .select(col("__idb").as(idCol)).distinct()
+    val s5 = s4.join(vecDropped, Seq(idCol), "left_anti")
+    // stage 6: decontamination gate against the persisted benchmark
+    // store (absent docs share no gram and pass)
+    val contam = Decontaminate.contaminatedAgainstStore(s5, idCol,
+        "__clean", benchTable)
+      .select(col(idCol), col("contamination").as("__cont"))
+    val s6 = s5.join(contam, Seq(idCol), "left")
+      .filter(coalesce(col("__cont"), lit(0.0)) <= p.maxContamination)
+      .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
+    // stage 7: LM quality from the persisted model store, gated per
+    // source; null-score docs (no transitions) bypass the window and
+    // keep. The gate output feeds both the mixture's token stats and
+    // its materialize join — two consumers, one more checkpoint.
+    val lm = LmScore.scoreAgainstStore(s6, idCol, "__clean", modelTable)
+      .select(col(idCol), col("lm_score"))
+    val gated = topFractionPerGroup(s6.join(lm, Seq(idCol), "left"),
+        sourceCol, "lm_score", p.keepFraction)
+      .filter(col("kept").isNull || col("kept"))
       .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
       .localCheckpoint(true)
-    // stage 5: materialize the mixture over the cleaned token counts
+    // stage 8: materialize the mixture over the cleaned token counts
     Mixing.materializeMixture(gated, langCol, idCol, "__clean",
-        weights, budgetTokens)
+        p.weights, p.budgetTokens)
       .select(col(idCol), col(langCol), col(sourceCol),
         col("copy_idx"), col("n_copies"))
   }

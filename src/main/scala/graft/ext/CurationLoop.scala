@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   *   4. decontamination against the benchmark store  ([[Decontaminate]], x52)
   *   5. quality gate against the LM model store      ([[LmScore]], x54)
   *
+  * This loop and the one-shot [[Curation.batchRecipe]] share ONE stage
+  * inventory: the recipe runs these same five stages in this order over
+  * a static corpus (prefixed by the batch-only rule-gate/boilerplate
+  * cleanup, which needs corpus-wide frequencies no single shard has),
+  * differing only in gate POLICY where batch can see the corpus
+  * distribution (per-source quantile vs per-shard absolute LM
+  * threshold — documented there).
+  *
   * Stages 1–3 MUTATE their stores (each shard's stage-local survivors
   * append, so the next shard dedups against everything ingested so
   * far); stages 4–5 are read-only gates. Each mutating stage keeps its

@@ -94,10 +94,23 @@ object LmScore {
       .select(col(idCol), toks(textCol))
       .select(col(idCol),
         graft.functions.ShingleMd5(col("__toks"), 1).as("__u"),
-        posexplode_outer(graft.functions.ShingleMd5(col("__toks"), 2))
-          .as(Seq("__pos", "bi_fp")))
-      .select(col(idCol), col("bi_fp"),
-        element_at(col("__u"), col("__pos") + 1).as("uni_fp"))
+        graft.functions.ShingleMd5(col("__toks"), 2).as("__b"))
+      // the (prefix, bigram) tuples are zipped INSIDE a transform lambda
+      // whose index variable is bound and always in range (|u| = |b|+1),
+      // then outer-exploded as one struct array. The posexplode_outer +
+      // element_at(__u, __pos + 1) formulation this replaces was
+      // semantically identical but fragile: __pos is NULL on the
+      // spine row of a token-less doc, and under a deep enough optimized
+      // lineage (the x66 recipe's duplicated s6 subtree) codegen fed
+      // element_at the null slot's DEFAULT index instead of propagating
+      // the null — an ANSI INVALID_ARRAY_INDEX crash on exactly the
+      // empty-text rows the outer explode exists to keep.
+      .select(col(idCol),
+        explode_outer(transform(col("__b"), (bf, i) =>
+          struct(bf.as("bi_fp"),
+            element_at(col("__u"), i + 1).as("uni_fp")))).as("__pr"))
+      .select(col(idCol), col("__pr.bi_fp").as("bi_fp"),
+        col("__pr.uni_fp").as("uni_fp"))
 
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: DataFrame): DataFrame = {
@@ -152,12 +165,20 @@ object LmScore {
       .select(col(idCol),
         graft.functions.ShingleMd5(col("__toks"), 1).as("__u"),
         graft.functions.ShingleMd5(col("__toks"), 2).as("__b"),
-        posexplode_outer(graft.functions.ShingleMd5(col("__toks"), 3))
-          .as(Seq("__pos", "tri_fp")))
-      .select(col(idCol), col("tri_fp"),
-        element_at(col("__b"), col("__pos") + 1).as("ctx_fp"),
-        element_at(col("__b"), col("__pos") + 2).as("bo_fp"),
-        element_at(col("__u"), col("__pos") + 2).as("bo_ctx_fp"))
+        graft.functions.ShingleMd5(col("__toks"), 3).as("__t"))
+      // tuples built inside a transform lambda with a bound, always-in-
+      // range index (|b| = |t|+1, |u| = |t|+2), then outer-exploded —
+      // the [[transitionPairs]] plan-robustness shape (a null __pos from
+      // posexplode_outer must never reach a positional element_at)
+      .select(col(idCol),
+        explode_outer(transform(col("__t"), (tf, i) =>
+          struct(tf.as("tri_fp"),
+            element_at(col("__b"), i + 1).as("ctx_fp"),
+            element_at(col("__b"), i + 2).as("bo_fp"),
+            element_at(col("__u"), i + 2).as("bo_ctx_fp")))).as("__pr"))
+      .select(col(idCol), col("__pr.tri_fp").as("tri_fp"),
+        col("__pr.ctx_fp").as("ctx_fp"), col("__pr.bo_fp").as("bo_fp"),
+        col("__pr.bo_ctx_fp").as("bo_ctx_fp"))
 
   /** Trigram scoring with STUPID BACKOFF (Brants et al.): a seen
     * trigram scores its exact conditional `c(w₁w₂w₃)/c(w₁w₂)`; an

@@ -3065,26 +3065,57 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    coalesce(string_agg(CASE WHEN NOT is_b THEN passage END, ' ' ORDER BY idx), '') AS text_kept
             FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
-  /** The one-shot BATCH recipe composed end to end
-    * ([[graft.ext.Curation.batchRecipe]] — the static-corpus
-    * counterpart of x56's incremental loop): rule gate (x61) →
-    * boilerplate removal (x65, downstream stages consume the CLEANED
-    * text) → exact dedup on the cleaned text (x01) → per-source
-    * quality-quantile gate (x59's shape over the x03 score) → mixture
-    * materialization (x60). The checked output is the materialized
-    * mixture itself — one row per (doc, copy) — so a divergence at ANY
-    * stage shifts the final rows; the oracle replays the entire chain
-    * as one CTE cascade. */
+  /** The one-shot BATCH recipe composed end to end at FULL production
+    * depth ([[graft.ext.Curation.batchRecipe]] — the static-corpus
+    * counterpart of x56's incremental loop, sharing its five-stage
+    * inventory): rule gate (x61) → boilerplate removal (x65, downstream
+    * stages consume the CLEANED text) → exact dedup on the cleaned text
+    * (x01) → MinHash near-dup, greedy by id (x08's pairs) → embedding
+    * dedup in the loop's LCG-IVF top-1 cells (x45's quantizer, SemDedup
+    * greedy keep rule) → decontamination against the x52-style
+    * persisted benchmark store (the %10 split, 8-grams) → LM quality
+    * served from the x54 persisted model store and gated per source at
+    * the top half (x59's cume_dist shape; null-score docs pass) →
+    * mixture materialization (x60). The checked output is the
+    * materialized mixture itself — one row per (doc, copy) — so a
+    * divergence at ANY stage shifts the final rows; the oracle replays
+    * the entire chain as one CTE cascade. */
   private val x66 = Q("x66_recipe_batch",
-    (s, d) => Curation.batchRecipe(documents(s, d), "doc_id", "text",
-        "lang", "source", graft.ext.RuleGate.Rules(), chunkTokens = 10,
-        minDocFreq = 2, keepFraction = 0.5,
-        weights = Map("en" -> 0.6, "fr" -> 0.25, "de" -> 0.15),
-        budgetTokens = 20000L)
-      .orderBy("doc_id", "copy_idx"),
-    Some("""WITH t0 AS (SELECT doc_id, lang, source, text,
+    (s, d) => {
+      val docs = documents(s, d)
+      val emb = embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      // the corpus carries a deterministic RE-CRAWL of a slice of itself
+      // (ids + 100000, same content — the x56 operational case): the
+      // twins sail through the rule gate, clean identically, and must
+      // drop at the exact stage, so stage 3 provably bites
+      val corpus = docs
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
+            col("source"), col("text")))
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
+        "text", n = 8, table = "x66_bench", buckets = 8)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", table = "x66_model", buckets = 8)
+      Curation.batchRecipe(corpus, "doc_id", "text", "lang", "source",
+          emb, "embedding", "x66_bench", "x66_model",
+          Curation.RecipeParams(graft.ext.RuleGate.Rules(),
+            chunkTokens = 10, minDocFreq = 2,
+            shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
+            nCentroids = 16, dim = 64, seedOffset = 100000L,
+            minCosine = 0.4, maxContamination = 0.3, keepFraction = 0.5,
+            weights = Map("en" -> 0.6, "fr" -> 0.25, "de" -> 0.15),
+            budgetTokens = 20000L))
+        .orderBy("doc_id", "copy_idx")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, lang, source, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 100000, lang, source, text
+                  FROM documents WHERE doc_id % 7 = 0),
+             t0 AS (SELECT doc_id, lang, source, text,
                     regexp_extract_all(lower(trim(text)), '\S+') AS toks
-                  FROM documents),
+                  FROM corpus),
              rf AS (SELECT doc_id,
                      CAST(len(toks) AS BIGINT) AS n_words,
                      CASE WHEN len(toks) = 0 THEN 0.0
@@ -3129,28 +3160,115 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                            md5(regexp_replace(lower(trim(ctext)), '\s+', ' ', 'g')) AS fp
                          FROM s2) GROUP BY fp),
              s3 AS (SELECT s2.* FROM s2 JOIN canon USING (doc_id)),
-             qf AS (SELECT *,
-                     CAST(length(ctext) AS BIGINT) AS nc,
-                     CAST(len(regexp_extract_all(ctext, '\S+')) AS BIGINT) AS nt,
-                     CASE WHEN length(ctext) = 0 THEN 0.0
-                          ELSE CAST(length(regexp_replace(ctext, '[^0-9]', '', 'g')) AS DOUBLE) / length(ctext)
-                     END AS digit_ratio,
-                     CASE WHEN len(regexp_extract_all(lower(ctext), '[a-z]+')) = 0 THEN 0.0
-                          ELSE CAST(len(list_filter(regexp_extract_all(lower(ctext), '[a-z]+'),
-                                 x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-                               / len(regexp_extract_all(lower(ctext), '[a-z]+'))
-                     END AS stop_ratio
-                   FROM s3),
-             qq AS (SELECT *, CASE WHEN nt = 0 THEN 0.0
-                      ELSE CAST(nc - nt + 1 AS DOUBLE) / nt END AS avg_len FROM qf),
-             sc AS (SELECT *, 0.4 * stop_ratio + 0.3 * (least(avg_len, 10.0) / 10.0)
-                              + 0.3 * (1.0 - digit_ratio) AS q FROM qq),
-             g AS (SELECT doc_id, lang, source, ctext FROM (
-                     SELECT *, cume_dist() OVER (PARTITION BY source ORDER BY q) AS cd
-                     FROM sc) WHERE cd > 0.5),
+             -- ==== stage 4: MinHash near-dup over the cleaned text (x08 recipe, greedy by id) ====
+             w3 AS (SELECT doc_id, regexp_extract_all(lower(trim(ctext)), '\S+') AS w FROM s3),
+             sh3 AS (SELECT doc_id,
+                       list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                     FROM w3 WHERE len(w) >= 3),
+             hs3 AS (SELECT doc_id, list_transform(sgl, sx ->
+                       CAST(CAST('0x'||substr(md5(sx),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                     FROM sh3),
+             sig3 AS (SELECT doc_id, list_transform(range(0,16), i ->
+                        list_min(list_transform(hh, h ->
+                          (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                            + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                      FROM hs3),
+             bands3 AS (SELECT doc_id, b AS bb,
+                          CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                            ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                        FROM sig3, (SELECT unnest(range(0,4)) AS b)),
+             nd AS (SELECT DISTINCT pr.idb AS doc_id FROM (
+                      SELECT DISTINCT ba.doc_id AS ida, bb2.doc_id AS idb
+                      FROM bands3 ba JOIN bands3 bb2
+                        ON ba.bb = bb2.bb AND ba.bk = bb2.bk
+                      WHERE ba.doc_id < bb2.doc_id) pr
+                    JOIN sig3 sa ON sa.doc_id = pr.ida
+                    JOIN sig3 sb ON sb.doc_id = pr.idb
+                    WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
+             s4 AS (SELECT s3.* FROM s3 WHERE s3.doc_id NOT IN (SELECT doc_id FROM nd)),
+             -- ==== stage 5: embedding dedup in LCG-IVF top-1 cells (x45 quantizer, greedy by id) ====
+             vsc AS (SELECT vec_id, embedding,
+                       list_transform(range(0,16), kk ->
+                         list_sum(list_transform(list_zip(embedding, range(0,64)),
+                           x -> CAST(x[1] AS DOUBLE) *
+                                (CAST((1103515245*(100000 + kk*64 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                                 / 2147483648.0 * 2 - 1)))
+                         / sqrt(list_sum(list_transform(range(0,64), j ->
+                             (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                              / 2147483648.0 * 2 - 1)
+                             * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
+                                / 2147483648.0 * 2 - 1))))) AS scores
+                     FROM embeddings),
+             va AS (SELECT v.vec_id AS doc_id, v.embedding,
+                      CAST(list_position(v.scores, list_max(v.scores)) - 1 AS INT) AS cell
+                    FROM vsc v JOIN s4 ON s4.doc_id = v.vec_id),
+             vd AS (SELECT DISTINCT vb.doc_id FROM va AS vaa JOIN va AS vb
+                      ON vaa.cell = vb.cell AND vaa.doc_id < vb.doc_id
+                    WHERE list_sum(list_transform(list_zip(vaa.embedding, vb.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                          / (sqrt(list_sum(list_transform(vaa.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                           * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                          >= 0.4),
+             s5 AS (SELECT s4.* FROM s4 WHERE s4.doc_id NOT IN (SELECT doc_id FROM vd)),
+             -- ==== stage 6: decontamination vs the %10 benchmark store (x52 recipe, 8-grams of cleaned text) ====
+             bw AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+                    FROM documents WHERE doc_id % 10 = 0),
+             evg AS (SELECT DISTINCT gram_fp FROM (
+                       SELECT unnest(list_transform(generate_series(1, len(w)-7),
+                         i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
+                       FROM bw WHERE len(w) >= 8)),
+             w5 AS (SELECT doc_id, regexp_extract_all(lower(trim(ctext)), '\S+') AS w FROM s5),
+             cg AS (SELECT DISTINCT doc_id, gram_fp FROM (
+                      SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+                        i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
+                      FROM w5 WHERE len(w) >= 8)),
+             ctot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM cg GROUP BY 1),
+             cshr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                      FROM cg JOIN evg USING (gram_fp) GROUP BY 1),
+             s6 AS (SELECT s5.* FROM s5
+                    LEFT JOIN ctot tt ON tt.doc_id = s5.doc_id
+                    LEFT JOIN cshr sh ON sh.doc_id = s5.doc_id
+                    WHERE COALESCE(CAST(sh.n_shared AS DOUBLE) / tt.n_grams, 0.0) <= 0.3),
+             -- ==== stage 7: LM quality from the %10-trained store, per-source top half (x54 + x59) ====
+             lc1 AS (SELECT fp, count(*) AS c FROM (
+                       SELECT unnest(list_transform(generate_series(1, len(w)),
+                         i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                       FROM (SELECT regexp_extract_all(lower(trim(text)), '\S+') AS w
+                             FROM documents WHERE doc_id % 10 <> 0)
+                       WHERE len(w) >= 1)
+                     GROUP BY fp),
+             lc2 AS (SELECT fp, count(*) AS c FROM (
+                       SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                         i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                       FROM (SELECT regexp_extract_all(lower(trim(text)), '\S+') AS w
+                             FROM documents WHERE doc_id % 10 <> 0)
+                       WHERE len(w) >= 2)
+                     GROUP BY fp),
+             w6 AS (SELECT doc_id, regexp_extract_all(lower(trim(ctext)), '\S+') AS w FROM s6),
+             pr7 AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
+                     FROM w6, unnest(list_transform(generate_series(1, len(w)-1),
+                       i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
+                             'bf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
+                     WHERE len(w) >= 2),
+             lmsc AS (SELECT p7.doc_id,
+                        CAST(count(*) AS BIGINT) AS nb,
+                        CAST(sum(CAST(floor(COALESCE(CAST(lc2.c AS DOUBLE) / CAST(lc1.c AS DOUBLE), 0.0)
+                                            * 1073741824.0) AS BIGINT)) AS BIGINT) AS psq
+                      FROM pr7 p7
+                      LEFT JOIN lc2 ON p7.bi_fp = lc2.fp
+                      LEFT JOIN lc1 ON p7.uni_fp = lc1.fp
+                      GROUP BY p7.doc_id),
+             lmj AS (SELECT s6.doc_id, s6.lang, s6.source, s6.ctext,
+                       CAST(l.psq AS DOUBLE) / 1073741824.0 / CAST(l.nb AS DOUBLE) AS lm_score
+                     FROM s6 LEFT JOIN lmsc l ON l.doc_id = s6.doc_id),
+             s7 AS (SELECT doc_id, lang, source, ctext FROM (
+                      SELECT *, cume_dist() OVER (PARTITION BY source ORDER BY lm_score) AS cd
+                      FROM lmj WHERE lm_score IS NOT NULL) WHERE cd > 0.5
+                    UNION ALL
+                    SELECT doc_id, lang, source, ctext FROM lmj WHERE lm_score IS NULL),
              gt AS (SELECT doc_id, lang, source,
                       CAST(len(regexp_extract_all(lower(trim(ctext)), '\S+')) AS BIGINT) AS nt
-                    FROM g),
+                    FROM s7),
              st AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM gt GROUP BY 1),
              fct AS (SELECT lang,
                       CASE WHEN n_tokens = 0 THEN 0.0

@@ -605,27 +605,47 @@ class CurationSpec extends SparkSpec {
 
   test("batch recipe invariants: copy counts consistent, weighted langs only, rule-gate survivors") {
     val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
     val weights = Map("en" -> 0.7, "fr" -> 0.3)
-    val out = graft.ext.Curation.batchRecipe(docs, "doc_id", "text",
-        "lang", "source", graft.ext.RuleGate.Rules(), chunkTokens = 10,
-        minDocFreq = 2, keepFraction = 0.5, weights = weights,
-        budgetTokens = 5000L)
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
-    assert(out.nonEmpty, "the recipe must keep something at sf0.001")
-    // per doc: copy_idx runs 0..n_copies-1 and every row agrees on n_copies
-    out.groupBy(_._1).foreach { case (id, rows) =>
-      val n = rows.head._4
-      assert(rows.length == n && rows.map(_._3).sorted.toSeq == (0L until n),
-        s"doc $id: inconsistent copies ${rows.toSeq}")
+    graft.ext.Decontaminate.writeBenchmarkStore(
+      docs.filter(col("doc_id") % 10 === 0), "text", n = 8,
+      table = "recipe_spec_bench", buckets = 4)
+    graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
+      "text", table = "recipe_spec_model", buckets = 4)
+    try {
+      val out = graft.ext.Curation.batchRecipe(docs, "doc_id", "text",
+          "lang", "source", emb, "embedding",
+          "recipe_spec_bench", "recipe_spec_model",
+          graft.ext.Curation.RecipeParams(graft.ext.RuleGate.Rules(),
+            chunkTokens = 10, minDocFreq = 2,
+            shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
+            nCentroids = 16, dim = 64, seedOffset = 100000L,
+            minCosine = 0.4, maxContamination = 0.3, keepFraction = 0.5,
+            weights = weights, budgetTokens = 5000L))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      assert(out.nonEmpty, "the recipe must keep something at sf0.001")
+      // per doc: copy_idx runs 0..n_copies-1 and every row agrees on n_copies
+      out.groupBy(_._1).foreach { case (id, rows) =>
+        val n = rows.head._4
+        assert(rows.length == n && rows.map(_._3).sorted.toSeq == (0L until n),
+          s"doc $id: inconsistent copies ${rows.toSeq}")
+      }
+      // only weighted strata can materialize
+      assert(out.map(_._2).toSet.subsetOf(weights.keySet))
+      // every surviving doc passed the rule gate (stage 1 is a filter)
+      val ruleKept = graft.ext.RuleGate.flags(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(out.map(_._1).toSet.subsetOf(ruleKept))
+    } finally {
+      Seq("recipe_spec_bench", "recipe_spec_bench_meta", "recipe_spec_model",
+        "recipe_spec_model_meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.core.IngestLedger.reset(spark, "recipe_spec_model")
+      spark.catalog.clearCache()
     }
-    // only weighted strata can materialize
-    assert(out.map(_._2).toSet.subsetOf(weights.keySet))
-    // every surviving doc passed the rule gate (stage 1 is a filter)
-    val ruleKept = graft.ext.RuleGate.flags(docs, "doc_id", "text")
-      .filter(col("keep")).select("doc_id")
-      .collect().map(_.getLong(0)).toSet
-    assert(out.map(_._1).toSet.subsetOf(ruleKept))
   }
 }
 
