@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Train/eval decontamination: find training documents that share any
@@ -247,8 +247,20 @@ object Decontaminate {
     spark.sql(s"DROP TABLE IF EXISTS `${benchmarkMeta(table)}`")
     graft.core.Bucketing.writeBucketed(grams(evalDocs, textCol, n),
       table, Seq("gram_fp"), buckets)
-    // the written grams feed two eager actions (count + bloom agg):
-    // persist across them, the contaminatedBloom convention
+    trainAndCommitMeta(spark, table, n, fpp, maxItemsPerBloom)
+    // a fresh store restarts its batch-id space and carries no pending
+    // append — drop any stale ledger + crash marker
+    graft.core.IngestLedger.reset(spark, table)
+  }
+
+  /** Retrain the stripe blooms over the CURRENT gram table and commit
+    * the meta — the shared tail of [[writeBenchmarkStore]] and
+    * [[appendToBenchmark]], so build and append sizing can never
+    * desynchronize. The written grams feed two eager actions (count +
+    * bloom agg): persisted across them, the contaminatedBloom
+    * convention. */
+  private def trainAndCommitMeta(spark: SparkSession, table: String, n: Int,
+                                 fpp: Double, maxItemsPerBloom: Long): Unit = {
     val written = spark.table(table)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -272,6 +284,103 @@ object Decontaminate {
         .write.mode("overwrite").format("parquet")
         .saveAsTable(benchmarkMeta(table))
     } finally written.unpersist()
+  }
+
+  /** Crash marker of an in-flight benchmark APPEND, kept in the store's
+    * ledger directory (the [[graft.ext.VectorStore]] recluster-marker
+    * convention — a fixed-name file carrying the pass's parameters):
+    * written before the meta is dropped, deleted after the retrained
+    * meta commits, so a replay of a crashed append can recover the gram
+    * size / fpp contract the dropped meta took with it. */
+  private def appendPendingMarker(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      graft.core.IngestLedger.ledgerDir(spark, table), "bench-append-pending")
+
+  /** Grow a persisted benchmark store with NEW eval docs — benchmarks
+    * do change (new eval suites land), and a rebuild is O(benchmark)
+    * while this append is O(new grams) for the gram table plus ONE
+    * O(store) bloom retrain. That retrain is the deliberate cost call:
+    * a bloom cannot be unioned incrementally without degrading its fpp
+    * (adding items past the trained capacity drives false positives
+    * toward 1 — the prefilter silently stops paying), so the append
+    * re-aggregates the gram table into freshly-sized stripes. The gram
+    * table itself never rescans the benchmark DOCS — only the stored
+    * fps — so the retrain is a count + one map-side-combined
+    * aggregation over (8-byte fp) rows, not a re-tokenization.
+    *
+    * Gram size and fpp come FROM the store's meta (an append can never
+    * silently change the contract). Crash-safe and idempotent: the
+    * pending marker ([[appendPendingMarker]]) lands first, the meta (the
+    * store's commit marker) is dropped, missing grams append via an
+    * anti-join (re-running appends nothing twice), and the retrained
+    * meta commits last, after which the marker clears. A crash anywhere
+    * leaves either a serving store (before the drop / after the commit)
+    * or a refusing store with the marker in place — re-running THIS
+    * append with the same docs completes it ([[ingestBenchmarkBatch]]
+    * drives exactly that replay under the applied-batch ledger).
+    *
+    * CONSUME-BEFORE-APPEND: same contract as rebuilds
+    * ([[contaminatedAgainstStore]]'s CONSUME-BEFORE-REBUILD note) — an
+    * un-consumed lazy result from before the append would pair the old
+    * bloom with the new grams and under-report exactly the appended
+    * benchmark's overlaps. */
+  def appendToBenchmark(evalDocs: DataFrame, textCol: String,
+                        table: String, buckets: Int,
+                        maxItemsPerBloom: Long = MaxBloomItems): Unit = {
+    require(maxItemsPerBloom > 0,
+      s"maxItemsPerBloom must be > 0, got $maxItemsPerBloom")
+    val spark = evalDocs.sparkSession
+    val marker = appendPendingMarker(spark, table)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val (n, fpp) =
+      if (spark.catalog.tableExists(benchmarkMeta(table))) {
+        val meta = spark.table(benchmarkMeta(table))
+        require(meta.columns.contains("n_stripes"),
+          s"benchmark store '$table' was built under an older meta format " +
+            "(no stripe layout columns) — re-run writeBenchmarkStore to " +
+            "upgrade it before appending")
+        val h = meta.head()
+        (h.getAs[Int]("n"), h.getAs[Double]("fpp"))
+      } else if (fs.exists(marker)) {
+        // resuming a crashed append: the contract rode the marker
+        val in = fs.open(marker)
+        val s = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        val parts = s.trim.split(" ")
+        (parts(0).toInt, parts(1).toDouble)
+      } else {
+        throw new IllegalArgumentException(
+          s"benchmark store '$table' has no meta table and no pending " +
+            "append marker — a (re)build crashed; re-run " +
+            "writeBenchmarkStore before appending")
+      }
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, true)
+    try out.write(s"$n $fpp".getBytes("UTF-8")) finally out.close()
+    spark.sql(s"DROP TABLE IF EXISTS `${benchmarkMeta(table)}`")
+    val missing = grams(evalDocs, textCol, n)
+      .join(spark.table(table), Seq("gram_fp"), "left_anti")
+    graft.core.Bucketing.appendBucketed(missing, table, Seq("gram_fp"),
+      buckets)
+    trainAndCommitMeta(spark, table, n, fpp, maxItemsPerBloom)
+    fs.delete(marker, false)
+  }
+
+  /** [[appendToBenchmark]] under the applied-batch ledger — the
+    * exactly-once streamed form (the [[graft.ext.ExactDedup]] loop
+    * convention): a replayed committed batch skips outright; a batch
+    * that crashed mid-append re-enters [[appendToBenchmark]], whose
+    * pending-marker + anti-join + meta-last protocol makes the replay
+    * converge. No intent marker is needed — unlike the count-delta
+    * stores, every step here is idempotent on its own. */
+  def ingestBenchmarkBatch(evalDocs: DataFrame, batchId: Long,
+                           textCol: String, table: String, buckets: Int,
+                           maxItemsPerBloom: Long = MaxBloomItems): Unit = {
+    val spark = evalDocs.sparkSession
+    if (graft.core.IngestLedger.applied(spark, table, batchId)) return
+    appendToBenchmark(evalDocs, textCol, table, buckets, maxItemsPerBloom)
+    graft.core.IngestLedger.record(spark, table, batchId)
   }
 
   /** Decontaminate a TRAINING shard against a persisted benchmark store

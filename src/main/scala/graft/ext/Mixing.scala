@@ -135,4 +135,50 @@ object Mixing {
                          budgetTokens: Long): DataFrame =
     materializeMixture(docs, stratumCol, keyCol,
       repeatFactors(docs, stratumCol, textCol, weights, budgetTokens))
+
+  /** DSIR-DRIVEN mixture: the target weights are not hand-tuned but
+    * derived from [[LmScore.dsirAgainstStores]]'s verdicts — the
+    * published DSIR → sampling composition (Xie et al.: importance
+    * weights against a target model drive what gets sampled), lifted to
+    * the domain-reweighting form: stratum s's weight is its share of
+    * the DSIR-SELECTED token mass, `w_s = sel_tokens_s / Σ sel_tokens`,
+    * so domains whose content the target model actually prefers get
+    * proportionally more of the token budget (a domain with no selected
+    * docs gets weight 0 and drops from the mixture). The mixture then
+    * materializes over the FULL corpus through [[materializeMixture]] —
+    * per-document repeat factors `budget·w_s / tokens_s`, so the
+    * per-domain factors differ exactly where DSIR's selection rates do.
+    *
+    * Determinism: the weights are stratum-cardinality driver scalars
+    * (`sel_s.toDouble / total.toDouble` — one correctly-rounded int64 →
+    * double division each, the q05 O(1)-scalar convention), and the
+    * factor arithmetic is [[repeatFactors]]'s double multiply+divide —
+    * the oracle replays the identical IEEE sequence.
+    *
+    * One-shot shape: this convenience form tokenizes `docs` for the
+    * verdict pass, the selected-mass aggregate, and the factor stats.
+    * Production persists the x58 verdict table once and feeds the
+    * derived weights to [[materializeMixture]] as recipe constants —
+    * exactly as the factor-table overload documents. */
+  def dsirMixture(docs: DataFrame, stratumCol: String, keyCol: String,
+                  textCol: String, targetTable: String, sourceTable: String,
+                  budgetTokens: Long): DataFrame = {
+    val selected = LmScore.dsirAgainstStores(docs, keyCol, textCol,
+        targetTable, sourceTable)
+      .filter(col("selected")).select(col(keyCol))
+    val selMass = docs.join(selected, Seq(keyCol))
+      .groupBy(stratumCol)
+      .agg(sum(coalesce(size(Ngrams.normTokens(col(textCol))).cast("long"),
+        lit(0L))).as("sel_tokens"))
+      .collect()
+    val total = selMass.map(_.getAs[Long]("sel_tokens")).sum
+    val weights = selMass.iterator
+      .filter(_.getAs[String](stratumCol) != null)
+      .map(r => r.getAs[String](stratumCol) ->
+        (if (total == 0) 0.0
+         else r.getAs[Long]("sel_tokens").toDouble / total.toDouble))
+      .toMap
+    materializeMixture(docs, stratumCol, keyCol, textCol, weights,
+      budgetTokens)
+  }
 }

@@ -2275,7 +2275,13 @@ object ExtQueries {
           "x52_bench_store")
         .orderBy("doc_id")
     },
-    Some(s"""WITH $tokSql,
+    Some(benchContamOracle))
+
+  /** The x52 store-served contamination oracle (the x44 split over the
+    * FULL %10 benchmark), shared verbatim by x71's append-grown store —
+    * append-then-serve must equal a store rebuilt on the whole
+    * benchmark, so the two queries must read the SAME replay. */
+  private lazy val benchContamOracle = s"""WITH $tokSql,
              g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
                       i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
                    FROM toks WHERE len(w) >= 8),
@@ -2287,7 +2293,7 @@ object ExtQueries {
                     FROM tr JOIN ev USING (gram_fp) GROUP BY 1)
              SELECT s.doc_id, t.n_grams, s.n_shared,
                     CAST(s.n_shared AS DOUBLE) / t.n_grams AS contamination
-             FROM sh s JOIN tot t USING (doc_id) ORDER BY doc_id"""))
+             FROM sh s JOIN tot t USING (doc_id) ORDER BY doc_id"""
 
   /** Bigram-LM quality scoring ([[graft.ext.LmScore]] — the
     * CCNet/KenLM filtering pattern): bigram statistics are fitted on
@@ -2719,18 +2725,11 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * `t_sum_q > s_sum_q`). Docs with no transitions get a null verdict
     * (no evidence either way). The oracle replays both models and the
     * identical divide/quantize/sum arithmetic. */
-  private val x58 = Q("x58_dsir_selection",
-    (s, d) => {
-      val docs = documents(s, d)
-      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") === "en"),
-        "text", table = "x58_target", buckets = 8)
-      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") =!= "en"),
-        "text", table = "x58_source", buckets = 8)
-      graft.ext.LmScore.dsirAgainstStores(docs, "doc_id", "text",
-          "x58_target", "x58_source")
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH $tokSql,
+  /** The x58 DSIR two-model scoring replay (everything up to the
+    * per-doc `agg` relation), shared by x58's verdict oracle and x70's
+    * DSIR-driven mixture oracle — the curationCascadeSql convention:
+    * one replay, two checked consumers. */
+  private val dsirAggSql = s"""$tokSql,
              tokl AS (SELECT t.doc_id, t.w, d.lang
                       FROM toks t JOIN documents d USING (doc_id)),
              pairs AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
@@ -2769,7 +2768,20 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                      LEFT JOIN tc1 t1 ON p.uni_fp = t1.fp
                      LEFT JOIN sc2 s2 ON p.bi_fp = s2.fp
                      LEFT JOIN sc1 s1 ON p.uni_fp = s1.fp
-                     GROUP BY p.doc_id)
+                     GROUP BY p.doc_id)"""
+
+  private val x58 = Q("x58_dsir_selection",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") === "en"),
+        "text", table = "x58_target", buckets = 8)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") =!= "en"),
+        "text", table = "x58_source", buckets = 8)
+      graft.ext.LmScore.dsirAgainstStores(docs, "doc_id", "text",
+          "x58_target", "x58_source")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $dsirAggSql
             SELECT d.doc_id,
                    COALESCE(a.n_bigrams, 0) AS n_bigrams,
                    a.t_sum_q, a.s_sum_q,
@@ -3433,10 +3445,99 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     },
     Some(lm3ScoreOracle))
 
+  /** DSIR-DRIVEN mixture composition ([[graft.ext.Mixing.dsirMixture]]
+    * — x58's selection feeding x60's materialization, the published
+    * DSIR → sampling pipeline): the en-target / non-en-source model
+    * stores score every doc, each language's mixture weight is its
+    * share of the DSIR-SELECTED token mass, and the budget materializes
+    * over the full corpus — so the per-domain repeat factors differ
+    * exactly where the selection rates do (en dominates, never-selected
+    * domains drop to weight 0; at sf0.01 every domain's factor differs
+    * from the uniform mixture's). The oracle replays the two-model
+    * scoring (the shared x58 CTE chain), the driver-scalar weight
+    * division, and the factor/draw arithmetic bit-exactly. */
+  private val x70 = Q("x70_dsir_mixture",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") === "en"),
+        "text", table = "x70_target", buckets = 8)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") =!= "en"),
+        "text", table = "x70_source", buckets = 8)
+      Mixing.dsirMixture(docs, "lang", "doc_id", "text",
+          "x70_target", "x70_source", budgetTokens = 30000L)
+        .select(col("doc_id"), col("lang"), col("copy_idx"), col("n_copies"))
+        .orderBy("doc_id", "copy_idx")
+    },
+    Some(s"""WITH $dsirAggSql,
+             sel AS (SELECT d.doc_id, d.lang
+                     FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+                     WHERE a.n_bigrams > 0 AND a.t_sum_q > a.s_sum_q),
+             mtok AS (SELECT doc_id, lang,
+                        CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT) AS nt
+                      FROM documents),
+             selm AS (SELECT m.lang, CAST(sum(m.nt) AS BIGINT) AS sel_tokens
+                      FROM mtok m JOIN sel ON sel.doc_id = m.doc_id
+                      GROUP BY 1),
+             tot AS (SELECT CAST(sum(sel_tokens) AS BIGINT) AS t FROM selm),
+             fx AS (SELECT st.lang,
+                      CASE WHEN st.n_tokens = 0 THEN 0.0
+                           ELSE CAST(30000 AS DOUBLE)
+                                * (CAST(COALESCE(sm.sel_tokens, 0) AS DOUBLE)
+                                   / CAST((SELECT t FROM tot) AS DOUBLE))
+                                / st.n_tokens END AS factor
+                    FROM (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
+                          FROM mtok GROUP BY 1) st
+                    LEFT JOIN selm sm USING (lang)),
+             dd AS (SELECT m.doc_id, m.lang,
+                      CAST(floor(fx.factor) AS BIGINT) AS full_copies,
+                      CAST(floor(fx.factor * 10000.0) AS BIGINT)
+                        - CAST(floor(fx.factor) AS BIGINT) * 10000 AS thr
+                    FROM mtok m JOIN fx USING (lang)),
+             cc AS (SELECT doc_id, lang,
+                      full_copies + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < thr
+                                          THEN 1 ELSE 0 END) AS n_copies
+                    FROM dd)
+            SELECT doc_id, lang, copy_idx, n_copies FROM (
+              SELECT doc_id, lang,
+                     CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx,
+                     CAST(n_copies AS BIGINT) AS n_copies
+              FROM cc WHERE n_copies > 0)
+            ORDER BY doc_id, copy_idx"""))
+
+  /** The benchmark store grown by APPEND
+    * ([[graft.ext.Decontaminate.appendToBenchmark]] /
+    * `ingestBenchmarkBatch` — benchmarks do change, and a full rebuild
+    * per new eval suite is O(benchmark) while the append is O(new
+    * grams) + one O(store) bloom retrain): the %10 benchmark arrives in
+    * three waves (a %3 seed build, then two ledgered appends), and the
+    * served check must equal x52's store-rebuilt-on-everything answer —
+    * the oracle IS x52's. Exercises the pending-marker protocol's happy
+    * path and the exactly-once skip (the second append of a committed
+    * batch id is a no-op). */
+  private val x71 = Q("x71_bench_append",
+    (s, d) => {
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      Decontaminate.writeBenchmarkStore(bench.filter(col("doc_id") % 3 === 0),
+        "text", n = 8, table = "x71_bench", buckets = 8)
+      Decontaminate.ingestBenchmarkBatch(bench.filter(col("doc_id") % 3 === 1),
+        0L, "text", "x71_bench", 8)
+      Decontaminate.ingestBenchmarkBatch(bench.filter(col("doc_id") % 3 === 2),
+        1L, "text", "x71_bench", 8)
+      // a replayed committed batch must change nothing (the ledger skip)
+      Decontaminate.ingestBenchmarkBatch(bench.filter(col("doc_id") % 3 === 2),
+        1L, "text", "x71_bench", 8)
+      Decontaminate.contaminatedAgainstStore(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          "x71_bench")
+        .orderBy("doc_id")
+    },
+    Some(benchContamOracle))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
-    x68, x69)
+    x68, x69, x70, x71)
 }

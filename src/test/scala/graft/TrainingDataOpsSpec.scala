@@ -110,6 +110,65 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("benchmark append ≡ rebuild on the union; crashed append self-repairs; committed batch skips") {
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val evalA = df(Seq((0L, "alpha beta gamma delta"))).toDF("doc_id", "text")
+    val evalB = df(Seq((2L, "x y alpha zz ww"))).toDF("doc_id", "text")
+    val evalC = df(Seq((4L, "pp qq rr ss tt"))).toDF("doc_id", "text")
+    val train = df(Seq(
+      (1L, "x y alpha beta gamma z"),
+      (3L, "zz ww qq rr pp qq rr uu"))).toDF("doc_id", "text")
+    Decontaminate.writeBenchmarkStore(
+      evalA.unionByName(evalB).unionByName(evalC), "text", n = 3,
+      table = "deco_app_ref", buckets = 4)
+    Decontaminate.writeBenchmarkStore(evalA, "text", n = 3,
+      table = "deco_app", buckets = 4)
+    try {
+      Decontaminate.ingestBenchmarkBatch(evalB, 0L, "text", "deco_app", 4)
+      // replay of the committed batch: the ledger skips, nothing grows
+      val cnt = spark.table("deco_app").count()
+      Decontaminate.ingestBenchmarkBatch(evalB, 0L, "text", "deco_app", 4)
+      assert(spark.table("deco_app").count() == cnt,
+        "a committed batch's replay must not touch the store")
+      // crash window of batch 1: pending marker landed, meta dropped —
+      // the state appendToBenchmark leaves between its first two steps
+      val marker = new org.apache.hadoop.fs.Path(
+        graft.core.IngestLedger.ledgerDir(spark, "deco_app"),
+        "bench-append-pending")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(marker, true)
+      try out.write("3 0.01".getBytes("UTF-8")) finally out.close()
+      spark.sql(s"DROP TABLE ${Decontaminate.benchmarkMeta("deco_app")}")
+      // while crashed, the store refuses to serve (meta = commit marker)
+      intercept[IllegalArgumentException] {
+        Decontaminate.contaminatedAgainstStore(train, "doc_id", "text",
+          "deco_app")
+      }
+      // the replayed append recovers the contract from the marker
+      Decontaminate.ingestBenchmarkBatch(evalC, 1L, "text", "deco_app", 4)
+      assert(!fs.exists(marker), "the pending marker must clear on commit")
+      assert(rows(Decontaminate.contaminatedAgainstStore(train, "doc_id",
+          "text", "deco_app"))
+        == rows(Decontaminate.contaminatedAgainstStore(train, "doc_id",
+          "text", "deco_app_ref")),
+        "append-grown store must serve exactly the rebuilt-on-union answer")
+      // with no meta AND no marker, append refuses loudly (crashed REBUILD)
+      spark.sql(s"DROP TABLE ${Decontaminate.benchmarkMeta("deco_app")}")
+      val e = intercept[IllegalArgumentException] {
+        Decontaminate.appendToBenchmark(evalC, "text", "deco_app", 4)
+      }
+      assert(e.getMessage.contains("re-run writeBenchmarkStore"))
+    } finally {
+      Seq("deco_app", "deco_app_ref").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${Decontaminate.benchmarkMeta(t)}")
+        graft.core.IngestLedger.reset(spark, t)
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("a store persisted under the pre-stripe meta format refuses with a versioned message") {
     Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 2 === 0),
       "text", n = 3, table = "deco_bench_legacy", buckets = 4)
