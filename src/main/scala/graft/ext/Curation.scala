@@ -147,6 +147,38 @@ object Curation {
       .drop("__cd")
   }
 
+  /** CCNet-style per-group score BUCKETS (Wenzek et al.'s
+    * head/middle/tail split, generalized to `nBuckets`): within each
+    * group, rank by `scoreCol` best-first and deal rows into
+    * equal-sized buckets with `ntile` — bucket 1 is the "head" slice a
+    * recipe trains on first, the last bucket the "tail" it drops or
+    * down-weights. Published CCNet cuts its corpus into exactly these
+    * per-language perplexity terciles; [[topFractionPerGroup]] is the
+    * keep/drop special case, this is the graded form.
+    *
+    * Determinism: `ntile` deals by ROW ORDER, so ties would be
+    * engine-arbitrary without a total order — the window orders by
+    * (score DESC, `keyCol`), a unique key, making bucket assignment
+    * identical in every engine (standard NTILE: the first
+    * `n_rows mod nBuckets` buckets take the extra row). Rows with a
+    * NULL score bypass the ranking with a null bucket — policy decides
+    * them, not this operator (the [[topFractionPerGroup]] convention).
+    *
+    * Scale shape: one hash exchange on (group, is-null) + an
+    * in-partition sort — no global sort, no driver quantiles; the same
+    * single-scan shape as [[topFractionPerGroup]]. */
+  def scoreBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+                   keyCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col(scoreCol).isNull)
+      .orderBy(col(scoreCol).desc, col(keyCol))
+    df.withColumn("__nt", ntile(nBuckets).over(w))
+      .withColumn("bucket",
+        when(col(scoreCol).isNotNull, col("__nt").cast("long")))
+      .drop("__nt")
+  }
+
   /** Full-depth batch-recipe parameters, one group per stage (stage
     * numbers are [[batchRecipe]]'s). The near-dup/vector/decontam/LM
     * knobs deliberately mirror [[CurationLoop.Params]] — the two

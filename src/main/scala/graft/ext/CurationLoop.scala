@@ -232,6 +232,50 @@ object CurationLoop {
       .parquet(stageOut(outRoot, "funnel"))
   }
 
+  /** The funnel partitions served as the curation run's TIME SERIES —
+    * per-stage drop-rate drift across batches is THE production
+    * early-warning signal (a near-dup rate jumping between shards means
+    * the crawl started re-fetching; an LM drop-rate drift means the
+    * corpus mix shifted under the model): one row per (batch, stage)
+    * with the counts entering/surviving the stage, the stage's drop
+    * rate, and the rate's delta against the PREVIOUS batch (null on the
+    * run's first batch — no baseline yet). A stage nothing entered has
+    * a null rate (0/0 — abstain, the [[Curation.topFractionPerGroup]]
+    * null-policy convention) and null deltas on both sides.
+    *
+    * Determinism: counts are exact int64; each rate is one
+    * correctly-rounded int64→double division; each delta one double
+    * subtraction — the oracle replays the identical sequence.
+    *
+    * Scale shape: the funnel table holds one ROW per ingested batch
+    * (years of hourly shards ≈ 10⁴ rows), so the unpivot + the
+    * per-stage lag window are dashboard-sized work over an already-
+    * aggregated artifact — never a corpus touch. */
+  def funnelHistory(spark: SparkSession, outRoot: String): DataFrame = {
+    val f = spark.read.parquet(stageOut(outRoot, "funnel"))
+    val stages = Seq(
+      (1, "exact", "n_docs", "n_after_exact"),
+      (2, "neardup", "n_after_exact", "n_after_neardup"),
+      (3, "vector", "n_after_neardup", "n_after_vector"),
+      (4, "decontam", "n_after_vector", "n_after_decontam"),
+      (5, "lm", "n_after_decontam", "n_kept"))
+    val long = f.select(col("batch_id").cast("long").as("batch_id"),
+      explode(array(stages.map { case (no, name, inC, outC) =>
+        struct(lit(no).as("stage_no"), lit(name).as("stage"),
+          col(inC).as("n_in"), col(outC).as("n_out"))
+      }: _*)).as("s"))
+      .select(col("batch_id"), col("s.stage_no").as("stage_no"),
+        col("s.stage").as("stage"), col("s.n_in").as("n_in"),
+        col("s.n_out").as("n_out"))
+      .withColumn("drop_rate",
+        when(col("n_in") > 0,
+          (col("n_in") - col("n_out")).cast("double") / col("n_in")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stage_no").orderBy("batch_id")
+    long.withColumn("drop_rate_delta",
+      col("drop_rate") - lag(col("drop_rate"), 1).over(w))
+  }
+
   /** The CONTINUOUS form: shards stream through [[ingestShard]], with
     * in-loop maintenance on each MUTATED store (the shared
     * [[graft.core.Bucketing.maintainInLoop]] cadence policy applied

@@ -3534,10 +3534,155 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     },
     Some(benchContamOracle))
 
+  /** The curation run's funnel TIME SERIES
+    * ([[graft.ext.CurationLoop.funnelHistory]]): three shards through
+    * the full five-store loop, then the per-(batch, stage) drop rates
+    * and their batch-over-batch deltas — the drift dashboard a
+    * production run watches (here the drift is DESIGNED: batch 0 is
+    * clean, batch 1 re-crawls half the seed corpus, batch 2 re-crawls
+    * all of it, so the exact stage's drop rate climbs 0 → … across the
+    * series). Stages 2–5 run with neutralized thresholds (ceil(1.1·16)
+    * = 18 > 16 signature matches, cosine ≥ 1.5, contamination ≤ 1.0,
+    * score < 0.0 — each impossible by construction), so the oracle's
+    * cascade replay is the three-batch fingerprint chain alone; the
+    * all-stages-biting cascade is x56/x57's jurisdiction — HERE the
+    * operator under test is the history READER (unpivot + rate + lag
+    * arithmetic) over a funnel the real loop wrote. */
+  private val x72 = Q("x72_funnel_history",
+    (s, d) => {
+      val docs = documents(s, d)
+      val emb = embeddings(s, d)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val full = train
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val seed = full.filter(col("doc_id") % 4 === 0)
+      ExactDedup.writeFingerprintStore(seed, "doc_id", "text",
+        table = "x72_fp", buckets = 8)
+      graft.ext.IncrementalDedup.writeSignatureStore(seed, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, table = "x72_sig",
+        buckets = 8)
+      graft.ext.VectorStore.writeVectorStore(
+        seed.select(col("doc_id"), col("embedding")), "doc_id", "embedding",
+        nCentroids = 16, dim = 64, seedOffset = 100000L,
+        table = "x72_vec", buckets = 8)
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
+        "text", n = 8, table = "x72_bench", buckets = 8)
+      graft.ext.LmScore.writeModelStore(train, "text",
+        table = "x72_model", buckets = 8)
+      val root = java.nio.file.Files.createTempDirectory("graft-x72-").toString
+      val stores = graft.ext.CurationLoop.Stores("x72_fp", "x72_sig",
+        "x72_vec", "x72_bench", "x72_model", buckets = 8)
+      val params = graft.ext.CurationLoop.Params(shingleN = 3,
+        numHashes = 16, nBands = 4, minJaccard = 1.1, minCosine = 1.5,
+        nCentroids = 16, nProbe = 4, dim = 64, seedOffset = 100000L,
+        maxContamination = 1.0, minLmScore = 0.0)
+      val twins2 = full
+        .filter(col("doc_id") % 4 === 0 && col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+          col("embedding"))
+      val twins3 = full.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
+          col("embedding"))
+      graft.ext.CurationLoop.ingestShard(full.filter(col("doc_id") % 4 === 1),
+        0L, "doc_id", "text", "embedding", stores, params, root)
+      graft.ext.CurationLoop.ingestShard(
+        full.filter(col("doc_id") % 4 === 2).unionByName(twins2),
+        1L, "doc_id", "text", "embedding", stores, params, root)
+      graft.ext.CurationLoop.ingestShard(
+        full.filter(col("doc_id") % 4 === 3).unionByName(twins3),
+        2L, "doc_id", "text", "embedding", stores, params, root)
+      graft.ext.CurationLoop.funnelHistory(s, root)
+        .orderBy("stage_no", "batch_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                  FROM documents WHERE doc_id % 10 <> 0
+                    AND doc_id IN (SELECT vec_id FROM embeddings)),
+             fs0 AS (SELECT fp, min(doc_id) AS cid FROM f WHERE doc_id % 4 = 0 GROUP BY fp),
+             b1 AS (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 1),
+             e1 AS (SELECT b1.doc_id, s.cid AS dup_of FROM b1 LEFT JOIN fs0 s USING (fp)),
+             fg1 AS (SELECT b1.fp, min(b1.doc_id) AS cid
+                     FROM b1 JOIN e1 ON e1.doc_id = b1.doc_id
+                     WHERE e1.dup_of IS NULL GROUP BY b1.fp),
+             fs1 AS (SELECT fp, min(cid) AS cid FROM (
+                       SELECT * FROM fs0 UNION ALL SELECT * FROM fg1) GROUP BY fp),
+             b2 AS (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 2
+                    UNION ALL
+                    SELECT doc_id + 200000, fp FROM f
+                    WHERE doc_id % 4 = 0 AND doc_id % 2 = 0),
+             e2 AS (SELECT b2.doc_id, s.cid AS dup_of FROM b2 LEFT JOIN fs1 s USING (fp)),
+             fg2 AS (SELECT b2.fp, min(b2.doc_id) AS cid
+                     FROM b2 JOIN e2 ON e2.doc_id = b2.doc_id
+                     WHERE e2.dup_of IS NULL GROUP BY b2.fp),
+             fs2 AS (SELECT fp, min(cid) AS cid FROM (
+                       SELECT * FROM fs1 UNION ALL SELECT * FROM fg2) GROUP BY fp),
+             b3 AS (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 3
+                    UNION ALL
+                    SELECT doc_id + 300000, fp FROM f WHERE doc_id % 4 = 0),
+             e3 AS (SELECT b3.doc_id, s.cid AS dup_of FROM b3 LEFT JOIN fs2 s USING (fp)),
+             cnt AS (SELECT CAST(0 AS BIGINT) AS batch_id,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(*) FILTER (WHERE dup_of IS NULL) AS BIGINT) AS n_kept
+                     FROM e1
+                     UNION ALL
+                     SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+                       CAST(count(*) FILTER (WHERE dup_of IS NULL) AS BIGINT)
+                     FROM e2
+                     UNION ALL
+                     SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                       CAST(count(*) FILTER (WHERE dup_of IS NULL) AS BIGINT)
+                     FROM e3),
+             st AS (SELECT * FROM (VALUES (1, 'exact'), (2, 'neardup'),
+                      (3, 'vector'), (4, 'decontam'), (5, 'lm')) AS t(stage_no, stage)),
+             long AS (SELECT c.batch_id, st.stage_no, st.stage,
+                        CASE WHEN st.stage_no = 1 THEN c.n_docs ELSE c.n_kept END AS n_in,
+                        c.n_kept AS n_out
+                      FROM cnt c CROSS JOIN st),
+             rr AS (SELECT *, CASE WHEN n_in > 0
+                      THEN CAST(n_in - n_out AS DOUBLE) / n_in END AS drop_rate
+                    FROM long)
+            SELECT batch_id, stage_no, stage, n_in, n_out, drop_rate,
+                   drop_rate - lag(drop_rate) OVER (PARTITION BY stage_no
+                     ORDER BY batch_id) AS drop_rate_delta
+            FROM rr ORDER BY stage_no, batch_id"""))
+
+  /** CCNet head/middle/tail terciles ([[graft.ext.Curation.scoreBuckets]]
+    * — Wenzek et al.'s published per-language perplexity split, the
+    * graded form of x59's keep/drop gate): every doc's LM score buckets
+    * it into its source's top/middle/bottom third via ntile over the
+    * (score DESC, doc_id) total order — tie-safe and engine-identical —
+    * with null-scored docs abstaining (null bucket). */
+  private val x73 = Q("x73_ccnet_buckets",
+    (s, d) => {
+      val docs = documents(s, d)
+      val model = graft.ext.LmScore.fit(docs.filter(col("doc_id") % 10 =!= 0),
+        "text").localCheckpoint(true)
+      val scored = graft.ext.LmScore.score(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("lm_score"))
+      Curation.scoreBuckets(scored, "source", "lm_score", "doc_id", 3)
+        .orderBy("doc_id")
+    },
+    Some(s"""$lmCascadeSql,
+             base AS (SELECT d.doc_id, d.source,
+                        CAST(sc.p_sum_q AS DOUBLE) / 1073741824.0
+                          / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
+                      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+            SELECT doc_id, source, lm_score,
+                   CAST(ntile(3) OVER (PARTITION BY source
+                     ORDER BY lm_score DESC, doc_id) AS BIGINT) AS bucket
+            FROM base WHERE lm_score IS NOT NULL
+            UNION ALL
+            SELECT doc_id, source, lm_score, CAST(NULL AS BIGINT) AS bucket
+            FROM base WHERE lm_score IS NULL
+            ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
-    x68, x69, x70, x71)
+    x68, x69, x70, x71, x72, x73)
 }

@@ -662,6 +662,26 @@ class CurationSpec extends SparkSpec {
     assert(out(1)._2 <= 3L && out(3)._2 < out(1)._2)
   }
 
+  test("scoreBuckets: standard ntile dealing on the (score desc, id) total order; nulls abstain") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "a", Some(0.9)), (2L, "a", Some(0.9)), (3L, "a", Some(0.5)),
+      (4L, "a", Some(0.3)), (5L, "a", Option.empty[Double]),
+      (6L, "b", Some(0.1)))
+      .toDF("doc_id", "source", "score")
+    val got = graft.ext.Curation.scoreBuckets(rows, "source", "score",
+        "doc_id", 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("bucket"))) -1L
+         else r.getAs[Long]("bucket"))).toMap
+    // group a: 4 scored rows into 3 buckets → sizes 2,1,1; the 0.9 tie
+    // deals deterministically by doc_id
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 2L && got(4L) == 3L)
+    assert(got(5L) == -1L, "null score must abstain with a null bucket")
+    assert(got(6L) == 1L, "a singleton group lands in the head bucket")
+  }
+
   test("batch recipe invariants: copy counts consistent, weighted langs only, rule-gate survivors") {
     val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
     val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
