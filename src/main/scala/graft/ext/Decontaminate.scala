@@ -115,23 +115,67 @@ object Decontaminate {
       .agg(graft.functions.Bloom.agg(col("gram_fp"), items, bits).as("bloom"))
   }
 
-  /** Membership probe against a striped bloom set: selects the fp's
-    * stripe map-side and probes THAT stripe's constant filter — a
-    * foldable-literal CASE chain (BloomFilterMightContain requires a
-    * constant filter per branch), still fully codegen'd. A missing
-    * stripe (no benchmark grams hashed there) is a definite miss. With
-    * one stripe this collapses to the plain single-bloom probe. */
-  private def mightContainStriped(blooms: Map[Int, Array[Byte]],
-                                  nStripes: Int, fp: Column): Column =
-    if (blooms.isEmpty) lit(false)
+  /** Membership prefilter of a gram frame against a striped bloom set.
+    * A missing stripe (no benchmark grams hashed there) is a definite
+    * miss; a null fp never matches.
+    *
+    * PROBE-FORM DECISION (measured round 17, `graft.BloomBench`,
+    * 20M-probe stream, 1M-item / ~1.2 MiB filters, local[32]): the
+    * original multi-stripe form — a foldable-literal CASE chain
+    * selecting the fp's stripe map-side (`BloomFilterMightContain`
+    * requires a constant filter per branch) — embeds EVERY stripe's
+    * filter bytes in the plan, and every task pays to deserialize all
+    * of them: 2.11 s at 8 stripes (9 MiB of literals), 18.3 s at 32
+    * (37 MiB), 46.6 s at 64 (73 MiB) — cost linear in total filter
+    * bytes, not in probe rows. The ADOPTED multi-stripe form ships the
+    * stripe map ONCE PER EXECUTOR as a broadcast variable and probes
+    * via `mapPartitions` with a lazy per-stripe deserialize cache:
+    * 0.51 / 0.67 / 0.89 s on the same sweeps — 4× / 27× / 52× — with
+    * bit-identical survivors, and on a real cluster the broadcast also
+    * replaces a per-STAGE task-binary shipment with a one-time
+    * per-executor transfer. The cost: the probe stage leaves
+    * whole-stage codegen (a boxed-row filter), which the measurements
+    * price at well under the literal-deserialization it removes. A
+    * SINGLE-stripe store (the common case — every config below one
+    * filter's 4M-item cap) keeps the constant-literal probe: one
+    * filter in the task binary, fully codegen'd — exactly Spark's own
+    * injected-runtime-filter shape, and measured faster than paying
+    * the mapPartitions boxing for one bloom. (A broadcast lookup JOIN
+    * was considered and rejected without needing the bench: the native
+    * expression cannot take a non-constant filter side, and a
+    * hash-relation build side would copy the multi-MiB bloom bytes
+    * per probed ROW.) PlanSpec pins both shapes. */
+  private def probeStriped(grams: DataFrame, fpCol: String,
+                           blooms: Map[Int, Array[Byte]],
+                           nStripes: Int): DataFrame =
+    if (blooms.isEmpty) grams.filter(lit(false))
     else if (nStripes == 1)
-      graft.functions.Bloom.mightContain(lit(blooms(0)), fp)
+      grams.filter(
+        graft.functions.Bloom.mightContain(lit(blooms(0)), col(fpCol)))
     else {
-      val stripe = stripeOf(fp, nStripes)
-      blooms.foldLeft(lit(false)) { case (acc, (i, b)) =>
-        when(stripe === lit(i.toLong),
-          graft.functions.Bloom.mightContain(lit(b), fp)).otherwise(acc)
-      }
+      val bc = grams.sparkSession.sparkContext.broadcast(blooms)
+      val idx = grams.schema.fieldIndex(fpCol)
+      val n = nStripes.toLong
+      grams.mapPartitions { it =>
+        val cache = new java.util.HashMap[
+          Int, org.apache.spark.util.sketch.BloomFilter]()
+        it.filter { row =>
+          !row.isNullAt(idx) && {
+            val fp = row.getLong(idx)
+            val s = java.lang.Math.floorMod(fp, n).toInt
+            val bytes = bc.value.getOrElse(s, null)
+            bytes != null && {
+              var f = cache.get(s)
+              if (f == null) {
+                f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(bytes))
+                cache.put(s, f)
+              }
+              f.mightContainLong(fp)
+            }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(grams.schema))
     }
 
   /** [[contaminated]] with a BLOOM PREFILTER on the eval gram set —
@@ -191,8 +235,7 @@ object Decontaminate {
         (rows.map(r => r.getAs[Number]("stripe").intValue() ->
           r.getAs[Array[Byte]]("bloom")).toMap, ns)
       } finally evalGrams.unpersist()
-    val candidates = trainGrams.filter(
-      mightContainStriped(blooms, nStripes, col("gram_fp")))
+    val candidates = probeStriped(trainGrams, "gram_fp", blooms, nStripes)
     val shared = candidates.join(evalGrams, Seq("gram_fp"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
     val totals = trainGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
@@ -444,8 +487,7 @@ object Decontaminate {
       .toMap
     val trainGrams = grams(trainDocs, textCol, n, col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = trainGrams.filter(
-      mightContainStriped(blooms, nStripes, col("gram_fp")))
+    val candidates = probeStriped(trainGrams, "gram_fp", blooms, nStripes)
     val shared = candidates
       .join(spark.table(table).hint("merge"), Seq("gram_fp"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))

@@ -372,6 +372,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("striped bloom probe shape: single stripe stays a codegen'd constant probe, multi-stripe is the broadcast mapPartitions form") {
+    import graft.ext.Decontaminate
+    import org.apache.spark.sql.functions.col
+    val docs = df(Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "x y alpha beta gamma z"))).toDF("doc_id", "text")
+    try {
+      // single stripe: the plain constant-literal probe, inside codegen
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") === 0),
+        "text", n = 3, table = "plan_bloom_1", buckets = 2)
+      val p1 = Decontaminate.contaminatedAgainstStore(
+        docs.filter(col("doc_id") === 1), "doc_id", "text", "plan_bloom_1")
+        .queryExecution.executedPlan.toString
+      assert(p1.contains("might_contain"),
+        s"single-stripe store must keep the constant bloom probe:\n${p1.take(800)}")
+      assert(!p1.toLowerCase.contains("mappartitions"),
+        "single-stripe store must not pay the mapPartitions probe")
+      // multi-stripe (capacity 1 forces 2 stripes): the BloomBench-adopted
+      // broadcast form — no bloom literals in the plan, a mapPartitions
+      // probe instead (the measured 4x/27x/52x decision, Decontaminate
+      // probeStriped docstring)
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") === 0),
+        "text", n = 3, table = "plan_bloom_2", buckets = 2,
+        maxItemsPerBloom = 1)
+      val p2 = Decontaminate.contaminatedAgainstStore(
+        docs.filter(col("doc_id") === 1), "doc_id", "text", "plan_bloom_2")
+        .queryExecution.executedPlan.toString
+      assert(p2.toLowerCase.contains("mappartitions"),
+        s"multi-stripe store must probe via the broadcast mapPartitions form:\n${p2.take(800)}")
+      assert(!p2.contains("might_contain"),
+        "multi-stripe store must not embed per-stripe bloom literals in the plan")
+    } finally {
+      Seq("plan_bloom_1", "plan_bloom_2").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${graft.ext.Decontaminate.benchmarkMeta(t)}")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("x45 incremental vector dedup reads the IVF store bucketed, no Exchange on the store side") {
     val df = Registry.queries("x45_incremental_vec_dedup")(spark, sf)
     val executed = df.queryExecution.executedPlan
