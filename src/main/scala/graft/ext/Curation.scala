@@ -274,10 +274,14 @@ object Curation {
     // checkpoint so the exact-dedup groupBy runs once
     val s3 = s2.join(canon, Seq(idCol)).localCheckpoint(true)
     // stage 4: MinHash near-dup, greedy-by-id first-wins over the
-    // banded candidate pairs (doc_a < doc_b by construction)
-    val ndDropped = MinHash.nearDupPairs(s3, idCol, "__clean",
-        p.shingleN, p.numHashes, p.nBands, p.minJaccard)
-      .select(col("doc_b").as(idCol)).distinct()
+    // banded candidate pairs (doc_a < doc_b by construction). The OWNED
+    // variant hands back the signature-cache release handle — this
+    // recipe releases its own allocations after the gate output is
+    // materialized, so repeated snapshot runs cannot accumulate caches
+    // (the CurationLoop.ingestShard discipline).
+    val (ndPairs, ndRelease) = MinHash.nearDupPairsOwned(s3, idCol,
+      "__clean", p.shingleN, p.numHashes, p.nBands, p.minJaccard)
+    val ndDropped = ndPairs.select(col("doc_b").as(idCol)).distinct()
     val s4 = s3.join(ndDropped, Seq(idCol), "left_anti")
     // stage 5: embedding dedup in the loop's own coarse cells — top-1
     // cell buckets candidates (an equi-join on the cell id, never
@@ -298,9 +302,11 @@ object Curation {
       .select(col("__idb").as(idCol)).distinct()
     val s5 = s4.join(vecDropped, Seq(idCol), "left_anti")
     // stage 6: decontamination gate against the persisted benchmark
-    // store (absent docs share no gram and pass)
-    val contam = Decontaminate.contaminatedAgainstStore(s5, idCol,
-        "__clean", benchTable)
+    // store (absent docs share no gram and pass); Owned variant — the
+    // gram cache (and any stripe-map broadcast) is released below
+    val (contamRaw, contamRelease) = Decontaminate
+      .contaminatedAgainstStoreOwned(s5, idCol, "__clean", benchTable)
+    val contam = contamRaw
       .select(col(idCol), col("contamination").as("__cont"))
     val s6 = s5.join(contam, Seq(idCol), "left")
       .filter(coalesce(col("__cont"), lit(0.0)) <= p.maxContamination)
@@ -316,6 +322,13 @@ object Curation {
       .filter(col("kept").isNull || col("kept"))
       .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
       .localCheckpoint(true)
+    // the eager checkpoint above materialized every upstream stage —
+    // release the recipe's own allocations now (signature cache, gram
+    // cache, stripe-map broadcast): a session running one recipe per
+    // corpus snapshot must not accumulate them (CurationSpec pins that
+    // this call leaves no recipe-owned cache entries behind)
+    ndRelease()
+    contamRelease()
     // stage 8: materialize the mixture over the cleaned token counts
     Mixing.materializeMixture(gated, langCol, idCol, "__clean",
         p.weights, p.budgetTokens)

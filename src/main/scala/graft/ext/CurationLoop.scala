@@ -98,12 +98,15 @@ object CurationLoop {
     * caller's bucketed id-keyed join, not this loop's business).
     *
     * Cache lifetime: the decontamination stage persists the shard's
-    * gram rows (the [[Decontaminate]] contract); once the combined
-    * verdicts are materialized this call unpersists exactly that
-    * stage-owned frame ([[Decontaminate.contaminatedAgainstStoreOwned]])
-    * so a long-running loop cannot accumulate one gram cache per batch.
-    * Caller-persisted frames held across ingestShard calls are NOT
-    * touched (CurationLoopCacheSpec pins it). */
+    * gram rows (and broadcasts the stripe map for a multi-stripe
+    * benchmark — the [[Decontaminate]] contract); once the combined
+    * verdicts are materialized this call releases exactly those
+    * stage-owned resources
+    * ([[Decontaminate.contaminatedAgainstStoreOwned]]'s release handle)
+    * so a long-running loop cannot accumulate one gram cache + one
+    * broadcast per batch. Caller-persisted frames held across
+    * ingestShard calls are NOT touched (CurationLoopRecoverySpec pins
+    * it). */
   def ingestShard(batch: DataFrame, batchId: Long,
                   idCol: String, textCol: String, embCol: String,
                   stores: Stores, params: Params, outRoot: String): Unit = {
@@ -138,9 +141,10 @@ object CurationLoop {
     // ---- stage 4: decontamination gate (read-only) ----
     // contaminatedAgainstStore returns only docs with >= 1 shared gram;
     // absent docs carry contamination 0 and pass. The OWNED variant
-    // hands back the stage's persisted gram frame so this loop releases
-    // exactly its own cache below — never the caller's.
-    val (contamRaw, contamCache) = Decontaminate
+    // hands back a release handle for the stage's own resources (gram
+    // cache + any stripe-map broadcast) so this loop releases exactly
+    // its own allocations below — never the caller's.
+    val (contamRaw, contamRelease) = Decontaminate
       .contaminatedAgainstStoreOwned(s3, idCol, textCol, stores.benchTable)
     val contam = contamRaw
       .select(col(idCol), col("contamination").as("__cont"))
@@ -205,12 +209,13 @@ object CurationLoop {
     // the decontamination stage persisted the shard's train grams (the
     // Decontaminate cache contract); the verdicts above are eagerly
     // materialized, so this batch is done with its cached plan — release
-    // EXACTLY the stage-owned frame (a long-running loop must not
-    // accumulate one gram cache per batch), and ONLY that frame: a
-    // caller-persisted frame held across ingestShard calls survives
-    // (CurationLoopCacheSpec pins it; the old session-wide clearCache
-    // evicted those too).
-    contamCache.unpersist()
+    // EXACTLY the stage-owned resources (a long-running loop must not
+    // accumulate one gram cache + one stripe-map broadcast per batch),
+    // and ONLY those: a caller-persisted frame held across ingestShard
+    // calls survives (CurationLoopRecoverySpec pins it; the old
+    // session-wide clearCache evicted those too — and never released
+    // broadcasts at all).
+    contamRelease()
     verdicts
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("dropped_at").isNull ||

@@ -145,13 +145,22 @@ object Decontaminate {
     * expression cannot take a non-constant filter side, and a
     * hash-relation build side would copy the multi-MiB bloom bytes
     * per probed ROW.) PlanSpec pins both shapes. */
+  /** @return the prefiltered frame plus, on the multi-stripe path, the
+    *         broadcast carrying the stripe map — surfaced so owning
+    *         callers ([[contaminatedAgainstStoreOwned]]) can DESTROY it
+    *         deterministically once the result is consumed (up to
+    *         [[MaxBloomStripes]] × ~8 MiB of filter bytes per call;
+    *         left to the ContextCleaner it lingers until the plan is
+    *         GC'd — the standard broadcast-join lifetime, fine for
+    *         one-shot queries, accumulation for a store-serving loop). */
   private def probeStriped(grams: DataFrame, fpCol: String,
-                           blooms: Map[Int, Array[Byte]],
-                           nStripes: Int): DataFrame =
-    if (blooms.isEmpty) grams.filter(lit(false))
+                           blooms: Map[Int, Array[Byte]], nStripes: Int)
+      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[
+          Map[Int, Array[Byte]]]]) =
+    if (blooms.isEmpty) (grams.filter(lit(false)), None)
     else if (nStripes == 1)
-      grams.filter(
-        graft.functions.Bloom.mightContain(lit(blooms(0)), col(fpCol)))
+      (grams.filter(
+        graft.functions.Bloom.mightContain(lit(blooms(0)), col(fpCol))), None)
     else {
       val bc = grams.sparkSession.sparkContext.broadcast(blooms)
       val idx = grams.schema.fieldIndex(fpCol)
@@ -175,7 +184,7 @@ object Decontaminate {
             }
           }
         }
-      }(org.apache.spark.sql.Encoders.row(grams.schema))
+      }(org.apache.spark.sql.Encoders.row(grams.schema)) -> Some(bc)
     }
 
   /** [[contaminated]] with a BLOOM PREFILTER on the eval gram set —
@@ -235,13 +244,53 @@ object Decontaminate {
         (rows.map(r => r.getAs[Number]("stripe").intValue() ->
           r.getAs[Array[Byte]]("bloom")).toMap, ns)
       } finally evalGrams.unpersist()
-    val candidates = probeStriped(trainGrams, "gram_fp", blooms, nStripes)
+    // one-shot path: the (rare, multi-stripe) broadcast's lifetime rides
+    // the returned plan — ContextCleaner reclaims it with the plan, the
+    // broadcast-join convention; the loop-serving Owned store variant is
+    // the one that destroys deterministically
+    val (candidates, _) = probeStriped(trainGrams, "gram_fp", blooms, nStripes)
     val shared = candidates.join(evalGrams, Seq("gram_fp"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
     val totals = trainGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     shared.join(totals, Seq(idCol))
       .select(col(idCol), col("n_grams"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
+  }
+
+  /** REVERSE decontamination audit — the benchmark-side view
+    * ([[contaminated]] reports per TRAIN doc; a release process also
+    * needs to know which EVAL items are compromised and how badly): one
+    * row per benchmark doc with ≥ 1 gram — its distinct gram count, how
+    * many of those grams appear anywhere in the training corpus, the
+    * leaked fraction, and the number of distinct training docs sharing
+    * at least one gram (the blast radius — one leaked gram in a
+    * thousand docs is boilerplate; a hundred leaked grams in one doc is
+    * a verbatim copy).
+    *
+    * Shape at 100 TB: both sides reduce to distinct (id, 8-byte fp)
+    * rows, meet in ONE gram-keyed left join, and roll up per eval id
+    * with three count-distincts — benchmark-sized output. A
+    * universally-common gram multiplies the join by its train-doc
+    * count; the production guard is the same upstream hygiene the
+    * forward direction relies on (boilerplate removal before
+    * decontamination), and the join stays gram-keyed — never all-pairs.
+    *
+    * @return (id, n_grams, n_leaked, n_train_docs, leakage), leakage =
+    *         n_leaked/n_grams. */
+  def leakageReport(docs: DataFrame, idCol: String, textCol: String,
+                    evalPred: Column, n: Int): DataFrame = {
+    val evalGrams = grams(docs.filter(evalPred), textCol, n, col(idCol))
+    val trainSide = grams(docs.filter(!evalPred), textCol, n, col(idCol))
+      .select(col(idCol).as("__tid"), col("gram_fp"))
+    evalGrams.join(trainSide, Seq("gram_fp"), "left")
+      .groupBy(idCol)
+      .agg(countDistinct(col("gram_fp")).as("n_grams"),
+        countDistinct(when(col("__tid").isNotNull, col("gram_fp")))
+          .as("n_leaked"),
+        countDistinct(col("__tid")).as("n_train_docs"))
+      .select(col(idCol), col("n_grams"), col("n_leaked"),
+        col("n_train_docs"),
+        (col("n_leaked").cast("double") / col("n_grams")).as("leakage"))
   }
 
   /** Name of the meta table kept next to a benchmark store `table`:
@@ -454,21 +503,40 @@ object Decontaminate {
                                textCol: String, table: String): DataFrame =
     contaminatedAgainstStoreOwned(trainDocs, idCol, textCol, table)._1
 
-  /** [[contaminatedAgainstStore]] with the stage's cache OWNERSHIP made
-    * explicit: the second element is the persisted train-gram frame the
-    * result references — the caller unpersists THAT frame (and nothing
-    * else) once the result is consumed, instead of reaching for the
-    * session-wide `clearCache()` hammer the plain overload's contract
-    * falls back to (which would also evict every frame the CALLER holds
-    * across calls — the [[CurationLoop.ingestShard]] sharp edge this
-    * variant removes). */
+  /** [[contaminatedAgainstStore]] with the stage's resource OWNERSHIP
+    * made explicit: the second element releases exactly what this call
+    * allocated — the persisted train-gram frame the result references
+    * AND (for a multi-stripe store) the broadcast stripe map — once the
+    * caller has consumed the result. This replaces the session-wide
+    * `clearCache()` hammer the plain overload's contract falls back to
+    * (which would also evict every frame the CALLER holds across calls,
+    * and would not release broadcasts at all — the
+    * [[CurationLoop.ingestShard]] sharp edge this variant removes). */
   def contaminatedAgainstStoreOwned(trainDocs: DataFrame, idCol: String,
                                     textCol: String, table: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, () => Unit) = {
     val spark = trainDocs.sparkSession
-    require(spark.catalog.tableExists(benchmarkMeta(table)),
-      s"benchmark store '$table' has no meta table — a (re)build crashed " +
-        "before committing; re-run writeBenchmarkStore before checking shards")
+    if (!spark.catalog.tableExists(benchmarkMeta(table))) {
+      // name the RIGHT repair: with a pending append marker the grams
+      // are ahead of the dropped meta and replaying the append finishes
+      // the job — re-running writeBenchmarkStore here would OVERWRITE
+      // the gram table, silently discarding every appended suite, and
+      // reset the append ledger so nothing ever refuses
+      val marker = appendPendingMarker(spark, table)
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(marker))
+        throw new IllegalArgumentException(
+          s"benchmark store '$table' has no meta table but a pending " +
+            "APPEND marker — an append crashed mid-flight; replay " +
+            "appendToBenchmark/ingestBenchmarkBatch with the same docs " +
+            "to complete it (do NOT re-run writeBenchmarkStore: it " +
+            "would discard the appended suites)")
+      else
+        throw new IllegalArgumentException(
+          s"benchmark store '$table' has no meta table — a (re)build " +
+            "crashed before committing; re-run writeBenchmarkStore " +
+            "before checking shards")
+    }
     val meta = spark.table(benchmarkMeta(table))
     // meta-format contract: the striped layout added the
     // n_stripes/clamped/stripe columns; a store persisted under the
@@ -487,7 +555,8 @@ object Decontaminate {
       .toMap
     val trainGrams = grams(trainDocs, textCol, n, col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = probeStriped(trainGrams, "gram_fp", blooms, nStripes)
+    val (candidates, bcOpt) =
+      probeStriped(trainGrams, "gram_fp", blooms, nStripes)
     val shared = candidates
       .join(spark.table(table).hint("merge"), Seq("gram_fp"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
@@ -495,6 +564,11 @@ object Decontaminate {
     val result = shared.join(totals, Seq(idCol))
       .select(col(idCol), col("n_grams"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
-    (result, trainGrams)
+    val release = () => {
+      trainGrams.unpersist()
+      bcOpt.foreach(_.destroy())
+      ()
+    }
+    (result, release)
   }
 }

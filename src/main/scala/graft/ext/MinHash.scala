@@ -182,7 +182,23 @@ object MinHash {
     * `maxBandDocs` — see [[candidatePairs]] (hot-bucket cap; 0 = off). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, numHashes: Int, nBands: Int,
-                   minJaccard: Double, maxBandDocs: Int = 0): DataFrame = {
+                   minJaccard: Double, maxBandDocs: Int = 0): DataFrame =
+    nearDupPairsOwned(docs, idCol, textCol, shingleN, numHashes, nBands,
+      minJaccard, maxBandDocs)._1
+
+  /** [[nearDupPairs]] with the signature cache OWNERSHIP made explicit
+    * (the [[graft.ext.Decontaminate.contaminatedAgainstStoreOwned]]
+    * convention): the second element unpersists exactly the internal
+    * signature frame — call it once the pairs are CONSUMED (an eager
+    * materialization downstream), instead of the session-wide
+    * `clearCache()` the plain overload's contract falls back to. A
+    * composing operator that runs per corpus snapshot
+    * ([[Curation.batchRecipe]]) must not accumulate one signature cache
+    * per call. */
+  def nearDupPairsOwned(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int, nBands: Int,
+                        minJaccard: Double, maxBandDocs: Int = 0)
+      : (DataFrame, () => Unit) = {
     val rowsPerBand = numHashes / nBands
     // The signature table is consumed three times (band explode + the two
     // per-pair signature lookups): persist the narrow (id, 16×long) rows
@@ -191,13 +207,14 @@ object MinHash {
     val sigs = signatures(docs, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandedSignature(sigs, idCol, "__sig", nBands, rowsPerBand)
-    candidatePairs(bands, idCol, maxBandDocs)
+    val pairs = candidatePairs(bands, idCol, maxBandDocs)
       .join(sigs.select(col(idCol).as("doc_a"), col("__sig").as("__sa")), "doc_a")
       .join(sigs.select(col(idCol).as("doc_b"), col("__sig").as("__sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (sigAgreement(col("__sa"), col("__sb")).cast("double") / numHashes)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
+    (pairs, () => { sigs.unpersist(); () })
   }
 
   /** Find-then-confirm near-dup: candidate pairs from the LSH bands,

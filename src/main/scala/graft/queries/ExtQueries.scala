@@ -3679,10 +3679,38 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM base WHERE lm_score IS NULL
             ORDER BY doc_id"""))
 
+  /** The REVERSE decontamination audit
+    * ([[graft.ext.Decontaminate.leakageReport]] — x19/x44 report per
+    * TRAIN doc; a release also needs the benchmark-side view): per
+    * %10-split eval doc, its distinct 8-grams, how many leak into the
+    * training corpus, the leaked fraction, and the distinct train docs
+    * sharing ≥ 1 gram (blast radius — boilerplate vs verbatim copy).
+    * One gram-keyed join + per-doc count-distincts, replayed exactly. */
+  private val x74 = Q("x74_leakage_report",
+    (s, d) => Decontaminate.leakageReport(documents(s, d), "doc_id", "text",
+        col("doc_id") % 10 === 0, n = 8)
+      .orderBy("doc_id"),
+    Some(s"""WITH $tokSql,
+             g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+                      i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
+                   FROM toks WHERE len(w) >= 8),
+             dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
+             ev AS (SELECT * FROM dg WHERE doc_id % 10 = 0),
+             tr AS (SELECT doc_id AS tid, gram_fp FROM dg WHERE doc_id % 10 <> 0),
+             j AS (SELECT ev.doc_id, ev.gram_fp, tr.tid
+                   FROM ev LEFT JOIN tr USING (gram_fp))
+            SELECT doc_id,
+                   CAST(count(DISTINCT gram_fp) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT CASE WHEN tid IS NOT NULL THEN gram_fp END) AS BIGINT) AS n_leaked,
+                   CAST(count(DISTINCT tid) AS BIGINT) AS n_train_docs,
+                   CAST(count(DISTINCT CASE WHEN tid IS NOT NULL THEN gram_fp END) AS DOUBLE)
+                     / count(DISTINCT gram_fp) AS leakage
+            FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
-    x68, x69, x70, x71, x72, x73)
+    x68, x69, x70, x71, x72, x73, x74)
 }

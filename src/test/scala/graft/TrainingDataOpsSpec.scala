@@ -141,10 +141,14 @@ class DecontaminateSpec extends SparkSpec {
       try out.write("3 0.01".getBytes("UTF-8")) finally out.close()
       spark.sql(s"DROP TABLE ${Decontaminate.benchmarkMeta("deco_app")}")
       // while crashed, the store refuses to serve (meta = commit marker)
-      intercept[IllegalArgumentException] {
+      // AND names the RIGHT repair: replay the append — re-running
+      // writeBenchmarkStore would overwrite the appended suites' grams
+      val crashed = intercept[IllegalArgumentException] {
         Decontaminate.contaminatedAgainstStore(train, "doc_id", "text",
           "deco_app")
       }
+      assert(crashed.getMessage.contains("replay appendToBenchmark"),
+        s"crashed-append refusal must prescribe the append replay, got: ${crashed.getMessage}")
       // the replayed append recovers the contract from the marker
       Decontaminate.ingestBenchmarkBatch(evalC, 1L, "text", "deco_app", 4)
       assert(!fs.exists(marker), "the pending marker must clear on commit")
@@ -693,6 +697,8 @@ class CurationSpec extends SparkSpec {
     graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
       "text", table = "recipe_spec_model", buckets = 4)
     try {
+      // start from an empty cache so the no-leak assertion below is exact
+      spark.catalog.clearCache()
       val out = graft.ext.Curation.batchRecipe(docs, "doc_id", "text",
           "lang", "source", emb, "embedding",
           "recipe_spec_bench", "recipe_spec_model",
@@ -705,6 +711,11 @@ class CurationSpec extends SparkSpec {
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
       assert(out.nonEmpty, "the recipe must keep something at sf0.001")
+      // the recipe releases its OWN allocations (signature cache, gram
+      // cache) after the gate output materializes — a session running
+      // one recipe per corpus snapshot must not accumulate caches
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "batchRecipe must leave no recipe-owned cache entries behind")
       // per doc: copy_idx runs 0..n_copies-1 and every row agrees on n_copies
       out.groupBy(_._1).foreach { case (id, rows) =>
         val n = rows.head._4
