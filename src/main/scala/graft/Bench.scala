@@ -49,9 +49,11 @@ object Bench {
     // x50/x34/x45/x52/x54, which is the data-proportional surface.
     // x72 is the same loop run THREE times to check the funnel-history
     // reader (itself a dashboard-sized unpivot over one row per batch) —
-    // the same fixture precedent.
+    // the same fixture precedent. x75 re-runs x66's entire recipe to
+    // check its seven funnel counts: the recipe is timed once, as x66.
     val skip = Set("q28_pipeline_cascade", "q35_stream_cascade",
-      "x56_curation_loop", "x57_curation_funnel", "x72_funnel_history")
+      "x56_curation_loop", "x57_curation_funnel", "x72_funnel_history",
+      "x75_recipe_funnel")
     // SPARK_GRAFT_BENCH_ONLY=x27,x34 limits the run (substring match on
     // query names) — perf-iteration convenience mirroring Verify's
     // SPARK_GRAFT_ONLY; the driver's full runs leave it unset

@@ -254,7 +254,42 @@ object Curation {
                   langCol: String, sourceCol: String,
                   emb: DataFrame, embCol: String,
                   benchTable: String, modelTable: String,
-                  p: RecipeParams): DataFrame = {
+                  p: RecipeParams): DataFrame =
+    runRecipe(docs, idCol, textCol, langCol, sourceCol, emb, embCol,
+      benchTable, modelTable, p, withCounts = false)._1
+
+  /** The recipe's published FUNNEL — the per-stage survivor counts a
+    * static-corpus release reports next to its mixture (the batch twin
+    * of the loop's `funnel/` artifact, x57): one row per doc-dropping
+    * stage, `(stage_no, stage, n_docs)` = documents SURVIVING after the
+    * stage. Runs the SAME stage implementation as [[batchRecipe]]
+    * ([[runRecipe]] — one code path, so the report can never diverge
+    * from the recipe), counting each stage while its caches are still
+    * warm. The boilerplate stage is deliberately absent: it cleans
+    * content but never drops a document (its bite shows in x65's
+    * per-doc passage counts, not here).
+    *
+    * Determinism: seven exact int64 counts — nothing else. Scale shape:
+    * each count is an aggregate over an already-checkpointed (or
+    * checkpoint-derived) stage frame; output is seven rows. */
+  def batchRecipeFunnel(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, sourceCol: String,
+                        emb: DataFrame, embCol: String,
+                        benchTable: String, modelTable: String,
+                        p: RecipeParams): DataFrame = {
+    val counts = runRecipe(docs, idCol, textCol, langCol, sourceCol, emb,
+      embCol, benchTable, modelTable, p, withCounts = true)._2.get
+    val s = docs.sparkSession
+    import s.implicits._
+    counts.toDF("stage_no", "stage", "n_docs")
+  }
+
+  private def runRecipe(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, sourceCol: String,
+                        emb: DataFrame, embCol: String,
+                        benchTable: String, modelTable: String,
+                        p: RecipeParams, withCounts: Boolean)
+      : (DataFrame, Option[Seq[(Int, String, Long)]]) = {
     // stage 1: rule gate
     val ruleKept = RuleGate.flags(docs, idCol, textCol, p.rules)
       .filter(col("keep")).select(col(idCol))
@@ -322,6 +357,19 @@ object Curation {
       .filter(col("kept").isNull || col("kept"))
       .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
       .localCheckpoint(true)
+    // the funnel counts are taken HERE, while the stage caches are
+    // still warm (s4/s5/s6 re-derive from the s3 checkpoint + the
+    // cached signature/gram frames released just below)
+    val counts =
+      if (!withCounts) None
+      else Some(Seq(
+        (1, "raw", docs.count()),
+        (2, "rule_gate", s1.count()),
+        (3, "exact", s3.count()),
+        (4, "neardup", s4.count()),
+        (5, "vector", s5.count()),
+        (6, "decontam", s6.count()),
+        (7, "lm", gated.count())))
     // the eager checkpoint above materialized every upstream stage —
     // release the recipe's own allocations now (signature cache, gram
     // cache, stripe-map broadcast): a session running one recipe per
@@ -330,9 +378,10 @@ object Curation {
     ndRelease()
     contamRelease()
     // stage 8: materialize the mixture over the cleaned token counts
-    Mixing.materializeMixture(gated, langCol, idCol, "__clean",
-        p.weights, p.budgetTokens)
+    val mixture = Mixing.materializeMixture(gated, langCol, idCol,
+        "__clean", p.weights, p.budgetTokens)
       .select(col(idCol), col(langCol), col(sourceCol),
         col("copy_idx"), col("n_copies"))
+    (mixture, counts)
   }
 }

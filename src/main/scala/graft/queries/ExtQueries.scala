@@ -3092,36 +3092,11 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * materialized mixture itself — one row per (doc, copy) — so a
     * divergence at ANY stage shifts the final rows; the oracle replays
     * the entire chain as one CTE cascade. */
-  private val x66 = Q("x66_recipe_batch",
-    (s, d) => {
-      val docs = documents(s, d)
-      val emb = embeddings(s, d)
-        .select(col("vec_id").as("doc_id"), col("embedding"))
-      // the corpus carries a deterministic RE-CRAWL of a slice of itself
-      // (ids + 100000, same content — the x56 operational case): the
-      // twins sail through the rule gate, clean identically, and must
-      // drop at the exact stage, so stage 3 provably bites
-      val corpus = docs
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
-        .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
-            col("source"), col("text")))
-      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
-        "text", n = 8, table = "x66_bench", buckets = 8)
-      graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
-        "text", table = "x66_model", buckets = 8)
-      Curation.batchRecipe(corpus, "doc_id", "text", "lang", "source",
-          emb, "embedding", "x66_bench", "x66_model",
-          Curation.RecipeParams(graft.ext.RuleGate.Rules(),
-            chunkTokens = 10, minDocFreq = 2,
-            shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
-            nCentroids = 16, dim = 64, seedOffset = 100000L,
-            minCosine = 0.4, maxContamination = 0.3, keepFraction = 0.5,
-            weights = Map("en" -> 0.6, "fr" -> 0.25, "de" -> 0.15),
-            budgetTokens = 20000L))
-        .orderBy("doc_id", "copy_idx")
-    },
-    Some("""WITH corpus AS (SELECT doc_id, lang, source, text FROM documents
+  /** The x66 recipe-cascade replay (corpus through the stage-7 LM
+    * gate), shared by x66's mixture oracle and x75's funnel oracle —
+    * the curationCascadeSql convention: one replay, two checked
+    * consumers. */
+  private val recipeCascadeSql = """WITH corpus AS (SELECT doc_id, lang, source, text FROM documents
                   UNION ALL
                   SELECT doc_id + 100000, lang, source, text
                   FROM documents WHERE doc_id % 7 = 0),
@@ -3277,7 +3252,51 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                       SELECT *, cume_dist() OVER (PARTITION BY source ORDER BY lm_score) AS cd
                       FROM lmj WHERE lm_score IS NOT NULL) WHERE cd > 0.5
                     UNION ALL
-                    SELECT doc_id, lang, source, ctext FROM lmj WHERE lm_score IS NULL),
+                    SELECT doc_id, lang, source, ctext FROM lmj WHERE lm_score IS NULL)"""
+
+  /** Shared x66/x75 setup (rebuilt per invocation — the runCurationLoop
+    * convention, so the two checked queries stay independent): the
+    * re-crawl-twinned corpus, the embedding relation, and the %10
+    * benchmark + LM model stores. ONE definition plus ONE parameter set
+    * below, so the mixture check and the funnel check can never run
+    * different recipes. */
+  private def recipeSetup(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = documents(s, d)
+    val emb = embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // the corpus carries a deterministic RE-CRAWL of a slice of itself
+    // (ids + 100000, same content — the x56 operational case): the
+    // twins sail through the rule gate, clean identically, and must
+    // drop at the exact stage, so stage 3 provably bites
+    val corpus = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
+          col("source"), col("text")))
+    Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
+      "text", n = 8, table = "x66_bench", buckets = 8)
+    graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
+      "text", table = "x66_model", buckets = 8)
+    (corpus, emb)
+  }
+
+  private val recipeParams = Curation.RecipeParams(graft.ext.RuleGate.Rules(),
+    chunkTokens = 10, minDocFreq = 2,
+    shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
+    nCentroids = 16, dim = 64, seedOffset = 100000L,
+    minCosine = 0.4, maxContamination = 0.3, keepFraction = 0.5,
+    weights = Map("en" -> 0.6, "fr" -> 0.25, "de" -> 0.15),
+    budgetTokens = 20000L)
+
+  private val x66 = Q("x66_recipe_batch",
+    (s, d) => {
+      val (corpus, emb) = recipeSetup(s, d)
+      Curation.batchRecipe(corpus, "doc_id", "text", "lang", "source",
+          emb, "embedding", "x66_bench", "x66_model", recipeParams)
+        .orderBy("doc_id", "copy_idx")
+    },
+    Some(recipeCascadeSql + "," + """
              gt AS (SELECT doc_id, lang, source,
                       CAST(len(regexp_extract_all(lower(trim(ctext)), '\S+')) AS BIGINT) AS nt
                     FROM s7),
@@ -3707,10 +3726,36 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                      / count(DISTINCT gram_fp) AS leakage
             FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** The batch recipe's published FUNNEL
+    * ([[graft.ext.Curation.batchRecipeFunnel]] — the release-report
+    * twin of x57's loop funnel): per-stage survivor counts of the SAME
+    * recipe run x66 checks (one shared stage implementation and one
+    * shared oracle cascade, so mixture and funnel can never diverge).
+    * Seven exact int64 counts; the boilerplate stage is absent by
+    * design — it cleans content, never drops documents. */
+  private val x75 = Q("x75_recipe_funnel",
+    (s, d) => {
+      val (corpus, emb) = recipeSetup(s, d)
+      Curation.batchRecipeFunnel(corpus, "doc_id", "text", "lang",
+          "source", emb, "embedding", "x66_bench", "x66_model",
+          recipeParams)
+        .orderBy("stage_no")
+    },
+    Some(s"""$recipeCascadeSql
+            SELECT stage_no, stage, n_docs FROM (VALUES
+              (1, 'raw', (SELECT CAST(count(*) AS BIGINT) FROM corpus)),
+              (2, 'rule_gate', (SELECT CAST(count(*) AS BIGINT) FROM s1)),
+              (3, 'exact', (SELECT CAST(count(*) AS BIGINT) FROM s3)),
+              (4, 'neardup', (SELECT CAST(count(*) AS BIGINT) FROM s4)),
+              (5, 'vector', (SELECT CAST(count(*) AS BIGINT) FROM s5)),
+              (6, 'decontam', (SELECT CAST(count(*) AS BIGINT) FROM s6)),
+              (7, 'lm', (SELECT CAST(count(*) AS BIGINT) FROM s7))
+            ) AS t(stage_no, stage, n_docs) ORDER BY stage_no"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
-    x68, x69, x70, x71, x72, x73, x74)
+    x68, x69, x70, x71, x72, x73, x74, x75)
 }
