@@ -475,6 +475,61 @@ object Decontaminate {
     graft.core.IngestLedger.record(spark, table, batchId)
   }
 
+  /** Collapse the gram table's accumulated append generations back to
+    * one file per bucket and prune the append ledger. The fold is a
+    * plain `distinct` (the append's anti-join keeps the table
+    * one-row-per-fp; distinct additionally collapses rows a crashed
+    * append's partially-committed files may have duplicated — the
+    * [[graft.ext.IncrementalDedup]] convention). The meta is untouched:
+    * compaction changes file layout, never the gram set, so the trained
+    * blooms stay valid. */
+  def compactBenchmarkStore(spark: SparkSession, table: String,
+                            buckets: Int): Unit = {
+    graft.core.Bucketing.compact(spark, table, Seq("gram_fp"), buckets,
+      prepare = _.distinct())
+    graft.core.IngestLedger.prune(spark, table)
+  }
+
+  /** [[compactBenchmarkStore]] behind the files-per-bucket decay
+    * trigger — the production cadence. Returns whether a compaction
+    * ran. */
+  def compactBenchmarkStoreIfNeeded(spark: SparkSession, table: String,
+                                    buckets: Int,
+                                    maxFilesPerBucket: Int): Boolean = {
+    graft.core.Bucketing.recoverSwap(spark, table)
+    val due = graft.core.Bucketing.needsCompaction(spark, table, buckets,
+      maxFilesPerBucket)
+    if (due) compactBenchmarkStore(spark, table, buckets)
+    due
+  }
+
+  /** The CONTINUOUS form — eval suites arrive as a stream of doc
+    * micro-batches (a new benchmark lands, the store grows, every later
+    * training shard is checked against the union), with in-loop
+    * maintenance on the shared cadence policy
+    * ([[graft.core.Bucketing.maintainInLoop]]). Completes the
+    * batch + streamed ingest symmetry the other four stores already
+    * have. `foreachBatch` is at-least-once; [[ingestBenchmarkBatch]]'s
+    * ledger + the append's own idempotence make it exactly-once. */
+  def streamIngestBenchmark(shards: DataFrame, textCol: String,
+                            table: String, buckets: Int, checkpoint: String,
+                            compactEvery: Int = 0, maxFilesPerBucket: Int = 0,
+                            maxItemsPerBloom: Long = MaxBloomItems)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    shards.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBenchmarkBatch(batch, batchId, textCol, table, buckets,
+          maxItemsPerBloom)
+        graft.core.Bucketing.maintainInLoop(batchId, compactEvery,
+          maxFilesPerBucket)(
+          compactBenchmarkStore(batch.sparkSession, table, buckets))(
+          m => { compactBenchmarkStoreIfNeeded(batch.sparkSession, table,
+            buckets, m); () })
+      }
+      .start()
+
   /** Decontaminate a TRAINING shard against a persisted benchmark store
     * (written by [[writeBenchmarkStore]]) — identical results to
     * [[contaminatedBloom]] over the same split, without touching the

@@ -3752,10 +3752,62 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
               (7, 'lm', (SELECT CAST(count(*) AS BIGINT) FROM s7))
             ) AS t(stage_no, stage, n_docs) ORDER BY stage_no"""))
 
+  /** The benchmark store grown by a STREAM of eval-suite waves
+    * ([[graft.ext.Decontaminate.streamIngestBenchmark]] — x71's
+    * exactly-once loop driven through a real `foreachBatch` execution,
+    * completing the batch + streamed ingest symmetry all five stores
+    * now share): a %3 seed build, two file-source waves through the
+    * checkpointed stream with decay-triggered in-loop compaction, then
+    * the served check — which must equal x52's
+    * store-rebuilt-on-everything answer; the oracle IS x52's. */
+  private val x76 = Q("x76_stream_bench_ingest",
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
+      val root = java.nio.file.Files.createTempDirectory("graft-x76-")
+      val in = root.resolve("in"); val chk = s"$root/chk"
+      java.nio.file.Files.createDirectories(in)
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      Decontaminate.writeBenchmarkStore(bench.filter(col("doc_id") % 3 === 0),
+        "text", n = 8, table = "x76_bench", buckets = 8)
+      def stage(wave: org.apache.spark.sql.DataFrame, name: String,
+                ts: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-x76-stage-")
+        wave.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dest = in.resolve(name)
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(ts))
+      }
+      stage(bench.filter(col("doc_id") % 3 === 1), "wave1.parquet",
+        1704067200000L)
+      stage(bench.filter(col("doc_id") % 3 === 2), "wave2.parquet",
+        1704067260000L)
+      val stream = s.readStream.schema(bench.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      Decontaminate.streamIngestBenchmark(stream, "text", "x76_bench",
+          buckets = 8, checkpoint = chk, maxFilesPerBucket = 1)
+        .awaitTermination()
+      // the loop appended + compacted in its foreachBatch session CLONE;
+      // this outer session's relation/file-listing caches are stale for
+      // the mutated tables — the documented cross-session convention
+      // (Bucketing.replaceBucketed): REFRESH before the next read
+      s.catalog.refreshTable("x76_bench")
+      s.catalog.refreshTable(Decontaminate.benchmarkMeta("x76_bench"))
+      Decontaminate.contaminatedAgainstStore(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          "x76_bench")
+        .orderBy("doc_id")
+    },
+    Some(benchContamOracle))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
-    x68, x69, x70, x71, x72, x73, x74, x75)
+    x68, x69, x70, x71, x72, x73, x74, x75, x76)
 }

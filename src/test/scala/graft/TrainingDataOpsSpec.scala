@@ -173,6 +173,70 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("streamed benchmark ingest ≡ rebuild on the union; in-loop decay compaction; checkpoint replay is a no-op") {
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val evalA = df(Seq((0L, "alpha beta gamma delta"))).toDF("doc_id", "text")
+    val evalB = df(Seq((2L, "x y alpha zz ww"))).toDF("doc_id", "text")
+    val evalC = df(Seq((4L, "pp qq rr ss tt"))).toDF("doc_id", "text")
+    val train = df(Seq(
+      (1L, "x y alpha beta gamma z"),
+      (3L, "zz ww qq rr pp qq rr uu"))).toDF("doc_id", "text")
+    Decontaminate.writeBenchmarkStore(
+      evalA.unionByName(evalB).unionByName(evalC), "text", n = 3,
+      table = "deco_stream_ref", buckets = 4)
+    Decontaminate.writeBenchmarkStore(evalA, "text", n = 3,
+      table = "deco_stream", buckets = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft-deco-stream-")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-deco-stage-")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = in.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    stage(evalB, "b.parquet", 1704067200000L)
+    stage(evalC, "c.parquet", 1704067260000L)
+    try {
+      def source = spark.readStream.schema(evalA.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      Decontaminate.streamIngestBenchmark(source, "text", "deco_stream",
+          buckets = 4, checkpoint = s"$root/chk", maxFilesPerBucket = 1)
+        .awaitTermination()
+      // the loop mutated the tables in its foreachBatch session clone —
+      // the caller refreshes before reading (the staging-swap convention)
+      spark.catalog.refreshTable("deco_stream")
+      spark.catalog.refreshTable(Decontaminate.benchmarkMeta("deco_stream"))
+      // decay compaction fired in-loop: back to one file per bucket
+      assert(graft.core.Bucketing.dataFileCount(spark, "deco_stream") == 4,
+        "in-loop compaction must fold append generations back to one file per bucket")
+      assert(rows(Decontaminate.contaminatedAgainstStore(train, "doc_id",
+          "text", "deco_stream"))
+        == rows(Decontaminate.contaminatedAgainstStore(train, "doc_id",
+          "text", "deco_stream_ref")),
+        "stream-grown store must serve exactly the rebuilt-on-union answer")
+      // restart on the same checkpoint: nothing new to read, store untouched
+      val cnt = spark.table("deco_stream").count()
+      Decontaminate.streamIngestBenchmark(source, "text", "deco_stream",
+          buckets = 4, checkpoint = s"$root/chk", maxFilesPerBucket = 1)
+        .awaitTermination()
+      spark.catalog.refreshTable("deco_stream")
+      assert(spark.table("deco_stream").count() == cnt,
+        "a checkpoint-replayed stream must not touch the store")
+    } finally {
+      Seq("deco_stream", "deco_stream_ref").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${Decontaminate.benchmarkMeta(t)}")
+        graft.core.IngestLedger.reset(spark, t)
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("a store persisted under the pre-stripe meta format refuses with a versioned message") {
     Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 2 === 0),
       "text", n = 3, table = "deco_bench_legacy", buckets = 4)
