@@ -626,4 +626,39 @@ object Decontaminate {
     }
     (result, release)
   }
+
+  /** FUZZY decontamination — flag training docs that are NEAR-duplicates
+    * of a benchmark doc (MinHash/LSH over word shingles), the published
+    * complement of the exact n-gram sweep: a lightly paraphrased or
+    * partially rewritten eval item shares NO long n-gram with its source
+    * yet still leaks the answer, so near-dup decontamination runs
+    * alongside exact overlap in code/LLM data pipelines (the BigCode /
+    * StarCoder recipe). The benchmark split lives in an
+    * [[IncrementalDedup.writeSignatureStore]] signature store, so new
+    * eval suites arrive through that store's own append / streamed
+    * ingest and the probe inherits its whole scale story: banded
+    * equi-joins against bucketed store files read in place (never
+    * all-pairs, Exchange-free on the store side), the hot-bucket cap
+    * available via `maxBandDocs` for boilerplate-heavy benchmarks.
+    * Returns one verdict row per training doc: `contaminated`,
+    * `n_bench_matches` (benchmark docs above the similarity floor), and
+    * `min_bench_id` (the smallest matching benchmark id, for the
+    * leakage audit; null when clean). Train ids must be disjoint from
+    * benchmark ids — the underlying probe treats an equal id as a
+    * self-match and skips it. */
+  def fuzzyContaminatedAgainstStore(trainDocs: DataFrame, idCol: String,
+                                    textCol: String, shingleN: Int,
+                                    numHashes: Int, nBands: Int,
+                                    table: String, minJaccard: Double,
+                                    maxBandDocs: Int = 0): DataFrame = {
+    val spark = trainDocs.sparkSession
+    IncrementalDedup.dedupAgainstStore(trainDocs, idCol, textCol, shingleN,
+        numHashes, nBands, spark.table(table), minJaccard, maxBandDocs,
+        if (maxBandDocs > 0)
+          Some(spark.table(IncrementalDedup.countsTable(table)))
+        else None)
+      .select(col(idCol), (!col("kept")).as("contaminated"),
+        col("n_store_matches").as("n_bench_matches"),
+        col("dup_of").as("min_bench_id"))
+  }
 }

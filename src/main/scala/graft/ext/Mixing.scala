@@ -136,6 +136,68 @@ object Mixing {
     materializeMixture(docs, stratumCol, keyCol,
       repeatFactors(docs, stratumCol, textCol, weights, budgetTokens))
 
+  /** TEMPERATURE-flattened mixture factors — the multilingual
+    * "sampling temperature" recipe (the exponentiated smoothing of
+    * mBERT/XLM-R and massively-multilingual NMT): stratum s's share of
+    * the budget is `tokens_s^α / Σ_t tokens_t^α` with α ∈ (0, 1], so
+    * α = 1 reproduces natural proportions and smaller α progressively
+    * flattens the mixture toward uniform, boosting low-resource strata
+    * without ever inverting the order.
+    *
+    * DETERMINISM DECISION — α is restricted to quarters
+    * (`alphaQuarters`/4): x^(q/4) then factors through `sqrt`
+    * compositions (q=1: sqrt∘sqrt; q=2: sqrt; q=3: sqrt(x)·sqrt(sqrt x);
+    * q=4: identity), and IEEE 754 REQUIRES sqrt and multiply to be
+    * correctly rounded — every engine replays the value bit-exactly.
+    * Arbitrary α needs `pow`, which neither Java's `Math.pow` nor
+    * libm guarantees correctly rounded, so a cross-engine oracle could
+    * diverge in the last ulp; the quarter grid (0.25 / 0.5 / 0.75 / 1)
+    * brackets every published temperature (XLM's 0.3, mT5's 0.3–0.7)
+    * closely enough for a mixture knob. The smoothed masses are then
+    * quantized to integers (`floor(f·16)` — an EXACT double multiply by
+    * a power of two) so the normalizing total is an order-free integer
+    * sum, and the final weight/factor arithmetic is the
+    * [[repeatFactors]] convention: one correctly-rounded int64→double
+    * conversion pair + divide, then `budget·w / tokens_s`.
+    *
+    * Shape at 100 TB: identical to [[repeatFactors]] — one
+    * map-side-combined groupBy for the stratum stats, then
+    * stratum-cardinality arithmetic (dozens of rows); feeds
+    * [[materializeMixture]]'s broadcast factor join unchanged.
+    *
+    * @return (stratum, n_docs, n_tokens, weight, repeat_factor);
+    *         token-less strata get weight 0 and factor 0. */
+  def temperatureFactors(docs: DataFrame, stratumCol: String,
+                         textCol: String, alphaQuarters: Int,
+                         budgetTokens: Long): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters must be in 1..4 (alpha = q/4), got $alphaQuarters")
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val t = col("n_tokens").cast("double")
+    val smoothed = alphaQuarters match {
+      case 1 => sqrt(sqrt(t))
+      case 2 => sqrt(t)
+      case 3 => sqrt(t) * sqrt(sqrt(t))
+      case 4 => t
+    }
+    // q=4 keeps the exact int64 mass (no quantization needed — and
+    // floor(tokens·16) could overflow long where tokens alone cannot)
+    val qf =
+      if (alphaQuarters == 4) col("n_tokens")
+      else floor(smoothed * lit(16.0)).cast("long")
+    stratumStats(docs, stratumCol, textCol)
+      .withColumn("__qf", qf)
+      .withColumn("__total", sum(col("__qf")).over(Window.partitionBy()))
+      .withColumn("weight",
+        when(col("__total") === 0, 0.0)
+          .otherwise(col("__qf").cast("double") / col("__total").cast("double")))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"), col("weight"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(lit(budgetTokens).cast("double") * col("weight")
+            / col("n_tokens"))
+          .as("repeat_factor"))
+  }
+
   /** DSIR-DRIVEN mixture: the target weights are not hand-tuned but
     * derived from [[LmScore.dsirAgainstStores]]'s verdicts — the
     * published DSIR → sampling composition (Xie et al.: importance

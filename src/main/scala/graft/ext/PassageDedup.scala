@@ -77,6 +77,76 @@ object PassageDedup {
         array_join(col("__kept"), " ").as("text_kept"))
   }
 
+  /** CROSS-document duplicate SPAN removal — the ExactSubstr method of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022), re-expressed for Spark: any token run of at least
+    * `windowTokens` tokens that already occurred earlier in the corpus
+    * is CUT OUT of the document (the first occurrence, in (doc id,
+    * position) order, survives verbatim). Unlike [[dedup]]'s fixed
+    * passage grid this catches duplicated runs at ANY alignment: every
+    * sliding `windowTokens`-token window is fingerprinted, a window
+    * that appeared earlier marks its tokens for removal, and a
+    * duplicated run of length L ≥ W is covered completely because each
+    * of its tokens lies inside at least one full window of the run.
+    * Runs shorter than W are deliberately kept — that's the method's
+    * published precision knob (W = 50 BPE tokens in the paper).
+    *
+    * Shape at 100 TB: the window table is one (id, pos, 16-byte fp) row
+    * per token — the same volume class as the corpus-side gram explode
+    * of LM scoring — and the text itself never shuffles. First-wins is
+    * a `min(struct(id, pos))` AGGREGATION + fp-keyed join-back rather
+    * than a per-fp `row_number` window: partial aggregation collapses
+    * hot fingerprints map-side (a boilerplate window repeated in
+    * millions of documents becomes ONE row after local combine, where a
+    * window-function rank would sort every occurrence in a single
+    * task), and the join-back is an equi-join AQE can skew-split. The
+    * cost is that the window subtree is evaluated twice (two scans /
+    * tokenizations); the paper's alternative — a global suffix array —
+    * is a single-node construction with no distributed form, so two
+    * narrow scans is the Spark-native trade. Dup starts come back as
+    * one bounded int array per affected document, and the final
+    * token-level cut is a narrow indexed-`filter` HOF (O(len·|starts|)
+    * per doc, bounded by document length like [[dedupWithinDoc]]).
+    *
+    * @return (id, n_tokens, n_removed, text_kept) — one row per input
+    *         document, null-text docs kept as (0, 0, ""). */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val w = windowTokens
+    val toks = docs
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+    // one (pos, fp) struct per sliding window, built inside a single
+    // transform (bound in-range indices — the posexplode/element_at
+    // misalignment hazard does not apply to struct-building lambdas)
+    val wins = toks
+      .select(col(idCol), explode(
+        when(size(col("__toks")) < w,
+          array().cast("array<struct<pos:int,fp:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("__toks")) - w),
+            i => struct(i.cast("int").as("pos"),
+              md5(array_join(slice(col("__toks"), i + 1, lit(w)), " "))
+                .as("fp"))))).as("__w"))
+      .select(col(idCol), col("__w.pos").as("__pos"), col("__w.fp").as("__fp"))
+    val first = wins.groupBy("__fp")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    val dupStarts = wins
+      .join(first, Seq("__fp"))
+      .filter(struct(col(idCol), col("__pos")) =!= col("__first"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    toks.join(dupStarts, Seq(idCol), "left")
+      .withColumn("__kept",
+        when(col("__starts").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (_, j) =>
+            !exists(col("__starts"), s => s <= j && j < s + w))))
+      .select(col(idCol),
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(size(col("__toks")) - size(col("__kept")), lit(0))
+          .cast("long").as("n_removed"),
+        coalesce(array_join(col("__kept"), " "), lit("")).as("text_kept"))
+  }
+
   /** CORPUS boilerplate removal (the CCNet cleanup): drop EVERY
     * occurrence of any passage that appears in at least `minDocFreq`
     * distinct documents — ubiquitous headers/footers/navigation are

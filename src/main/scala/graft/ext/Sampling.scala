@@ -33,6 +33,52 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < math.round(rate * Denom))
   }
 
+  /** Near-dup-SAFE train/validation split: a random per-document split
+    * leaks a near-duplicate of every held-out doc into training (the
+    * dedup-before-split hazard published with "Deduplicating Training
+    * Data Makes Language Models Better" — the held-out perplexity is
+    * then measured on memorized text). The fix is to draw the split
+    * from the duplicate CLUSTER, not the document: every member of a
+    * near-dup component shares its canonical id's bucket, so a cluster
+    * lands wholly in train or wholly in valid. `clusters` is the
+    * (doc_id, canonical_id) frame of [[DupClusters]] — only docs with
+    * at least one dup pair appear in it; singletons fall back to their
+    * own id. Returns every doc with its `split_key` (the id the draw
+    * used) and `split` ("train" / "valid").
+    *
+    * Shape at 100 TB: one hash equi-join docs ⋈ clusters on the id (the
+    * cluster frame is dup-pair-sized, not corpus-sized, but NOT
+    * assumed broadcastable — duplicate-heavy web crawls have billions
+    * of clustered docs), then the same narrow md5-bucket filter as
+    * [[bernoulli]]; deterministic under retries and AQE like every
+    * draw in this file. */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                       validRate: Double): DataFrame = {
+    require(validRate >= 0 && validRate <= 1,
+      s"validRate must be in [0,1], got $validRate")
+    docs
+      .join(clusters.select(col("doc_id").as(idCol),
+        col("canonical_id")), Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("canonical_id"), col(idCol)))
+      .withColumn("split",
+        when(hashBucket(col("split_key")) < math.round(validRate * Denom),
+          lit("valid")).otherwise(lit("train")))
+      .drop("canonical_id")
+  }
+
+  /** [[clusterSafeSplit]] composed end-to-end from text: MinHash/LSH
+    * near-dup pairs → connected components → cluster-keyed split. */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, nBands: Int,
+                       minJaccard: Double, validRate: Double): DataFrame = {
+    val (pairs, release) = MinHash.nearDupPairsOwned(docs, idCol, textCol,
+      shingleN, numHashes, nBands, minJaccard)
+    val clusters = DupClusters.connectedComponentsStars(pairs)
+      .localCheckpoint(true)
+    release()
+    clusterSafeSplit(docs, idCol, clusters, validRate)
+  }
+
   /** Per-stratum rate mixing: keep a row iff its key-bucket falls under
     * its stratum's rate (`defaultRate` for unlisted strata). The rate
     * lookup compiles to a CASE chain — still one narrow codegen'd

@@ -3804,10 +3804,202 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     },
     Some(benchContamOracle))
 
+  /** Fuzzy decontamination
+    * ([[graft.ext.Decontaminate.fuzzyContaminatedAgainstStore]]): the
+    * %10 benchmark split persisted as a MinHash signature store, every
+    * remaining doc probed through banded equi-joins — a near-duplicate
+    * of a benchmark doc is contamination even when (unlike x19/x44/x52)
+    * it shares no long exact n-gram. Same signature constants as x34 so
+    * the oracle's minhash CTE math is shared. */
+  private val x77 = Q("x77_fuzzy_decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.ext.IncrementalDedup.writeSignatureStore(bench, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, table = "x77_bench_sig",
+        buckets = 8)
+      Decontaminate.fuzzyContaminatedAgainstStore(train, "doc_id", "text",
+          shingleN = 3, numHashes = 16, nBands = 4, table = "x77_bench_sig",
+          minJaccard = 0.5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 pairs AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                           FROM bands n JOIN bands s ON n.b = s.b AND n.bk = s.bk
+                           WHERE n.doc_id % 10 <> 0 AND s.doc_id % 10 = 0),
+                 m AS (SELECT new_id, store_id
+                       FROM pairs JOIN sig sa ON sa.doc_id = new_id
+                                  JOIN sig sb ON sb.doc_id = store_id
+                       WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
+                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+                                min(store_id) AS min_bench_id
+                         FROM m GROUP BY new_id)
+            SELECT d.doc_id, (a.min_bench_id IS NOT NULL) AS contaminated,
+                   COALESCE(a.n_bench_matches, 0) AS n_bench_matches, a.min_bench_id
+            FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
+            WHERE d.doc_id % 10 <> 0
+            ORDER BY d.doc_id"""))
+
+  /** Cluster-safe train/validation split
+    * ([[graft.ext.Sampling.clusterSafeSplit]]): near-dup clusters from
+    * x35's star algorithm, the split drawn from the cluster canonical
+    * id through the x15 md5-bucket primitive — no near-duplicate pair
+    * ever straddles the held-out boundary. Oracle = x35's recursive
+    * component CTE + x15's bucket arithmetic composed. */
+  private val x78 = Q("x78_cluster_safe_split",
+    (s, d) => graft.ext.Sampling.clusterSafeSplit(documents(s, d), "doc_id",
+        "text",
+        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
+        validRate = 0.1)
+      .select("doc_id", "split_key", "split")
+      .orderBy("doc_id"),
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                          FROM bands a JOIN bands b
+                            ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+                 pairs AS (SELECT doc_a, doc_b FROM cand
+                           JOIN sig sa ON sa.doc_id = doc_a
+                           JOIN sig sb ON sb.doc_id = doc_b
+                           WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
+                 e(u, v) AS (SELECT doc_a, doc_b FROM pairs
+                             UNION SELECT doc_b, doc_a FROM pairs),
+                 reach(u, v) AS (SELECT u, v FROM e
+                                 UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+                 comp AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+                          FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   COALESCE(c.canonical_id, d.doc_id) AS split_key,
+                   CASE WHEN CAST(CAST('0x'||substr(md5(CAST(COALESCE(c.canonical_id, d.doc_id) AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 1000
+                        THEN 'valid' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
+  /** Temperature-flattened mixture
+    * ([[graft.ext.Mixing.temperatureFactors]]): α = 1/2 smoothing of
+    * the per-language token masses (every factor a composition of
+    * correctly-rounded IEEE sqrt/multiply over exact int64 stats, so
+    * the oracle replays it bit-exactly), composed through
+    * [[graft.ext.Mixing.materializeMixture]] — the output row per
+    * language carries the smoothed weight, the repeat factor, and the
+    * materialized copy-row count, so the check pins the whole
+    * weights → factors → mixture chain. */
+  private val x79 = Q("x79_temperature_mixture",
+    (s, d) => {
+      val docs = documents(s, d)
+      // O(1) driver scalar (the x60 convention): budget = 2x corpus
+      val total = docs.agg(
+        sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
+          .cast("long"), lit(0L)))).head.getLong(0)
+      val factors = Mixing.temperatureFactors(docs, "lang", "text",
+        alphaQuarters = 2, budgetTokens = 2L * total)
+      val counts = Mixing.materializeMixture(docs, "lang", "doc_id", factors)
+        .groupBy("lang").agg(count(lit(1)).as("n_out_rows"))
+      factors.join(counts, Seq("lang"), "left")
+        .withColumn("n_out_rows", coalesce(col("n_out_rows"), lit(0L)))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang,
+                    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS nt
+                  FROM documents),
+             b AS (SELECT 2 * CAST(sum(nt) AS BIGINT) AS budget FROM tok),
+             s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(nt) AS BIGINT) AS n_tokens
+                   FROM tok GROUP BY 1),
+             q AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 16.0) AS BIGINT) AS qf FROM s),
+             t AS (SELECT *, sum(qf) OVER () AS total FROM q),
+             f AS (SELECT lang, n_docs, n_tokens,
+                     CASE WHEN total = 0 THEN 0.0
+                          ELSE CAST(qf AS DOUBLE) / CAST(total AS DOUBLE) END AS weight,
+                     CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE CAST((SELECT budget FROM b) AS DOUBLE)
+                               * (CASE WHEN total = 0 THEN 0.0
+                                       ELSE CAST(qf AS DOUBLE) / CAST(total AS DOUBLE) END)
+                               / n_tokens END AS repeat_factor
+                   FROM t),
+             d AS (SELECT tk.lang,
+                     CAST(floor(f.repeat_factor) AS BIGINT)
+                       + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(tk.doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000
+                               < CAST(floor(f.repeat_factor * 10000.0) AS BIGINT)
+                                 - CAST(floor(f.repeat_factor) AS BIGINT) * 10000
+                               THEN 1 ELSE 0 END) AS n_copies
+                   FROM tok tk JOIN f USING (lang)),
+             c AS (SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_out_rows
+                   FROM d GROUP BY lang)
+            SELECT f.lang, f.n_docs, f.n_tokens, f.weight, f.repeat_factor,
+                   COALESCE(c.n_out_rows, 0) AS n_out_rows
+            FROM f LEFT JOIN c USING (lang)
+            ORDER BY f.lang"""))
+
+  /** Cross-document duplicate span removal
+    * ([[graft.ext.PassageDedup.removeDuplicateSpans]], the ExactSubstr
+    * method): every sliding 8-token window fingerprinted, windows seen
+    * earlier in (doc, position) order mark their tokens for removal,
+    * first occurrences survive verbatim. The oracle replays the window
+    * fingerprints, the first-wins rank, and the token-level cut. */
+  private val x80 = Q("x80_span_dedup",
+    (s, d) => PassageDedup.removeDuplicateSpans(documents(s, d), "doc_id",
+        "text", windowTokens = 8)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 w0 AS (SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
+                          ELSE list_transform(range(0, len(w)-8+1), i ->
+                            {'pos': i, 'fp': md5(array_to_string(list_slice(w, i+1, i+8), ' '))}) END) AS u
+                        FROM toks),
+                 wins AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0),
+                 r AS (SELECT doc_id, pos, fp,
+                         row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+                       FROM wins),
+                 ds AS (SELECT doc_id, list_sort(list(pos)) AS starts
+                        FROM r WHERE rn > 1 GROUP BY doc_id),
+                 k AS (SELECT t.doc_id, t.w,
+                         CASE WHEN d.starts IS NULL THEN t.w
+                              ELSE list_filter(list_transform(range(0, len(t.w)), j ->
+                                     CASE WHEN len(list_filter(d.starts, x -> x <= j AND j < x + 8)) > 0
+                                          THEN NULL ELSE list_extract(t.w, CAST(j+1 AS INT)) END),
+                                   y -> y IS NOT NULL) END AS kept
+                       FROM toks t LEFT JOIN ds d USING (doc_id))
+            SELECT doc_id,
+                   COALESCE(CAST(len(w) AS BIGINT), 0) AS n_tokens,
+                   COALESCE(CAST(len(w) - len(kept) AS BIGINT), 0) AS n_removed,
+                   COALESCE(array_to_string(kept, ' '), '') AS text_kept
+            FROM k ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
-    x68, x69, x70, x71, x72, x73, x74, x75, x76)
+    x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80)
 }

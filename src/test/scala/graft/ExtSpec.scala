@@ -479,6 +479,36 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("zh") - 300) < 150, out.toString)     // 3000 * .1
     assert(math.abs(out("other") - 1500) < 150, out.toString) // 3000 * .5
   }
+
+  test("cluster-safe split keeps near-dup clusters on one side; singletons draw on their own id") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 40L).map { i =>
+      // four near-identical variants per base text → clusters of size 4
+      val base = (1 to 30).map(t => s"w${(i - 1) / 4}t$t")
+      (i, (base :+ s"tail$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Sampling.clusterSafeSplit(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 8, minJaccard = 0.5,
+        validRate = 0.5)
+      .select("doc_id", "split_key", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 40)
+    // every 4-doc cluster agrees on its key and side
+    out.groupBy(t => (t._1 - 1) / 4).values.foreach { cluster =>
+      assert(cluster.map(_._2).distinct.length == 1, cluster.toString)
+      assert(cluster.map(_._3).distinct.length == 1, cluster.toString)
+      assert(cluster.map(_._2).head == cluster.map(_._1).min)
+    }
+    // with 10 clusters at rate .5, both sides are hit
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("train", "valid"))
+    // a singleton doc with no dup pair draws on its own id
+    val solo = df(Seq((99L, (1 to 30).map(t => s"solo$t").mkString(" "))))
+      .toDF("doc_id", "text")
+    val soloOut = Sampling.clusterSafeSplit(docs.unionByName(solo), "doc_id",
+        "text", 3, 16, 8, 0.5, 0.5)
+      .filter($"doc_id" === 99L).select("split_key").head().getLong(0)
+    assert(soloOut == 99L)
+  }
 }
 
 /** Incremental dedup of a new shard against a persisted bucketed

@@ -237,6 +237,53 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy decontamination flags a paraphrase the exact n-gram sweep misses") {
+    // bench doc 100 = 60 tokens; train doc 1 = the same with a token
+    // swapped every 12 positions, so its longest untouched run is 12
+    // tokens — NO shared 13-gram (the GPT-3 exact sweep's n), yet
+    // 3-shingle Jaccard ≈ 0.66. Train doc 2 is a verbatim copy (both
+    // sweeps catch it); train doc 3 shares nothing.
+    val base = (1 to 60).map(i => s"t$i")
+    val para = base.zipWithIndex
+      .map { case (t, i) => if ((i + 1) % 12 == 0) s"x$t" else t }
+    val docs = df(Seq(
+      (100L, base.mkString(" ")),
+      (1L, para.mkString(" ")),
+      (2L, base.mkString(" ")),
+      (3L, (1 to 60).map(i => s"z$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val exact = Decontaminate.contaminated(docs, "doc_id", "text",
+        col("doc_id") >= 100L, n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(2L),
+      s"the exact 13-gram sweep must catch only the verbatim copy, got $exact")
+    // 8 bands of 2 rows: at this fixture's signature agreement (10/16
+    // hashes) the 4-row banding has no identical band — LSH recall is a
+    // banding choice, and the narrower band is the right one for a
+    // paraphrase-similarity floor of 0.5
+    graft.ext.IncrementalDedup.writeSignatureStore(
+      docs.filter(col("doc_id") >= 100L), "doc_id", "text",
+      shingleN = 3, numHashes = 16, nBands = 8, table = "deco_fuzzy_sig",
+      buckets = 4)
+    try {
+      val fuzzy = Decontaminate.fuzzyContaminatedAgainstStore(
+          docs.filter(col("doc_id") < 100L), "doc_id", "text",
+          shingleN = 3, numHashes = 16, nBands = 8,
+          table = "deco_fuzzy_sig", minJaccard = 0.5)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getLong(2), Option(r.get(3)))).toMap
+      assert(fuzzy(1L) == ((true, 1L, Some(100L))),
+        s"the paraphrase must be flagged against its bench source, got ${fuzzy(1L)}")
+      assert(fuzzy(2L) == ((true, 1L, Some(100L))))
+      assert(fuzzy(3L) == ((false, 0L, None)))
+    } finally {
+      Seq("deco_fuzzy_sig",
+          graft.ext.IncrementalDedup.countsTable("deco_fuzzy_sig")).foreach {
+        t => spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+    }
+  }
+
   test("a store persisted under the pre-stripe meta format refuses with a versioned message") {
     Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 2 === 0),
       "text", n = 3, table = "deco_bench_legacy", buckets = 4)
@@ -436,6 +483,46 @@ class PassageDedupSpec extends SparkSpec {
       "every input doc must keep an output row")
     assert(out(1) == ((2L, 0L, 0L, "")))
     assert(out(0) == ((1L, 2L, 1L, "c d"))) // "a b" df=2 still drops
+  }
+
+  test("span removal cuts a copied run at any alignment, keeps the first occurrence and sub-window overlaps") {
+    val a = (1 to 30).map(i => s"a$i")
+    // doc 2 embeds a 16-token run copied from doc 1 mid-document; with
+    // W=8 every token of the run sits inside a full duplicate window,
+    // so exactly the run is cut. doc 3 shares only a 7-token run — one
+    // token short of a window — and must keep everything.
+    val doc2 = (1 to 10).map(i => s"u$i") ++ a.slice(4, 20) ++
+      (1 to 5).map(i => s"v$i")
+    val doc3 = (1 to 10).map(i => s"w$i") ++ a.slice(4, 11) ++
+      (1 to 5).map(i => s"x$i")
+    val docs = df(Seq((1L, a.mkString(" ")), (2L, doc2.mkString(" ")),
+        (3L, doc3.mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = PassageDedup.removeDuplicateSpans(docs, "doc_id", "text",
+        windowTokens = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 30L, 0L, a.mkString(" "))),
+      "the first occurrence must survive verbatim")
+    assert(out(1) == ((2L, 31L, 16L,
+      ((1 to 10).map(i => s"u$i") ++ (1 to 5).map(i => s"v$i")).mkString(" "))))
+    assert(out(2) == ((3L, 22L, 0L, doc3.mkString(" ").toLowerCase)))
+  }
+
+  test("span removal collapses in-document repeats to the first occurrence; null texts keep their row") {
+    val s = spark; import s.implicits._
+    val c = (1 to 10).map(i => s"c$i")
+    val docs = Seq((1L, Some((c ++ c ++ c).mkString(" "))),
+        (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = PassageDedup.removeDuplicateSpans(docs, "doc_id", "text",
+        windowTokens = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // windows starting at 10..22 all duplicate earlier ones, covering
+    // tokens 10..29: only the first copy survives
+    assert(out(0) == ((1L, 30L, 20L, c.mkString(" "))))
+    assert(out(1) == ((2L, 0L, 0L, "")))
   }
 
   test("boilerplate removal drops EVERY occurrence past the doc-frequency threshold") {
@@ -1077,6 +1164,41 @@ class MixingSpec extends SparkSpec {
     assert(extras > 5 && extras < 35,
       s"~half the docs should draw the fractional copy, got $extras/40")
     assert(run() == first, "the draw must be deterministic across runs")
+  }
+
+  test("temperature alpha=1 (q=4) reproduces natural proportions bit-exactly") {
+    val docs = df(Seq(
+      (1L, "en", "a b c d e f"),                    // en: 6 tokens
+      (2L, "de", "x y z"))).toDF("doc_id", "lang", "text") // de: 3 tokens
+    val out = graft.ext.Mixing.temperatureFactors(docs, "lang", "text",
+        alphaQuarters = 4, budgetTokens = 18L)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4))).toSeq
+    // q=4 uses the raw int64 masses: the expected values are the SAME
+    // IEEE op sequence evaluated here
+    val (wDe, wEn) = (3.0 / 9.0, 6.0 / 9.0)
+    assert(out == Seq(("de", wDe, 18.0 * wDe / 3L), ("en", wEn, 18.0 * wEn / 6L)))
+  }
+
+  test("temperature flattening is monotone in alpha; token-less strata zero out") {
+    val docs = df(
+      (1L to 100L).map(i => (i, "en", (1 to 100).map(t => s"e$t").mkString(" "))) ++
+        Seq((200L, "de", "x y z w"), (300L, "zz", "")))
+      .toDF("doc_id", "lang", "text") // en: 10000 tokens, de: 4, zz: 0
+    def weights(q: Int) = graft.ext.Mixing.temperatureFactors(docs, "lang",
+        "text", q, budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val natural = 4.0 / 10004.0
+    val w = (1 to 4).map(q => q -> weights(q)).toMap
+    // q=2 replays floor(sqrt(x)*16) quantization exactly
+    val (qDe, qEn) = (math.floor(math.sqrt(4.0) * 16.0).toLong,
+      math.floor(math.sqrt(10000.0) * 16.0).toLong)
+    assert(w(2)("de") == qDe.toDouble / (qDe + qEn).toDouble)
+    // smaller alpha boosts the low-resource stratum, never inverts it
+    assert(w(4)("de") < w(3)("de") && w(3)("de") < w(2)("de")
+      && w(2)("de") < w(1)("de"))
+    (1 to 3).foreach(q => assert(w(q)("de") > natural && w(q)("de") < w(q)("en")))
+    (1 to 4).foreach(q => assert(w(q)("zz") == 0.0))
   }
 
   test("repeatFactors: token-less strata get factor 0.0, listed weights echo back") {
