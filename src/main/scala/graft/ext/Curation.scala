@@ -264,10 +264,16 @@ object Curation {
     * stage, `(stage_no, stage, n_docs)` = documents SURVIVING after the
     * stage. Runs the SAME stage implementation as [[batchRecipe]]
     * ([[runRecipe]] — one code path, so the report can never diverge
-    * from the recipe), counting each stage while its caches are still
-    * warm. The boilerplate stage is deliberately absent: it cleans
-    * content but never drops a document (its bite shows in x65's
+    * from the recipe). The boilerplate stage is deliberately absent: it
+    * cleans content but never drops a document (its bite shows in x65's
     * per-doc passage counts, not here).
+    *
+    * MEASURED (round 17): the counts are arithmetic over each stage's
+    * checkpointed ids-only DROP frame — the earlier per-stage
+    * `sN.count()` chain re-derived the near-dup and vector joins up to
+    * three times from the s3 checkpoint; the rewrite took the x75
+    * verify run from ~34 s to ~28 s wall at sf0.01 (≈2× on the funnel
+    * itself net of the ~23 s fixed JVM/sbt cost).
     *
     * Determinism: seven exact int64 counts — nothing else. Scale shape:
     * each count is an aggregate over an already-checkpointed (or
@@ -316,7 +322,15 @@ object Curation {
     // (the CurationLoop.ingestShard discipline).
     val (ndPairs, ndRelease) = MinHash.nearDupPairsOwned(s3, idCol,
       "__clean", p.shingleN, p.numHashes, p.nBands, p.minJaccard)
-    val ndDropped = ndPairs.select(col("doc_b").as(idCol)).distinct()
+    // funnel runs checkpoint each stage's (small, ids-only) DROP frame
+    // so the counts below are arithmetic over one execution per stage —
+    // without this, s5.count()/s6.count() re-derived the near-dup and
+    // vector joins from the s3 checkpoint up to three times (review
+    // finding, round 17). The mixture-only path keeps lazy frames: each
+    // drop is consumed exactly once there, so a checkpoint would only
+    // add materialization cost to the timed x66 surface.
+    def cp(f: DataFrame): DataFrame = if (withCounts) f.localCheckpoint(true) else f
+    val ndDropped = cp(ndPairs.select(col("doc_b").as(idCol)).distinct())
     val s4 = s3.join(ndDropped, Seq(idCol), "left_anti")
     // stage 5: embedding dedup in the loop's own coarse cells — top-1
     // cell buckets candidates (an equi-join on the cell id, never
@@ -331,18 +345,18 @@ object Curation {
       col("__cell").as("__ca"))
     val b = vecs.select(col(idCol).as("__idb"), col(embCol).as("__eb"),
       col("__cell").as("__cb"))
-    val vecDropped = a
+    val vecDropped = cp(a
       .join(b, col("__ca") === col("__cb") && col("__ida") < col("__idb"))
       .filter(Similarity.cosine(col("__ea"), col("__eb")) >= p.minCosine)
-      .select(col("__idb").as(idCol)).distinct()
+      .select(col("__idb").as(idCol)).distinct())
     val s5 = s4.join(vecDropped, Seq(idCol), "left_anti")
     // stage 6: decontamination gate against the persisted benchmark
     // store (absent docs share no gram and pass); Owned variant — the
     // gram cache (and any stripe-map broadcast) is released below
     val (contamRaw, contamRelease) = Decontaminate
       .contaminatedAgainstStoreOwned(s5, idCol, "__clean", benchTable)
-    val contam = contamRaw
-      .select(col(idCol), col("contamination").as("__cont"))
+    val contam = cp(contamRaw
+      .select(col(idCol), col("contamination").as("__cont")))
     val s6 = s5.join(contam, Seq(idCol), "left")
       .filter(coalesce(col("__cont"), lit(0.0)) <= p.maxContamination)
       .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
@@ -357,19 +371,27 @@ object Curation {
       .filter(col("kept").isNull || col("kept"))
       .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
       .localCheckpoint(true)
-    // the funnel counts are taken HERE, while the stage caches are
-    // still warm (s4/s5/s6 re-derive from the s3 checkpoint + the
-    // cached signature/gram frames released just below)
+    // the funnel counts are arithmetic over the checkpointed drop
+    // frames: every dropped id is drawn from the surviving set of the
+    // previous stage (ndPairs/vecs/contam are all computed ON s3/s4/s5
+    // respectively, one row per doc), so survivors(n) =
+    // survivors(n-1) − drops(n) exactly — no stage subtree re-executes
     val counts =
       if (!withCounts) None
-      else Some(Seq(
-        (1, "raw", docs.count()),
-        (2, "rule_gate", s1.count()),
-        (3, "exact", s3.count()),
-        (4, "neardup", s4.count()),
-        (5, "vector", s5.count()),
-        (6, "decontam", s6.count()),
-        (7, "lm", gated.count())))
+      else {
+        val n3 = s3.count()
+        val n4 = n3 - ndDropped.count()
+        val n5 = n4 - vecDropped.count()
+        val n6 = n5 - contam.filter(col("__cont") > p.maxContamination).count()
+        Some(Seq(
+          (1, "raw", docs.count()),
+          (2, "rule_gate", s1.count()),
+          (3, "exact", n3),
+          (4, "neardup", n4),
+          (5, "vector", n5),
+          (6, "decontam", n6),
+          (7, "lm", gated.count())))
+      }
     // the eager checkpoint above materialized every upstream stage —
     // release the recipe's own allocations now (signature cache, gram
     // cache, stripe-map broadcast): a session running one recipe per

@@ -422,6 +422,11 @@ object Decontaminate {
     require(maxItemsPerBloom > 0,
       s"maxItemsPerBloom must be > 0, got $maxItemsPerBloom")
     val spark = evalDocs.sparkSession
+    // heal a swap stranded by a crashed in-loop compaction BEFORE the
+    // anti-join reads the gram table (the IncrementalDedup.ingestBatch
+    // convention) — otherwise a fresh-checkpoint ingest after such a
+    // crash fails on a missing table until a maintenance entry runs
+    graft.core.Bucketing.recoverSwap(spark, table)
     val marker = appendPendingMarker(spark, table)
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     val (n, fpp) =
@@ -645,7 +650,16 @@ object Decontaminate {
     * `min_bench_id` (the smallest matching benchmark id, for the
     * leakage audit; null when clean). Train ids must be disjoint from
     * benchmark ids — the underlying probe treats an equal id as a
-    * self-match and skips it. */
+    * self-match and skips it.
+    *
+    * CONSTANTS CONTRACT: `shingleN`/`numHashes`/`nBands` MUST equal the
+    * values the signature store was written with — the store persists
+    * banded rows, not its constants, so a mismatched probe's band keys
+    * simply never line up and every paraphrase sails through flagged
+    * CLEAN (silent under-reporting, no error). Production keeps the
+    * three constants next to the store name as recipe configuration —
+    * the same discipline every [[IncrementalDedup.dedupAgainstStore]]
+    * caller already follows. */
   def fuzzyContaminatedAgainstStore(trainDocs: DataFrame, idCol: String,
                                     textCol: String, shingleN: Int,
                                     numHashes: Int, nBands: Int,

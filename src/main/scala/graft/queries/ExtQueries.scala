@@ -1257,16 +1257,8 @@ object ExtQueries {
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
         shingleN = 3, numHashes = 16, nBands = 4, table = "x37_sig_store",
         buckets = 8)
-      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-x37-stage-")
-        shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dest = in.resolve(name)
-        java.nio.file.Files.copy(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(ts))
-      }
+      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+        graft.util.Staging.stageWave(shard, in, name, ts)
       // fixed mod times (any values work — only their ORDER matters)
       stage(docs.filter(col("doc_id") % 3 === 1), "shard1.parquet", 1704067200000L)
       stage(docs.filter(col("doc_id") % 3 === 2), "shard2.parquet", 1704067260000L)
@@ -1736,16 +1728,8 @@ object ExtQueries {
         shard0, "vec_id", "embedding",
         nCentroids = 16, dim = 64, seedOffset = 100000L,
         table = "x46_vec_store", buckets = 8)
-      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-x46-stage-")
-        shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dest = in.resolve(name)
-        java.nio.file.Files.copy(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(ts))
-      }
+      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+        graft.util.Staging.stageWave(shard, in, name, ts)
       stage(emb.filter(col("vec_id") % 3 === 1), "shard1.parquet", 1704067200000L)
       stage(emb.filter(col("vec_id") % 3 === 2), "shard2.parquet", 1704067260000L)
       val stream = s.readStream.schema(emb.schema)
@@ -2022,16 +2006,8 @@ object ExtQueries {
         k = 16, rounds = 2)
       graft.ext.VectorStore.writeVectorStoreTrained(shard0, "vec_id",
         "embedding", codebook, table = "x49_vec_store", buckets = 8)
-      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-x49-stage-")
-        shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dest = in.resolve(name)
-        java.nio.file.Files.copy(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(ts))
-      }
+      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+        graft.util.Staging.stageWave(shard, in, name, ts)
       stage(emb.filter(col("vec_id") % 3 === 1), "shard1.parquet", 1704067200000L)
       stage(emb.filter(col("vec_id") % 3 === 2), "shard2.parquet", 1704067260000L)
       val stream = s.readStream.schema(emb.schema)
@@ -2199,16 +2175,8 @@ object ExtQueries {
           col("doc_id") % 4 === 1, 200000L))
         .unionByName(recrawl(col("doc_id") % 3 === 0 &&
           col("doc_id") % 5 === 0, 300000L))
-      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-x51-stage-")
-        shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dest = in.resolve(name)
-        java.nio.file.Files.copy(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(ts))
-      }
+      def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+        graft.util.Staging.stageWave(shard, in, name, ts)
       stage(shard1, "shard1.parquet", 1704067200000L)
       stage(shard2, "shard2.parquet", 1704067260000L)
       val stream = s.readStream.schema(shard1.schema)
@@ -3772,16 +3740,8 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
       Decontaminate.writeBenchmarkStore(bench.filter(col("doc_id") % 3 === 0),
         "text", n = 8, table = "x76_bench", buckets = 8)
       def stage(wave: org.apache.spark.sql.DataFrame, name: String,
-                ts: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-x76-stage-")
-        wave.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dest = in.resolve(name)
-        java.nio.file.Files.copy(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(ts))
-      }
+                ts: Long): Unit =
+        graft.util.Staging.stageWave(wave, in, name, ts)
       stage(bench.filter(col("doc_id") % 3 === 1), "wave1.parquet",
         1704067200000L)
       stage(bench.filter(col("doc_id") % 3 === 2), "wave2.parquet",

@@ -625,16 +625,8 @@ class IncrementalDedupSpec extends SparkSpec {
       (21L, "fresh material sharing nothing with the ingested corpus"), // dup of 12 — in store only via shard A's append
       (22L, "and now for something else entirely unrelated to every shard")))
       .toDF("doc_id", "text")
-    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-inc-stage-")
-      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dest = in.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(ts))
-    }
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+      graft.util.Staging.stageWave(d, in, name, ts)
     stage(shardA, "a.parquet", 1704067200000L)
     stage(shardB, "b.parquet", 1704067260000L)
     val stream = spark.readStream.schema(shardA.schema)
@@ -949,16 +941,8 @@ class IncrementalDedupSpec extends SparkSpec {
       (21L, "fresh material sharing nothing with the ingested corpus"),
       (22L, "and now for something else entirely unrelated to every shard")))
       .toDF("doc_id", "text")
-    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-inc-acstage-")
-      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dest = in.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(ts))
-    }
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+      graft.util.Staging.stageWave(d, in, name, ts)
     stage(shardA, "a.parquet", 1704067200000L)
     stage(shardB, "b.parquet", 1704067260000L)
     val stream = spark.readStream.schema(shardA.schema)
@@ -1027,14 +1011,8 @@ class IncrementalDedupSpec extends SparkSpec {
         (24L, "a final batch of previously unseen vocabulary closes the loop")))
         .toDF("doc_id", "text"))
     shards.zipWithIndex.foreach { case (d, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-inc-fpbstage-")
-      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dest = in.resolve(s"$i.parquet")
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 60000L))
+      graft.util.Staging.stageWave(d, in, s"$i.parquet",
+        1704067200000L + i * 60000L)
     }
     def src = spark.readStream.schema(shards.head.schema)
       .option("maxFilesPerTrigger", 1).parquet(in.toString)
@@ -1314,16 +1292,8 @@ class VectorStoreSpec extends SparkSpec {
     VectorStore.writeVectorStore(vdf(Seq((1L, a))), "vec_id", "embedding",
       nCentroids = 4, dim = 4, seedOffset = 7L,
       table = "vec_autocompact_store", buckets = 4)
-    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-vec-acstage-")
-      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dest = in.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(ts))
-    }
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+      graft.util.Staging.stageWave(d, in, name, ts)
     stage(vdf(Seq((10L, c))), "a.parquet", 1704067200000L)
     stage(vdf(Seq((20L, c))), "b.parquet", 1704067260000L)
     val stream = spark.readStream.schema(vdf(Seq((0L, a))).schema)
@@ -1378,16 +1348,8 @@ class VectorStoreSpec extends SparkSpec {
         "vec_id", "embedding", nCentroids = 4, dim = 4, seedOffset = 7L,
         table = t, buckets = 4)
     }
-    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-vec-fpbstage-")
-      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dest = in.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(ts))
-    }
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+      graft.util.Staging.stageWave(d, in, name, ts)
     // five all-novel single-vector batches (each appends >= 1 file —
     // the untriggered twin is GUARANTEED past 4 files after them), then
     // a twin of batch 0's vector to prove cross-batch dedup survives
@@ -1795,16 +1757,8 @@ class CardStreamSpec extends SparkSpec {
       .toDF("doc_id", "lang", "source", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-card-stream-")
     val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
-    def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-card-stage-")
-      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dest = in.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(ts))
-    }
+    def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+      graft.util.Staging.stageWave(shard, in, name, ts)
     stage(corpus.filter(col("doc_id") <= 2), "s0.parquet", 1704067200000L)
     stage(corpus.filter(col("doc_id") > 2), "s1.parquet", 1704067260000L)
     DataCard.writeCardStore(corpus.filter(col("doc_id") < 0), "doc_id",

@@ -789,16 +789,8 @@ class CurationLoopRecoverySpec extends SparkSpec {
       // the streamed run: same shards as one staged file each
       val in = java.nio.file.Files.createTempDirectory("graft-cl-in-")
       def stage(rows: Seq[(Long, String, Seq[Float])], name: String,
-                ts: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-cl-stage-")
-        corpus(rows).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dest = in.resolve(name)
-        java.nio.file.Files.copy(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(ts))
-      }
+                ts: Long): Unit =
+        graft.util.Staging.stageWave(corpus(rows), in, name, ts)
       stage(shardRows, "shard1.parquet", 1704067200000L)
       stage(shard2Rows, "shard2.parquet", 1704067260000L)
       val stream = spark.readStream.schema(corpus(shardRows).schema)

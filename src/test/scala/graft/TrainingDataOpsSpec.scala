@@ -189,16 +189,8 @@ class DecontaminateSpec extends SparkSpec {
       table = "deco_stream", buckets = 4)
     val root = java.nio.file.Files.createTempDirectory("graft-deco-stream-")
     val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
-    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-deco-stage-")
-      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dest = in.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(ts))
-    }
+    def stage(d: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+      graft.util.Staging.stageWave(d, in, name, ts)
     stage(evalB, "b.parquet", 1704067200000L)
     stage(evalC, "c.parquet", 1704067260000L)
     try {
@@ -1559,16 +1551,8 @@ class LmScoreSpec extends SparkSpec {
       LmScore.fit(a.unionByName(b), "text").localCheckpoint(true)))
     LmScore.writeModelStore(a.filter(col("doc_id") < 0), "text",
       "lm_stream_spec", buckets = 4) // empty base: the loop builds it all
-    def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-lm-stage-")
-      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dest = in.resolve(name)
-      java.nio.file.Files.copy(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(ts))
-    }
+    def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
+      graft.util.Staging.stageWave(shard, in, name, ts)
     stage(a, "sliceA.parquet", 1704067200000L)
     stage(b, "sliceB.parquet", 1704067260000L)
     try {
