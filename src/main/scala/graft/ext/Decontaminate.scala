@@ -563,19 +563,13 @@ object Decontaminate {
                                textCol: String, table: String): DataFrame =
     contaminatedAgainstStoreOwned(trainDocs, idCol, textCol, table)._1
 
-  /** [[contaminatedAgainstStore]] with the stage's resource OWNERSHIP
-    * made explicit: the second element releases exactly what this call
-    * allocated — the persisted train-gram frame the result references
-    * AND (for a multi-stripe store) the broadcast stripe map — once the
-    * caller has consumed the result. This replaces the session-wide
-    * `clearCache()` hammer the plain overload's contract falls back to
-    * (which would also evict every frame the CALLER holds across calls,
-    * and would not release broadcasts at all — the
-    * [[CurationLoop.ingestShard]] sharp edge this variant removes). */
-  def contaminatedAgainstStoreOwned(trainDocs: DataFrame, idCol: String,
-                                    textCol: String, table: String)
-      : (DataFrame, () => Unit) = {
-    val spark = trainDocs.sparkSession
+  /** Read a benchmark store's committed meta — gram size, stripe
+    * count, and the per-stripe bloom bytes — with the loud refusals
+    * every serve path shares: a missing meta names the RIGHT repair
+    * (replay the crashed append vs re-run the build), and a pre-stripe
+    * meta format refuses with the versioned upgrade message. */
+  private def readBenchmarkMeta(spark: SparkSession, table: String)
+      : (Int, Int, Map[Int, Array[Byte]]) = {
     if (!spark.catalog.tableExists(benchmarkMeta(table))) {
       // name the RIGHT repair: with a pending append marker the grams
       // are ahead of the dropped meta and replaying the append finishes
@@ -607,12 +601,27 @@ object Decontaminate {
         "(no stripe layout columns) — re-run writeBenchmarkStore to " +
         "upgrade it before checking shards")
     val metaRows = meta.collect()
-    val n = metaRows.head.getAs[Int]("n")
-    val nStripes = metaRows.head.getAs[Int]("n_stripes")
-    val blooms = metaRows.iterator
-      .filter(_.getAs[Array[Byte]]("bloom") != null)
-      .map(r => r.getAs[Int]("stripe") -> r.getAs[Array[Byte]]("bloom"))
-      .toMap
+    (metaRows.head.getAs[Int]("n"), metaRows.head.getAs[Int]("n_stripes"),
+      metaRows.iterator
+        .filter(_.getAs[Array[Byte]]("bloom") != null)
+        .map(r => r.getAs[Int]("stripe") -> r.getAs[Array[Byte]]("bloom"))
+        .toMap)
+  }
+
+  /** [[contaminatedAgainstStore]] with the stage's resource OWNERSHIP
+    * made explicit: the second element releases exactly what this call
+    * allocated — the persisted train-gram frame the result references
+    * AND (for a multi-stripe store) the broadcast stripe map — once the
+    * caller has consumed the result. This replaces the session-wide
+    * `clearCache()` hammer the plain overload's contract falls back to
+    * (which would also evict every frame the CALLER holds across calls,
+    * and would not release broadcasts at all — the
+    * [[CurationLoop.ingestShard]] sharp edge this variant removes). */
+  def contaminatedAgainstStoreOwned(trainDocs: DataFrame, idCol: String,
+                                    textCol: String, table: String)
+      : (DataFrame, () => Unit) = {
+    val spark = trainDocs.sparkSession
+    val (n, nStripes, blooms) = readBenchmarkMeta(spark, table)
     val trainGrams = grams(trainDocs, textCol, n, col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (candidates, bcOpt) =
@@ -674,5 +683,71 @@ object Decontaminate {
       .select(col(idCol), (!col("kept")).as("contaminated"),
         col("n_store_matches").as("n_bench_matches"),
         col("dup_of").as("min_bench_id"))
+  }
+
+  /** Contaminated-span REMOVAL — the surgical alternative to dropping a
+    * contaminated document whole: every n-gram window that appears in
+    * the benchmark store marks its tokens for removal and the document
+    * is reassembled from what remains (the GPT-3 appendix-C deployment:
+    * remove the overlapping window rather than the document, so a long
+    * training doc that happens to quote one eval item keeps its other
+    * 99% — whole-doc dropping at their scale discarded real data, and
+    * whole-doc KEEPING leaks the item). One deliberate divergence,
+    * documented: GPT-3 split the remainder into independent pieces;
+    * this reassembles one document (the [[PassageDedup]] convention —
+    * downstream chunking re-splits anyway, and reassembly keeps the
+    * output row-aligned with the input for the release diff).
+    *
+    * The gram size comes from the store's committed meta
+    * ([[readBenchmarkMeta]] — same loud refusals as every serve path),
+    * candidates bloom-prefilter MAP-SIDE through the committed stripe
+    * blooms before any shuffle (the [[contaminatedAgainstStore]]
+    * deployment shape), and an exact semi-join against the bucketed
+    * gram table (read in place, Exchange-free on the store side)
+    * confirms false positives away — a bloom false positive must
+    * never cut real text. Flagged window starts come back as one
+    * bounded int array per affected doc; the token-level cut is the
+    * [[PassageDedup.removeDuplicateSpans]] indexed-filter HOF. Text
+    * never shuffles: the probe carries (id, pos, 8-byte fp) rows only.
+    *
+    * @return (id, n_tokens, n_removed, text_kept) — one row per input
+    *         document (clean docs verbatim, null-text docs as
+    *         (0, 0, "")). */
+  def removeContaminatedSpans(trainDocs: DataFrame, idCol: String,
+                              textCol: String, table: String): DataFrame =
+    removeContaminatedSpansOwned(trainDocs, idCol, textCol, table)._1
+
+  /** [[removeContaminatedSpans]] with the broadcast stripe map's
+    * release handle (the Owned convention); single-stripe stores
+    * allocate nothing and the release is a no-op. */
+  def removeContaminatedSpansOwned(trainDocs: DataFrame, idCol: String,
+                                   textCol: String, table: String)
+      : (DataFrame, () => Unit) = {
+    val spark = trainDocs.sparkSession
+    val (n, nStripes, blooms) = readBenchmarkMeta(spark, table)
+    val toks = trainDocs
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+    // ShingleMd5 is position-aligned: element i fingerprints the window
+    // starting at token i, so posexplode's index IS the window start
+    val wins = toks
+      .select(col(idCol),
+        posexplode(graft.functions.ShingleMd5(col("__toks"), n))
+          .as(Seq("__pos", "gram_fp")))
+    val (candidates, bcOpt) = probeStriped(wins, "gram_fp", blooms, nStripes)
+    val flagged = candidates
+      .join(spark.table(table).hint("merge"), Seq("gram_fp"), "left_semi")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    val result = toks.join(flagged, Seq(idCol), "left")
+      .withColumn("__kept",
+        when(col("__starts").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (_, j) =>
+            !exists(col("__starts"), s => s <= j && j < s + n))))
+      .select(col(idCol),
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(size(col("__toks")) - size(col("__kept")), lit(0))
+          .cast("long").as("n_removed"),
+        coalesce(array_join(col("__kept"), " "), lit("")).as("text_kept"))
+    (result, () => { bcOpt.foreach(_.destroy()); () })
   }
 }

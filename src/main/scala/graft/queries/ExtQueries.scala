@@ -3956,10 +3956,53 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    COALESCE(array_to_string(kept, ' '), '') AS text_kept
             FROM k ORDER BY doc_id"""))
 
+  /** Contaminated-span removal
+    * ([[graft.ext.Decontaminate.removeContaminatedSpans]], the GPT-3
+    * appendix-C deployment): 8-gram windows matching the persisted
+    * benchmark store are cut out of the training text token-exactly —
+    * the surgical alternative to x52's whole-doc verdict. Same %10
+    * split and gram math as x52; the oracle replays window
+    * fingerprints, the store match, and the token-level cut. */
+  private val x81 = Q("x81_span_decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
+        "text", n = 8, table = "x81_bench_store", buckets = 8)
+      Decontaminate.removeContaminatedSpans(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          "x81_bench_store")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $tokSql,
+             ev AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-7),
+                      i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
+                    FROM toks WHERE doc_id % 10 = 0 AND len(w) >= 8),
+             w0 AS (SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
+                      ELSE list_transform(range(0, len(w)-8+1), i ->
+                        {'pos': i, 'fp': CAST(CAST('0x'||substr(md5(array_to_string(list_slice(w, i+1, i+8), ' ')),1,15) AS UBIGINT) AS BIGINT)}) END) AS u
+                    FROM toks WHERE doc_id % 10 <> 0),
+             wins AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0),
+             fl AS (SELECT doc_id, list_sort(list(pos)) AS starts
+                    FROM wins JOIN ev ON wins.fp = ev.gram_fp
+                    GROUP BY doc_id),
+             k AS (SELECT t.doc_id, t.w,
+                     CASE WHEN f.starts IS NULL THEN t.w
+                          ELSE list_filter(list_transform(range(0, len(t.w)), j ->
+                                 CASE WHEN len(list_filter(f.starts, x -> x <= j AND j < x + 8)) > 0
+                                      THEN NULL ELSE list_extract(t.w, CAST(j+1 AS INT)) END),
+                               y -> y IS NOT NULL) END AS kept
+                   FROM toks t LEFT JOIN fl f USING (doc_id)
+                   WHERE t.doc_id % 10 <> 0)
+            SELECT doc_id,
+                   COALESCE(CAST(len(w) AS BIGINT), 0) AS n_tokens,
+                   COALESCE(CAST(len(w) - len(kept) AS BIGINT), 0) AS n_removed,
+                   COALESCE(array_to_string(kept, ' '), '') AS text_kept
+            FROM k ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
-    x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80)
+    x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81)
 }

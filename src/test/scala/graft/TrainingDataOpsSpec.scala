@@ -229,6 +229,37 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("span removal cuts exactly the leaked benchmark windows; clean, verbatim and null docs behave") {
+    val s = spark; import s.implicits._
+    val bench = (1 to 30).map(i => s"t$i")
+    val train = Seq(
+      // 12-token run copied from the benchmark at offset 5: with n=8,
+      // dup windows start at 5..9 and cover exactly tokens 5..16
+      (1L, Some(((1 to 5).map(i => s"u$i") ++ bench.slice(9, 21) ++
+        (1 to 5).map(i => s"v$i")).mkString(" "))),
+      (2L, Some((1 to 20).map(i => s"clean$i").mkString(" "))),
+      (3L, Option.empty[String]),
+      (4L, Some(bench.mkString(" "))))   // verbatim copy: fully cut
+      .toDF("doc_id", "text")
+    Decontaminate.writeBenchmarkStore(
+      df(Seq((100L, bench.mkString(" ")))).toDF("doc_id", "text"),
+      "text", n = 8, table = "deco_span_bench", buckets = 4)
+    try {
+      val out = Decontaminate.removeContaminatedSpans(train, "doc_id",
+          "text", "deco_span_bench")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(out(0) == ((1L, 22L, 12L,
+        ((1 to 5).map(i => s"u$i") ++ (1 to 5).map(i => s"v$i")).mkString(" "))))
+      assert(out(1) == ((2L, 20L, 0L, (1 to 20).map(i => s"clean$i").mkString(" "))))
+      assert(out(2) == ((3L, 0L, 0L, "")))
+      assert(out(3) == ((4L, 30L, 30L, "")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS deco_span_bench")
+      spark.sql(s"DROP TABLE IF EXISTS ${Decontaminate.benchmarkMeta("deco_span_bench")}")
+    }
+  }
+
   test("fuzzy decontamination flags a paraphrase the exact n-gram sweep misses") {
     // bench doc 100 = 60 tokens; train doc 1 = the same with a token
     // swapped every 12 positions, so its longest untouched run is 12
