@@ -42,6 +42,39 @@ object ExactDedup {
         count(lit(1)).as("dup_count"))
       .select(col("canonical_id"), col("dup_count"), col("fp"))
 
+  /** SOURCE-PRIORITY exact dedup — the multi-source corpus form (the
+    * Dolma/Pile assembly step): when the same content arrives from
+    * several sources, keep the copy from the MOST PREFERRED source
+    * (smallest `priorityCol` value; id breaks ties), not the smallest
+    * id — a curated copy beats the web crawl's even when the crawl was
+    * ingested first. Returns one verdict row per input document:
+    * (id, kept, canonical_id) with `canonical_id` = the winning copy's
+    * id (own id for kept docs); fingerprint-less (null-text) docs
+    * always keep, the engine-wide convention.
+    *
+    * Shape at 100 TB: first-wins is a `min(struct(priority, id))`
+    * AGGREGATION + fp-keyed join-back (the
+    * [[PassageDedup.removeDuplicateSpans]] trade): partial aggregation
+    * collapses a boilerplate fingerprint duplicated across millions of
+    * docs to ONE row map-side, where a per-fp window rank would sort
+    * every occurrence in a single task; the join-back is an equi-join
+    * AQE can skew-split, and only (16-byte fp, id, priority) rows ever
+    * shuffle. */
+  def dedupWithPriority(docs: DataFrame, idCol: String, textCol: String,
+                        priorityCol: String): DataFrame = {
+    val fps = docs.select(col(idCol), col(priorityCol),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+    val winners = fps.filter(col("fp").isNotNull)
+      .groupBy("fp")
+      .agg(min(struct(col(priorityCol), col(idCol))).as("__w"))
+      .select(col("fp"), col("__w")(idCol).as("__win_id"))
+    fps.join(winners, Seq("fp"), "left")
+      .select(col(idCol),
+        (col("__win_id").isNull || col("__win_id") === col(idCol))
+          .as("kept"),
+        coalesce(col("__win_id"), col(idCol)).as("canonical_id"))
+  }
+
   /** `(id, fp)` rows — a null/absent text yields a null fingerprint,
     * which never equi-joins: fingerprint-less docs always keep. */
   private def fingerprints(docs: DataFrame, idCol: String,

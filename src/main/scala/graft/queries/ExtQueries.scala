@@ -3999,10 +3999,50 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    COALESCE(array_to_string(kept, ' '), '') AS text_kept
             FROM k ORDER BY doc_id"""))
 
+  /** Source-priority exact dedup
+    * ([[graft.ext.ExactDedup.dedupWithPriority]]): the corpus is
+    * unioned with a deterministic re-crawl twin of every document (ids
+    * + 100000, the x66 operational idiom — sf0.01 has no natural exact
+    * dups), and the twin's priority beats the original's for EVEN base
+    * ids while TYING it for odd ones — so both the priority-overrides-
+    * id path (even pairs keep the LARGER twin id) and the id tie-break
+    * path (odd pairs keep the original) bite in the same check. */
+  private val x82 = Q("x82_priority_dedup",
+    (s, d) => {
+      val docs = documents(s, d).select("doc_id", "text", "source")
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 100000L).as("doc_id"), col("text"),
+        lit("recrawl").as("source")))
+      ExactDedup.dedupWithPriority(
+          corpus.withColumn("prio",
+            when(col("source") === "recrawl", pmod(col("doc_id"), lit(2L)))
+              .otherwise(lit(1L))),
+          "doc_id", "text", "prio")
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text, source FROM documents
+                     UNION ALL
+                     SELECT doc_id + 100000, text, 'recrawl' FROM documents),
+                 d AS (SELECT doc_id,
+                         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                         CASE WHEN source = 'recrawl' THEN doc_id % 2 ELSE 1 END AS prio
+                       FROM corpus),
+                 w AS (SELECT fp, doc_id AS win_id FROM (
+                         SELECT fp, doc_id,
+                           row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn
+                         FROM d WHERE fp IS NOT NULL)
+                       WHERE rn = 1)
+            SELECT d.doc_id,
+                   (w.win_id IS NULL OR w.win_id = d.doc_id) AS kept,
+                   COALESCE(w.win_id, d.doc_id) AS canonical_id
+            FROM d LEFT JOIN w USING (fp)
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
-    x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81)
+    x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
+    x82)
 }

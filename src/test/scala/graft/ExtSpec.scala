@@ -1482,6 +1482,25 @@ class StarCcSpec extends SparkSpec {
 class IncrementalExactDedupSpec extends SparkSpec {
   import graft.ext.ExactDedup
 
+  test("priority dedup keeps the preferred source's copy; ids break ties; null texts keep") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, Some("shared content"), 1L),  // web copy, ingested first
+      (2L, Some("shared content"), 0L),  // curated copy WINS despite larger id
+      (3L, Some("shared content"), 1L),  // second web copy: drops to 2
+      (4L, Some("tied content"), 1L),    // equal priority: min id wins
+      (5L, Some("tied content"), 1L),
+      (6L, Some("unique content"), 2L),  // singleton keeps
+      (7L, Option.empty[String], 0L))    // null text always keeps
+      .toDF("doc_id", "text", "prio")
+    val out = ExactDedup.dedupWithPriority(docs, "doc_id", "text", "prio")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, false, 2L), (2L, true, 2L), (3L, false, 2L),
+      (4L, true, 4L), (5L, false, 4L), (6L, true, 6L), (7L, true, 7L)))
+  }
+
   test("store fingerprints drop re-arrivals; survivors append; next shard sees them") {
     val store = df(Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
