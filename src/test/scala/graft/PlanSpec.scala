@@ -550,6 +550,34 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache() // the store path persists the train grams
   }
 
+  test("x81 span decontamination: bloom prefilter before the shuffle, store confirm side Exchange-free") {
+    val df = Registry.queries("x81_span_decontaminate")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    assert(root.toString.contains("might_contain"),
+      s"expected the persisted bloom prefilter in the plan:\n${root.toString.take(1000)}")
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right)).filter(_.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.tableIdentifier.exists(_.table == "x81_bench_store") => f
+    }.nonEmpty)
+    assert(storeSides.nonEmpty,
+      s"no semi join reads the bucketed benchmark gram store:\n${root.toString.take(1200)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"benchmark store side must read its buckets in place, found: $es")
+    }
+  }
+
   test("x50 exact-dedup store side reads bucketed, Exchange-free; no text on the wire") {
     val df = Registry.queries("x50_incremental_exact_dedup")(spark, sf)
     val root = df.queryExecution.executedPlan match {
