@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Chunking, LmScore, Packing, PassageDedup, Repetition}
+import graft.ext.{Chunking, ExactDedup, LmScore, Mixing, Packing, PassageDedup, Repetition}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
@@ -136,6 +136,82 @@ object ExtProps extends Properties("ext") {
           .filter { case (p, i) => !ps.take(i).contains(p) }.map(_._1)
         (d.doc_id, ps.length.toLong, (ps.length - kept.length).toLong,
           kept.mkString(" "))
+      }
+      got == expect
+    }
+
+  property("cross-doc span removal equals a global first-occurrence window walk") =
+    Prop.forAll(corpusGen) { rows =>
+      val got = PassageDedup.removeDuplicateSpans(toDf(rows), "doc_id",
+          "text", 3)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = rows.sortBy(_.doc_id).map { d =>
+        val w = toks(d.text)
+        val wins =
+          if (w.length < 3) Seq.empty[String]
+          else w.sliding(3).map(_.mkString(" ")).toSeq
+        val dupStarts = wins.zipWithIndex.flatMap { case (win, i) =>
+          if (seen.contains(win)) Some(i) else { seen += win; None }
+        }
+        val kept = w.zipWithIndex.collect {
+          case (t, j) if !dupStarts.exists(s => s <= j && j < s + 3) => t
+        }
+        (d.doc_id, w.length.toLong, (w.length - kept.length).toLong,
+          kept.mkString(" "))
+      }
+      got == expect
+    }
+
+  property("priority dedup keeps the min-(priority,id) copy per normalized content") =
+    Prop.forAll(corpusGen) { rows =>
+      val s = spark
+      import s.implicits._
+      val docs = spark.createDataset(rows).toDF()
+        .withColumn("prio", pmod(col("doc_id"), lit(2L)))
+      val got = ExactDedup.dedupWithPriority(docs, "doc_id", "text", "prio")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+      val win = rows.groupBy(d => toks(d.text).mkString(" "))
+        .map { case (k, g) =>
+          k -> g.map(d => (d.doc_id % 2, d.doc_id)).min._2 }
+      val expect = rows.sortBy(_.doc_id).map { d =>
+        val w = win(toks(d.text).mkString(" "))
+        (d.doc_id, d.doc_id == w, w)
+      }
+      got == expect
+    }
+
+  property("temperature factors replay the sqrt/quantize/divide reference bit-exactly for every alpha") =
+    Prop.forAll(corpusGen, Gen.choose(1, 4)) { (rows, q) =>
+      val s = spark
+      import s.implicits._
+      val docs = spark.createDataset(rows).toDF()
+        .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(3L))))
+      val got = Mixing.temperatureFactors(docs, "lang", "text", q, 100L)
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+      val stats = rows.groupBy(d => s"l${d.doc_id % 3}")
+        .map { case (l, g) =>
+          (l, g.size.toLong, g.map(d => toks(d.text).length.toLong).sum) }
+        .toSeq.sortBy(_._1)
+      val qfs = stats.map { case (_, _, t) =>
+        val f = q match {
+          case 1 => math.sqrt(math.sqrt(t.toDouble))
+          case 2 => math.sqrt(t.toDouble)
+          case 3 => math.sqrt(t.toDouble) * math.sqrt(math.sqrt(t.toDouble))
+          case 4 => t.toDouble
+        }
+        if (q == 4) t else math.floor(f * 16.0).toLong
+      }
+      val total = qfs.sum
+      val expect = stats.zip(qfs).map { case ((l, nd, nt), qf) =>
+        val w = if (total == 0) 0.0 else qf.toDouble / total.toDouble
+        val f = if (nt == 0) 0.0 else 100L.toDouble * w / nt
+        (l, nd, nt, w, f)
       }
       got == expect
     }
