@@ -710,6 +710,15 @@ object Decontaminate {
     * [[PassageDedup.removeDuplicateSpans]] indexed-filter HOF. Text
     * never shuffles: the probe carries (id, pos, 8-byte fp) rows only.
     *
+    * RESOURCE LIFETIME (the [[contaminatedAgainstStore]] contract): a
+    * MULTI-stripe store's probe broadcasts the stripe map (up to
+    * [[MaxBloomStripes]] × the per-filter bytes), and this plain
+    * overload leaves that broadcast to plan GC — fine for one-shot
+    * runs; a loop serving shard after shard against a big store should
+    * use [[removeContaminatedSpansOwned]] and call the release per
+    * batch, or it accumulates one stripe map per call. Single-stripe
+    * stores (the common case) allocate nothing.
+    *
     * @return (id, n_tokens, n_removed, text_kept) — one row per input
     *         document (clean docs verbatim, null-text docs as
     *         (0, 0, "")). */
@@ -738,16 +747,8 @@ object Decontaminate {
       .join(spark.table(table).hint("merge"), Seq("gram_fp"), "left_semi")
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
-    val result = toks.join(flagged, Seq(idCol), "left")
-      .withColumn("__kept",
-        when(col("__starts").isNull, col("__toks"))
-          .otherwise(filter(col("__toks"), (_, j) =>
-            !exists(col("__starts"), s => s <= j && j < s + n))))
-      .select(col(idCol),
-        coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
-        coalesce(size(col("__toks")) - size(col("__kept")), lit(0))
-          .cast("long").as("n_removed"),
-        coalesce(array_join(col("__kept"), " "), lit("")).as("text_kept"))
+    val result = PassageDedup.cutCoveredTokens(
+      toks.join(flagged, Seq(idCol), "left"), idCol, n)
     (result, () => { bcOpt.foreach(_.destroy()); () })
   }
 }

@@ -47,10 +47,14 @@ object ExactDedup {
     * several sources, keep the copy from the MOST PREFERRED source
     * (smallest `priorityCol` value; id breaks ties), not the smallest
     * id — a curated copy beats the web crawl's even when the crawl was
-    * ingested first. Returns one verdict row per input document:
-    * (id, kept, canonical_id) with `canonical_id` = the winning copy's
-    * id (own id for kept docs); fingerprint-less (null-text) docs
-    * always keep, the engine-wide convention.
+    * ingested first. NULL priorities sort LAST (least preferred — the
+    * SQL nulls-last convention): a doc whose source never got a rank,
+    * e.g. from a left join against a source-ranking table, must not
+    * beat a ranked copy (a bare `min(struct)` would put nulls FIRST and
+    * silently invert the preference). Returns one verdict row per
+    * input document: (id, kept, canonical_id) with `canonical_id` =
+    * the winning copy's id (own id for kept docs); fingerprint-less
+    * (null-text) docs always keep, the engine-wide convention.
     *
     * Shape at 100 TB: first-wins is a `min(struct(priority, id))`
     * AGGREGATION + fp-keyed join-back (the
@@ -64,9 +68,12 @@ object ExactDedup {
                         priorityCol: String): DataFrame = {
     val fps = docs.select(col(idCol), col(priorityCol),
       TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+    // the leading isNull flag makes the struct ordering nulls-LAST for
+    // any priority type: (false, p, id) < (true, null, id)
     val winners = fps.filter(col("fp").isNotNull)
       .groupBy("fp")
-      .agg(min(struct(col(priorityCol), col(idCol))).as("__w"))
+      .agg(min(struct(col(priorityCol).isNull.as("__pnull"),
+        col(priorityCol), col(idCol))).as("__w"))
       .select(col("fp"), col("__w")(idCol).as("__win_id"))
     fps.join(winners, Seq("fp"), "left")
       .select(col(idCol),

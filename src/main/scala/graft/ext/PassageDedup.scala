@@ -77,6 +77,27 @@ object PassageDedup {
         array_join(col("__kept"), " ").as("text_kept"))
   }
 
+  /** Shared token-cut reassembly of the span-removal operators ([[
+    * removeDuplicateSpans]] and `Decontaminate.removeContaminatedSpans`
+    * — ONE copy of the cut contract, including the null-doc
+    * conventions): given rows of (`idCol`, `__toks`, `__starts`), drop
+    * every token covered by a `w`-token window starting at any position
+    * in `__starts` (null `__starts` = nothing flagged, keep verbatim)
+    * and return (id, n_tokens, n_removed, text_kept) with null-text
+    * docs as (0, 0, ""). */
+  private[ext] def cutCoveredTokens(joined: DataFrame, idCol: String,
+                                    w: Int): DataFrame =
+    joined
+      .withColumn("__kept",
+        when(col("__starts").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (_, j) =>
+            !exists(col("__starts"), s => s <= j && j < s + w))))
+      .select(col(idCol),
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(size(col("__toks")) - size(col("__kept")), lit(0))
+          .cast("long").as("n_removed"),
+        coalesce(array_join(col("__kept"), " "), lit("")).as("text_kept"))
+
   /** CROSS-document duplicate SPAN removal — the ExactSubstr method of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
     * al. 2022), re-expressed for Spark: any token run of at least
@@ -135,16 +156,7 @@ object PassageDedup {
       .filter(struct(col(idCol), col("__pos")) =!= col("__first"))
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
-    toks.join(dupStarts, Seq(idCol), "left")
-      .withColumn("__kept",
-        when(col("__starts").isNull, col("__toks"))
-          .otherwise(filter(col("__toks"), (_, j) =>
-            !exists(col("__starts"), s => s <= j && j < s + w))))
-      .select(col(idCol),
-        coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
-        coalesce(size(col("__toks")) - size(col("__kept")), lit(0))
-          .cast("long").as("n_removed"),
-        coalesce(array_join(col("__kept"), " "), lit("")).as("text_kept"))
+    cutCoveredTokens(toks.join(dupStarts, Seq(idCol), "left"), idCol, w)
   }
 
   /** CORPUS boilerplate removal (the CCNet cleanup): drop EVERY

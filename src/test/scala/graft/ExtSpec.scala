@@ -1482,23 +1482,26 @@ class StarCcSpec extends SparkSpec {
 class IncrementalExactDedupSpec extends SparkSpec {
   import graft.ext.ExactDedup
 
-  test("priority dedup keeps the preferred source's copy; ids break ties; null texts keep") {
+  test("priority dedup keeps the preferred source's copy; ids break ties; null prio sorts LAST; null texts keep") {
     val s = spark; import s.implicits._
     val docs = Seq(
-      (1L, Some("shared content"), 1L),  // web copy, ingested first
-      (2L, Some("shared content"), 0L),  // curated copy WINS despite larger id
-      (3L, Some("shared content"), 1L),  // second web copy: drops to 2
-      (4L, Some("tied content"), 1L),    // equal priority: min id wins
-      (5L, Some("tied content"), 1L),
-      (6L, Some("unique content"), 2L),  // singleton keeps
-      (7L, Option.empty[String], 0L))    // null text always keeps
+      (1L, Some("shared content"), Some(1L)),  // web copy, ingested first
+      (2L, Some("shared content"), Some(0L)),  // curated copy WINS despite larger id
+      (3L, Some("shared content"), Some(1L)),  // second web copy: drops to 2
+      (4L, Some("tied content"), Some(1L)),    // equal priority: min id wins
+      (5L, Some("tied content"), Some(1L)),
+      (6L, Some("unique content"), Some(2L)),  // singleton keeps
+      (7L, Option.empty[String], Some(0L)),    // null text always keeps
+      (8L, Some("unranked vs ranked"), Option.empty[Long]), // unranked source...
+      (9L, Some("unranked vs ranked"), Some(5L)))  // ...must LOSE to any rank
       .toDF("doc_id", "text", "prio")
     val out = ExactDedup.dedupWithPriority(docs, "doc_id", "text", "prio")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
     assert(out.toSeq == Seq(
       (1L, false, 2L), (2L, true, 2L), (3L, false, 2L),
-      (4L, true, 4L), (5L, false, 4L), (6L, true, 6L), (7L, true, 7L)))
+      (4L, true, 4L), (5L, false, 4L), (6L, true, 6L), (7L, true, 7L),
+      (8L, false, 9L), (9L, true, 9L)))
   }
 
   test("store fingerprints drop re-arrivals; survivors append; next shard sees them") {

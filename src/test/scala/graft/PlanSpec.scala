@@ -520,14 +520,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("x52 benchmark-store decontamination: bloom prefilter map-side, store confirm side Exchange-free") {
-    val df = Registry.queries("x52_decontaminate_store")(spark, sf)
+  /** Shared pin for a benchmark-store probe plan: the persisted bloom
+    * prefilters per row (before any join), and a LeftSemi SMJ reads the
+    * bucketed gram store in place (Exchange-free on the store side). */
+  private def assertBloomStorePin(queryName: String, storeTable: String): Unit = {
+    val df = Registry.queries(queryName)(spark, sf)
     val root = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.initialPlan
       case p => p
     }
-    // the prefilter is the persisted bloom probed per row, before any join
     assert(root.toString.contains("might_contain"),
       s"expected the persisted bloom prefilter in the plan:\n${root.toString.take(1000)}")
     val smjs = root.collect {
@@ -536,7 +538,7 @@ class PlanSpec extends SparkSpec {
     }
     val storeSides = smjs.flatMap(j => Seq(j.left, j.right)).filter(_.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.bucketedScan && f.tableIdentifier.exists(_.table == "x52_bench_store") => f
+        if f.bucketedScan && f.tableIdentifier.exists(_.table == storeTable) => f
     }.nonEmpty)
     assert(storeSides.nonEmpty,
       s"no semi join reads the bucketed benchmark gram store:\n${root.toString.take(1200)}")
@@ -547,35 +549,15 @@ class PlanSpec extends SparkSpec {
       assert(es.isEmpty,
         s"benchmark store side must read its buckets in place, found: $es")
     }
+  }
+
+  test("x52 benchmark-store decontamination: bloom prefilter map-side, store confirm side Exchange-free") {
+    assertBloomStorePin("x52_decontaminate_store", "x52_bench_store")
     spark.catalog.clearCache() // the store path persists the train grams
   }
 
   test("x81 span decontamination: bloom prefilter before the shuffle, store confirm side Exchange-free") {
-    val df = Registry.queries("x81_span_decontaminate")(spark, sf)
-    val root = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.initialPlan
-      case p => p
-    }
-    assert(root.toString.contains("might_contain"),
-      s"expected the persisted bloom prefilter in the plan:\n${root.toString.take(1000)}")
-    val smjs = root.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
-        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
-    }
-    val storeSides = smjs.flatMap(j => Seq(j.left, j.right)).filter(_.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.bucketedScan && f.tableIdentifier.exists(_.table == "x81_bench_store") => f
-    }.nonEmpty)
-    assert(storeSides.nonEmpty,
-      s"no semi join reads the bucketed benchmark gram store:\n${root.toString.take(1200)}")
-    storeSides.foreach { side =>
-      val es = side.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
-      assert(es.isEmpty,
-        s"benchmark store side must read its buckets in place, found: $es")
-    }
+    assertBloomStorePin("x81_span_decontaminate", "x81_bench_store")
   }
 
   test("x50 exact-dedup store side reads bucketed, Exchange-free; no text on the wire") {
