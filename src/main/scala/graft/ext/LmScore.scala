@@ -536,4 +536,63 @@ object LmScore {
     appendToModel(batch, textCol, table, buckets, batchId)
     IngestLedger.record(spark, table, batchId)
   }
+
+  /** PASSAGE-level quality cutting — the CCNet deployment grain: CCNet
+    * scores and filters PARAGRAPHS, not pages, because a good page
+    * routinely carries a few low-quality blocks (navigation, comment
+    * spam, garbled OCR) and page-level filtering either keeps the junk
+    * or discards the page. Every `chunkTokens`-token passage is scored
+    * as its own document against the persisted model store (the x54
+    * serve path — counts read in place, nothing refit), passages with
+    * `lm_score < minScore` are dropped, and the document reassembles
+    * from the survivors in original order. Null-scored passages (fewer
+    * than 2 tokens — no transitions) ABSTAIN and keep, the engine-wide
+    * null-gate convention.
+    *
+    * Shape at 100 TB: the passage split is a narrow projection; scoring
+    * shuffles (passage-key, 8-byte gram fp) rows through the store's
+    * fp-keyed count joins — passage TEXT never rides the gram exchange;
+    * reassembly groups by doc id with the
+    * [[PassageDedup.removeBoilerplate]] `array_sort(collect_list)`
+    * idiom (the one passage-carrying shuffle, inherent to reassembly).
+    * The passage strings ARE re-tokenized once inside the scorer (they
+    * are already normalized, so the tokens are identical) — the price
+    * of reusing the ONE scoring implementation rather than forking a
+    * token-array-input variant of it.
+    *
+    * @return (id, n_passages, n_dropped, text_kept) — one row per input
+    *         document, null-text docs as (0, 0, ""). */
+  def removeLowQualityPassages(docs: DataFrame, idCol: String,
+                               textCol: String, chunkTokens: Int,
+                               table: String, minScore: Double): DataFrame = {
+    val passages = docs
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode_outer(Ngrams.passages(col("__toks"), chunkTokens))
+          .as(Seq("idx", "passage")))
+    // each passage scored as its own doc: the synthetic key is unique
+    // because idx is unique within id
+    val keyed = passages.filter(col("passage").isNotNull)
+      .withColumn("__pk", concat_ws("#", col(idCol).cast("string"),
+        col("idx").cast("string")))
+    val scored = scoreAgainstStore(
+      keyed.select(col("__pk"), col("passage")), "__pk", "passage", table)
+    val verdicts = keyed
+      .join(scored.select(col("__pk"), col("lm_score")), Seq("__pk"), "left")
+      .select(col(idCol), col("idx"),
+        (col("lm_score").isNotNull && col("lm_score") < minScore)
+          .as("__drop"))
+    passages.join(verdicts, Seq(idCol, "idx"), "left")
+      .groupBy(idCol)
+      .agg(count(col("passage")).as("n_passages"),
+        coalesce(sum(when(col("__drop"), 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(
+              !coalesce(col("__drop"), lit(false)) && col("passage").isNotNull,
+              struct(col("idx"), col("passage"))))),
+            s => s.getField("passage")),
+          " ").as("text_kept"))
+  }
 }

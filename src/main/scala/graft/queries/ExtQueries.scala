@@ -4038,11 +4038,74 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM d LEFT JOIN w USING (fp)
             ORDER BY d.doc_id"""))
 
+  /** Passage-level LM quality cutting
+    * ([[graft.ext.LmScore.removeLowQualityPassages]], the CCNet
+    * deployment grain — paragraphs, not pages): 16-token passages
+    * scored as their own documents against the x54 model store,
+    * passages under the threshold cut, documents reassembled. The
+    * threshold 0.0315 sits at the ~10th percentile of the per-passage
+    * score distribution at sf0.01, so the gate provably bites while
+    * most content survives; short passages score null and ABSTAIN. The
+    * oracle replays the passage split, the per-passage quantized
+    * bigram-ratio sum, the gate, and the reassembly. */
+  private val x83 = Q("x83_passage_quality_cut",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", table = "x83_lm_model", buckets = 8)
+      graft.ext.LmScore.removeLowQualityPassages(docs, "doc_id", "text",
+          chunkTokens = 16, table = "x83_lm_model", minScore = 0.0315)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $tokSql,
+             c1 AS (SELECT fp, count(*) AS c FROM (
+                      SELECT unnest(list_transform(generate_series(1, len(w)),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                      FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 1)
+                    GROUP BY fp),
+             c2 AS (SELECT fp, count(*) AS c FROM (
+                      SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+                      FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 2)
+                    GROUP BY fp),
+             ps0 AS (SELECT doc_id, unnest(
+                       CASE WHEN len(w) = 0 THEN [{'idx': CAST(0 AS BIGINT), 'pt': CAST([] AS VARCHAR[])}]
+                            ELSE list_transform(range(0, CAST(floor((len(w)-1)/16) AS BIGINT) + 1),
+                              c -> {'idx': c, 'pt': list_slice(w, CAST(c*16+1 AS INT), CAST(c*16+16 AS INT))}) END) AS u
+                     FROM toks),
+             ps AS (SELECT doc_id, u.idx AS idx, u.pt AS pt FROM ps0),
+             pp AS (SELECT doc_id, idx, u.pr.uf AS uf, u.pr.bf AS bf
+                    FROM ps, unnest(list_transform(generate_series(1, len(pt)-1),
+                      i -> {'uf': CAST(CAST('0x'||substr(md5(pt[i]),1,15) AS UBIGINT) AS BIGINT),
+                            'bf': CAST(CAST('0x'||substr(md5(pt[i]||' '||pt[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
+                    WHERE len(pt) >= 2),
+             sc AS (SELECT doc_id, idx, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(floor(COALESCE(CAST(c2.c AS DOUBLE) / CAST(c1.c AS DOUBLE), 0.0)
+                                          * 1073741824.0) AS BIGINT)) AS BIGINT) AS q
+                    FROM pp LEFT JOIN c2 ON pp.bf = c2.fp
+                            LEFT JOIN c1 ON pp.uf = c1.fp
+                    GROUP BY 1, 2),
+             v AS (SELECT ps.doc_id, ps.idx, ps.pt,
+                     (sc.q IS NOT NULL
+                       AND CAST(sc.q AS DOUBLE) / 1073741824.0 / CAST(sc.n AS DOUBLE) < 0.0315) AS dropped
+                   FROM ps LEFT JOIN sc USING (doc_id, idx)),
+             agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+                       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                       array_to_string(
+                         list(array_to_string(pt, ' ') ORDER BY idx)
+                           FILTER (WHERE NOT dropped), ' ') AS text_kept
+                     FROM v GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.n_passages, 0) AS n_passages,
+                   COALESCE(a.n_dropped, 0) AS n_dropped,
+                   COALESCE(a.text_kept, '') AS text_kept
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82)
+    x82, x83)
 }

@@ -1346,6 +1346,34 @@ class Scd2Spec extends SparkSpec {
 class LmScoreSpec extends SparkSpec {
   import graft.ext.LmScore
 
+  test("passage quality cut drops junk blocks inside good docs; short/empty/null passages abstain") {
+    val s = spark; import s.implicits._
+    val ref = df(Seq((1L, "a b a b a b a b"))).toDF("doc_id", "text")
+    LmScore.writeModelStore(ref, "text", table = "lm_pcut_model", buckets = 4)
+    try {
+      val cand = Seq(
+        // chunk=4: ["a b a b" (score ~0.92), "z z z z" (wholly unseen: 0.0)]
+        (10L, Some("a b a b z z z z")),
+        (11L, Some("a")),             // 1-token passage: null score, KEEPS
+        (12L, Option.empty[String]),  // null text: (0, 0, "")
+        (13L, Some("")))              // empty text: one "" passage, keeps
+        .toDF("doc_id", "text")
+      val out = LmScore.removeLowQualityPassages(cand, "doc_id", "text",
+          chunkTokens = 4, table = "lm_pcut_model", minScore = 0.5)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(out(0) == ((10L, 2L, 1L, "a b a b")),
+        "the unseen-junk passage must drop, the familiar one keep")
+      assert(out(1) == ((11L, 1L, 0L, "a")))
+      assert(out(2) == ((12L, 0L, 0L, "")))
+      assert(out(3) == ((13L, 1L, 0L, "")))
+    } finally {
+      Seq("lm_pcut_model", LmScore.modelMeta("lm_pcut_model")).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+    }
+  }
+
   test("scores are mean transition probabilities; unseen transitions back off to zero") {
     val ref = df(Seq((1L, "a b a b"), (2L, "a c"))).toDF("doc_id", "text")
     // reference stats: c(a)=3, c(b)=2, c(c)=1; c(a b)=2, c(b a)=1, c(a c)=1
