@@ -198,6 +198,48 @@ object Mixing {
           .as("repeat_factor"))
   }
 
+  /** Post-materialization mixture AUDIT — the recipe's verification
+    * step: per stratum, how many output rows and tokens the
+    * materialized mixture actually carries vs the factor table's
+    * target (`repeat_factor · tokens_s = budget·w_s`), with the
+    * attainment ratio. The fractional-copy draw makes the attainment
+    * approach 1.0 in expectation but not exactly — a release report
+    * publishes the realized number next to the target, and a ratio far
+    * from 1.0 flags a mis-joined factor table or a stratum whose docs
+    * were dropped between factoring and materialization.
+    *
+    * Shape at 100 TB: tokenizes each document ONCE — the audit reads
+    * only the `copy_idx = 0` row per kept document and multiplies its
+    * token count by `n_copies` (identical to summing every copy, since
+    * copies are verbatim), then one map-side-combined groupBy to
+    * stratum cardinality; the broadcast-sized factor table joins last.
+    * Strata that materialized nothing still report (0, 0) against
+    * their target; a zero-target stratum reports null attainment.
+    *
+    * @return (stratum, n_out_rows, out_tokens, target_tokens,
+    *         attainment) — one row per factor-table stratum. */
+  def mixtureAudit(mixture: DataFrame, stratumCol: String, textCol: String,
+                   factors: DataFrame): DataFrame = {
+    val out = mixture.filter(col("copy_idx") === 0)
+      .select(col(stratumCol), col("n_copies"),
+        (col("n_copies") *
+          coalesce(size(Ngrams.normTokens(col(textCol))).cast("long"),
+            lit(0L))).as("__t"))
+      .groupBy(stratumCol)
+      .agg(sum(col("n_copies")).as("n_out_rows"), sum("__t").as("out_tokens"))
+    factors.select(col(stratumCol), col("n_tokens"), col("repeat_factor"))
+      .join(out, Seq(stratumCol), "left")
+      .select(col(stratumCol),
+        coalesce(col("n_out_rows"), lit(0L)).as("n_out_rows"),
+        coalesce(col("out_tokens"), lit(0L)).as("out_tokens"),
+        (col("repeat_factor") * col("n_tokens")).as("target_tokens"),
+        when(col("repeat_factor") * col("n_tokens") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(coalesce(col("out_tokens"), lit(0L)).cast("double")
+            / (col("repeat_factor") * col("n_tokens")))
+          .as("attainment"))
+  }
+
   /** DSIR-DRIVEN mixture: the target weights are not hand-tuned but
     * derived from [[LmScore.dsirAgainstStores]]'s verdicts — the
     * published DSIR → sampling composition (Xie et al.: importance

@@ -4101,11 +4101,63 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  /** Mixture audit ([[graft.ext.Mixing.mixtureAudit]]): the realized
+    * per-language row/token mass of x79's materialized temperature
+    * mixture against its factor table's targets — plan → materialize →
+    * VERIFY, the closing step of the recipe loop. The oracle replays
+    * the whole chain (x79's CTEs) plus the audit arithmetic. */
+  private val x84 = Q("x84_mixture_audit",
+    (s, d) => {
+      val docs = documents(s, d)
+      val total = docs.agg(
+        sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
+          .cast("long"), lit(0L)))).head.getLong(0)
+      val factors = Mixing.temperatureFactors(docs, "lang", "text",
+        alphaQuarters = 2, budgetTokens = 2L * total)
+      Mixing.mixtureAudit(
+          Mixing.materializeMixture(docs, "lang", "doc_id", factors),
+          "lang", "text", factors)
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang,
+                    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS nt
+                  FROM documents),
+             b AS (SELECT 2 * CAST(sum(nt) AS BIGINT) AS budget FROM tok),
+             s AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+             q AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 16.0) AS BIGINT) AS qf FROM s),
+             t AS (SELECT *, sum(qf) OVER () AS total FROM q),
+             f AS (SELECT lang, n_tokens,
+                     CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE CAST((SELECT budget FROM b) AS DOUBLE)
+                               * (CASE WHEN total = 0 THEN 0.0
+                                       ELSE CAST(qf AS DOUBLE) / CAST(total AS DOUBLE) END)
+                               / n_tokens END AS repeat_factor
+                   FROM t),
+             d AS (SELECT tk.lang, tk.nt,
+                     CAST(floor(f.repeat_factor) AS BIGINT)
+                       + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(tk.doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000
+                               < CAST(floor(f.repeat_factor * 10000.0) AS BIGINT)
+                                 - CAST(floor(f.repeat_factor) AS BIGINT) * 10000
+                               THEN 1 ELSE 0 END) AS n_copies
+                   FROM tok tk JOIN f USING (lang)),
+             o AS (SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_out_rows,
+                     CAST(sum(n_copies * nt) AS BIGINT) AS out_tokens
+                   FROM d WHERE n_copies > 0 GROUP BY lang)
+            SELECT f.lang,
+                   COALESCE(o.n_out_rows, 0) AS n_out_rows,
+                   COALESCE(o.out_tokens, 0) AS out_tokens,
+                   f.repeat_factor * f.n_tokens AS target_tokens,
+                   CASE WHEN f.repeat_factor * f.n_tokens = 0.0 THEN NULL
+                        ELSE CAST(COALESCE(o.out_tokens, 0) AS DOUBLE)
+                             / (f.repeat_factor * f.n_tokens) END AS attainment
+            FROM f LEFT JOIN o USING (lang)
+            ORDER BY f.lang"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83)
+    x82, x83, x84)
 }

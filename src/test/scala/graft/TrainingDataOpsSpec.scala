@@ -1189,6 +1189,23 @@ class MixingSpec extends SparkSpec {
     assert(run() == first, "the draw must be deterministic across runs")
   }
 
+  test("mixture audit: integer factors attain exactly 1.0; zero-target strata report null") {
+    val docs = df(Seq(
+      (1L, "en", "a b c d"), (2L, "en", "e f"),     // en: 6 tokens
+      (3L, "de", "x y z"))).toDF("doc_id", "lang", "text") // de: weight 0
+    val factors = graft.ext.Mixing.repeatFactors(docs, "lang", "text",
+      Map("en" -> 1.0), budgetTokens = 12L) // en factor exactly 2.0
+    val out = graft.ext.Mixing.mixtureAudit(
+        graft.ext.Mixing.materializeMixture(docs, "lang", "doc_id", factors),
+        "lang", "text", factors)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    assert(out(0)._1 == "de" && out(0)._2 == 0L && out(0)._3 == 0L
+      && out(0)._4 == 0.0 && out(0)._5.isNaN)
+    assert(out(1) == (("en", 4L, 12L, 12.0, 1.0)))
+  }
+
   test("temperature alpha=1 (q=4) reproduces natural proportions bit-exactly") {
     val docs = df(Seq(
       (1L, "en", "a b c d e f"),                    // en: 6 tokens
