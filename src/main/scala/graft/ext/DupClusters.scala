@@ -170,4 +170,34 @@ object DupClusters {
       .select(col("doc_id"),
         coalesce(col("__root"), col("doc_id")).as("canonical_id"))
   }
+
+  /** QUALITY-AWARE canonicalization of near-dup clusters — the
+    * published keep-the-best-duplicate heuristic (near-dup web pages
+    * keep the LONGEST member, since truncated/stripped re-crawls are
+    * the common duplicate form; any quality score works — token count,
+    * an LM score, a rule-gate pass count): remap every cluster's
+    * canonical from the structural min id to its highest-quality
+    * member, id breaking quality ties and null-quality members sorting
+    * LAST (the [[ExactDedup.dedupWithPriority]] nulls-last
+    * convention — a member missing from the quality frame must not win
+    * by accident of null ordering).
+    *
+    * Shape at 100 TB: `clusters` is dup-pair-sized, not corpus-sized;
+    * one id-keyed join attaches the quality, one map-side-combined
+    * `min(struct)` per cluster finds the winner, one cluster-keyed
+    * join-back remaps — only (id, cluster id, quality) rows shuffle.
+    *
+    * @return the remapped (doc_id, canonical_id) — same shape as
+    *         [[connectedComponentsStars]], winner's own row included. */
+  def canonicalByQuality(clusters: DataFrame, quality: DataFrame,
+                         idCol: String, qCol: String): DataFrame = {
+    val q = quality.select(col(idCol).as("doc_id"), col(qCol).as("__q"))
+    val winners = clusters.join(q, Seq("doc_id"), "left")
+      .groupBy("canonical_id")
+      .agg(min(struct(col("__q").isNull.as("__qnull"),
+        (-col("__q")).as("__nq"), col("doc_id").as("__id"))).as("__w"))
+      .select(col("canonical_id"), col("__w")("__id").as("__win"))
+    clusters.join(winners, Seq("canonical_id"))
+      .select(col("doc_id"), col("__win").as("canonical_id"))
+  }
 }

@@ -4153,11 +4153,72 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM f LEFT JOIN o USING (lang)
             ORDER BY f.lang"""))
 
+  /** Quality-aware near-dup canonicalization
+    * ([[graft.ext.DupClusters.canonicalByQuality]]): x35's star
+    * components re-canonicalized to each cluster's LONGEST member
+    * (token count as the quality score — the published
+    * keep-the-best-duplicate heuristic; truncated re-crawls are the
+    * common duplicate form), id breaking ties. Oracle = x35's
+    * recursive component CTE + an argmax-tokens window per cluster. */
+  private val x85 = Q("x85_quality_canonical",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = MinHash.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5)
+      val quality = docs.select(col("doc_id"),
+        coalesce(size(graft.ext.Ngrams.normTokens(col("text"))).cast("long"),
+          lit(0L)).as("q"))
+      graft.ext.DupClusters.canonicalByQuality(
+          graft.ext.DupClusters.connectedComponentsStars(pairs),
+          quality, "doc_id", "q")
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                          FROM bands a JOIN bands b
+                            ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+                 pairs AS (SELECT doc_a, doc_b FROM cand
+                           JOIN sig sa ON sa.doc_id = doc_a
+                           JOIN sig sb ON sb.doc_id = doc_b
+                           WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
+                 e(u, v) AS (SELECT doc_a, doc_b FROM pairs
+                             UNION SELECT doc_b, doc_a FROM pairs),
+                 reach(u, v) AS (SELECT u, v FROM e
+                                 UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+                 comp AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+                          FROM reach GROUP BY u),
+                 qual AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS q FROM toks),
+                 win AS (SELECT canonical_id, doc_id AS win_id FROM (
+                           SELECT c.canonical_id, c.doc_id,
+                             row_number() OVER (PARTITION BY c.canonical_id
+                               ORDER BY q.q DESC, c.doc_id) AS rn
+                           FROM comp c JOIN qual q USING (doc_id))
+                         WHERE rn = 1)
+            SELECT c.doc_id, w.win_id AS canonical_id
+            FROM comp c JOIN win w USING (canonical_id)
+            ORDER BY c.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84)
+    x82, x83, x84, x85)
 }

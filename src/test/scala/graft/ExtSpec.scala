@@ -435,6 +435,20 @@ class DupClustersSpec extends SparkSpec {
     assert(DupClusters.connectedComponents(empty).count() == 0)
   }
 
+  test("quality canonicals pick the best member per cluster; ties to min id; missing quality sorts LAST") {
+    val s = spark; import s.implicits._
+    // clusters: {1,2,3} canonical 1, {10,11} canonical 10
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "canonical_id")
+    // doc 2 is the longest of its cluster; 10/11 tie -> min id 10;
+    // doc 3 has NO quality row (left join null) and must never win
+    val quality = Seq((1L, 5L), (2L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "q")
+    val out = DupClusters.canonicalByQuality(clusters, quality, "doc_id", "q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("a chain converging EXACTLY at the round budget succeeds; one link more throws") {
     val s = spark; import s.implicits._
     // 5-link chain: the min label reaches node 6 in round 5, so round 5
