@@ -192,11 +192,19 @@ object DupClusters {
   def canonicalByQuality(clusters: DataFrame, quality: DataFrame,
                          idCol: String, qCol: String): DataFrame = {
     val q = quality.select(col(idCol).as("doc_id"), col(qCol).as("__q"))
-    val winners = clusters.join(q, Seq("doc_id"), "left")
-      .groupBy("canonical_id")
-      .agg(min(struct(col("__q").isNull.as("__qnull"),
-        (-col("__q")).as("__nq"), col("doc_id").as("__id"))).as("__w"))
-      .select(col("canonical_id"), col("__w")("__id").as("__win"))
+    val joined = clusters.join(q, Seq("doc_id"), "left")
+    // argmax in two aggregations instead of min(struct(-q, id)):
+    // negating an integer quality overflows at Long.MinValue (it
+    // negates to ITSELF and would sort the worst member first), so
+    // find the max quality per cluster, then the min id among the
+    // members carrying it. max() ignores nulls, so a mixed cluster's
+    // null-quality members can never win; the null-safe <=> keeps the
+    // all-null cluster working (its max is null and every member ties,
+    // falling to the id tie-break).
+    val best = joined.groupBy("canonical_id").agg(max(col("__q")).as("__bq"))
+    val winners = joined.join(best, Seq("canonical_id"))
+      .filter(col("__q") <=> col("__bq"))
+      .groupBy("canonical_id").agg(min(col("doc_id")).as("__win"))
     clusters.join(winners, Seq("canonical_id"))
       .select(col("doc_id"), col("__win").as("canonical_id"))
   }

@@ -549,10 +549,14 @@ object LmScore {
     * than 2 tokens — no transitions) ABSTAIN and keep, the engine-wide
     * null-gate convention.
     *
-    * Shape at 100 TB: the passage split is a narrow projection; scoring
-    * shuffles (passage-key, 8-byte gram fp) rows through the store's
-    * fp-keyed count joins — passage TEXT never rides the gram exchange;
-    * reassembly groups by doc id with the
+    * Shape at 100 TB: the passage split is a narrow projection, and it
+    * is evaluated TWICE — the verdict join's two sides both derive from
+    * it and Catalyst has no common-subplan reuse (the
+    * [[PassageDedup.removeDuplicateSpans]] two-scan trade; persisting
+    * the exploded passage frame would pin corpus-scale text in cache).
+    * Scoring shuffles (passage-key, 8-byte gram fp) rows through the
+    * store's fp-keyed count joins — passage TEXT never rides the gram
+    * exchange; reassembly groups by doc id with the
     * [[PassageDedup.removeBoilerplate]] `array_sort(collect_list)`
     * idiom (the one passage-carrying shuffle, inherent to reassembly).
     * The passage strings ARE re-tokenized once inside the scorer (they
@@ -565,6 +569,8 @@ object LmScore {
   def removeLowQualityPassages(docs: DataFrame, idCol: String,
                                textCol: String, chunkTokens: Int,
                                table: String, minScore: Double): DataFrame = {
+    require(chunkTokens >= 1,
+      s"chunkTokens must be >= 1, got $chunkTokens")
     val passages = docs
       .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
       .select(col(idCol),

@@ -214,10 +214,14 @@ object Mixing {
     * copies are verbatim), then one map-side-combined groupBy to
     * stratum cardinality; the broadcast-sized factor table joins last.
     * Strata that materialized nothing still report (0, 0) against
-    * their target; a zero-target stratum reports null attainment.
+    * their target; a zero-target stratum reports null attainment. The
+    * join is FULL OUTER: mixture mass under a stratum the factor table
+    * does not know (the mis-joined-table case this audit exists to
+    * flag) must surface as a row with a NULL target, not silently
+    * vanish off a factors-driven left join.
     *
     * @return (stratum, n_out_rows, out_tokens, target_tokens,
-    *         attainment) — one row per factor-table stratum. */
+    *         attainment) — one row per stratum seen on EITHER side. */
   def mixtureAudit(mixture: DataFrame, stratumCol: String, textCol: String,
                    factors: DataFrame): DataFrame = {
     val out = mixture.filter(col("copy_idx") === 0)
@@ -228,12 +232,13 @@ object Mixing {
       .groupBy(stratumCol)
       .agg(sum(col("n_copies")).as("n_out_rows"), sum("__t").as("out_tokens"))
     factors.select(col(stratumCol), col("n_tokens"), col("repeat_factor"))
-      .join(out, Seq(stratumCol), "left")
+      .join(out, Seq(stratumCol), "full_outer")
       .select(col(stratumCol),
         coalesce(col("n_out_rows"), lit(0L)).as("n_out_rows"),
         coalesce(col("out_tokens"), lit(0L)).as("out_tokens"),
         (col("repeat_factor") * col("n_tokens")).as("target_tokens"),
-        when(col("repeat_factor") * col("n_tokens") === 0.0,
+        when(col("repeat_factor").isNull
+          || col("repeat_factor") * col("n_tokens") === 0.0,
           lit(null).cast("double"))
           .otherwise(coalesce(col("out_tokens"), lit(0L)).cast("double")
             / (col("repeat_factor") * col("n_tokens")))

@@ -28,6 +28,7 @@ object PassageDedup {
     *         duplicate of an earlier doc's). */
   def dedup(docs: DataFrame, idCol: String, textCol: String,
             chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     // tokens projected first: a HOF lambda re-evaluates free
     // subexpressions per element (see Decontaminate.grams)
     val passages = docs
@@ -64,6 +65,7 @@ object PassageDedup {
     * bounded by document length, not corpus size. */
   def dedupWithinDoc(docs: DataFrame, idCol: String, textCol: String,
                      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     val ps = col("__ps")
     // first occurrence: no equal passage strictly before position i
     val kept = filter(ps, (p, i) => !exists(slice(ps, lit(1), i), q => q === p))
@@ -176,6 +178,7 @@ object PassageDedup {
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int, minDocFreq: Int): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     // OUTER explode: a null text has a null passage array, and the doc
     // must keep its output row (0 passages, empty reassembly) — an
     // inner explode would erase it from the corpus entirely

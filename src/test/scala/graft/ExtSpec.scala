@@ -447,6 +447,15 @@ class DupClustersSpec extends SparkSpec {
     val out = DupClusters.canonicalByQuality(clusters, quality, "doc_id", "q")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+    // Long.MinValue is a hostile sentinel, not a winner: a min(-q)
+    // argmax would overflow (-MinValue == MinValue) and crown it
+    val sentinel = Seq((1L, Long.MinValue), (2L, 9L), (3L, 7L),
+        (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "q")
+    val out2 = DupClusters.canonicalByQuality(clusters, sentinel, "doc_id", "q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2(1L) == 2L && out2(3L) == 2L,
+      s"the MinValue member must not win its cluster, got $out2")
   }
 
   test("a chain converging EXACTLY at the round budget succeeds; one link more throws") {

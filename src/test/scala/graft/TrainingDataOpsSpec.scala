@@ -1204,6 +1204,20 @@ class MixingSpec extends SparkSpec {
     assert(out(0)._1 == "de" && out(0)._2 == 0L && out(0)._3 == 0L
       && out(0)._4 == 0.0 && out(0)._5.isNaN)
     assert(out(1) == (("en", 4L, 12L, 12.0, 1.0)))
+    // the mis-joined-table case the audit exists to flag: mixture mass
+    // under a stratum the factor table lacks must SURFACE (null target),
+    // not vanish off a factors-driven left join
+    val partial = factors.filter(org.apache.spark.sql.functions
+      .col("lang") =!= "en")
+    val out2 = graft.ext.Mixing.mixtureAudit(
+        graft.ext.Mixing.materializeMixture(docs, "lang", "doc_id", factors),
+        "lang", "text", partial)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.isNullAt(3), r.isNullAt(4)))
+    assert(out2.toSeq == Seq(("de", 0L, 0L, false, true),
+      ("en", 4L, 12L, true, true)),
+      s"unmatched mixture strata must report with null targets, got ${out2.toSeq}")
   }
 
   test("temperature alpha=1 (q=4) reproduces natural proportions bit-exactly") {
