@@ -218,7 +218,11 @@ object Mixing {
     * join is FULL OUTER: mixture mass under a stratum the factor table
     * does not know (the mis-joined-table case this audit exists to
     * flag) must surface as a row with a NULL target, not silently
-    * vanish off a factors-driven left join.
+    * vanish off a factors-driven left join. MEASURED: the full outer
+    * forgoes the broadcast a left join would get (Spark cannot
+    * broadcast a full outer) — x84 0.27 → 0.62 s at sf0.1, a fixed
+    * exchange cost on two stratum-cardinality sides, accepted for the
+    * audit's completeness guarantee.
     *
     * @return (stratum, n_out_rows, out_tokens, target_tokens,
     *         attainment) — one row per stratum seen on EITHER side. */
