@@ -66,6 +66,31 @@ object Sampling {
       .drop("canonical_id")
   }
 
+  /** SPLIT-LEAKAGE AUDIT — the verification twin of
+    * [[clusterSafeSplit]] (the x84 audit discipline: every operator
+    * that makes a promise gets a checkable report of it): given the
+    * corpus's near-dup pairs and a split assignment, count pairs per
+    * unordered split combination. A (train, valid) row with a non-zero
+    * count IS the dedup-before-split leak — the held-out side contains
+    * a near-duplicate of a training doc, so its metrics partly measure
+    * memorization; a cluster-safe split must audit to zero there by
+    * construction, a naive per-document draw will not.
+    *
+    * Shape at 100 TB: two id-keyed joins attach the split to each pair
+    * end (pairs-sized work, never corpus-sized), then a
+    * map-side-combined groupBy on the ≤ |splits|² combination space. */
+  def splitLeakage(pairs: DataFrame, split: DataFrame, idCol: String,
+                   splitCol: String): DataFrame =
+    pairs
+      .join(split.select(col(idCol).as("doc_a"), col(splitCol).as("__sa")),
+        Seq("doc_a"))
+      .join(split.select(col(idCol).as("doc_b"), col(splitCol).as("__sb")),
+        Seq("doc_b"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** [[clusterSafeSplit]] composed end-to-end from text: MinHash/LSH
     * near-dup pairs → connected components → cluster-keyed split. */
   def clusterSafeSplit(docs: DataFrame, idCol: String, textCol: String,

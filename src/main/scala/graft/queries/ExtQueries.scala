@@ -4214,11 +4214,94 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM comp c JOIN win w USING (canonical_id)
             ORDER BY c.doc_id"""))
 
+  /** Split-leakage audit ([[graft.ext.Sampling.splitLeakage]]): the
+    * near-dup pairs of x78's corpus audited against BOTH split
+    * strategies in one report — the naive per-document draw leaks
+    * (train, valid) pairs at sf0.01 while the cluster-safe split
+    * audits to zero there BY CONSTRUCTION (no cross row appears at
+    * all). Oracle = the x78 pair/component CTEs + both split rules +
+    * the combination rollup. */
+  private val x86 = Q("x86_split_leakage",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = MinHash.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5)
+        .localCheckpoint(true) // two audits consume the pair pipeline
+      val clusters = graft.ext.DupClusters.connectedComponentsStars(pairs)
+      val safe = graft.ext.Sampling.clusterSafeSplit(docs, "doc_id",
+        clusters, validRate = 0.1)
+      val naive = docs.select(col("doc_id"),
+        when(graft.ext.Sampling.hashBucket(col("doc_id")) < 1000,
+          lit("valid")).otherwise(lit("train")).as("split"))
+      graft.ext.Sampling.splitLeakage(pairs, naive, "doc_id", "split")
+        .withColumn("strategy", lit("naive"))
+        .unionByName(graft.ext.Sampling
+          .splitLeakage(pairs, safe.select("doc_id", "split"), "doc_id",
+            "split")
+          .withColumn("strategy", lit("cluster_safe")))
+        .orderBy("strategy", "split_a", "split_b")
+    },
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS (SELECT doc_id,
+                          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
+                        FROM toks WHERE len(w) >= 3),
+                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
+                        FROM sh),
+                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                           list_min(list_transform(hh, h ->
+                             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
+                               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
+                         FROM hs),
+                 bands AS (SELECT doc_id, b,
+                             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
+                               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                          FROM bands a JOIN bands b
+                            ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+                 pairs AS (SELECT doc_a, doc_b FROM cand
+                           JOIN sig sa ON sa.doc_id = doc_a
+                           JOIN sig sb ON sb.doc_id = doc_b
+                           WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
+                 e(u, v) AS (SELECT doc_a, doc_b FROM pairs
+                             UNION SELECT doc_b, doc_a FROM pairs),
+                 reach(u, v) AS (SELECT u, v FROM e
+                                 UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+                 comp AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+                          FROM reach GROUP BY u),
+                 naive AS (SELECT doc_id,
+                             CASE WHEN CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 1000
+                                  THEN 'valid' ELSE 'train' END AS split
+                           FROM documents),
+                 safe AS (SELECT d.doc_id,
+                            CASE WHEN CAST(CAST('0x'||substr(md5(CAST(COALESCE(c.canonical_id, d.doc_id) AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 1000
+                                 THEN 'valid' ELSE 'train' END AS split
+                          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+                 audit AS (
+                   SELECT 'naive' AS strategy,
+                          least(na.split, nb.split) AS split_a,
+                          greatest(na.split, nb.split) AS split_b,
+                          CAST(count(*) AS BIGINT) AS n_pairs
+                   FROM pairs p JOIN naive na ON na.doc_id = p.doc_a
+                                JOIN naive nb ON nb.doc_id = p.doc_b
+                   GROUP BY 2, 3
+                   UNION ALL
+                   SELECT 'cluster_safe',
+                          least(sa.split, sb.split), greatest(sa.split, sb.split),
+                          CAST(count(*) AS BIGINT)
+                   FROM pairs p JOIN safe sa ON sa.doc_id = p.doc_a
+                                JOIN safe sb ON sb.doc_id = p.doc_b
+                   GROUP BY 2, 3)
+            SELECT split_a, split_b, n_pairs, strategy FROM audit
+            ORDER BY strategy, split_a, split_b"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85)
+    x82, x83, x84, x85, x86)
 }

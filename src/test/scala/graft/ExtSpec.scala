@@ -503,6 +503,26 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("other") - 1500) < 150, out.toString) // 3000 * .5
   }
 
+  test("split leakage audits a straddling pair; a cluster-safe split audits to zero cross rows") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // 1/2 straddle, 3/4 co-located
+    val split = Seq((1L, "train"), (2L, "valid"), (3L, "train"),
+        (4L, "train"))
+      .toDF("doc_id", "split")
+    val out = Sampling.splitLeakage(pairs, split, "doc_id", "split")
+      .orderBy("split_a", "split_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("train", "train", 1L), ("train", "valid", 1L)))
+    // a split keyed on the pair's shared cluster can never straddle
+    val safe = Seq((1L, "valid"), (2L, "valid"), (3L, "train"),
+        (4L, "train"))
+      .toDF("doc_id", "split")
+    val out2 = Sampling.splitLeakage(pairs, safe, "doc_id", "split")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out2 == Set(("valid", "valid"), ("train", "train")))
+  }
+
   test("cluster-safe split keeps near-dup clusters on one side; singletons draw on their own id") {
     val s = spark; import s.implicits._
     val docs = (1L to 40L).map { i =>
