@@ -75,4 +75,35 @@ object CorpusShuffle {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** SHARD MANIFEST — the release-integrity artifact written next to a
+    * sharded training corpus (every published data release ships one:
+    * per shard, how many documents, how many tokens, and a content
+    * fingerprint a consumer can re-derive to detect truncated, swapped,
+    * or re-ordered shards before a single training step runs). Per
+    * `shard_id`: document count, exact token mass, an ORDER-FREE
+    * 60-bit content fingerprint (XOR of each doc's
+    * `md5(id || '#' || text)`-prefix integer — XOR commutes, so the
+    * fingerprint is stable under any aggregation order while any
+    * single-doc corruption, omission, or cross-shard swap flips it;
+    * the id inside the hash keeps identical twin texts from XOR-ing
+    * out), and the position range (`pos_max − pos_min + 1 = n_docs`
+    * iff the shard is contiguous).
+    *
+    * Shape at 100 TB: one id-keyed join attaches text to the
+    * (id, pos, shard) spine ([[order]] deliberately drops the text —
+    * the terasort exchange must never carry document bodies), then a
+    * map-side-combined groupBy to shard cardinality. */
+  def shardManifest(ordered: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    ordered.select(col(idCol), col("pos"), col("shard_id"))
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(size(Ngrams.normTokens(col(textCol))).cast("long"),
+          lit(0L))).as("n_tokens"),
+        expr(s"bit_xor(cast(conv(substring(md5(concat_ws('#', " +
+          s"cast(`$idCol` as string), coalesce(`$textCol`, ''))), 1, 15), " +
+          "16, 10) as bigint))").as("content_xor"),
+        min(col("pos")).as("pos_min"), max(col("pos")).as("pos_max"))
 }

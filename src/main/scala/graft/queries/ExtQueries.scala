@@ -4297,11 +4297,38 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             SELECT split_a, split_b, n_pairs, strategy FROM audit
             ORDER BY strategy, split_a, split_b"""))
 
+  /** Shard manifest ([[graft.ext.CorpusShuffle.shardManifest]]): the
+    * release-integrity artifact over x41's sharded shuffle — per shard,
+    * doc count, exact token mass, the order-free XOR content
+    * fingerprint, and the contiguous position range. Oracle = x41's
+    * seeded ordering + the same md5-prefix/XOR arithmetic. */
+  private val x87 = Q("x87_shard_manifest",
+    (s, d) => {
+      val docs = documents(s, d)
+      CorpusShuffle.shardManifest(
+          CorpusShuffle.order(docs, "doc_id", seed = "graft-shuffle-r7",
+            shardSize = 128L),
+          docs, "doc_id", "text")
+        .orderBy("shard_id")
+    },
+    Some("""WITH k AS (SELECT doc_id, text,
+                 md5('graft-shuffle-r7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+               FROM documents),
+             p AS (SELECT doc_id, text,
+                 CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS pos
+               FROM k)
+            SELECT CAST(pos // 128 AS BIGINT) AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+')) ) AS BIGINT) AS n_tokens,
+                   bit_xor(CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '#' || COALESCE(text, '')),1,15) AS UBIGINT) AS BIGINT)) AS content_xor,
+                   min(pos) AS pos_min, max(pos) AS pos_max
+            FROM p GROUP BY 1 ORDER BY shard_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86)
+    x82, x83, x84, x85, x86, x87)
 }

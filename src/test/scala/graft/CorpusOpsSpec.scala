@@ -106,6 +106,33 @@ class CorpusShuffleSpec extends SparkSpec {
     (0L until n.toLong).toDF("doc_id")
   }
 
+  test("shard manifest: counts, token mass, contiguity; any content change flips the fingerprint") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 10L).map(i => (i, s"w$i " * 3)).toDF("doc_id", "text")
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      CorpusShuffle.shardManifest(
+        CorpusShuffle.order(d, "doc_id", seed = "s1", shardSize = 4L),
+        d, "doc_id", "text")
+        .orderBy("shard_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    val m = manifest(docs)
+    assert(m.map(_._2).toSeq == Seq(4L, 4L, 2L))
+    assert(m.map(_._3).toSeq == Seq(12L, 12L, 6L)) // 3 tokens per doc
+    m.foreach { r => assert(r._6 - r._5 + 1 == r._2, s"non-contiguous: $r") }
+    // a single-document edit flips exactly its shard's fingerprint
+    val tampered = docs.withColumn("text",
+      when($"doc_id" === 3L, lit("tampered")).otherwise($"text"))
+    val t = manifest(tampered)
+    val changed = m.zip(t).filter { case (a, b) => a._4 != b._4 }
+    assert(changed.length == 1, s"exactly one shard fingerprint must flip")
+    // identical twin TEXTS do not XOR out: the id is inside the hash
+    val twins = Seq((1L, "same"), (2L, "same")).toDF("doc_id", "text")
+    val tw = manifest(twins)
+    assert(tw.head._4 != 0L)
+  }
+
   test("order is a permutation: pos is dense 0..n-1 and shards are contiguous runs") {
     val out = CorpusShuffle.order(ids(10), "doc_id", seed = "s1", shardSize = 4L)
       .orderBy("pos").collect()
