@@ -98,12 +98,14 @@ object CorpusShuffle {
                     textCol: String): DataFrame =
     ordered.select(col(idCol), col("pos"), col("shard_id"))
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      // the shared 60-bit md5-prefix primitive (MinHash.shingleHash),
+      // not an inline re-implementation
+      .withColumn("__h", MinHash.shingleHash(concat_ws("#",
+        col(idCol).cast("string"), coalesce(col(textCol), lit("")))))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(size(Ngrams.normTokens(col(textCol))).cast("long"),
           lit(0L))).as("n_tokens"),
-        expr(s"bit_xor(cast(conv(substring(md5(concat_ws('#', " +
-          s"cast(`$idCol` as string), coalesce(`$textCol`, ''))), 1, 15), " +
-          "16, 10) as bigint))").as("content_xor"),
+        expr("bit_xor(__h)").as("content_xor"),
         min(col("pos")).as("pos_min"), max(col("pos")).as("pos_max"))
 }
