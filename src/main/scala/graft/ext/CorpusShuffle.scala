@@ -83,11 +83,16 @@ object CorpusShuffle {
     * or re-ordered shards before a single training step runs). Per
     * `shard_id`: document count, exact token mass, an ORDER-FREE
     * 60-bit content fingerprint (XOR of each doc's
-    * `md5(id || '#' || text)`-prefix integer — XOR commutes, so the
+    * `md5(md5(id) || md5(text))`-prefix integer — XOR commutes, so the
     * fingerprint is stable under any aggregation order while any
     * single-doc corruption, omission, or cross-shard swap flips it;
     * the id inside the hash keeps identical twin texts from XOR-ing
-    * out), and the position range (`pos_max − pos_min + 1 = n_docs`
+    * out, and the fixed-width inner digests frame the two fields
+    * UNAMBIGUOUSLY: a separator-based concat let ids containing the
+    * separator collide — id `a#b`/text `c` vs id `a`/text `b#c` hashed
+    * identically, so a cross-doc content swap among such docs XOR-ed
+    * out and the check passed silently (review finding, round 17)),
+    * and the position range (`pos_max − pos_min + 1 = n_docs`
     * iff the shard is contiguous).
     *
     * Shape at 100 TB: one id-keyed join attaches text to the
@@ -100,8 +105,9 @@ object CorpusShuffle {
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       // the shared 60-bit md5-prefix primitive (MinHash.shingleHash),
       // not an inline re-implementation
-      .withColumn("__h", MinHash.shingleHash(concat_ws("#",
-        col(idCol).cast("string"), coalesce(col(textCol), lit("")))))
+      .withColumn("__h", MinHash.shingleHash(concat(
+        md5(col(idCol).cast("string")),
+        md5(coalesce(col(textCol), lit(""))))))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(size(Ngrams.normTokens(col(textCol))).cast("long"),

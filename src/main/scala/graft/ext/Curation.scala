@@ -322,6 +322,16 @@ object Curation {
     // (the CurationLoop.ingestShard discipline).
     val (ndPairs, ndRelease) = MinHash.nearDupPairsOwned(s3, idCol,
       "__clean", p.shingleN, p.numHashes, p.nBands, p.minJaccard)
+    // Everything from here to the gate's checkpoint runs under
+    // try/finally: a failure in any later stage (the gated
+    // localCheckpoint, a funnel count) must still run the release
+    // closures, or each retried recipe leaks the signature/gram caches
+    // and the stripe broadcast — exactly the per-call accumulation the
+    // Owned variants exist to prevent (review finding, round 17). On
+    // success the finally fires at the same point the explicit calls
+    // used to: after the checkpoint materialized every upstream stage,
+    // before the mixture (which reads only the checkpointed gate).
+    val (gated, counts) = try {
     // funnel runs checkpoint each stage's (small, ids-only) DROP frame
     // so the counts below are arithmetic over one execution per stage —
     // without this, s5.count()/s6.count() re-derived the near-dup and
@@ -355,6 +365,7 @@ object Curation {
     // gram cache (and any stripe-map broadcast) is released below
     val (contamRaw, contamRelease) = Decontaminate
       .contaminatedAgainstStoreOwned(s5, idCol, "__clean", benchTable)
+    try {
     val contam = cp(contamRaw
       .select(col(idCol), col("contamination").as("__cont")))
     val s6 = s5.join(contam, Seq(idCol), "left")
@@ -392,13 +403,14 @@ object Curation {
           (6, "decontam", n6),
           (7, "lm", gated.count())))
       }
-    // the eager checkpoint above materialized every upstream stage —
-    // release the recipe's own allocations now (signature cache, gram
-    // cache, stripe-map broadcast): a session running one recipe per
-    // corpus snapshot must not accumulate them (CurationSpec pins that
-    // this call leaves no recipe-owned cache entries behind)
-    ndRelease()
-    contamRelease()
+    (gated, counts)
+    // the finally blocks release the recipe's own allocations
+    // (signature cache, gram cache, stripe-map broadcast) on success
+    // AND failure: a session running one recipe per corpus snapshot
+    // must not accumulate them (CurationSpec pins that this call
+    // leaves no recipe-owned cache entries behind)
+    } finally contamRelease()
+    } finally ndRelease()
     // stage 8: materialize the mixture over the cleaned token counts
     val mixture = Mixing.materializeMixture(gated, langCol, idCol,
         "__clean", p.weights, p.budgetTokens)

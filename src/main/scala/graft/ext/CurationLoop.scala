@@ -146,6 +146,10 @@ object CurationLoop {
     // its own allocations below — never the caller's.
     val (contamRaw, contamRelease) = Decontaminate
       .contaminatedAgainstStoreOwned(s3, idCol, textCol, stores.benchTable)
+    // try/finally: a failed checkpoint or verdict write must still
+    // release the stage's gram cache + stripe broadcast, or the retried
+    // loop accumulates one per failed batch (review finding, round 17)
+    try {
     val contam = contamRaw
       .select(col(idCol), col("contamination").as("__cont"))
     val s4 = s3.join(contam, Seq(idCol), "left")
@@ -214,8 +218,8 @@ object CurationLoop {
     // and ONLY those: a caller-persisted frame held across ingestShard
     // calls survives (CurationLoopRecoverySpec pins it; the old
     // session-wide clearCache evicted those too — and never released
-    // broadcasts at all).
-    contamRelease()
+    // broadcasts at all). The release rides the finally below so a
+    // failure anywhere after the Owned allocation also runs it.
     verdicts
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("dropped_at").isNull ||
@@ -235,6 +239,7 @@ object CurationLoop {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(stageOut(outRoot, "funnel"))
+    } finally contamRelease()
   }
 
   /** The funnel partitions served as the curation run's TIME SERIES —

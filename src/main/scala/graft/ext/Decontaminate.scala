@@ -339,10 +339,17 @@ object Decontaminate {
     spark.sql(s"DROP TABLE IF EXISTS `${benchmarkMeta(table)}`")
     graft.core.Bucketing.writeBucketed(grams(evalDocs, textCol, n),
       table, Seq("gram_fp"), buckets)
-    trainAndCommitMeta(spark, table, n, fpp, maxItemsPerBloom)
     // a fresh store restarts its batch-id space and carries no pending
-    // append — drop any stale ledger + crash marker
+    // append — drop the stale ledger + crash marker BEFORE the meta
+    // commits, so the commit marker also covers the ledger state. The
+    // old order (meta first, reset last) had a crash window that left a
+    // fully-serving store with the previous ledger's applied batch ids:
+    // a stream resumed with a fresh checkpoint (ids restarting at 0)
+    // silently skipped its first batches via the applied() check
+    // (review finding, round 17). Now that crash leaves a meta-less
+    // store that refuses loudly until the rebuild is re-run.
     graft.core.IngestLedger.reset(spark, table)
+    trainAndCommitMeta(spark, table, n, fpp, maxItemsPerBloom)
   }
 
   /** Retrain the stripe blooms over the CURRENT gram table and commit
@@ -429,8 +436,9 @@ object Decontaminate {
     graft.core.Bucketing.recoverSwap(spark, table)
     val marker = appendPendingMarker(spark, table)
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaExists = spark.catalog.tableExists(benchmarkMeta(table))
     val (n, fpp) =
-      if (spark.catalog.tableExists(benchmarkMeta(table))) {
+      if (metaExists) {
         val meta = spark.table(benchmarkMeta(table))
         require(meta.columns.contains("n_stripes"),
           s"benchmark store '$table' was built under an older meta format " +
@@ -439,22 +447,44 @@ object Decontaminate {
         val h = meta.head()
         (h.getAs[Int]("n"), h.getAs[Double]("fpp"))
       } else if (fs.exists(marker)) {
-        // resuming a crashed append: the contract rode the marker
+        // resuming a crashed append: the contract rode the marker. A
+        // corrupt/empty marker (a crash inside the marker write while
+        // the meta still existed cannot cause this — the meta survives
+        // that window — so it signals external damage) must refuse
+        // loudly, not die in parsing: the refusal names the repair.
         val in = fs.open(marker)
         val s = try new String(
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
         finally in.close()
         val parts = s.trim.split(" ")
-        (parts(0).toInt, parts(1).toDouble)
+        try {
+          require(parts.length == 2)
+          (parts(0).toInt, parts(1).toDouble)
+        } catch {
+          case e: Exception => throw new IllegalStateException(
+            s"benchmark store '$table' has no meta table and a corrupt " +
+              s"append marker ('${s.trim}') — the (n, fpp) contract is " +
+              "unrecoverable; re-run writeBenchmarkStore (this discards " +
+              "appended suites) before appending", e)
+        }
       } else {
         throw new IllegalArgumentException(
           s"benchmark store '$table' has no meta table and no pending " +
             "append marker — a (re)build crashed; re-run " +
             "writeBenchmarkStore before appending")
       }
-    fs.mkdirs(marker.getParent)
-    val out = fs.create(marker, true)
-    try out.write(s"$n $fpp".getBytes("UTF-8")) finally out.close()
+    // Write the marker ONLY when the meta still holds the contract: on
+    // the resume branch the marker IS the only durable copy, and the
+    // truncating create would destroy it an instant before rewriting
+    // the same bytes — a crash in that window left a 0-byte marker and
+    // no meta, an unrepairable store (review finding, round 17). While
+    // the meta exists a partial marker write is harmless: the next run
+    // reads the contract from the meta and rewrites the marker.
+    if (metaExists) {
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      try out.write(s"$n $fpp".getBytes("UTF-8")) finally out.close()
+    }
     spark.sql(s"DROP TABLE IF EXISTS `${benchmarkMeta(table)}`")
     val missing = grams(evalDocs, textCol, n)
       .join(spark.table(table), Seq("gram_fp"), "left_anti")

@@ -2446,47 +2446,47 @@ object ExtQueries {
 -- (full = train docs INNER JOIN embeddings ON vec_id = doc_id): at
 -- scale factors where the embeddings table covers fewer ids than the
 -- documents table, only embedded docs enter the loop
-f AS (SELECT doc_id,
+f AS MATERIALIZED (SELECT doc_id,
         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
       FROM documents WHERE doc_id % 10 <> 0
         AND doc_id IN (SELECT vec_id FROM embeddings)),
-fs0 AS (SELECT fp, min(doc_id) AS cid FROM f WHERE doc_id % 3 = 0 GROUP BY fp),
-e1 AS (SELECT f.doc_id, s.cid AS dup_of
+fs0 AS MATERIALIZED (SELECT fp, min(doc_id) AS cid FROM f WHERE doc_id % 3 = 0 GROUP BY fp),
+e1 AS MATERIALIZED (SELECT f.doc_id, s.cid AS dup_of
        FROM f LEFT JOIN fs0 s ON f.fp = s.fp WHERE f.doc_id % 3 = 1),
-fg1 AS (SELECT f.fp, min(f.doc_id) AS cid
+fg1 AS MATERIALIZED (SELECT f.fp, min(f.doc_id) AS cid
         FROM f JOIN e1 ON e1.doc_id = f.doc_id
         WHERE e1.dup_of IS NULL GROUP BY f.fp),
-fs1 AS (SELECT fp, min(cid) AS cid FROM (
+fs1 AS MATERIALIZED (SELECT fp, min(cid) AS cid FROM (
           SELECT * FROM fs0 UNION ALL SELECT * FROM fg1) GROUP BY fp),
-b2 AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 2
+b2 AS MATERIALIZED (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 2
        UNION ALL
        SELECT doc_id + 100000, fp FROM f
        WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
-e2 AS (SELECT b2.doc_id, s.cid AS dup_of
+e2 AS MATERIALIZED (SELECT b2.doc_id, s.cid AS dup_of
        FROM b2 LEFT JOIN fs1 s ON b2.fp = s.fp),
-ever AS (SELECT doc_id, dup_of, 0 AS b FROM e1
+ever AS MATERIALIZED (SELECT doc_id, dup_of, 0 AS b FROM e1
          UNION ALL SELECT doc_id, dup_of, 1 AS b FROM e2),
 -- ======== stage 2: MinHash near-dup (x34 recipe, two-batch growth) ========
-sh AS (SELECT doc_id,
+sh AS MATERIALIZED (SELECT doc_id,
          list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
        FROM toks WHERE len(w) >= 3),
-hs AS (SELECT doc_id, list_transform(sgl, s ->
+hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
          CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
        FROM sh),
-sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
           list_min(list_transform(hh, h ->
             (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
               + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
         FROM hs),
-bands AS (SELECT doc_id, b AS bb,
+bands AS MATERIALIZED (SELECT doc_id, b AS bb,
             CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
               ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
           FROM sig, (SELECT unnest(range(0,4)) AS b)),
-nb0 AS (SELECT doc_id, bb, bk FROM bands
+nb0 AS MATERIALIZED (SELECT doc_id, bb, bk FROM bands
         WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0
           AND doc_id IN (SELECT vec_id FROM embeddings)),
-n1in AS (SELECT doc_id FROM ever WHERE b = 0 AND dup_of IS NULL),
-n1 AS (SELECT i.doc_id, a.dup_of FROM n1in i LEFT JOIN (
+n1in AS MATERIALIZED (SELECT doc_id FROM ever WHERE b = 0 AND dup_of IS NULL),
+n1 AS MATERIALIZED (SELECT i.doc_id, a.dup_of FROM n1in i LEFT JOIN (
          SELECT new_id, min(store_id) AS dup_of FROM (
            SELECT DISTINCT bnd.doc_id AS new_id, st.doc_id AS store_id
            FROM bands bnd JOIN n1in s1 ON s1.doc_id = bnd.doc_id
@@ -2495,12 +2495,12 @@ n1 AS (SELECT i.doc_id, a.dup_of FROM n1in i LEFT JOIN (
          JOIN sig sb ON sb.doc_id = p.store_id
          WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8
          GROUP BY new_id) a ON a.new_id = i.doc_id),
-nb1 AS (SELECT * FROM nb0
+nb1 AS MATERIALIZED (SELECT * FROM nb0
         UNION ALL
         SELECT bnd.doc_id, bnd.bb, bnd.bk FROM bands bnd
         JOIN n1 ON n1.doc_id = bnd.doc_id WHERE n1.dup_of IS NULL),
-n2in AS (SELECT doc_id FROM ever WHERE b = 1 AND dup_of IS NULL),
-n2 AS (SELECT i.doc_id, a.dup_of FROM n2in i LEFT JOIN (
+n2in AS MATERIALIZED (SELECT doc_id FROM ever WHERE b = 1 AND dup_of IS NULL),
+n2 AS MATERIALIZED (SELECT i.doc_id, a.dup_of FROM n2in i LEFT JOIN (
          SELECT new_id, min(store_id) AS dup_of FROM (
            SELECT DISTINCT bnd.doc_id AS new_id, st.doc_id AS store_id
            FROM bands bnd JOIN n2in s2 ON s2.doc_id = bnd.doc_id
@@ -2509,10 +2509,10 @@ n2 AS (SELECT i.doc_id, a.dup_of FROM n2in i LEFT JOIN (
          JOIN sig sb ON sb.doc_id = p.store_id
          WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8
          GROUP BY new_id) a ON a.new_id = i.doc_id),
-nver AS (SELECT doc_id, dup_of, 0 AS b FROM n1
+nver AS MATERIALIZED (SELECT doc_id, dup_of, 0 AS b FROM n1
          UNION ALL SELECT doc_id, dup_of, 1 AS b FROM n2),
 -- ======== stage 3: LCG-IVF vector dedup (x45 recipe, two-batch growth) ========
-sc AS (SELECT vec_id, embedding,
+sc AS MATERIALIZED (SELECT vec_id, embedding,
          list_transform(range(0,16), kk ->
            list_sum(list_transform(list_zip(embedding, range(0,64)),
              x -> CAST(x[1] AS DOUBLE) *
@@ -2524,18 +2524,18 @@ sc AS (SELECT vec_id, embedding,
                * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
                   / 2147483648.0 * 2 - 1))))) AS scores
        FROM embeddings),
-va0 AS (SELECT vec_id, embedding,
+va0 AS MATERIALIZED (SELECT vec_id, embedding,
           CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
         FROM sc WHERE vec_id % 10 <> 0 AND vec_id % 3 = 0),
-v1in AS (SELECT doc_id FROM nver WHERE b = 0 AND dup_of IS NULL),
-p1 AS (SELECT new_id, qe, cell FROM (
+v1in AS MATERIALIZED (SELECT doc_id FROM nver WHERE b = 0 AND dup_of IS NULL),
+p1 AS MATERIALIZED (SELECT new_id, qe, cell FROM (
          SELECT s.vec_id AS new_id, s.embedding AS qe, CAST(j AS INT) AS cell,
                 row_number() OVER (PARTITION BY s.vec_id
                   ORDER BY s.scores[j+1] DESC, j) AS pr
          FROM sc s JOIN v1in ON v1in.doc_id = s.vec_id,
               (SELECT unnest(range(0,16)) AS j))
        WHERE pr <= 4),
-v1 AS (SELECT i.doc_id, a.dup_of FROM v1in i LEFT JOIN (
+v1 AS MATERIALIZED (SELECT i.doc_id, a.dup_of FROM v1in i LEFT JOIN (
          SELECT new_id, min(store_id) AS dup_of FROM (
            SELECT p.new_id, a0.vec_id AS store_id
            FROM p1 p JOIN va0 a0 ON a0.cell = p.cell AND a0.vec_id <> p.new_id
@@ -2544,20 +2544,20 @@ v1 AS (SELECT i.doc_id, a.dup_of FROM v1in i LEFT JOIN (
                  / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(a0.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
                  >= 0.4) GROUP BY new_id) a ON a.new_id = i.doc_id),
-va1 AS (SELECT * FROM va0
+va1 AS MATERIALIZED (SELECT * FROM va0
         UNION ALL
         SELECT s.vec_id, s.embedding,
                CAST(list_position(s.scores, list_max(s.scores)) - 1 AS INT) AS cell
         FROM sc s JOIN v1 ON v1.doc_id = s.vec_id WHERE v1.dup_of IS NULL),
-v2in AS (SELECT doc_id FROM nver WHERE b = 1 AND dup_of IS NULL),
-p2 AS (SELECT new_id, qe, cell FROM (
+v2in AS MATERIALIZED (SELECT doc_id FROM nver WHERE b = 1 AND dup_of IS NULL),
+p2 AS MATERIALIZED (SELECT new_id, qe, cell FROM (
          SELECT s.vec_id AS new_id, s.embedding AS qe, CAST(j AS INT) AS cell,
                 row_number() OVER (PARTITION BY s.vec_id
                   ORDER BY s.scores[j+1] DESC, j) AS pr
          FROM sc s JOIN v2in ON v2in.doc_id = s.vec_id,
               (SELECT unnest(range(0,16)) AS j))
        WHERE pr <= 4),
-v2 AS (SELECT i.doc_id, a.dup_of FROM v2in i LEFT JOIN (
+v2 AS MATERIALIZED (SELECT i.doc_id, a.dup_of FROM v2in i LEFT JOIN (
          SELECT new_id, min(store_id) AS dup_of FROM (
            SELECT p.new_id, a1.vec_id AS store_id
            FROM p2 p JOIN va1 a1 ON a1.cell = p.cell AND a1.vec_id <> p.new_id
@@ -2566,41 +2566,41 @@ v2 AS (SELECT i.doc_id, a.dup_of FROM v2in i LEFT JOIN (
                  / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(a1.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
                  >= 0.4) GROUP BY new_id) a ON a.new_id = i.doc_id),
-vver AS (SELECT doc_id, dup_of, 0 AS b FROM v1
+vver AS MATERIALIZED (SELECT doc_id, dup_of, 0 AS b FROM v1
          UNION ALL SELECT doc_id, dup_of, 1 AS b FROM v2),
 -- ======== stage 4: decontamination gate (x52 recipe, read-only) ========
-s4in AS (SELECT doc_id FROM vver WHERE dup_of IS NULL),
-g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+s4in AS MATERIALIZED (SELECT doc_id FROM vver WHERE dup_of IS NULL),
+g AS MATERIALIZED (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
          i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
       FROM toks WHERE len(w) >= 8),
-dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
-evg AS (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
-tr4 AS (SELECT dg.doc_id, dg.gram_fp FROM dg JOIN s4in ON s4in.doc_id = dg.doc_id),
-tot4 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr4 GROUP BY 1),
-sh4 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+dg AS MATERIALIZED (SELECT DISTINCT doc_id, gram_fp FROM g),
+evg AS MATERIALIZED (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
+tr4 AS MATERIALIZED (SELECT dg.doc_id, dg.gram_fp FROM dg JOIN s4in ON s4in.doc_id = dg.doc_id),
+tot4 AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr4 GROUP BY 1),
+sh4 AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
         FROM tr4 JOIN evg USING (gram_fp) GROUP BY 1),
-cont AS (SELECT t.doc_id,
+cont AS MATERIALIZED (SELECT t.doc_id,
            CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams AS cont
          FROM tot4 t LEFT JOIN sh4 s ON s.doc_id = t.doc_id),
 -- ======== stage 5: LM quality gate (x53 recipe, read-only) ========
-s5in AS (SELECT i.doc_id FROM s4in i LEFT JOIN cont c ON c.doc_id = i.doc_id
+s5in AS MATERIALIZED (SELECT i.doc_id FROM s4in i LEFT JOIN cont c ON c.doc_id = i.doc_id
          WHERE COALESCE(c.cont, 0.0) <= 0.5),
-pairs AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
+pairs AS MATERIALIZED (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
           FROM toks, unnest(list_transform(generate_series(1, len(w)-1),
             i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
                   'bf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
           WHERE len(w) >= 2),
-c1 AS (SELECT fp, count(*) AS c FROM (
+c1 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
          SELECT unnest(list_transform(generate_series(1, len(w)),
            i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
          FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 1)
        GROUP BY fp),
-c2 AS (SELECT fp, count(*) AS c FROM (
+c2 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
          SELECT unnest(list_transform(generate_series(1, len(w)-1),
            i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
          FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 2)
        GROUP BY fp),
-lmsc AS (SELECT p.doc_id,
+lmsc AS MATERIALIZED (SELECT p.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(CAST(floor(COALESCE(CAST(c2.c AS DOUBLE) / CAST(c1.c AS DOUBLE), 0.0)
                                * 1073741824.0) AS BIGINT)) AS BIGINT) AS p_sum_q
@@ -2609,12 +2609,12 @@ lmsc AS (SELECT p.doc_id,
          LEFT JOIN c2 ON p.bi_fp = c2.fp
          LEFT JOIN c1 ON p.uni_fp = c1.fp
          GROUP BY p.doc_id),
-lm AS (SELECT i.doc_id, COALESCE(s.n_bigrams, 0) AS nb,
+lm AS MATERIALIZED (SELECT i.doc_id, COALESCE(s.n_bigrams, 0) AS nb,
          CAST(s.p_sum_q AS DOUBLE) / 1073741824.0
            / CAST(s.n_bigrams AS DOUBLE) AS lm_score
        FROM s5in i LEFT JOIN lmsc s ON s.doc_id = i.doc_id),
 -- ======== final verdict rows ========
-fin AS (SELECT e.doc_id, e.b,
+fin AS MATERIALIZED (SELECT e.doc_id, e.b,
           e.dup_of AS e_dup, n.dup_of AS n_dup, v.dup_of AS v_dup,
           (v.doc_id IS NOT NULL AND v.dup_of IS NULL) AS reached4,
           c.cont, (s5.doc_id IS NOT NULL) AS reached5,
@@ -2698,34 +2698,34 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * DSIR-driven mixture oracle — the curationCascadeSql convention:
     * one replay, two checked consumers. */
   private val dsirAggSql = s"""$tokSql,
-             tokl AS (SELECT t.doc_id, t.w, d.lang
+             tokl AS MATERIALIZED (SELECT t.doc_id, t.w, d.lang
                       FROM toks t JOIN documents d USING (doc_id)),
-             pairs AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
+             pairs AS MATERIALIZED (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
                        FROM toks, unnest(list_transform(generate_series(1, len(w)-1),
                          i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
                                'bf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
                        WHERE len(w) >= 2),
-             tc1 AS (SELECT fp, count(*) AS c FROM (
+             tc1 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                        SELECT unnest(list_transform(generate_series(1, len(w)),
                          i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                        FROM tokl WHERE lang = 'en' AND len(w) >= 1)
                      GROUP BY fp),
-             tc2 AS (SELECT fp, count(*) AS c FROM (
+             tc2 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                        SELECT unnest(list_transform(generate_series(1, len(w)-1),
                          i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                        FROM tokl WHERE lang = 'en' AND len(w) >= 2)
                      GROUP BY fp),
-             sc1 AS (SELECT fp, count(*) AS c FROM (
+             sc1 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                        SELECT unnest(list_transform(generate_series(1, len(w)),
                          i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                        FROM tokl WHERE lang <> 'en' AND len(w) >= 1)
                      GROUP BY fp),
-             sc2 AS (SELECT fp, count(*) AS c FROM (
+             sc2 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                        SELECT unnest(list_transform(generate_series(1, len(w)-1),
                          i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                        FROM tokl WHERE lang <> 'en' AND len(w) >= 2)
                      GROUP BY fp),
-             agg AS (SELECT p.doc_id,
+             agg AS MATERIALIZED (SELECT p.doc_id,
                        CAST(count(*) AS BIGINT) AS n_bigrams,
                        CAST(sum(CAST(floor(COALESCE(CAST(t2.c AS DOUBLE) / CAST(t1.c AS DOUBLE), 0.0)
                                            * 1073741824.0) AS BIGINT)) AS BIGINT) AS t_sum_q,
@@ -3063,15 +3063,25 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
   /** The x66 recipe-cascade replay (corpus through the stage-7 LM
     * gate), shared by x66's mixture oracle and x75's funnel oracle —
     * the curationCascadeSql convention: one replay, two checked
-    * consumers. */
-  private val recipeCascadeSql = """WITH corpus AS (SELECT doc_id, lang, source, text FROM documents
+    * consumers.
+    *
+    * Every CTE carries an explicit `AS MATERIALIZED` hint: DuckDB 1.0
+    * INLINES a CTE at each reference site, and in a deep cascade where
+    * stages are multi-referenced (s5 feeds both `cg` legs, `lmj` feeds
+    * both `s7` branches, x66's tail reads `gt` twice) the duplication
+    * compounds multiplicatively down the chain — measured 579.5 s
+    * (x66) + 247.3 s (x75) at sf0.01, 94% of the round-17 oracle pass,
+    * the round's empty-gate root cause. With the hints both oracles
+    * answer in <1 s, bit-identically (re-checked through
+    * tools/check_oracle.py). A pure planner hint: semantics unchanged. */
+  private val recipeCascadeSql = """WITH corpus AS MATERIALIZED (SELECT doc_id, lang, source, text FROM documents
                   UNION ALL
                   SELECT doc_id + 100000, lang, source, text
                   FROM documents WHERE doc_id % 7 = 0),
-             t0 AS (SELECT doc_id, lang, source, text,
+             t0 AS MATERIALIZED (SELECT doc_id, lang, source, text,
                     regexp_extract_all(lower(trim(text)), '\S+') AS toks
                   FROM corpus),
-             rf AS (SELECT doc_id,
+             rf AS MATERIALIZED (SELECT doc_id,
                      CAST(len(toks) AS BIGINT) AS n_words,
                      CASE WHEN len(toks) = 0 THEN 0.0
                           ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
@@ -3089,50 +3099,50 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                           ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)
                      END AS awr
                    FROM t0),
-             s1 AS (SELECT t0.* FROM t0 JOIN rf USING (doc_id)
+             s1 AS MATERIALIZED (SELECT t0.* FROM t0 JOIN rf USING (doc_id)
                     WHERE rf.n_words >= 20 AND rf.n_words <= 80
                       AND rf.mwl >= 4.0 AND rf.mwl <= 5.0 AND rf.stp >= 2
                       AND rf.tws <= 0.2 AND rf.smr <= 0.1 AND rf.awr >= 0.8),
-             p AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN ['']
+             p AS MATERIALIZED (SELECT doc_id, CASE WHEN len(toks) = 0 THEN ['']
                      ELSE list_transform(generate_series(0, CAST((len(toks)-1)//10 AS INT)),
                             c -> array_to_string(toks[c*10+1:c*10+10], ' ')) END AS ps
                    FROM s1),
-             e AS (SELECT doc_id, u.e.i AS idx, u.e.p AS passage
+             e AS MATERIALIZED (SELECT doc_id, u.e.i AS idx, u.e.p AS passage
                    FROM p, unnest(list_transform(generate_series(1, len(ps)),
                           i -> {'i': i-1, 'p': ps[i]})) AS u(e)),
-             bfreq AS (SELECT md5(passage) AS fp, count(DISTINCT doc_id) AS df
+             bfreq AS MATERIALIZED (SELECT md5(passage) AS fp, count(DISTINCT doc_id) AS df
                        FROM e GROUP BY 1),
-             jb AS (SELECT e.doc_id, e.idx, e.passage, (b.fp IS NOT NULL) AS is_b
+             jb AS MATERIALIZED (SELECT e.doc_id, e.idx, e.passage, (b.fp IS NOT NULL) AS is_b
                     FROM e LEFT JOIN (SELECT fp FROM bfreq WHERE df >= 2) b
                       ON md5(e.passage) = b.fp),
-             clean AS (SELECT doc_id,
+             clean AS MATERIALIZED (SELECT doc_id,
                          coalesce(string_agg(CASE WHEN NOT is_b THEN passage END, ' ' ORDER BY idx), '') AS ctext
                        FROM jb GROUP BY doc_id),
-             s2 AS (SELECT s1.doc_id, s1.lang, s1.source, clean.ctext
+             s2 AS MATERIALIZED (SELECT s1.doc_id, s1.lang, s1.source, clean.ctext
                     FROM s1 JOIN clean USING (doc_id)),
-             canon AS (SELECT min(doc_id) AS doc_id FROM (
+             canon AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM (
                          SELECT doc_id,
                            md5(regexp_replace(lower(trim(ctext)), '\s+', ' ', 'g')) AS fp
                          FROM s2) GROUP BY fp),
-             s3 AS (SELECT s2.* FROM s2 JOIN canon USING (doc_id)),
+             s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN canon USING (doc_id)),
              -- ==== stage 4: MinHash near-dup over the cleaned text (x08 recipe, greedy by id) ====
-             w3 AS (SELECT doc_id, regexp_extract_all(lower(trim(ctext)), '\S+') AS w FROM s3),
-             sh3 AS (SELECT doc_id,
+             w3 AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(ctext)), '\S+') AS w FROM s3),
+             sh3 AS MATERIALIZED (SELECT doc_id,
                        list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                      FROM w3 WHERE len(w) >= 3),
-             hs3 AS (SELECT doc_id, list_transform(sgl, sx ->
+             hs3 AS MATERIALIZED (SELECT doc_id, list_transform(sgl, sx ->
                        CAST(CAST('0x'||substr(md5(sx),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                      FROM sh3),
-             sig3 AS (SELECT doc_id, list_transform(range(0,16), i ->
+             sig3 AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                         list_min(list_transform(hh, h ->
                           (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                             + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                       FROM hs3),
-             bands3 AS (SELECT doc_id, b AS bb,
+             bands3 AS MATERIALIZED (SELECT doc_id, b AS bb,
                           CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                             ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                         FROM sig3, (SELECT unnest(range(0,4)) AS b)),
-             nd AS (SELECT DISTINCT pr.idb AS doc_id FROM (
+             nd AS MATERIALIZED (SELECT DISTINCT pr.idb AS doc_id FROM (
                       SELECT DISTINCT ba.doc_id AS ida, bb2.doc_id AS idb
                       FROM bands3 ba JOIN bands3 bb2
                         ON ba.bb = bb2.bb AND ba.bk = bb2.bk
@@ -3140,9 +3150,9 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                     JOIN sig3 sa ON sa.doc_id = pr.ida
                     JOIN sig3 sb ON sb.doc_id = pr.idb
                     WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
-             s4 AS (SELECT s3.* FROM s3 WHERE s3.doc_id NOT IN (SELECT doc_id FROM nd)),
+             s4 AS MATERIALIZED (SELECT s3.* FROM s3 WHERE s3.doc_id NOT IN (SELECT doc_id FROM nd)),
              -- ==== stage 5: embedding dedup in LCG-IVF top-1 cells (x45 quantizer, greedy by id) ====
-             vsc AS (SELECT vec_id, embedding,
+             vsc AS MATERIALIZED (SELECT vec_id, embedding,
                        list_transform(range(0,16), kk ->
                          list_sum(list_transform(list_zip(embedding, range(0,64)),
                            x -> CAST(x[1] AS DOUBLE) *
@@ -3154,58 +3164,58 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                              * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
                                 / 2147483648.0 * 2 - 1))))) AS scores
                      FROM embeddings),
-             va AS (SELECT v.vec_id AS doc_id, v.embedding,
+             va AS MATERIALIZED (SELECT v.vec_id AS doc_id, v.embedding,
                       CAST(list_position(v.scores, list_max(v.scores)) - 1 AS INT) AS cell
                     FROM vsc v JOIN s4 ON s4.doc_id = v.vec_id),
-             vd AS (SELECT DISTINCT vb.doc_id FROM va AS vaa JOIN va AS vb
+             vd AS MATERIALIZED (SELECT DISTINCT vb.doc_id FROM va AS vaa JOIN va AS vb
                       ON vaa.cell = vb.cell AND vaa.doc_id < vb.doc_id
                     WHERE list_sum(list_transform(list_zip(vaa.embedding, vb.embedding),
                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                           / (sqrt(list_sum(list_transform(vaa.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                            * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
                           >= 0.4),
-             s5 AS (SELECT s4.* FROM s4 WHERE s4.doc_id NOT IN (SELECT doc_id FROM vd)),
+             s5 AS MATERIALIZED (SELECT s4.* FROM s4 WHERE s4.doc_id NOT IN (SELECT doc_id FROM vd)),
              -- ==== stage 6: decontamination vs the %10 benchmark store (x52 recipe, 8-grams of cleaned text) ====
-             bw AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+             bw AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
                     FROM documents WHERE doc_id % 10 = 0),
-             evg AS (SELECT DISTINCT gram_fp FROM (
+             evg AS MATERIALIZED (SELECT DISTINCT gram_fp FROM (
                        SELECT unnest(list_transform(generate_series(1, len(w)-7),
                          i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
                        FROM bw WHERE len(w) >= 8)),
-             w5 AS (SELECT doc_id, regexp_extract_all(lower(trim(ctext)), '\S+') AS w FROM s5),
-             cg AS (SELECT DISTINCT doc_id, gram_fp FROM (
+             w5 AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(ctext)), '\S+') AS w FROM s5),
+             cg AS MATERIALIZED (SELECT DISTINCT doc_id, gram_fp FROM (
                       SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
                         i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
                       FROM w5 WHERE len(w) >= 8)),
-             ctot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM cg GROUP BY 1),
-             cshr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+             ctot AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM cg GROUP BY 1),
+             cshr AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
                       FROM cg JOIN evg USING (gram_fp) GROUP BY 1),
-             s6 AS (SELECT s5.* FROM s5
+             s6 AS MATERIALIZED (SELECT s5.* FROM s5
                     LEFT JOIN ctot tt ON tt.doc_id = s5.doc_id
                     LEFT JOIN cshr sh ON sh.doc_id = s5.doc_id
                     WHERE COALESCE(CAST(sh.n_shared AS DOUBLE) / tt.n_grams, 0.0) <= 0.3),
              -- ==== stage 7: LM quality from the %10-trained store, per-source top half (x54 + x59) ====
-             lc1 AS (SELECT fp, count(*) AS c FROM (
+             lc1 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                        SELECT unnest(list_transform(generate_series(1, len(w)),
                          i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                        FROM (SELECT regexp_extract_all(lower(trim(text)), '\S+') AS w
                              FROM documents WHERE doc_id % 10 <> 0)
                        WHERE len(w) >= 1)
                      GROUP BY fp),
-             lc2 AS (SELECT fp, count(*) AS c FROM (
+             lc2 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                        SELECT unnest(list_transform(generate_series(1, len(w)-1),
                          i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                        FROM (SELECT regexp_extract_all(lower(trim(text)), '\S+') AS w
                              FROM documents WHERE doc_id % 10 <> 0)
                        WHERE len(w) >= 2)
                      GROUP BY fp),
-             w6 AS (SELECT doc_id, regexp_extract_all(lower(trim(ctext)), '\S+') AS w FROM s6),
-             pr7 AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
+             w6 AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(ctext)), '\S+') AS w FROM s6),
+             pr7 AS MATERIALIZED (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
                      FROM w6, unnest(list_transform(generate_series(1, len(w)-1),
                        i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
                              'bf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
                      WHERE len(w) >= 2),
-             lmsc AS (SELECT p7.doc_id,
+             lmsc AS MATERIALIZED (SELECT p7.doc_id,
                         CAST(count(*) AS BIGINT) AS nb,
                         CAST(sum(CAST(floor(COALESCE(CAST(lc2.c AS DOUBLE) / CAST(lc1.c AS DOUBLE), 0.0)
                                             * 1073741824.0) AS BIGINT)) AS BIGINT) AS psq
@@ -3213,10 +3223,10 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                       LEFT JOIN lc2 ON p7.bi_fp = lc2.fp
                       LEFT JOIN lc1 ON p7.uni_fp = lc1.fp
                       GROUP BY p7.doc_id),
-             lmj AS (SELECT s6.doc_id, s6.lang, s6.source, s6.ctext,
+             lmj AS MATERIALIZED (SELECT s6.doc_id, s6.lang, s6.source, s6.ctext,
                        CAST(l.psq AS DOUBLE) / 1073741824.0 / CAST(l.nb AS DOUBLE) AS lm_score
                      FROM s6 LEFT JOIN lmsc l ON l.doc_id = s6.doc_id),
-             s7 AS (SELECT doc_id, lang, source, ctext FROM (
+             s7 AS MATERIALIZED (SELECT doc_id, lang, source, ctext FROM (
                       SELECT *, cume_dist() OVER (PARTITION BY source ORDER BY lm_score) AS cd
                       FROM lmj WHERE lm_score IS NOT NULL) WHERE cd > 0.5
                     UNION ALL
@@ -3265,23 +3275,23 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .orderBy("doc_id", "copy_idx")
     },
     Some(recipeCascadeSql + "," + """
-             gt AS (SELECT doc_id, lang, source,
+             gt AS MATERIALIZED (SELECT doc_id, lang, source,
                       CAST(len(regexp_extract_all(lower(trim(ctext)), '\S+')) AS BIGINT) AS nt
                     FROM s7),
-             st AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM gt GROUP BY 1),
-             fct AS (SELECT lang,
+             st AS MATERIALIZED (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM gt GROUP BY 1),
+             fct AS MATERIALIZED (SELECT lang,
                       CASE WHEN n_tokens = 0 THEN 0.0
                            ELSE CAST(20000 AS DOUBLE)
                                 * (CASE lang WHEN 'de' THEN 0.15 WHEN 'en' THEN 0.6
                                              WHEN 'fr' THEN 0.25 ELSE 0.0 END)
                                 / n_tokens END AS factor
                      FROM st),
-             dd AS (SELECT gt.doc_id, gt.lang, gt.source,
+             dd AS MATERIALIZED (SELECT gt.doc_id, gt.lang, gt.source,
                       CAST(floor(fct.factor) AS BIGINT) AS full_copies,
                       CAST(floor(fct.factor * 10000.0) AS BIGINT)
                         - CAST(floor(fct.factor) AS BIGINT) * 10000 AS thr
                     FROM gt JOIN fct USING (lang)),
-             cc AS (SELECT doc_id, lang, source,
+             cc AS MATERIALIZED (SELECT doc_id, lang, source,
                       full_copies + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < thr
                                           THEN 1 ELSE 0 END) AS n_copies
                     FROM dd)
@@ -4320,7 +4330,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             SELECT CAST(pos // 128 AS BIGINT) AS shard_id,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+')) ) AS BIGINT) AS n_tokens,
-                   bit_xor(CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '#' || COALESCE(text, '')),1,15) AS UBIGINT) AS BIGINT)) AS content_xor,
+                   bit_xor(CAST(CAST('0x'||substr(md5(md5(CAST(doc_id AS VARCHAR)) || md5(COALESCE(text, ''))),1,15) AS UBIGINT) AS BIGINT)) AS content_xor,
                    min(pos) AS pos_min, max(pos) AS pos_max
             FROM p GROUP BY 1 ORDER BY shard_id"""))
 

@@ -133,6 +133,25 @@ class CorpusShuffleSpec extends SparkSpec {
     assert(tw.head._4 != 0L)
   }
 
+  test("manifest framing is unambiguous: a separator-shift (id, text) swap flips the fingerprint") {
+    val s = spark
+    import s.implicits._
+    // under separator-based framing ('id#text') the pairs ('a', 'b#x')
+    // and ('a#b', 'x') hashed the same string 'a#b#x', so EACH corpus
+    // below XOR-ed to 0 — a content change from the x-corpus to the
+    // y-corpus kept the fingerprint identical and the integrity check
+    // passed silently; fixed-width md5 framing separates them
+    def fp(rows: Seq[(String, String)]) =
+      CorpusShuffle.shardManifest(
+        CorpusShuffle.order(rows.toDF("doc_id", "text"), "doc_id",
+          seed = "s1", shardSize = 16L),
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(_.getAs[Long]("content_xor")).head
+    val original = Seq(("a", "b#x"), ("a#b", "x"))
+    val corrupted = Seq(("a", "b#y"), ("a#b", "y"))
+    assert(fp(original) != fp(corrupted))
+  }
+
   test("order is a permutation: pos is dense 0..n-1 and shards are contiguous runs") {
     val out = CorpusShuffle.order(ids(10), "doc_id", seed = "s1", shardSize = 4L)
       .orderBy("pos").collect()

@@ -5,7 +5,7 @@ sort columns by name, and compare row counts, schemas, and values.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, json, math, glob
+import sys, json, math, glob, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -44,17 +44,21 @@ def main(sf_dir, out_dir):
         run_errors = json.load(open(f"{out_dir}/_errors.json"))
     except Exception:
         run_errors = {}
-    fails, passes = [], []
+    fails, passes, timings = [], [], {}
+    t_all = time.time()
     for name in sorted(oracle):
         if name in run_errors:
             fails.append((name, f"verify run error: {run_errors[name]}"))
             continue
         sql = oracle[name]
+        t0 = time.time()
         try:
             odf = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             fails.append((name, f"oracle error: {e}"))
             continue
+        finally:
+            timings[name] = time.time() - t0
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             fails.append((name, "no spark output"))
@@ -76,6 +80,12 @@ def main(sf_dir, out_dir):
             fails.append((name, f"value mismatch at row {bad}:\n  oracle={orows[bad]}\n  spark ={srows[bad]}"))
             continue
         passes.append(name)
+    # per-query oracle cost, slowest first: an x66-class oracle must show
+    # its cost the day it lands, not the round the driver times out
+    # (round-17 gate post-mortem — the budget has to stay visible)
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print(f"ORACLE {time.time() - t_all:.1f}s total; slowest: "
+          + " ".join(f"{n}={s:.1f}s" for n, s in top))
     print(f"PASS {len(passes)}: {' '.join(passes)}")
     for name, why in fails:
         print(f"FAIL {name}: {why}")
