@@ -179,6 +179,60 @@ object Curation {
       .drop("__nt")
   }
 
+  /** The recipe's stage-7 QUALITY seam — which published recipe's
+    * quality filter gates the cleaned corpus before the mixture. The
+    * published pipelines differ exactly here: CCNet/LLaMA gate on a
+    * GENERATIVE LM score (perplexity-style — [[LmTopFraction]], the
+    * default and x66's configuration); GPT-3/Dolma gate on a TRAINED
+    * DISCRIMINATIVE classifier threshold ([[ClassifierGate]], x90's
+    * configuration). The seam is the [[CellScorer]] precedent: a small
+    * sealed strategy whose implementations are themselves checked
+    * operators, so a recipe configuration documents which published
+    * pipeline it reproduces without forking the stage inventory.
+    * Contract: `keep` filters the cleaned-corpus frame to its
+    * stage-7 survivors, preserving input columns; docs the stage has
+    * no evidence on (null score) PASS — drop on evidence of junk, not
+    * on absence of evidence (the shared null policy). */
+  sealed trait QualityStage {
+    /** Stage label in the funnel report ("lm" / "classifier"). */
+    def name: String
+    def keep(df: DataFrame, idCol: String, sourceCol: String,
+             textCol: String): DataFrame
+  }
+
+  /** CCNet-style generative gate: LM scores served from the persisted
+    * model store, each source keeping its top `keepFraction` —
+    * stage 7 exactly as [[batchRecipe]] always ran it. */
+  final case class LmTopFraction(modelTable: String, keepFraction: Double)
+      extends QualityStage {
+    val name = "lm"
+    def keep(df: DataFrame, idCol: String, sourceCol: String,
+             textCol: String): DataFrame = {
+      val lm = LmScore.scoreAgainstStore(df, idCol, textCol, modelTable)
+        .select(col(idCol), col("lm_score"))
+      topFractionPerGroup(df.join(lm, Seq(idCol), "left"),
+          sourceCol, "lm_score", keepFraction)
+        .filter(col("kept").isNull || col("kept"))
+        .drop("lm_score", "kept", "cume_dist")
+    }
+  }
+
+  /** GPT-3-style discriminative gate: the trained
+    * positive-vs-background classifier served from its persisted store
+    * ([[QualityClassifier.gateAgainstStore]]), keeping docs scoring
+    * `≥ minScore` — an ABSOLUTE threshold by design (the published
+    * rule judges each doc against the trained boundary, not against
+    * the batch's distribution, so the same doc passes or fails
+    * identically in every batch). */
+  final case class ClassifierGate(table: String, minScore: Double)
+      extends QualityStage {
+    val name = "classifier"
+    def keep(df: DataFrame, idCol: String, sourceCol: String,
+             textCol: String): DataFrame =
+      QualityClassifier.gateAgainstStore(df, idCol, textCol, table, minScore)
+        .drop("cls_score")
+  }
+
   /** Full-depth batch-recipe parameters, one group per stage (stage
     * numbers are [[batchRecipe]]'s). The near-dup/vector/decontam/LM
     * knobs deliberately mirror [[CurationLoop.Params]] — the two
@@ -254,9 +308,10 @@ object Curation {
                   langCol: String, sourceCol: String,
                   emb: DataFrame, embCol: String,
                   benchTable: String, modelTable: String,
-                  p: RecipeParams): DataFrame =
+                  p: RecipeParams,
+                  quality: Option[QualityStage] = None): DataFrame =
     runRecipe(docs, idCol, textCol, langCol, sourceCol, emb, embCol,
-      benchTable, modelTable, p, withCounts = false)._1
+      benchTable, modelTable, p, withCounts = false, quality)._1
 
   /** The recipe's published FUNNEL — the per-stage survivor counts a
     * static-corpus release reports next to its mixture (the batch twin
@@ -282,9 +337,10 @@ object Curation {
                         langCol: String, sourceCol: String,
                         emb: DataFrame, embCol: String,
                         benchTable: String, modelTable: String,
-                        p: RecipeParams): DataFrame = {
+                        p: RecipeParams,
+                        quality: Option[QualityStage] = None): DataFrame = {
     val counts = runRecipe(docs, idCol, textCol, langCol, sourceCol, emb,
-      embCol, benchTable, modelTable, p, withCounts = true)._2.get
+      embCol, benchTable, modelTable, p, withCounts = true, quality)._2.get
     val s = docs.sparkSession
     import s.implicits._
     counts.toDF("stage_no", "stage", "n_docs")
@@ -294,7 +350,8 @@ object Curation {
                         langCol: String, sourceCol: String,
                         emb: DataFrame, embCol: String,
                         benchTable: String, modelTable: String,
-                        p: RecipeParams, withCounts: Boolean)
+                        p: RecipeParams, withCounts: Boolean,
+                        quality: Option[QualityStage] = None)
       : (DataFrame, Option[Seq[(Int, String, Long)]]) = {
     // stage 1: rule gate
     val ruleKept = RuleGate.flags(docs, idCol, textCol, p.rules)
@@ -371,15 +428,14 @@ object Curation {
     val s6 = s5.join(contam, Seq(idCol), "left")
       .filter(coalesce(col("__cont"), lit(0.0)) <= p.maxContamination)
       .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
-    // stage 7: LM quality from the persisted model store, gated per
-    // source; null-score docs (no transitions) bypass the window and
-    // keep. The gate output feeds both the mixture's token stats and
-    // its materialize join — two consumers, one more checkpoint.
-    val lm = LmScore.scoreAgainstStore(s6, idCol, "__clean", modelTable)
-      .select(col(idCol), col("lm_score"))
-    val gated = topFractionPerGroup(s6.join(lm, Seq(idCol), "left"),
-        sourceCol, "lm_score", p.keepFraction)
-      .filter(col("kept").isNull || col("kept"))
+    // stage 7: the QUALITY seam — LM-top-fraction by default (x66's
+    // CCNet configuration), classifier threshold under x90's GPT-3
+    // configuration; null-score docs bypass and keep either way. The
+    // gate output feeds both the mixture's token stats and its
+    // materialize join — two consumers, one more checkpoint.
+    val qualityStage = quality.getOrElse(
+      LmTopFraction(modelTable, p.keepFraction))
+    val gated = qualityStage.keep(s6, idCol, sourceCol, "__clean")
       .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
       .localCheckpoint(true)
     // the funnel counts are arithmetic over the checkpointed drop
@@ -401,7 +457,7 @@ object Curation {
           (4, "neardup", n4),
           (5, "vector", n5),
           (6, "decontam", n6),
-          (7, "lm", gated.count())))
+          (7, qualityStage.name, gated.count())))
       }
     (gated, counts)
     // the finally blocks release the recipe's own allocations

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Chunking, CorpusShuffle, Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Pii, Repetition, Retrieval, SemDedup, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
+import graft.ext.{Chunking, CorpusShuffle, Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Pii, QualityClassifier, Repetition, Retrieval, SemDedup, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -3074,7 +3074,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * the round's empty-gate root cause. With the hints both oracles
     * answer in <1 s, bit-identically (re-checked through
     * tools/check_oracle.py). A pure planner hint: semantics unchanged. */
-  private val recipeCascadeSql = """WITH corpus AS MATERIALIZED (SELECT doc_id, lang, source, text FROM documents
+  private val recipeCascadePrefixSql = """WITH corpus AS MATERIALIZED (SELECT doc_id, lang, source, text FROM documents
                   UNION ALL
                   SELECT doc_id + 100000, lang, source, text
                   FROM documents WHERE doc_id % 7 = 0),
@@ -3193,7 +3193,13 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
              s6 AS MATERIALIZED (SELECT s5.* FROM s5
                     LEFT JOIN ctot tt ON tt.doc_id = s5.doc_id
                     LEFT JOIN cshr sh ON sh.doc_id = s5.doc_id
-                    WHERE COALESCE(CAST(sh.n_shared AS DOUBLE) / tt.n_grams, 0.0) <= 0.3),
+                    WHERE COALESCE(CAST(sh.n_shared AS DOUBLE) / tt.n_grams, 0.0) <= 0.3)"""
+
+  /** Stage 7 under the DEFAULT quality seam (LM top-fraction — x66/x75):
+    * the %10-trained store's scores, per-source top half. x90 swaps in
+    * [[recipeClassifierTailSql]] instead — same prefix, same mixture
+    * tail, so the three recipe oracles share every other stage. */
+  private val recipeLmTailSql = """
              -- ==== stage 7: LM quality from the %10-trained store, per-source top half (x54 + x59) ====
              lc1 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                        SELECT unnest(list_transform(generate_series(1, len(w)),
@@ -3232,6 +3238,9 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                     UNION ALL
                     SELECT doc_id, lang, source, ctext FROM lmj WHERE lm_score IS NULL)"""
 
+  private val recipeCascadeSql =
+    recipeCascadePrefixSql + "," + recipeLmTailSql
+
   /** Shared x66/x75 setup (rebuilt per invocation — the runCurationLoop
     * convention, so the two checked queries stay independent): the
     * re-crawl-twinned corpus, the embedding relation, and the %10
@@ -3267,14 +3276,11 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     weights = Map("en" -> 0.6, "fr" -> 0.25, "de" -> 0.15),
     budgetTokens = 20000L)
 
-  private val x66 = Q("x66_recipe_batch",
-    (s, d) => {
-      val (corpus, emb) = recipeSetup(s, d)
-      Curation.batchRecipe(corpus, "doc_id", "text", "lang", "source",
-          emb, "embedding", "x66_bench", "x66_model", recipeParams)
-        .orderBy("doc_id", "copy_idx")
-    },
-    Some(recipeCascadeSql + "," + """
+  /** The recipe's stage-8 mixture tail over whatever `s7` the chosen
+    * quality seam produced — shared verbatim by x66 (LM seam) and x90
+    * (classifier seam), so the two configurations' oracles can only
+    * differ at stage 7. */
+  private val recipeMixtureTailSql = """
              gt AS MATERIALIZED (SELECT doc_id, lang, source,
                       CAST(len(regexp_extract_all(lower(trim(ctext)), '\S+')) AS BIGINT) AS nt
                     FROM s7),
@@ -3300,7 +3306,16 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                      CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx,
                      CAST(n_copies AS BIGINT) AS n_copies
               FROM cc WHERE n_copies > 0)
-            ORDER BY doc_id, copy_idx"""))
+            ORDER BY doc_id, copy_idx"""
+
+  private val x66 = Q("x66_recipe_batch",
+    (s, d) => {
+      val (corpus, emb) = recipeSetup(s, d)
+      Curation.batchRecipe(corpus, "doc_id", "text", "lang", "source",
+          emb, "embedding", "x66_bench", "x66_model", recipeParams)
+        .orderBy("doc_id", "copy_idx")
+    },
+    Some(recipeCascadeSql + "," + recipeMixtureTailSql))
 
   /** The data card maintained INCREMENTALLY from a persisted counter
     * store ([[graft.ext.DataCard.writeCardStore]]/`ingestCardBatch`/
@@ -4334,11 +4349,206 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    min(pos) AS pos_min, max(pos) AS pos_max
             FROM p GROUP BY 1 ORDER BY shard_id"""))
 
+  /** The trained-classifier scoring replay, shared by x88 (in-memory
+    * fit) and x89 (store-served + gate) — the x53/x54 adjudication
+    * pattern: one oracle, two checked plan shapes. Curated positives =
+    * sources src0–src3, background = the rest; weights are the
+    * Laplace-smoothed positive-affinity odds quantized at 2²⁰ (every
+    * step a correctly rounded IEEE op — see
+    * [[graft.ext.QualityClassifier]]). */
+  private val clsScoreSql = """WITH ctoks AS MATERIALIZED (
+               SELECT doc_id, source,
+                      regexp_extract_all(lower(trim(text)), '\S+') AS w
+               FROM documents),
+             occ AS MATERIALIZED (
+               SELECT doc_id, source,
+                      unnest(list_transform(generate_series(1, len(w)),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+               FROM ctoks WHERE len(w) >= 1),
+             cpos AS MATERIALIZED (
+               SELECT fp, CAST(count(*) AS BIGINT) AS c FROM occ
+               WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+             cneg AS MATERIALIZED (
+               SELECT fp, CAST(count(*) AS BIGINT) AS c FROM occ
+               WHERE source NOT IN ('src0','src1','src2','src3') GROUP BY 1),
+             tot AS MATERIALIZED (
+               SELECT (SELECT COALESCE(sum(c), 0) FROM cpos) AS np,
+                      (SELECT COALESCE(sum(c), 0) FROM cneg) AS nn,
+                      (SELECT CAST(count(*) AS BIGINT)
+                       FROM (SELECT fp FROM cpos UNION SELECT fp FROM cneg)) AS v),
+             wt AS MATERIALIZED (
+               SELECT u.fp,
+                 CAST(floor((CAST(COALESCE(p.c, 0) + 1 AS DOUBLE) / CAST(t.np + t.v AS DOUBLE))
+                      / ((CAST(COALESCE(p.c, 0) + 1 AS DOUBLE) / CAST(t.np + t.v AS DOUBLE))
+                       + (CAST(COALESCE(n.c, 0) + 1 AS DOUBLE) / CAST(t.nn + t.v AS DOUBLE)))
+                      * 1048576.0) AS BIGINT) AS wq
+               FROM (SELECT fp FROM cpos UNION SELECT fp FROM cneg) u
+               LEFT JOIN cpos p ON p.fp = u.fp
+               LEFT JOIN cneg n ON n.fp = u.fp, tot t),
+             wd AS MATERIALIZED (
+               SELECT CAST(floor((1.0 / CAST(np + v AS DOUBLE))
+                      / ((1.0 / CAST(np + v AS DOUBLE)) + (1.0 / CAST(nn + v AS DOUBLE)))
+                      * 1048576.0) AS BIGINT) AS w0 FROM tot),
+             csc AS MATERIALIZED (
+               SELECT o.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(COALESCE(wt.wq, (SELECT w0 FROM wd))) AS BIGINT) AS w_sum_q
+               FROM occ o LEFT JOIN wt ON wt.fp = o.fp GROUP BY 1)"""
+
+  private val curatedSources = Seq("src0", "src1", "src2", "src3")
+
+  /** Trained discriminative quality classifier
+    * ([[graft.ext.QualityClassifier]] — the fastText-style
+    * positive-corpus-vs-background scorer of GPT-3 appendix A /
+    * LLaMA / Dolma): hashed bag-of-words Naive Bayes in the
+    * positive-affinity odds form, fit on curated sources src0–src3 vs
+    * the rest, scoring EVERY doc (the training split is the real
+    * published shape — the classifier then judges held-in and held-out
+    * mass alike). Quantized integer arithmetic end to end, so the
+    * oracle replay is bit-exact; token-less docs abstain (null). */
+  private val x88 = Q("x88_quality_classifier",
+    (s, d) => {
+      val docs = documents(s, d)
+      val model = QualityClassifier.fit(
+        docs.filter(col("source").isin(curatedSources: _*)),
+        docs.filter(!col("source").isin(curatedSources: _*)),
+        "text").localCheckpoint(true)
+      QualityClassifier.score(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    Some(s"""$clsScoreSql
+            SELECT d.doc_id,
+                   CAST(COALESCE(csc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   csc.w_sum_q,
+                   CAST(csc.w_sum_q AS DOUBLE) / 1048576.0
+                     / CAST(csc.n_tokens AS DOUBLE) AS cls_score
+            FROM documents d LEFT JOIN csc ON csc.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
+  /** x88's verdicts served from a PERSISTED classifier store grown by
+    * an append ([[QualityClassifier.writeClassifierStore]] on the even
+    * halves of both corpora, `appendToClassifier` with the odd
+    * halves), then the published composition: gate the corpus at
+    * `cls_score ≥ 0.5` ([[QualityClassifier.gateAgainstStore]] — the
+    * GPT-3 keep rule; abstainers keep). One checked query proves
+    * store-served ≡ in-memory, append-then-serve ≡ fit-on-union, and
+    * the gate — the x54/x55 adjudication pair folded into one. */
+  private val x89 = Q("x89_classifier_store_gate",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pos = docs.filter(col("source").isin(curatedSources: _*))
+      val neg = docs.filter(!col("source").isin(curatedSources: _*))
+      QualityClassifier.writeClassifierStore(
+        pos.filter(col("doc_id") % 2 === 0),
+        neg.filter(col("doc_id") % 2 === 0), "text", "x89_cls", buckets = 8)
+      QualityClassifier.appendToClassifier(
+        pos.filter(col("doc_id") % 2 =!= 0),
+        neg.filter(col("doc_id") % 2 =!= 0), "text", "x89_cls", buckets = 8,
+        batchId = 0L)
+      QualityClassifier.gateAgainstStore(
+          docs.select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "text", "x89_cls", minScore = 0.5)
+        .select(col("doc_id"), col("source"), col("cls_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""$clsScoreSql
+            SELECT d.doc_id, d.source,
+                   CAST(csc.w_sum_q AS DOUBLE) / 1048576.0
+                     / CAST(csc.n_tokens AS DOUBLE) AS cls_score
+            FROM documents d LEFT JOIN csc ON csc.doc_id = d.doc_id
+            WHERE csc.w_sum_q IS NULL
+               OR CAST(csc.w_sum_q AS DOUBLE) / 1048576.0
+                    / CAST(csc.n_tokens AS DOUBLE) >= 0.5
+            ORDER BY d.doc_id"""))
+
+  /** Stage 7 under x90's CLASSIFIER seam: the trained
+    * positive-vs-background scorer (x88's arithmetic, trained on raw
+    * curated-vs-rest sources) gating the cleaned corpus at the
+    * absolute 0.5 threshold — the GPT-3 keep rule. Same prefix and
+    * mixture tail as x66, so the two configurations' oracles differ
+    * ONLY here. */
+  private val recipeClassifierTailSql = """
+             -- ==== stage 7 (x90 seam): trained classifier threshold gate (GPT-3 rule) ====
+             qtoks AS MATERIALIZED (
+               SELECT doc_id, source,
+                      regexp_extract_all(lower(trim(text)), '\S+') AS w
+               FROM documents),
+             qocc AS MATERIALIZED (
+               SELECT doc_id, source,
+                      unnest(list_transform(generate_series(1, len(w)),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+               FROM qtoks WHERE len(w) >= 1),
+             qpos AS MATERIALIZED (
+               SELECT fp, CAST(count(*) AS BIGINT) AS c FROM qocc
+               WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+             qneg AS MATERIALIZED (
+               SELECT fp, CAST(count(*) AS BIGINT) AS c FROM qocc
+               WHERE source NOT IN ('src0','src1','src2','src3') GROUP BY 1),
+             qtot AS MATERIALIZED (
+               SELECT (SELECT COALESCE(sum(c), 0) FROM qpos) AS np,
+                      (SELECT COALESCE(sum(c), 0) FROM qneg) AS nn,
+                      (SELECT CAST(count(*) AS BIGINT)
+                       FROM (SELECT fp FROM qpos UNION SELECT fp FROM qneg)) AS v),
+             qwt AS MATERIALIZED (
+               SELECT u.fp,
+                 CAST(floor((CAST(COALESCE(p2.c, 0) + 1 AS DOUBLE) / CAST(t.np + t.v AS DOUBLE))
+                      / ((CAST(COALESCE(p2.c, 0) + 1 AS DOUBLE) / CAST(t.np + t.v AS DOUBLE))
+                       + (CAST(COALESCE(n2.c, 0) + 1 AS DOUBLE) / CAST(t.nn + t.v AS DOUBLE)))
+                      * 1048576.0) AS BIGINT) AS wq
+               FROM (SELECT fp FROM qpos UNION SELECT fp FROM qneg) u
+               LEFT JOIN qpos p2 ON p2.fp = u.fp
+               LEFT JOIN qneg n2 ON n2.fp = u.fp, qtot t),
+             qwd AS MATERIALIZED (
+               SELECT CAST(floor((1.0 / CAST(np + v AS DOUBLE))
+                      / ((1.0 / CAST(np + v AS DOUBLE)) + (1.0 / CAST(nn + v AS DOUBLE)))
+                      * 1048576.0) AS BIGINT) AS w0 FROM qtot),
+             socc AS MATERIALIZED (
+               SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(w)),
+                        i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
+               FROM (SELECT doc_id,
+                            regexp_extract_all(lower(trim(ctext)), '\S+') AS w
+                     FROM s6) WHERE len(w) >= 1),
+             qsc AS MATERIALIZED (
+               SELECT o.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(COALESCE(qwt.wq, (SELECT w0 FROM qwd))) AS BIGINT) AS w_sum_q
+               FROM socc o LEFT JOIN qwt ON qwt.fp = o.fp GROUP BY 1),
+             s7 AS MATERIALIZED (
+               SELECT s6.doc_id, s6.lang, s6.source, s6.ctext
+               FROM s6 LEFT JOIN qsc ON qsc.doc_id = s6.doc_id
+               WHERE qsc.w_sum_q IS NULL
+                  OR CAST(qsc.w_sum_q AS DOUBLE) / 1048576.0
+                       / CAST(qsc.n_tokens AS DOUBLE) >= 0.5)"""
+
+  /** The full recipe under the CLASSIFIER quality seam
+    * ([[Curation.ClassifierGate]] — the GPT-3/Dolma configuration):
+    * same corpus, same stores, same stages 1–6 and the same mixture
+    * tail as x66, with stage 7 swapped from the CCNet LM-top-fraction
+    * to the trained discriminative threshold gate. One checked config
+    * proving the seam composes: the oracle shares x66's prefix and
+    * mixture SQL verbatim, so any divergence is the seam's. */
+  private val x90 = Q("x90_recipe_classifier_gate",
+    (s, d) => {
+      val (corpus, emb) = recipeSetup(s, d)
+      val docs = documents(s, d)
+      QualityClassifier.writeClassifierStore(
+        docs.filter(col("source").isin(curatedSources: _*)),
+        docs.filter(!col("source").isin(curatedSources: _*)),
+        "text", "x90_cls", buckets = 8)
+      Curation.batchRecipe(corpus, "doc_id", "text", "lang", "source",
+          emb, "embedding", "x66_bench", "x66_model", recipeParams,
+          quality = Some(Curation.ClassifierGate("x90_cls", minScore = 0.5)))
+        .orderBy("doc_id", "copy_idx")
+    },
+    Some(recipeCascadePrefixSql + "," + recipeClassifierTailSql + "," +
+      recipeMixtureTailSql))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87)
+    x82, x83, x84, x85, x86, x87, x88, x89, x90)
 }

@@ -911,6 +911,50 @@ class CurationSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("quality seam: the classifier gate swaps into stage 7, relabels the funnel, and cuts differently") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    graft.ext.Decontaminate.writeBenchmarkStore(
+      docs.filter(col("doc_id") % 10 === 0), "text", n = 8,
+      table = "seam_bench", buckets = 4)
+    graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
+      "text", table = "seam_model", buckets = 4)
+    graft.ext.QualityClassifier.writeClassifierStore(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0), "text",
+      table = "seam_cls", buckets = 4)
+    val p = graft.ext.Curation.RecipeParams(graft.ext.RuleGate.Rules(),
+      chunkTokens = 10, minDocFreq = 2,
+      shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
+      nCentroids = 16, dim = 64, seedOffset = 100000L,
+      minCosine = 0.4, maxContamination = 0.3, keepFraction = 0.5,
+      weights = Map("en" -> 0.7, "fr" -> 0.3), budgetTokens = 5000L)
+    try {
+      def funnel(q: Option[graft.ext.Curation.QualityStage]) =
+        graft.ext.Curation.batchRecipeFunnel(docs, "doc_id", "text",
+            "lang", "source", emb, "embedding", "seam_bench", "seam_model",
+            p, q)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+          .sortBy(_._1)
+      val lm = funnel(None)
+      val cls = funnel(Some(
+        graft.ext.Curation.ClassifierGate("seam_cls", minScore = 0.5)))
+      // stages 1-6 are seam-independent; stage 7 relabels and (with a
+      // threshold gate trained on a %3-vs-rest split) cuts differently
+      assert(lm.take(6).toSeq == cls.take(6).toSeq)
+      assert(lm(6)._2 == "lm" && cls(6)._2 == "classifier")
+      assert(cls(6)._3 <= cls(5)._3, "stage 7 must not grow the corpus")
+    } finally {
+      Seq("seam_bench", "seam_bench_meta", "seam_model", "seam_model_meta",
+        "seam_cls", "seam_cls_meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.core.IngestLedger.reset(spark, "seam_model")
+      graft.core.IngestLedger.reset(spark, "seam_cls")
+      spark.catalog.clearCache()
+    }
+  }
 }
 
 class PackingSpec extends SparkSpec {
