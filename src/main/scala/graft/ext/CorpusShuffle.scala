@@ -99,6 +99,47 @@ object CorpusShuffle {
     * (id, pos, shard) spine ([[order]] deliberately drops the text —
     * the terasort exchange must never carry document bodies), then a
     * map-side-combined groupBy to shard cardinality. */
+  /** Manifest field order for [[verifyShards]]'s first-difference
+    * verdict: cheapest-to-diagnose first (a doc-count mismatch names
+    * the failure mode outright; the xor is the catch-all). */
+  private val ManifestFields =
+    Seq("n_docs", "n_tokens", "content_xor", "pos_min", "pos_max")
+
+  /** The manifest's CONSUMER side (the x84/x86 audit discipline applied
+    * to x87): given the RELEASE manifest and the shard set actually
+    * received (as the re-derived `(ordered, docs)` pair), recompute the
+    * manifest over what arrived and emit one verdict row per shard —
+    * `status` ∈ `ok` (all five fields match), `mismatch` (+
+    * `first_diff` = the first differing field in [[ManifestFields]]
+    * order), `missing` (in the manifest, nothing received), or
+    * `unexpected` (received, not in the manifest). The join is FULL
+    * OUTER by design: a truncated release (missing shard) and a
+    * spliced one (extra shard) must surface as rows, not vanish from
+    * an inner join (the x84 completeness argument).
+    *
+    * Scale shape: one [[shardManifest]] recompute over the received
+    * shards + a manifest-sized (shards, not docs) full-outer join —
+    * the verdict table is dashboard-sized. */
+  def verifyShards(manifest: DataFrame, ordered: DataFrame, docs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val cols = "shard_id" +: ManifestFields
+    val m = manifest.select(cols.map(c => col(c).as(s"m_$c")): _*)
+    val a = shardManifest(ordered, docs, idCol, textCol)
+      .select(cols.map(c => col(c).as(s"a_$c")): _*)
+    val firstDiff = ManifestFields.foldRight(lit(null).cast("string")) {
+      case (f, acc) => when(!(col(s"m_$f") <=> col(s"a_$f")), f).otherwise(acc)
+    }
+    m.join(a, col("m_shard_id") === col("a_shard_id"), "full_outer")
+      .select(
+        coalesce(col("m_shard_id"), col("a_shard_id")).as("shard_id"),
+        when(col("m_shard_id").isNull, "unexpected")
+          .when(col("a_shard_id").isNull, "missing")
+          .when(firstDiff.isNotNull, "mismatch")
+          .otherwise("ok").as("status"),
+        when(col("m_shard_id").isNotNull && col("a_shard_id").isNotNull,
+          firstDiff).as("first_diff"))
+  }
+
   def shardManifest(ordered: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String): DataFrame =
     ordered.select(col(idCol), col("pos"), col("shard_id"))

@@ -179,6 +179,53 @@ object Curation {
       .drop("__nt")
   }
 
+  /** CCNet's language ROUTING front end completed with its confidence
+    * gate (Wenzek et al. route documents by fastText langid and keep
+    * only predictions above a confidence threshold; below it a doc
+    * must ABSTAIN — an uncertain prediction routed into some
+    * language's per-language perplexity ranking would contaminate that
+    * language's score distribution AND mis-bucket the doc): langid via
+    * the engine's x02 argmax ([[TextAnalysis.argmaxLang]] — one
+    * implementation, so x02 and this routing can never disagree),
+    * confidence = the winning score itself, `route` = the prediction
+    * when `confidence ≥ minConfidence` else null, then
+    * [[scoreBuckets]] per ROUTE (not per metadata language — routing
+    * is the point: the corpus may be unlabeled or mislabeled). A row's
+    * bucket is null unless BOTH verdicts exist: a confident route and
+    * a non-null score — abstain, never misroute (the shared null
+    * policy, applied at two gates).
+    *
+    * This completes the CCNet triple: langid (x02) → per-language
+    * perplexity terciles (x73 / [[scoreBuckets]]) → confidence gate
+    * (x91).
+    *
+    * Scale shape: the language scores are staged as columns once (the
+    * [[TextAnalysis.predictedLang]] staging discipline — the argmax
+    * and gate reference the staged columns, so each regex runs once
+    * per row), then [[scoreBuckets]]'s one hash exchange on
+    * (route, is-null) + in-partition sort. The abstain mass lands in
+    * one window partition by construction — the documented
+    * [[topFractionPerGroup]] null-partition shape (its rank is masked
+    * to null and never consumed). */
+  def languageRoutedBuckets(docs: DataFrame, idCol: String, textCol: String,
+                            scoreCol: String, minConfidence: Double,
+                            nBuckets: Int): DataFrame = {
+    require(minConfidence >= 0,
+      s"minConfidence must be >= 0, got $minConfidence")
+    val scores = TextAnalysis.langScores(col(textCol))
+    val staged = docs.select(
+      col("*") +: scores.map { case (l, c) => c.as(s"__s_$l") }: _*)
+    val refs = scores.map { case (l, _) => l -> col(s"__s_$l") }
+    val routed = staged
+      .withColumn("confidence", greatest(refs.map(_._2): _*))
+      .withColumn("route",
+        when(col("confidence") >= minConfidence,
+          TextAnalysis.argmaxLang(refs)))
+      .drop(scores.map { case (l, _) => s"__s_$l" }: _*)
+    scoreBuckets(routed, "route", scoreCol, idCol, nBuckets)
+      .withColumn("bucket", when(col("route").isNotNull, col("bucket")))
+  }
+
   /** The recipe's stage-7 QUALITY seam — which published recipe's
     * quality filter gates the cleaned corpus before the mixture. The
     * published pipelines differ exactly here: CCNet/LLaMA gate on a

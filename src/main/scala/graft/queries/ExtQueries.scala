@@ -4544,11 +4544,141 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     Some(recipeCascadePrefixSql + "," + recipeClassifierTailSql + "," +
       recipeMixtureTailSql))
 
+  /** CCNet language routing with the confidence gate
+    * ([[Curation.languageRoutedBuckets]] — completes the published
+    * triple: x02 langid → x73 per-language perplexity terciles → the
+    * confidence abstain): docs are routed by the x02 argmax ONLY when
+    * the winning score clears 0.05; below it the doc abstains (null
+    * route, null bucket) instead of contaminating some language's
+    * tercile ranking. Buckets are dealt per ROUTE over the x53 LM
+    * score with the ntile total order (score DESC, doc_id), and a
+    * bucket exists only under both verdicts — confident route AND
+    * non-null score. */
+  private val x91 = Q("x91_ccnet_langid_route",
+    (s, d) => {
+      val docs = documents(s, d)
+      val model = graft.ext.LmScore.fit(
+        docs.filter(col("doc_id") % 10 =!= 0), "text").localCheckpoint(true)
+      val scored = graft.ext.LmScore.score(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("lm_score"))
+      Curation.languageRoutedBuckets(
+          docs.select(col("doc_id"), col("text")).join(scored, Seq("doc_id")),
+          "doc_id", "text", "lm_score", minConfidence = 0.05, nBuckets = 3)
+        .select(col("doc_id"), col("confidence"), col("route"),
+          col("lm_score"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""$lmCascadeSql,
+             lt AS MATERIALIZED (SELECT doc_id, text,
+                    regexp_extract_all(lower(text), '[a-z]+') AS ltoks
+                  FROM documents),
+             lsc AS MATERIALIZED (SELECT doc_id,
+                    CASE WHEN len(ltoks) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS DOUBLE) / len(ltoks) END AS s_de,
+                    CASE WHEN len(ltoks) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / len(ltoks) END AS s_en,
+                    CASE WHEN len(ltoks) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(ltoks, x -> x IN ('el','la','que','y','en','un','es','los','se','del'))) AS DOUBLE) / len(ltoks) END AS s_es,
+                    CASE WHEN len(ltoks) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(ltoks, x -> x IN ('le','la','et','un','que','pour','dans','ce','une','sur'))) AS DOUBLE) / len(ltoks) END AS s_fr,
+                    CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE CAST(length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS DOUBLE) / length(text) END AS s_zh
+                  FROM lt),
+             rt AS MATERIALIZED (SELECT l.doc_id,
+                    greatest(s_de, s_en, s_es, s_fr, s_zh) AS confidence,
+                    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) >= 0.05 THEN
+                      CASE WHEN s_de >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                           WHEN s_en >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                           WHEN s_es >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                           WHEN s_fr >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                           ELSE 'zh' END
+                    END AS route,
+                    CAST(sc.p_sum_q AS DOUBLE) / 1073741824.0
+                      / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
+                  FROM lsc l LEFT JOIN sc ON sc.doc_id = l.doc_id)
+            SELECT doc_id, confidence, route, lm_score,
+                   CAST(ntile(3) OVER (PARTITION BY route
+                     ORDER BY lm_score DESC, doc_id) AS BIGINT) AS bucket
+            FROM rt WHERE route IS NOT NULL AND lm_score IS NOT NULL
+            UNION ALL
+            SELECT doc_id, confidence, route, lm_score,
+                   CAST(NULL AS BIGINT) AS bucket
+            FROM rt WHERE route IS NULL OR lm_score IS NULL
+            ORDER BY doc_id"""))
+
+  /** Shard-manifest VERIFICATION ([[CorpusShuffle.verifyShards]] —
+    * x87's consumer side, the x84/x86 audit discipline): the release
+    * manifest is built over the pristine corpus, the "received" shard
+    * set carries one tampered document (doc 42's text replaced), and
+    * the verdict table must flag EXACTLY that document's shard as a
+    * mismatch with the first differing field named (the tamper changes
+    * the token count, so `n_tokens` — checked before the xor in the
+    * diagnosis order) while every other shard reads `ok`. Full-outer
+    * verdicts: a missing or unexpected shard would surface as its own
+    * row (the spec exercises those arms). */
+  private val x92 = Q("x92_shard_verify",
+    (s, d) => {
+      val docs = documents(s, d)
+      val manifest = CorpusShuffle.shardManifest(
+        CorpusShuffle.order(docs, "doc_id", seed = "graft-shuffle-r7",
+          shardSize = 128L),
+        docs, "doc_id", "text").localCheckpoint(true)
+      val tampered = docs.withColumn("text",
+        when(col("doc_id") === 42L, lit("tampered")).otherwise(col("text")))
+      CorpusShuffle.verifyShards(manifest,
+          CorpusShuffle.order(tampered, "doc_id", seed = "graft-shuffle-r7",
+            shardSize = 128L),
+          tampered, "doc_id", "text")
+        .orderBy("shard_id")
+    },
+    Some("""WITH k AS MATERIALIZED (SELECT doc_id, text,
+                 md5('graft-shuffle-r7:' || CAST(doc_id AS VARCHAR)) AS sk
+               FROM documents),
+             p0 AS MATERIALIZED (SELECT doc_id, text,
+                 CAST(row_number() OVER (ORDER BY sk) - 1 AS BIGINT) AS pos
+               FROM k),
+             mp AS MATERIALIZED (
+               SELECT CAST(pos // 128 AS BIGINT) AS shard_id,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+'))) AS BIGINT) AS n_tokens,
+                      bit_xor(CAST(CAST('0x'||substr(md5(md5(CAST(doc_id AS VARCHAR)) || md5(COALESCE(text, ''))),1,15) AS UBIGINT) AS BIGINT)) AS content_xor,
+                      min(pos) AS pos_min, max(pos) AS pos_max
+               FROM p0 GROUP BY 1),
+             tp AS MATERIALIZED (SELECT doc_id,
+                 CASE WHEN doc_id = 42 THEN 'tampered' ELSE text END AS text,
+                 pos
+               FROM p0),
+             ma AS MATERIALIZED (
+               SELECT CAST(pos // 128 AS BIGINT) AS shard_id,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+'))) AS BIGINT) AS n_tokens,
+                      bit_xor(CAST(CAST('0x'||substr(md5(md5(CAST(doc_id AS VARCHAR)) || md5(COALESCE(text, ''))),1,15) AS UBIGINT) AS BIGINT)) AS content_xor,
+                      min(pos) AS pos_min, max(pos) AS pos_max
+               FROM tp GROUP BY 1),
+             j AS MATERIALIZED (
+               SELECT COALESCE(m.shard_id, a.shard_id) AS shard_id,
+                      m.shard_id AS ms, a.shard_id AS asd,
+                      CASE WHEN m.n_docs IS DISTINCT FROM a.n_docs THEN 'n_docs'
+                           WHEN m.n_tokens IS DISTINCT FROM a.n_tokens THEN 'n_tokens'
+                           WHEN m.content_xor IS DISTINCT FROM a.content_xor THEN 'content_xor'
+                           WHEN m.pos_min IS DISTINCT FROM a.pos_min THEN 'pos_min'
+                           WHEN m.pos_max IS DISTINCT FROM a.pos_max THEN 'pos_max'
+                      END AS fd
+               FROM mp m FULL OUTER JOIN ma a ON m.shard_id = a.shard_id)
+            SELECT shard_id,
+                   CASE WHEN ms IS NULL THEN 'unexpected'
+                        WHEN asd IS NULL THEN 'missing'
+                        WHEN fd IS NOT NULL THEN 'mismatch'
+                        ELSE 'ok' END AS status,
+                   CASE WHEN ms IS NOT NULL AND asd IS NOT NULL THEN fd
+                   END AS first_diff
+            FROM j ORDER BY shard_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x88, x89, x90)
+    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92)
 }

@@ -152,6 +152,42 @@ class CorpusShuffleSpec extends SparkSpec {
     assert(fp(original) != fp(corrupted))
   }
 
+  test("verifyShards: ok / first-diff mismatch / missing / unexpected verdicts") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 12L).map(i => (i, s"tok$i alpha beta")).toDF("doc_id", "text")
+    def ordered(d: org.apache.spark.sql.DataFrame) =
+      CorpusShuffle.order(d, "doc_id", seed = "v1", shardSize = 4L)
+    val manifest = CorpusShuffle.shardManifest(ordered(docs), docs,
+      "doc_id", "text").localCheckpoint(true)
+    // pristine receipt: every shard ok, no first_diff
+    val clean = CorpusShuffle.verifyShards(manifest, ordered(docs), docs,
+      "doc_id", "text").collect()
+    assert(clean.length == 3 && clean.forall(_.getString(1) == "ok"))
+    // same-token-count tamper: only that shard flips, diagnosed by the xor
+    val tam = docs.withColumn("text",
+      when($"doc_id" === 5L, lit("tokX alpha beta")).otherwise($"text"))
+    val v = CorpusShuffle.verifyShards(manifest, ordered(tam), tam,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).sortBy(_._1)
+    assert(v.count(_._2 == "mismatch") == 1)
+    assert(v.find(_._2 == "mismatch").get._3.contains("content_xor"),
+      "equal counts and positions must fall through to the xor verdict")
+    // a manifest shard nothing arrived for -> missing; a received shard
+    // the manifest never listed -> unexpected
+    val truncated = CorpusShuffle.verifyShards(manifest,
+        ordered(docs).filter(col("shard_id") < 2L),
+        docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(truncated(2L) == "missing")
+    val extra = CorpusShuffle.verifyShards(
+        manifest.filter(col("shard_id") < 2L), ordered(docs), docs,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(extra(2L) == "unexpected")
+  }
+
   test("order is a permutation: pos is dense 0..n-1 and shards are contiguous runs") {
     val out = CorpusShuffle.order(ids(10), "doc_id", seed = "s1", shardSize = 4L)
       .orderBy("pos").collect()

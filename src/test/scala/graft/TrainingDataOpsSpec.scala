@@ -912,6 +912,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("language routing: confident docs route by argmax, low-confidence and null-score docs abstain") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // dense stopwords -> confident en / de routes
+      (1L, "the cat of the house is in the garden for the day", 0.9),
+      (2L, "der hund und die katze ist nicht mit den andern", 0.8),
+      // real words, no stopword hits -> confidence 0 -> abstain
+      (3L, "quartz obelisk granite pylon marble", 0.7),
+      // confident route but a NULL score -> bucket must still be null
+      (4L, "the dog of the yard is in the shade for now", Double.NaN))
+      .toDF("doc_id", "text", "s")
+      .withColumn("score", when(col("doc_id") === 4L,
+        lit(null).cast("double")).otherwise(col("s")))
+    val out = graft.ext.Curation.languageRoutedBuckets(
+        docs.select("doc_id", "text", "score"),
+        "doc_id", "text", "score", minConfidence = 0.05, nBuckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("route")),
+          if (r.isNullAt(r.fieldIndex("bucket"))) None
+          else Some(r.getAs[Long]("bucket")))).toMap
+    assert(out(1L)._1.contains("en") && out(1L)._2.nonEmpty)
+    assert(out(2L)._1.contains("de") && out(2L)._2.nonEmpty)
+    assert(out(3L) == ((None, None)), "no stopword evidence must abstain")
+    assert(out(4L)._1.contains("en") && out(4L)._2.isEmpty,
+      "a confident route with no score must not receive a bucket")
+  }
+
   test("quality seam: the classifier gate swaps into stage 7, relabels the funnel, and cuts differently") {
     val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
     val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
