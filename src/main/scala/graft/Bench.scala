@@ -51,9 +51,12 @@ object Bench {
     // reader (itself a dashboard-sized unpivot over one row per batch) —
     // the same fixture precedent. x75 re-runs x66's entire recipe to
     // check its seven funnel counts: the recipe is timed once, as x66.
+    // x90 re-runs the same recipe with only stage 7 swapped (the
+    // classifier seam, whose scoring IS separately timed as x88/x89) —
+    // the x75 precedent again: one recipe timing, x66's.
     val skip = Set("q28_pipeline_cascade", "q35_stream_cascade",
       "x56_curation_loop", "x57_curation_funnel", "x72_funnel_history",
-      "x75_recipe_funnel")
+      "x75_recipe_funnel", "x90_recipe_classifier_gate")
     // SPARK_GRAFT_BENCH_ONLY=x27,x34 limits the run (substring match on
     // query names) — perf-iteration convenience mirroring Verify's
     // SPARK_GRAFT_ONLY; the driver's full runs leave it unset

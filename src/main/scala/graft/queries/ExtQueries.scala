@@ -4397,6 +4397,18 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
 
   private val curatedSources = Seq("src0", "src1", "src2", "src3")
 
+  /** x88's full scoring oracle — shared verbatim by x93 (the streamed
+    * store-ingest form): serve-after-stream ≡ fit-on-union, the x55
+    * adjudication pattern. */
+  private val clsScoreOracle = s"""$clsScoreSql
+            SELECT d.doc_id,
+                   CAST(COALESCE(csc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   csc.w_sum_q,
+                   CAST(csc.w_sum_q AS DOUBLE) / 1048576.0
+                     / CAST(csc.n_tokens AS DOUBLE) AS cls_score
+            FROM documents d LEFT JOIN csc ON csc.doc_id = d.doc_id
+            ORDER BY d.doc_id"""
+
   /** Trained discriminative quality classifier
     * ([[graft.ext.QualityClassifier]] — the fastText-style
     * positive-corpus-vs-background scorer of GPT-3 appendix A /
@@ -4416,14 +4428,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
       QualityClassifier.score(docs, "doc_id", "text", model)
         .orderBy("doc_id")
     },
-    Some(s"""$clsScoreSql
-            SELECT d.doc_id,
-                   CAST(COALESCE(csc.n_tokens, 0) AS BIGINT) AS n_tokens,
-                   csc.w_sum_q,
-                   CAST(csc.w_sum_q AS DOUBLE) / 1048576.0
-                     / CAST(csc.n_tokens AS DOUBLE) AS cls_score
-            FROM documents d LEFT JOIN csc ON csc.doc_id = d.doc_id
-            ORDER BY d.doc_id"""))
+    Some(clsScoreOracle))
 
   /** x88's verdicts served from a PERSISTED classifier store grown by
     * an append ([[QualityClassifier.writeClassifierStore]] on the even
@@ -4674,11 +4679,57 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    END AS first_diff
             FROM j ORDER BY shard_id"""))
 
+  /** The classifier store grown by a STREAM of labeled training waves
+    * ([[QualityClassifier.streamIngestClassifier]] — completing the
+    * batch + streamed ingest symmetry the engine's other five store
+    * families share): a %3 seed build, two labeled file-source waves
+    * through the checkpointed stream (each wave mixes positives and
+    * background — the labeled-frame grain a stream actually delivers)
+    * with decay-triggered in-loop compaction, then the served scoring —
+    * which must equal x88's fit-on-everything answer; the oracle IS
+    * x88's. Count deltas are not idempotent, so the ingest runs the
+    * two-phase intent/record ledger (the x55 protocol). */
+  private val x93 = Q("x93_stream_classifier_ingest",
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
+      val root = java.nio.file.Files.createTempDirectory("graft-x93-")
+      val in = root.resolve("in"); val chk = s"$root/chk"
+      java.nio.file.Files.createDirectories(in)
+      val docs = documents(s, d)
+      val labeled = docs.select(col("doc_id"),
+        when(col("source").isin(curatedSources: _*), lit(1))
+          .otherwise(lit(0)).as("label"),
+        col("text"))
+      QualityClassifier.writeClassifierStore(
+        labeled.filter(col("label") === 1 && col("doc_id") % 3 === 0)
+          .select("doc_id", "text"),
+        labeled.filter(col("label") === 0 && col("doc_id") % 3 === 0)
+          .select("doc_id", "text"),
+        "text", "x93_cls", buckets = 8)
+      graft.util.Staging.stageWave(labeled.filter(col("doc_id") % 3 === 1),
+        in, "wave1.parquet", 1704067200000L)
+      graft.util.Staging.stageWave(labeled.filter(col("doc_id") % 3 === 2),
+        in, "wave2.parquet", 1704067260000L)
+      val stream = s.readStream.schema(labeled.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      QualityClassifier.streamIngestClassifier(stream, "label", "text",
+          "x93_cls", buckets = 8, checkpoint = chk, maxFilesPerBucket = 1)
+        .awaitTermination()
+      // the loop appended + compacted in its foreachBatch session clone;
+      // refresh this outer session's stale relation caches (the
+      // Bucketing.replaceBucketed cross-session convention)
+      s.catalog.refreshTable("x93_cls")
+      s.catalog.refreshTable(QualityClassifier.classifierMeta("x93_cls"))
+      QualityClassifier.scoreAgainstStore(docs, "doc_id", "text", "x93_cls")
+        .orderBy("doc_id")
+    },
+    Some(clsScoreOracle))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92)
+    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93)
 }

@@ -90,6 +90,72 @@ class QualityClassifierSpec extends SparkSpec {
     assert(e2.getMessage.contains("no meta"))
   }
 
+  test("ingestClassifierBatch is exactly-once: committed batches skip, a crashed labeled append repairs exactly") {
+    val s = spark
+    import s.implicits._
+    val p = pos; val n = neg
+    val seedP = p.filter(col("doc_id") <= 2L)
+    val seedN = n.filter(col("doc_id") <= 12L)
+    val waveP = p.filter(col("doc_id") > 2L)
+    val waveN = n.filter(col("doc_id") > 12L)
+    val wave = waveP.withColumn("label", lit(1))
+      .unionByName(waveN.withColumn("label", lit(0)))
+    val union = collectScores(QualityClassifier.score(cand, "doc_id", "text",
+      QualityClassifier.fit(p, n, "text").localCheckpoint(true))).toSeq
+    QualityClassifier.writeClassifierStore(seedP, seedN, "text",
+      "qc_ledger", buckets = 2)
+    try {
+      QualityClassifier.ingestClassifierBatch(wave, 0L, "label", "text",
+        "qc_ledger", buckets = 2)
+      def served = collectScores(QualityClassifier.scoreAgainstStore(
+        cand, "doc_id", "text", "qc_ledger")).toSeq
+      assert(served == union)
+      // replay of a COMMITTED batch is a no-op (counts would double)
+      QualityClassifier.ingestClassifierBatch(wave, 0L, "label", "text",
+        "qc_ledger", buckets = 2)
+      assert(served == union)
+      // crash window: intent written, the append landed FULLY (the
+      // worst case the repair must survive), no commit record — the
+      // replay must converge to exactly one copy of the wave's deltas
+      graft.core.IngestLedger.intent(spark, "qc_ledger", 1L)
+      QualityClassifier.appendToClassifier(waveP, waveN, "text",
+        "qc_ledger", buckets = 2, batchId = 1L)
+      QualityClassifier.ingestClassifierBatch(wave, 1L, "label", "text",
+        "qc_ledger", buckets = 2)
+      assert(graft.core.IngestLedger.applied(spark, "qc_ledger", 1L))
+      val unionWW = collectScores(QualityClassifier.score(cand, "doc_id",
+        "text", QualityClassifier.fit(p.unionByName(waveP),
+          n.unionByName(waveN), "text").localCheckpoint(true))).toSeq
+      assert(served == unionWW)
+      // compaction folds the generations without changing a score
+      QualityClassifier.compactClassifierStore(spark, "qc_ledger",
+        buckets = 2)
+      assert(spark.table("qc_ledger")
+        .groupBy("side", "fp").count().filter(col("count") > 1).isEmpty,
+        "compaction must leave one row per (side, fp)")
+      assert(served == unionWW)
+      // negative ids are the base-build sentinel: refused
+      val e = intercept[IllegalArgumentException] {
+        QualityClassifier.ingestClassifierBatch(wave, -1L, "label", "text",
+          "qc_ledger", buckets = 2)
+      }
+      assert(e.getMessage.contains("sentinel"))
+      // a label outside {0, 1} refuses loudly instead of mis-crediting
+      val bad = Seq((99L, "oops text", 2)).toDF("doc_id", "text", "label")
+      val e2 = intercept[Exception] {
+        QualityClassifier.fitLabeled(bad, "label", "text").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e2).exists(_.contains("must be 0 or 1")))
+    } finally {
+      Seq("qc_ledger", "qc_ledger_meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.core.IngestLedger.reset(spark, "qc_ledger")
+    }
+  }
+
   test("an empty positive corpus still scores: background vocab leans negative, novel vocab positive") {
     val s = spark
     import s.implicits._
