@@ -226,6 +226,53 @@ object Curation {
       .withColumn("bucket", when(col("route").isNotNull, col("bucket")))
   }
 
+  /** QUALITY-SIGNAL AGREEMENT audit — per group, the Spearman rank
+    * correlation between two per-document quality signals (the
+    * production cross-check every pipeline with more than one quality
+    * filter needs: published recipes run a generative LM score AND a
+    * trained classifier, and a source where the two signals rank
+    * documents in OPPOSITE orders — rho near −1 — is a source where at
+    * least one filter is judging style, not quality, the signal to
+    * audit before it silently gates a release). One row per group:
+    * `(n_docs, sum_d2, rho)` over docs where BOTH signals exist (a doc
+    * either signal abstained on carries no rank evidence — excluded,
+    * the shared null policy).
+    *
+    * Determinism: ranks are `row_number` over the (score, `keyCol`)
+    * TOTAL order — the deterministic variant of Spearman (published
+    * Spearman average-ranks ties; a fractional average rank is
+    * engine-hashable but the tie-break form keeps every intermediate
+    * an exact int64, the x79 quantized-grid argument, and the two
+    * variants agree whenever scores are tie-free). `sum_d2` is an
+    * exact int64; `rho = 1 − 6·sum_d2 / (n(n²−1))` is one int multiply
+    * chain, one correctly rounded division, one subtraction — engine
+    * bit-exact. Groups with n ≤ 1 abstain (null rho — no pair
+    * evidence).
+    *
+    * Scale shape: one hash exchange on the group key + two
+    * in-partition sorts (the two rank windows share the partition),
+    * then a map-side-combinable rollup to group cardinality — no
+    * global sort, no driver collect. */
+  def rankAgreement(df: DataFrame, groupCol: String, scoreACol: String,
+                    scoreBCol: String, keyCol: String): DataFrame = {
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreACol), col(keyCol))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreBCol), col(keyCol))
+    df.filter(col(scoreACol).isNotNull && col(scoreBCol).isNotNull)
+      .withColumn("__ra", row_number().over(wa).cast("long"))
+      .withColumn("__rb", row_number().over(wb).cast("long"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
+          .as("sum_d2"))
+      .select(col(groupCol), col("n_docs"), col("sum_d2"),
+        when(col("n_docs") > 1,
+          lit(1.0) - (col("sum_d2") * 6).cast("double") /
+            (col("n_docs") * (col("n_docs") * col("n_docs") - 1))
+              .cast("double")).as("rho"))
+  }
+
   /** The recipe's stage-7 QUALITY seam — which published recipe's
     * quality filter gates the cleaned corpus before the mixture. The
     * published pipelines differ exactly here: CCNet/LLaMA gate on a

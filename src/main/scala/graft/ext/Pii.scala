@@ -75,14 +75,50 @@ object Pii {
     * once per row — six passes total (3 extract + 3 replace), which
     * PlanSpec pins for x40. */
   def annotate(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-        countMatches(col(textCol), emailRe).as("n_emails"),
-        regexp_replace(col(textCol), emailRe, "<EMAIL>").as("__t1"))
-      .select(col(idCol), col("n_emails"),
-        countMatches(col("__t1"), ipv4Re).as("n_ips"),
-        regexp_replace(col("__t1"), ipv4Re, "<IP>").as("__t2"))
-      .select(col(idCol), col("n_emails"), col("n_ips"),
-        countMatches(col("__t2"), phoneRe).as("n_phones"),
-        md5(regexp_replace(col("__t2"), phoneRe, "<PHONE>")).as("redacted_fp"))
+    annotateKeeping(df, Seq(idCol), textCol)
+
+  /** [[annotate]] with an arbitrary carried-column spine — the shared
+    * implementation of the per-doc verdicts and the per-group
+    * [[audit]] (one staged-projection chain, so the two surfaces can
+    * never count differently). */
+  private def annotateKeeping(df: DataFrame, keep: Seq[String],
+                              textCol: String): DataFrame = {
+    val k = keep.map(col)
+    df.select(k :+
+        countMatches(col(textCol), emailRe).as("n_emails") :+
+        regexp_replace(col(textCol), emailRe, "<EMAIL>").as("__t1"): _*)
+      .select(k :+ col("n_emails") :+
+        countMatches(col("__t1"), ipv4Re).as("n_ips") :+
+        regexp_replace(col("__t1"), ipv4Re, "<IP>").as("__t2"): _*)
+      .select(k :+ col("n_emails") :+ col("n_ips") :+
+        countMatches(col("__t2"), phoneRe).as("n_phones") :+
+        md5(regexp_replace(col("__t2"), phoneRe, "<PHONE>")).as("redacted_fp"): _*)
       .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
+  }
+
+  /** Per-group PII AUDIT — the data card's privacy section (Dolma's
+    * data sheet and every release audit report exactly this): per
+    * `groupCol`, document count, redacted-span counts per PII class,
+    * how many documents carry ANY PII, and the PII-document rate. The
+    * counts are [[annotate]]'s (the sequential-redaction counting, so
+    * the audit total always equals the number of placeholders
+    * [[redact]] would insert — one definition of "a PII span" across
+    * the engine).
+    *
+    * Scale shape: the regex pass is the same zero-shuffle map-side
+    * work as [[annotate]] (the fingerprint column is pruned by the
+    * rollup), followed by ONE map-side-combined groupBy to group
+    * cardinality — a release audit over 100 TB is a full scan and a
+    * dashboard-sized result, nothing in between. */
+  def audit(df: DataFrame, idCol: String, textCol: String,
+            groupCol: String): DataFrame =
+    annotateKeeping(df, Seq(groupCol, idCol), textCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_ips")).as("n_ips"),
+        sum(col("n_phones")).as("n_phones"),
+        count(when(col("n_pii") > 0, 1)).as("docs_with_pii"))
+      .withColumn("pii_doc_rate",
+        col("docs_with_pii").cast("double") / col("n_docs").cast("double"))
 }

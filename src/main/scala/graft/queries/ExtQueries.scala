@@ -4725,11 +4725,115 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     },
     Some(clsScoreOracle))
 
+  /** Quality-signal agreement audit ([[Curation.rankAgreement]] — the
+    * cross-check between the engine's two quality families): per
+    * source, the deterministic Spearman rho between the x53 generative
+    * LM score and the x88 discriminative classifier score, over docs
+    * where both signals exist. Ranks are row_number on the
+    * (score, doc_id) total order; sum_d2 exact int64; rho one
+    * correctly rounded division — bit-exact replay. A source ranking
+    * near −1 is a filter-disagreement alarm, the audit's point. */
+  private val x94 = Q("x94_signal_agreement",
+    (s, d) => {
+      val docs = documents(s, d)
+      val lmModel = graft.ext.LmScore.fit(
+        docs.filter(col("doc_id") % 10 =!= 0), "text").localCheckpoint(true)
+      val lm = graft.ext.LmScore.score(docs, "doc_id", "text", lmModel)
+        .select(col("doc_id"), col("lm_score"))
+      val clsModel = QualityClassifier.fit(
+        docs.filter(col("source").isin(curatedSources: _*)),
+        docs.filter(!col("source").isin(curatedSources: _*)),
+        "text").localCheckpoint(true)
+      val cls = QualityClassifier.score(docs, "doc_id", "text", clsModel)
+        .select(col("doc_id"), col("cls_score"))
+      Curation.rankAgreement(
+          docs.select(col("doc_id"), col("source"))
+            .join(lm, Seq("doc_id"), "left")
+            .join(cls, Seq("doc_id"), "left"),
+          "source", "lm_score", "cls_score", "doc_id")
+        .orderBy("source")
+    },
+    Some(s"""$lmCascadeSql,
+             ${clsScoreSql.stripPrefix("WITH ")},
+             sigs AS MATERIALIZED (
+               SELECT d.doc_id, d.source,
+                      CAST(sc.p_sum_q AS DOUBLE) / 1073741824.0
+                        / CAST(sc.n_bigrams AS DOUBLE) AS lm_score,
+                      CAST(csc.w_sum_q AS DOUBLE) / 1048576.0
+                        / CAST(csc.n_tokens AS DOUBLE) AS cls_score
+               FROM documents d
+               LEFT JOIN sc ON sc.doc_id = d.doc_id
+               LEFT JOIN csc ON csc.doc_id = d.doc_id),
+             rk AS MATERIALIZED (
+               SELECT source,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY lm_score, doc_id) AS BIGINT) AS ra,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY cls_score, doc_id) AS BIGINT) AS rb
+               FROM sigs
+               WHERE lm_score IS NOT NULL AND cls_score IS NOT NULL),
+             agr AS MATERIALIZED (
+               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+               FROM rk GROUP BY 1)
+            SELECT source, n_docs, sum_d2,
+                   CASE WHEN n_docs > 1 THEN
+                     1.0 - CAST(sum_d2 * 6 AS DOUBLE)
+                           / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE)
+                   END AS rho
+            FROM agr ORDER BY source"""))
+
+  /** Per-source PII audit ([[Pii.audit]] — the data-card privacy
+    * section over x40's seeded corpus): per source, the redacted-span
+    * counts per class (the sequential-redaction counting, so totals ≡
+    * the placeholders [[Pii.redact]] inserts), the count of documents
+    * carrying any PII, and the PII-document rate. Same deterministic
+    * seeding as x40 so every class provably occurs. */
+  private val x95 = Q("x95_pii_audit",
+    (s, d) => {
+      val id = col("doc_id")
+      val seeded = documents(s, d).withColumn("__seeded", concat(
+        col("text"),
+        when(id % 5 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" from 10.0."), (id % 256).cast("string"),
+          lit("."), expr("(doc_id DIV 7) % 256").cast("string"))).otherwise(lit("")),
+        when(id % 11 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
+      Pii.audit(seeded, "doc_id", "__seeded", "source").orderBy("source")
+    },
+    Some("""WITH seeded AS MATERIALIZED (SELECT doc_id, source, text
+                 || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                 AS t FROM documents),
+            pr2 AS MATERIALIZED (SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS ne,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                   FROM seeded),
+            pr3 AS MATERIALIZED (SELECT doc_id, source, ne,
+                     CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ni,
+                     regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+                   FROM pr2),
+            pr4 AS MATERIALIZED (SELECT doc_id, source, ne, ni,
+                     CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS np
+                   FROM pr3)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ne) AS BIGINT) AS n_emails,
+                   CAST(sum(ni) AS BIGINT) AS n_ips,
+                   CAST(sum(np) AS BIGINT) AS n_phones,
+                   CAST(count(CASE WHEN ne + ni + np > 0 THEN 1 END) AS BIGINT) AS docs_with_pii,
+                   CAST(count(CASE WHEN ne + ni + np > 0 THEN 1 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS pii_doc_rate
+            FROM pr4 GROUP BY source ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93)
+    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95)
 }

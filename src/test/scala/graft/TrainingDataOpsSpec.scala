@@ -912,6 +912,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("rankAgreement: +1 on agreeing ranks, -1 on reversed, abstainers excluded, singleton groups null") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // group a: b-signal = a-signal -> identical ranks, rho = 1
+      ("a", 1L, 0.1, 0.1), ("a", 2L, 0.2, 0.2), ("a", 3L, 0.3, 0.3),
+      // group b: b-signal reversed -> rho = -1
+      ("b", 4L, 0.1, 0.9), ("b", 5L, 0.2, 0.5), ("b", 6L, 0.3, 0.1),
+      // group c: one scored doc -> no pair evidence, rho null
+      ("c", 7L, 0.5, 0.5))
+      .toDF("src", "doc_id", "sa", "sb")
+      // group a also carries an abstainer (null b-signal): excluded, so
+      // rho stays exactly 1 instead of being dragged by a null rank
+      .unionByName(Seq(("a", 9L, 0.4)).toDF("src", "doc_id", "sa")
+        .withColumn("sb", lit(null).cast("double")))
+    val out = graft.ext.Curation.rankAgreement(rows, "src", "sa", "sb",
+        "doc_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out("a") == ((3L, Some(1.0))))
+    assert(out("b") == ((3L, Some(-1.0))))
+    assert(out("c") == ((1L, None)))
+  }
+
   test("language routing: confident docs route by argmax, low-confidence and null-score docs abstain") {
     val s = spark
     import s.implicits._
