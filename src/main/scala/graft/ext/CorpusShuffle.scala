@@ -76,29 +76,6 @@ object CorpusShuffle {
     spark.createDataFrame(rows, schema)
   }
 
-  /** SHARD MANIFEST — the release-integrity artifact written next to a
-    * sharded training corpus (every published data release ships one:
-    * per shard, how many documents, how many tokens, and a content
-    * fingerprint a consumer can re-derive to detect truncated, swapped,
-    * or re-ordered shards before a single training step runs). Per
-    * `shard_id`: document count, exact token mass, an ORDER-FREE
-    * 60-bit content fingerprint (XOR of each doc's
-    * `md5(md5(id) || md5(text))`-prefix integer — XOR commutes, so the
-    * fingerprint is stable under any aggregation order while any
-    * single-doc corruption, omission, or cross-shard swap flips it;
-    * the id inside the hash keeps identical twin texts from XOR-ing
-    * out, and the fixed-width inner digests frame the two fields
-    * UNAMBIGUOUSLY: a separator-based concat let ids containing the
-    * separator collide — id `a#b`/text `c` vs id `a`/text `b#c` hashed
-    * identically, so a cross-doc content swap among such docs XOR-ed
-    * out and the check passed silently (review finding, round 17)),
-    * and the position range (`pos_max − pos_min + 1 = n_docs`
-    * iff the shard is contiguous).
-    *
-    * Shape at 100 TB: one id-keyed join attaches text to the
-    * (id, pos, shard) spine ([[order]] deliberately drops the text —
-    * the terasort exchange must never carry document bodies), then a
-    * map-side-combined groupBy to shard cardinality. */
   /** Manifest field order for [[verifyShards]]'s first-difference
     * verdict: cheapest-to-diagnose first (a doc-count mismatch names
     * the failure mode outright; the xor is the catch-all). */
@@ -140,6 +117,29 @@ object CorpusShuffle {
           firstDiff).as("first_diff"))
   }
 
+  /** SHARD MANIFEST — the release-integrity artifact written next to a
+    * sharded training corpus (every published data release ships one:
+    * per shard, how many documents, how many tokens, and a content
+    * fingerprint a consumer can re-derive to detect truncated, swapped,
+    * or re-ordered shards before a single training step runs). Per
+    * `shard_id`: document count, exact token mass, an ORDER-FREE
+    * 60-bit content fingerprint (XOR of each doc's
+    * `md5(md5(id) || md5(text))`-prefix integer — XOR commutes, so the
+    * fingerprint is stable under any aggregation order while any
+    * single-doc corruption, omission, or cross-shard swap flips it;
+    * the id inside the hash keeps identical twin texts from XOR-ing
+    * out, and the fixed-width inner digests frame the two fields
+    * UNAMBIGUOUSLY: a separator-based concat let ids containing the
+    * separator collide — id `a#b`/text `c` vs id `a`/text `b#c` hashed
+    * identically, so a cross-doc content swap among such docs XOR-ed
+    * out and the check passed silently (review finding, round 17)),
+    * and the position range (`pos_max − pos_min + 1 = n_docs`
+    * iff the shard is contiguous).
+    *
+    * Shape at 100 TB: one id-keyed join attaches text to the
+    * (id, pos, shard) spine ([[order]] deliberately drops the text —
+    * the terasort exchange must never carry document bodies), then a
+    * map-side-combined groupBy to shard cardinality. */
   def shardManifest(ordered: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String): DataFrame =
     ordered.select(col(idCol), col("pos"), col("shard_id"))

@@ -242,12 +242,17 @@ object Curation {
     * TOTAL order — the deterministic variant of Spearman (published
     * Spearman average-ranks ties; a fractional average rank is
     * engine-hashable but the tie-break form keeps every intermediate
-    * an exact int64, the x79 quantized-grid argument, and the two
-    * variants agree whenever scores are tie-free). `sum_d2` is an
-    * exact int64; `rho = 1 − 6·sum_d2 / (n(n²−1))` is one int multiply
-    * chain, one correctly rounded division, one subtraction — engine
-    * bit-exact. Groups with n ≤ 1 abstain (null rho — no pair
-    * evidence).
+    * exact, the x79 quantized-grid argument, and the two variants
+    * agree whenever scores are tie-free). `sum_d2` is an EXACT
+    * decimal(38,0) sum (the Analytics.volatility discipline: worst
+    * case Σd² = n(n²−1)/3 overflows int64 past ~3M docs per group —
+    * an ANSI ArithmeticException at exactly the scale this audit
+    * targets; decimal carries n to ~10¹² and the per-pair d² itself
+    * is int64-safe to n ≈ 3×10⁹); `rho = 1 − 6·sum_d2 / (n(n²−1))`
+    * is evaluated entirely in doubles (cast once from the exact sum;
+    * the n³ product likewise — correctly rounded, engine-identical,
+    * and overflow-free). Groups with n ≤ 1 abstain (null rho — no
+    * pair evidence).
     *
     * Scale shape: one hash exchange on the group key + two
     * in-partition sorts (the two rank windows share the partition),
@@ -259,18 +264,18 @@ object Curation {
       .partitionBy(col(groupCol)).orderBy(col(scoreACol), col(keyCol))
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(scoreBCol), col(keyCol))
+    val nD = col("n_docs").cast("double")
     df.filter(col(scoreACol).isNotNull && col(scoreBCol).isNotNull)
       .withColumn("__ra", row_number().over(wa).cast("long"))
       .withColumn("__rb", row_number().over(wb).cast("long"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
-        sum((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
-          .as("sum_d2"))
+        sum(((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
+          .cast("decimal(38,0)")).as("sum_d2"))
       .select(col(groupCol), col("n_docs"), col("sum_d2"),
         when(col("n_docs") > 1,
-          lit(1.0) - (col("sum_d2") * 6).cast("double") /
-            (col("n_docs") * (col("n_docs") * col("n_docs") - 1))
-              .cast("double")).as("rho"))
+          lit(1.0) - col("sum_d2").cast("double") * lit(6.0) /
+            (nD * (nD * nD - lit(1.0)))).as("rho"))
   }
 
   /** The recipe's stage-7 QUALITY seam — which published recipe's

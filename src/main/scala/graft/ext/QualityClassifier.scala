@@ -82,12 +82,18 @@ object QualityClassifier {
     * see. */
   def fitLabeled(docs: DataFrame, labelCol: String,
                  textCol: String): DataFrame =
-    docs.select(col(labelCol).cast("int").as("side"), toks(textCol))
+    docs.select(col(labelCol).as("__lbl"), toks(textCol))
       .select(
-        when(col("side").isin(0, 1), col("side"))
+        // validate the ORIGINAL value, cast only after: casting first
+        // would truncate a fractional label (0.9 → 0) into validity and
+        // mis-credit the doc's tokens — the exact silent failure this
+        // check exists to refuse (review finding, round 18). A null
+        // label refuses too (isin is null on null → otherwise), with
+        // the coalesce keeping the crafted message intact.
+        when(col("__lbl").isin(0, 1), col("__lbl").cast("int"))
           .otherwise(raise_error(concat(
             lit(s"fitLabeled: label column '$labelCol' must be 0 or 1, got "),
-            col("side").cast("string")))).as("side"),
+            coalesce(col("__lbl").cast("string"), lit("null"))))).as("side"),
         explode(graft.functions.ShingleMd5(col("__toks"), 1)).as("fp"))
       .groupBy("side", "fp")
       .agg(count(lit(1)).as("c"))

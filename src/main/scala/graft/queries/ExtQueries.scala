@@ -4467,46 +4467,18 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             ORDER BY d.doc_id"""))
 
   /** Stage 7 under x90's CLASSIFIER seam: the trained
-    * positive-vs-background scorer (x88's arithmetic, trained on raw
-    * curated-vs-rest sources) gating the cleaned corpus at the
-    * absolute 0.5 threshold — the GPT-3 keep rule. Same prefix and
-    * mixture tail as x66, so the two configurations' oracles differ
-    * ONLY here. */
-  private val recipeClassifierTailSql = """
+    * positive-vs-background scorer gating the cleaned corpus at the
+    * absolute 0.5 threshold — the GPT-3 keep rule. The model CTE chain
+    * is [[clsScoreSql]] SPLICED IN VERBATIM (one copy of the
+    * bit-exactness-critical Laplace/quantizer arithmetic across
+    * x88/x89/x93/x94 and this oracle — review finding, round 18; its
+    * raw-doc scoring CTEs ride along unused and cost sub-second), plus
+    * the genuinely new part: scoring s6's CLEANED text against the
+    * shared wt/wd weight relations and the threshold cut. Same prefix
+    * and mixture tail as x66, so the two configurations' oracles
+    * differ ONLY here. */
+  private val recipeClassifierTailSql = clsScoreSql.stripPrefix("WITH ") + """,
              -- ==== stage 7 (x90 seam): trained classifier threshold gate (GPT-3 rule) ====
-             qtoks AS MATERIALIZED (
-               SELECT doc_id, source,
-                      regexp_extract_all(lower(trim(text)), '\S+') AS w
-               FROM documents),
-             qocc AS MATERIALIZED (
-               SELECT doc_id, source,
-                      unnest(list_transform(generate_series(1, len(w)),
-                        i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
-               FROM qtoks WHERE len(w) >= 1),
-             qpos AS MATERIALIZED (
-               SELECT fp, CAST(count(*) AS BIGINT) AS c FROM qocc
-               WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
-             qneg AS MATERIALIZED (
-               SELECT fp, CAST(count(*) AS BIGINT) AS c FROM qocc
-               WHERE source NOT IN ('src0','src1','src2','src3') GROUP BY 1),
-             qtot AS MATERIALIZED (
-               SELECT (SELECT COALESCE(sum(c), 0) FROM qpos) AS np,
-                      (SELECT COALESCE(sum(c), 0) FROM qneg) AS nn,
-                      (SELECT CAST(count(*) AS BIGINT)
-                       FROM (SELECT fp FROM qpos UNION SELECT fp FROM qneg)) AS v),
-             qwt AS MATERIALIZED (
-               SELECT u.fp,
-                 CAST(floor((CAST(COALESCE(p2.c, 0) + 1 AS DOUBLE) / CAST(t.np + t.v AS DOUBLE))
-                      / ((CAST(COALESCE(p2.c, 0) + 1 AS DOUBLE) / CAST(t.np + t.v AS DOUBLE))
-                       + (CAST(COALESCE(n2.c, 0) + 1 AS DOUBLE) / CAST(t.nn + t.v AS DOUBLE)))
-                      * 1048576.0) AS BIGINT) AS wq
-               FROM (SELECT fp FROM qpos UNION SELECT fp FROM qneg) u
-               LEFT JOIN qpos p2 ON p2.fp = u.fp
-               LEFT JOIN qneg n2 ON n2.fp = u.fp, qtot t),
-             qwd AS MATERIALIZED (
-               SELECT CAST(floor((1.0 / CAST(np + v AS DOUBLE))
-                      / ((1.0 / CAST(np + v AS DOUBLE)) + (1.0 / CAST(nn + v AS DOUBLE)))
-                      * 1048576.0) AS BIGINT) AS w0 FROM qtot),
              socc AS MATERIALIZED (
                SELECT doc_id,
                       unnest(list_transform(generate_series(1, len(w)),
@@ -4517,8 +4489,8 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
              qsc AS MATERIALIZED (
                SELECT o.doc_id,
                       CAST(count(*) AS BIGINT) AS n_tokens,
-                      CAST(sum(COALESCE(qwt.wq, (SELECT w0 FROM qwd))) AS BIGINT) AS w_sum_q
-               FROM socc o LEFT JOIN qwt ON qwt.fp = o.fp GROUP BY 1),
+                      CAST(sum(COALESCE(wt.wq, (SELECT w0 FROM wd))) AS BIGINT) AS w_sum_q
+               FROM socc o LEFT JOIN wt ON wt.fp = o.fp GROUP BY 1),
              s7 AS MATERIALIZED (
                SELECT s6.doc_id, s6.lang, s6.source, s6.ctext
                FROM s6 LEFT JOIN qsc ON qsc.doc_id = s6.doc_id
@@ -4774,12 +4746,13 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                WHERE lm_score IS NOT NULL AND cls_score IS NOT NULL),
              agr AS MATERIALIZED (
                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                      CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+                      CAST(sum((ra - rb) * (ra - rb)) AS DECIMAL(38,0)) AS sum_d2
                FROM rk GROUP BY 1)
             SELECT source, n_docs, sum_d2,
                    CASE WHEN n_docs > 1 THEN
-                     1.0 - CAST(sum_d2 * 6 AS DOUBLE)
-                           / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE)
+                     1.0 - CAST(sum_d2 AS DOUBLE) * 6.0
+                           / (CAST(n_docs AS DOUBLE)
+                              * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1.0))
                    END AS rho
             FROM agr ORDER BY source"""))
 

@@ -149,6 +149,14 @@ class QualityClassifierSpec extends SparkSpec {
         if (t == null) Nil
         else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(e2).exists(_.contains("must be 0 or 1")))
+      // a FRACTIONAL label must refuse too, not truncate into validity
+      // (0.9 cast-first became side 0 and silently mis-credited the
+      // doc's tokens to the background corpus — review finding, r18)
+      val frac = Seq((98L, "oops text", 0.9)).toDF("doc_id", "text", "label")
+      val e3 = intercept[Exception] {
+        QualityClassifier.fitLabeled(frac, "label", "text").collect()
+      }
+      assert(messages(e3).exists(_.contains("must be 0 or 1")))
     } finally {
       Seq("qc_ledger", "qc_ledger_meta").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
