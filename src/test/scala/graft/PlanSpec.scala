@@ -888,4 +888,53 @@ class PlanSpec extends SparkSpec {
         s"rule gate must not hash-shuffle: ${e.outputPartitioning}")
     }
   }
+
+  test("x89 classifier-store serving: weights fold in-bucket Exchange-free, one tokenize, no text on shuffles") {
+    val df = Registry.queries("x89_classifier_store_gate")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val p = root.toString
+    // the model is persisted: the only tokenization is the candidate
+    // side's single pass (the gate's spine join adds none)
+    val tokenizes = "regexp_extract_all".r.findAllIn(p).length
+    assert(tokenizes == 1,
+      s"expected exactly one tokenization in the store-served plan, found $tokenizes:\n${p.take(1200)}")
+    // weight derivation must be exact fp joins, no bloom
+    assert(!p.contains("might_contain"),
+      "classifier weight joins must be exact, no bloom prefilter")
+    // the store subtree — bucketed scan through BOTH in-bucket folds
+    // (generation sum per (side, fp), then the per-fp weight rollup) —
+    // reaches its join with zero exchanges: fp ⊆ both grouping keys,
+    // so the bucket layout satisfies every required distribution
+    val joins = root.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val storeSides = joins.flatMap(j => Seq(j.left, j.right))
+      .filter(s => s.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.bucketedScan && f.tableIdentifier.exists(_.table == "x89_cls") => f
+      }.nonEmpty && s.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty)
+    assert(storeSides.nonEmpty,
+      s"no join side reads the bucketed classifier store:\n${p.take(1500)}")
+    storeSides.foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"classifier store side must read its buckets in place, found: $es")
+    }
+    // fp-keyed scoring moves (id, fp, weight) rows; the gate's spine
+    // join moves ids — document text never crosses a shuffle
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross a scoring shuffle: ${e.output}")
+    }
+  }
 }
