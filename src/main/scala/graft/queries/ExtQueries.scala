@@ -439,26 +439,26 @@ object ExtQueries {
       graft.ext.DupClusters.connectedComponents(pairs).orderBy("doc_id")
     },
     Some("""WITH RECURSIVE
-                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+                 toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                           FROM bands a JOIN bands b
                             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-                 pairs AS (SELECT doc_a, doc_b FROM cand
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
                            JOIN sig sa ON sa.doc_id = doc_a
                            JOIN sig sb ON sb.doc_id = doc_b
                            WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
@@ -1140,26 +1140,26 @@ object ExtQueries {
       graft.ext.DupClusters.connectedComponentsStars(pairs).orderBy("doc_id")
     },
     Some("""WITH RECURSIVE
-                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+                 toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                           FROM bands a JOIN bands b
                             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-                 pairs AS (SELECT doc_a, doc_b FROM cand
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
                            JOIN sig sa ON sa.doc_id = doc_a
                            JOIN sig sb ON sb.doc_id = doc_b
                            WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
@@ -3855,26 +3855,26 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
       .select("doc_id", "split_key", "split")
       .orderBy("doc_id"),
     Some("""WITH RECURSIVE
-                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+                 toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                           FROM bands a JOIN bands b
                             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-                 pairs AS (SELECT doc_a, doc_b FROM cand
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
                            JOIN sig sa ON sa.doc_id = doc_a
                            JOIN sig sb ON sb.doc_id = doc_b
                            WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
@@ -3882,7 +3882,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                              UNION SELECT doc_b, doc_a FROM pairs),
                  reach(u, v) AS (SELECT u, v FROM e
                                  UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
-                 comp AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+                 comp AS MATERIALIZED (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
                           FROM reach GROUP BY u)
             SELECT d.doc_id,
                    COALESCE(c.canonical_id, d.doc_id) AS split_key,
@@ -4267,26 +4267,26 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .orderBy("strategy", "split_a", "split_b")
     },
     Some("""WITH RECURSIVE
-                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+                 toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                           FROM bands a JOIN bands b
                             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-                 pairs AS (SELECT doc_a, doc_b FROM cand
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
                            JOIN sig sa ON sa.doc_id = doc_a
                            JOIN sig sb ON sb.doc_id = doc_b
                            WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
@@ -4294,17 +4294,17 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                              UNION SELECT doc_b, doc_a FROM pairs),
                  reach(u, v) AS (SELECT u, v FROM e
                                  UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
-                 comp AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+                 comp AS MATERIALIZED (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
                           FROM reach GROUP BY u),
-                 naive AS (SELECT doc_id,
+                 naive AS MATERIALIZED (SELECT doc_id,
                              CASE WHEN CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 1000
                                   THEN 'valid' ELSE 'train' END AS split
                            FROM documents),
-                 safe AS (SELECT d.doc_id,
+                 safe AS MATERIALIZED (SELECT d.doc_id,
                             CASE WHEN CAST(CAST('0x'||substr(md5(CAST(COALESCE(c.canonical_id, d.doc_id) AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 1000
                                  THEN 'valid' ELSE 'train' END AS split
                           FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
-                 audit AS (
+                 audit AS MATERIALIZED (
                    SELECT 'naive' AS strategy,
                           least(na.split, nb.split) AS split_a,
                           greatest(na.split, nb.split) AS split_b,
