@@ -36,9 +36,9 @@ object ExtQueries {
           TA.argmaxLang(scores.map { case (l, _) => l -> col(s"s_$l") }))
         .orderBy("doc_id")
     },
-    Some(s"""WITH t AS (SELECT doc_id, text,
+    Some(s"""WITH t AS MATERIALIZED (SELECT doc_id, text,
                  regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
-             sc AS (SELECT doc_id,
+             sc AS MATERIALIZED (SELECT doc_id,
                ${langScoreSql("s_de", "'der','die','das','und','ist','nicht','mit','ein','zu','den'")},
                ${langScoreSql("s_en", "'the','a','of','and','to','in','is','it','for','on'")},
                ${langScoreSql("s_es", "'el','la','que','y','en','un','es','los','se','del'")},
@@ -79,7 +79,7 @@ object ExtQueries {
             + lit(0.3) * (lit(1.0) - col("digit_ratio")))
         .orderBy("doc_id")
     },
-    Some("""WITH f AS (SELECT doc_id,
+    Some("""WITH f AS MATERIALIZED (SELECT doc_id,
               CAST(length(text) AS BIGINT) AS n_chars_calc,
               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
               CASE WHEN length(text) = 0 THEN 0.0
@@ -89,7 +89,7 @@ object ExtQueries {
                           x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
                         / len(regexp_extract_all(lower(text), '[a-z]+')) END AS stop_ratio
             FROM documents),
-            g AS (SELECT *, CASE WHEN n_tokens = 0 THEN 0.0
+            g AS MATERIALIZED (SELECT *, CASE WHEN n_tokens = 0 THEN 0.0
                    ELSE CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / n_tokens END AS avg_token_len
             FROM f)
             SELECT doc_id, n_chars_calc, n_tokens, digit_ratio, stop_ratio, avg_token_len,
@@ -150,14 +150,14 @@ object ExtQueries {
           "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     },
-    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-                 s AS (SELECT qid, vec_id AS nid,
+    Some("""WITH q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+                 s AS MATERIALIZED (SELECT qid, vec_id AS nid,
                          list_sum(list_transform(list_zip(qe, embedding),
                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                          / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                           * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
                        FROM embeddings, q WHERE vec_id <> qid),
-                 r AS (SELECT qid, nid, sim,
+                 r AS MATERIALIZED (SELECT qid, nid, sim,
                          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
             SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, sim
             FROM r WHERE rn <= 5 ORDER BY query_id, rank"""))
@@ -170,23 +170,23 @@ object ExtQueries {
     (s, d) => MinHash.nearDupPairs(documents(s, d), "doc_id", "text",
         shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5)
       .orderBy("doc_a", "doc_b"),
-    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                            FROM bands a JOIN bands b
                              ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
             SELECT doc_a, doc_b,
@@ -205,7 +205,7 @@ object ExtQueries {
           "vec_id", "embedding", k = 5, nBands = 4, bandBits = 4, dim = 64)
         .orderBy("query_id", "rank")
     },
-    Some("""WITH sig AS (SELECT vec_id, embedding,
+    Some("""WITH sig AS MATERIALIZED (SELECT vec_id, embedding,
                    list_transform(range(0,16), p -> CASE WHEN
                      list_sum(list_transform(list_zip(embedding, range(0,64)),
                        x -> CAST(x[1] AS DOUBLE) *
@@ -213,20 +213,20 @@ object ExtQueries {
                              / 2147483648.0 * 2 - 1))) >= 0
                      THEN 1 ELSE 0 END) AS sg
                  FROM embeddings),
-                 bands AS (SELECT vec_id, b,
+                 bands AS MATERIALIZED (SELECT vec_id, b,
                              sg[4*b+1]*8 + sg[4*b+2]*4 + sg[4*b+3]*2 + sg[4*b+4] AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                 cand AS MATERIALIZED (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
                           FROM bands q JOIN bands c ON q.b = c.b AND q.bk = c.bk
                           WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
-                 scored AS (SELECT query_id, neighbor_id,
+                 scored AS MATERIALIZED (SELECT query_id, neighbor_id,
                      list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                      / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                       * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
                    FROM cand JOIN embeddings qe ON qe.vec_id = query_id
                              JOIN embeddings ce ON ce.vec_id = neighbor_id),
-                 r AS (SELECT query_id, neighbor_id, sim,
+                 r AS MATERIALIZED (SELECT query_id, neighbor_id, sim,
                          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
                        FROM scored)
             SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
@@ -239,21 +239,21 @@ object ExtQueries {
     (s, d) => SimHash.nearDupPairs(documents(s, d), "doc_id", "text",
         shingleN = 3, maxHamming = 3)
       .orderBy("doc_a", "doc_b"),
-    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT)) AS hh
                         FROM sh),
-                 fp AS (SELECT doc_id, list_sum(list_transform(range(0,60), j ->
+                 fp AS MATERIALIZED (SELECT doc_id, list_sum(list_transform(range(0,60), j ->
                           CASE WHEN list_sum(list_transform(hh, h ->
                                  CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
                                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS f
                         FROM hs WHERE len(hh) > 0),
-                 bands AS (SELECT doc_id, b, (f >> (15*b)) & 32767 AS bk
+                 bands AS MATERIALIZED (SELECT doc_id, b, (f >> (15*b)) & 32767 AS bk
                            FROM fp, (SELECT unnest(range(0,4)) AS b)),
-                 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                            FROM bands a JOIN bands b
                              ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, CAST(bit_count(xor(fa.f, fb.f)) AS INT) AS hamming
@@ -266,27 +266,27 @@ object ExtQueries {
     (s, d) => MinHash.exactJaccardPairs(documents(s, d), "doc_id", "text",
         shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.8)
       .orderBy("doc_a", "doc_b"),
-    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hsraw AS (SELECT doc_id, list_transform(sgl, s ->
+                 hsraw AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                              CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT)) AS hraw
                            FROM sh),
-                 hs AS (SELECT doc_id, list_transform(hraw, h -> h % 1000000007) AS hh FROM hsraw),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(hraw, h -> h % 1000000007) AS hh FROM hsraw),
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                            FROM bands a JOIN bands b
                              ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-                 hset AS (SELECT doc_id, list_distinct(hraw) AS hs FROM hsraw WHERE len(hraw) > 0)
+                 hset AS MATERIALIZED (SELECT doc_id, list_distinct(hraw) AS hs FROM hsraw WHERE len(hraw) > 0)
             SELECT doc_a, doc_b,
                    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
@@ -302,7 +302,7 @@ object ExtQueries {
     (s, d) => Similarity.nearDupPairs(embeddings(s, d), "vec_id", "embedding",
         minCosine = 0.4, nBands = 4, bandBits = 4, dim = 64)
       .orderBy("vec_a", "vec_b"),
-    Some("""WITH sig AS (SELECT vec_id, embedding,
+    Some("""WITH sig AS MATERIALIZED (SELECT vec_id, embedding,
                    list_transform(range(0,16), p -> CASE WHEN
                      list_sum(list_transform(list_zip(embedding, range(0,64)),
                        x -> CAST(x[1] AS DOUBLE) *
@@ -310,13 +310,13 @@ object ExtQueries {
                              / 2147483648.0 * 2 - 1))) >= 0
                      THEN 1 ELSE 0 END) AS sg
                  FROM embeddings),
-                 bands AS (SELECT vec_id, b,
+                 bands AS MATERIALIZED (SELECT vec_id, b,
                              sg[4*b+1]*8 + sg[4*b+2]*4 + sg[4*b+3]*2 + sg[4*b+4] AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 pairs AS MATERIALIZED (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                            FROM bands a JOIN bands b
                              ON a.b = b.b AND a.bk = b.bk AND a.vec_id < b.vec_id),
-                 scored AS (SELECT vec_a, vec_b,
+                 scored AS MATERIALIZED (SELECT vec_a, vec_b,
                      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                      / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
@@ -336,7 +336,7 @@ object ExtQueries {
           "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4, dim = 64)
         .orderBy("query_id", "rank")
     },
-    Some("""WITH sc AS (SELECT vec_id, embedding,
+    Some("""WITH sc AS MATERIALIZED (SELECT vec_id, embedding,
                    list_transform(range(0,16), kk ->
                      list_sum(list_transform(list_zip(embedding, range(0,64)),
                        x -> CAST(x[1] AS DOUBLE) *
@@ -348,24 +348,24 @@ object ExtQueries {
                          * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
                             / 2147483648.0 * 2 - 1))))) AS scores
                  FROM embeddings),
-                 assigned AS (SELECT vec_id, embedding,
+                 assigned AS MATERIALIZED (SELECT vec_id, embedding,
                                 CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS centroid
                               FROM sc),
-                 probes AS (SELECT query_id, qe, centroid FROM (
+                 probes AS MATERIALIZED (SELECT query_id, qe, centroid FROM (
                      SELECT vec_id AS query_id, embedding AS qe, CAST(j AS INT) AS centroid,
                             row_number() OVER (PARTITION BY vec_id
                               ORDER BY scores[j+1] DESC, j) AS pr
                      FROM sc, (SELECT unnest(range(0,16)) AS j)
                      WHERE vec_id < 8)
                    WHERE pr <= 4),
-                 scored AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
+                 scored AS MATERIALIZED (SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
                      list_sum(list_transform(list_zip(p.qe, a.embedding),
                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                      / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                       * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
                    FROM probes p JOIN assigned a
                      ON a.centroid = p.centroid AND a.vec_id <> p.query_id),
-                 r AS (SELECT query_id, neighbor_id, sim,
+                 r AS MATERIALIZED (SELECT query_id, neighbor_id, sim,
                          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
                        FROM scored)
             SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
@@ -389,19 +389,19 @@ object ExtQueries {
           "doc_id", "embedding", k = 5, nBands = 4, bandBits = 4, dim = 16)
         .orderBy("query_id", "rank")
     },
-    Some("""WITH raw AS (SELECT doc_id,
+    Some("""WITH raw AS MATERIALIZED (SELECT doc_id,
                    list_transform(range(0,16), j ->
                      CAST((1103515245*((CAST(CAST('0x'||substr(md5(text),1,15) AS UBIGINT) AS BIGINT)
                                         % 2147483648) + j) + 12345) % 2147483648 AS DOUBLE)
                      / 2147483648.0 * 2 - 1) AS v
                  FROM documents),
-                 emb AS (SELECT doc_id,
+                 emb AS MATERIALIZED (SELECT doc_id,
                            CASE WHEN n = 0 THEN v
                                 ELSE list_transform(v, x -> x / n) END AS e
                          FROM (SELECT doc_id, v,
                                  sqrt(list_sum(list_transform(v, y -> y*y))) AS n
                                FROM raw)),
-                 sig AS (SELECT doc_id, e,
+                 sig AS MATERIALIZED (SELECT doc_id, e,
                    list_transform(range(0,16), p -> CASE WHEN
                      list_sum(list_transform(list_zip(e, range(0,16)),
                        x -> CAST(x[1] AS DOUBLE) *
@@ -409,20 +409,20 @@ object ExtQueries {
                              / 2147483648.0 * 2 - 1))) >= 0
                      THEN 1 ELSE 0 END) AS sg
                  FROM emb),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              sg[4*b+1]*8 + sg[4*b+2]*4 + sg[4*b+3]*2 + sg[4*b+4] AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS neighbor_id
+                 cand AS MATERIALIZED (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS neighbor_id
                           FROM bands q JOIN bands c ON q.b = c.b AND q.bk = c.bk
                           WHERE q.doc_id < 8 AND c.doc_id <> q.doc_id),
-                 scored AS (SELECT query_id, neighbor_id,
+                 scored AS MATERIALIZED (SELECT query_id, neighbor_id,
                      list_sum(list_transform(list_zip(qe.e, ce.e),
                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                      / (sqrt(list_sum(list_transform(qe.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                       * sqrt(list_sum(list_transform(ce.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
                    FROM cand JOIN emb qe ON qe.doc_id = query_id
                              JOIN emb ce ON ce.doc_id = neighbor_id),
-                 r AS (SELECT query_id, neighbor_id, sim,
+                 r AS MATERIALIZED (SELECT query_id, neighbor_id, sim,
                          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
                        FROM scored)
             SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
@@ -574,7 +574,7 @@ object ExtQueries {
     * SQL twin of [[graft.ext.Ngrams.normTokens]] — lowering first makes
     * collapse-then-split and split-directly identical token lists). */
   private val tokSql =
-    """toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+    """toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
                FROM documents)"""
 
   /** Stream-static enrichment join under the oracle (SURVEY.md §2.9,
@@ -611,7 +611,7 @@ object ExtQueries {
             .as("value_q"))
         .orderBy("event_id")
     },
-    Some(s"""WITH dim AS (SELECT DISTINCT event_type,
+    Some(s"""WITH dim AS MATERIALIZED (SELECT DISTINCT event_type,
                     upper(event_type) || '-' || CAST(length(event_type) AS VARCHAR) AS category
                   FROM events)
              SELECT event_id, event_type, category,
@@ -629,14 +629,14 @@ object ExtQueries {
         col("doc_id") % 10 === 0, n = 8)
       .orderBy("doc_id"),
     Some(s"""WITH $tokSql,
-             g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+             g AS MATERIALIZED (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
                       i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
                    FROM toks WHERE len(w) >= 8),
-             dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
-             ev AS (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
-             tr AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
-             tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
-             sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+             dg AS MATERIALIZED (SELECT DISTINCT doc_id, gram_fp FROM g),
+             ev AS MATERIALIZED (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
+             tr AS MATERIALIZED (SELECT * FROM dg WHERE doc_id % 10 <> 0),
+             tot AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
+             sh AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
                     FROM tr JOIN ev USING (gram_fp) GROUP BY 1)
              SELECT s.doc_id, t.n_grams, s.n_shared,
                     CAST(s.n_shared AS DOUBLE) / t.n_grams AS contamination
@@ -656,15 +656,15 @@ object ExtQueries {
              FROM s_2 JOIN s_3 USING (doc_id) ORDER BY doc_id"""))
 
   private def repetitionCteSql(n: Int): String =
-    s"""g_$n AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-${n - 1}),
+    s"""g_$n AS MATERIALIZED (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-${n - 1}),
                     i -> array_to_string(w[i:i+${n - 1}], ' '))) AS gram
                  FROM toks WHERE len(w) >= $n),
-             c_$n AS (SELECT doc_id, gram, count(*) AS cnt FROM g_$n GROUP BY 1, 2),
-             a_$n AS (SELECT doc_id, sum(cnt) AS total,
+             c_$n AS MATERIALIZED (SELECT doc_id, gram, count(*) AS cnt FROM g_$n GROUP BY 1, 2),
+             a_$n AS MATERIALIZED (SELECT doc_id, sum(cnt) AS total,
                         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup,
                         max(cnt) AS top
                       FROM c_$n GROUP BY 1),
-             s_$n AS (SELECT t.doc_id,
+             s_$n AS MATERIALIZED (SELECT t.doc_id,
                         CAST(coalesce(a.total, 0) AS BIGINT) AS n_grams_$n,
                         CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
                              ELSE CAST(a.dup AS DOUBLE) / CAST(a.total AS DOUBLE) END AS dup_frac_$n,
@@ -682,14 +682,14 @@ object ExtQueries {
         chunkTokens = 10)
       .orderBy("doc_id"),
     Some(s"""WITH $tokSql,
-             p AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN ['']
+             p AS MATERIALIZED (SELECT doc_id, CASE WHEN len(w) = 0 THEN ['']
                      ELSE list_transform(generate_series(0, CAST((len(w)-1)//10 AS INT)),
                             c -> array_to_string(w[c*10+1:c*10+10], ' ')) END AS ps
                    FROM toks),
-             e AS (SELECT doc_id, u.e.i AS idx, u.e.p AS passage
+             e AS MATERIALIZED (SELECT doc_id, u.e.i AS idx, u.e.p AS passage
                    FROM p, unnest(list_transform(generate_series(1, len(ps)),
                           i -> {'i': i-1, 'p': ps[i]})) AS u(e)),
-             r AS (SELECT doc_id, idx, passage,
+             r AS MATERIALIZED (SELECT doc_id, idx, passage,
                      row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, idx) AS rn
                    FROM e)
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
@@ -703,11 +703,11 @@ object ExtQueries {
   private val x22 = Q("x22_top_terms",
     (s, d) => TopTerms.topTerms(documents(s, d), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank"),
-    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    Some("""WITH t AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
                    FROM documents),
-             tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
-             df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-             r AS (SELECT doc_id, term, tf.tf, df.df,
+             tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+             df AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             r AS MATERIALIZED (SELECT doc_id, term, tf.tf, df.df,
                      row_number() OVER (PARTITION BY doc_id
                        ORDER BY tf.tf DESC, df.df ASC, term ASC) AS rank
                    FROM tf JOIN df USING (term))
@@ -723,25 +723,25 @@ object ExtQueries {
     (s, d) => KMeans.lloyd(embeddings(s, d), "vec_id", "embedding",
         k = 8, rounds = 2)
       .orderBy("vec_id"),
-    Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+    Some("""WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
                       v -> CAST(floor(CAST(v AS DOUBLE)*1048576 + 0.5) AS BIGINT) + 2097152) AS u
                     FROM embeddings),
-             ql AS (SELECT vec_id, e.e.i AS pos, e.e.x AS x
+             ql AS MATERIALIZED (SELECT vec_id, e.e.i AS pos, e.e.x AS x
                     FROM q, unnest(list_transform(generate_series(1, len(u)),
                            i -> {'i': i-1, 'x': u[i]})) AS e(e)),
-             c0 AS (SELECT vec_id AS cid, pos, x AS c FROM ql WHERE vec_id < 8),
-             d1 AS (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
+             c0 AS MATERIALIZED (SELECT vec_id AS cid, pos, x AS c FROM ql WHERE vec_id < 8),
+             d1 AS MATERIALIZED (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
                     FROM ql JOIN c0 USING (pos) GROUP BY 1, 2),
-             a1 AS (SELECT vec_id, cid,
+             a1 AS MATERIALIZED (SELECT vec_id, cid,
                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                     FROM d1),
-             m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
-             c1 AS (SELECT m1.cid, ql.pos,
+             m1 AS MATERIALIZED (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+             c1 AS MATERIALIZED (SELECT m1.cid, ql.pos,
                       CAST((2*sum(ql.x) + count(*)) // (2*count(*)) AS BIGINT) AS c
                     FROM ql JOIN m1 USING (vec_id) GROUP BY 1, 2),
-             d2 AS (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
+             d2 AS MATERIALIZED (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
                     FROM ql JOIN c1 USING (pos) GROUP BY 1, 2),
-             a2 AS (SELECT vec_id, cid, dist,
+             a2 AS MATERIALIZED (SELECT vec_id, cid, dist,
                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                     FROM d2)
              SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
@@ -757,9 +757,9 @@ object ExtQueries {
     (s, d) => Curation.funnel(documents(s, d), "doc_id", "text",
         qualityMin = 0.46, sampleRate = 0.8)
       .orderBy("stage_no"),
-    Some(s"""WITH t0 AS (SELECT doc_id, text,
+    Some(s"""WITH t0 AS MATERIALIZED (SELECT doc_id, text,
                     regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
-             sc AS (SELECT doc_id, text,
+             sc AS MATERIALIZED (SELECT doc_id, text,
                ${langScoreSql("s_de", "'der','die','das','und','ist','nicht','mit','ein','zu','den'")},
                ${langScoreSql("s_en", "'the','a','of','and','to','in','is','it','for','on'")},
                ${langScoreSql("s_es", "'el','la','que','y','en','un','es','los','se','del'")},
@@ -768,10 +768,10 @@ object ExtQueries {
                     ELSE CAST(length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS DOUBLE) / length(text)
                END AS s_zh
              FROM t0),
-             l AS (SELECT doc_id, text FROM
+             l AS MATERIALIZED (SELECT doc_id, text FROM
                      (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM sc)
                    WHERE NOT (s_de >= g) AND s_en >= g),
-             qf AS (SELECT doc_id, text FROM
+             qf AS MATERIALIZED (SELECT doc_id, text FROM
                      (SELECT doc_id, text,
                         CAST(length(text) AS BIGINT) AS n_chars_calc,
                         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
@@ -786,9 +786,9 @@ object ExtQueries {
                          + 0.3 * (least(CASE WHEN n_tokens = 0 THEN 0.0
                                   ELSE CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / n_tokens END, 10.0) / 10.0)
                          + 0.3 * (1.0 - digit_ratio) >= 0.46),
-             d AS (SELECT min(doc_id) AS doc_id FROM qf
+             d AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM qf
                    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
-             smp AS (SELECT doc_id FROM d
+             smp AS MATERIALIZED (SELECT doc_id FROM d
                      WHERE CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 8000)
              SELECT * FROM (
                SELECT 1 AS stage_no, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
@@ -808,8 +808,8 @@ object ExtQueries {
         windowTokens = 512)
       .orderBy("doc_id"),
     Some(s"""WITH $tokSql,
-             c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
-             p AS (SELECT doc_id, n_tokens,
+             c AS MATERIALIZED (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+             p AS MATERIALIZED (SELECT doc_id, n_tokens,
                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
                    FROM c)
@@ -870,12 +870,12 @@ object ExtQueries {
   private val x28 = Q("x28_vocab_oov",
     (s, d) => Vocab.oovRates(documents(s, d), "doc_id", "text", k = 20)
       .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    Some("""WITH t AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
                    FROM documents),
-             c AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2),
-             v AS (SELECT term FROM (SELECT term, sum(n) AS cnt FROM c GROUP BY 1)
+             c AS MATERIALIZED (SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2),
+             v AS MATERIALIZED (SELECT term FROM (SELECT term, sum(n) AS cnt FROM c GROUP BY 1)
                    ORDER BY cnt DESC, term ASC LIMIT 20),
-             p AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+             p AS MATERIALIZED (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
                      CAST(sum(CASE WHEN term NOT IN (SELECT term FROM v)
                                    THEN n ELSE 0 END) AS BIGINT) AS n_oov
                    FROM c GROUP BY 1)
@@ -895,7 +895,7 @@ object ExtQueries {
   private val x29 = Q("x29_mix_weights",
     (s, d) => Mixing.uniformRates(documents(s, d), "lang", "text")
       .orderBy("lang"),
-    Some("""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    Some("""WITH s AS MATERIALIZED (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                     CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+'))) AS BIGINT) AS n_tokens
                   FROM documents GROUP BY 1)
              SELECT lang, n_docs, n_tokens,
@@ -923,10 +923,10 @@ object ExtQueries {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")
     },
-    Some(s"""WITH e AS (SELECT user_id AS x,
+    Some(s"""WITH e AS MATERIALIZED (SELECT user_id AS x,
                     ((${Sql.cents2("value")} % 65536) + 65536) % 65536 AS y
                   FROM events),
-             z AS (SELECT x, y,
+             z AS MATERIALIZED (SELECT x, y,
                      ${graft.core.ZOrder.zkey2Sql("x", "CAST(y AS BIGINT)", 16)} AS zkey
                    FROM e)
              SELECT zkey // 67108864 AS bucket, CAST(count(*) AS BIGINT) AS n,
@@ -949,10 +949,10 @@ object ExtQueries {
       .select(col("doc_id"), col("frame_idx"),
         length(col("frame")).cast("long").as("frame_bytes"))
       .orderBy("doc_id", "frame_idx"),
-    Some("""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-             d AS (SELECT doc_id, n % 640 + 1 AS w, (n*7) % 480 + 1 AS h,
+    Some("""WITH m AS MATERIALIZED (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+             d AS MATERIALIZED (SELECT doc_id, n % 640 + 1 AS w, (n*7) % 480 + 1 AS h,
                      n % 16 + 1 AS f FROM m),
-             fr AS (SELECT doc_id, unnest(range(0, least(f, 8), 2)) AS frame_idx, w, h
+             fr AS MATERIALIZED (SELECT doc_id, unnest(range(0, least(f, 8), 2)) AS frame_idx, w, h
                     FROM d)
              SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
                     CAST(least(w, 16) * least(h, 16) * 3 AS BIGINT) AS frame_bytes
@@ -998,10 +998,10 @@ object ExtQueries {
           col("close"), col("n").as("n_events"))
         .orderBy("symbol")
     },
-    Some(s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS symbol,
+    Some(s"""WITH e AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR) AS symbol,
                     CAST(ts AS TIMESTAMP) AS ts, ${Sql.qdbl2("value")} AS price
                   FROM events),
-             r AS (SELECT symbol, price,
+             r AS MATERIALIZED (SELECT symbol, price,
                      row_number() OVER (PARTITION BY symbol ORDER BY ts ASC, price ASC) AS ra,
                      row_number() OVER (PARTITION BY symbol ORDER BY ts DESC, price DESC) AS rd
                    FROM e)
@@ -1056,13 +1056,13 @@ object ExtQueries {
             .as("total_value"))
         .orderBy("user_id", "session_start")
     },
-    Some(s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+    Some(s"""WITH e AS MATERIALIZED (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                     ${Sql.cents2("value")} AS vc FROM events),
-             l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+             l AS MATERIALIZED (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
                    FROM e),
-             m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
+             m AS MATERIALIZED (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
                                   THEN 1 ELSE 0 END AS brk FROM l),
-             s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             s AS MATERIALIZED (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
                    FROM m)
              SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -1094,30 +1094,30 @@ object ExtQueries {
           store = s.table("x34_sig_store"), minJaccard = 0.5)
         .orderBy("doc_id")
     },
-    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 pairs AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                 pairs AS MATERIALIZED (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
                            FROM bands n JOIN bands s ON n.b = s.b AND n.bk = s.bk
                            WHERE n.doc_id % 5 = 4 AND s.doc_id % 5 <> 4),
-                 m AS (SELECT new_id, store_id
+                 m AS MATERIALIZED (SELECT new_id, store_id
                        FROM pairs JOIN sig sa ON sa.doc_id = new_id
                                   JOIN sig sb ON sb.doc_id = store_id
                        WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
-                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
+                 agg AS MATERIALIZED (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
                                 min(store_id) AS dup_of
                          FROM m GROUP BY new_id)
             SELECT d.doc_id, (a.dup_of IS NULL) AS kept,
@@ -1182,26 +1182,26 @@ object ExtQueries {
         shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
         maxBandDocs = 2)
       .orderBy("doc_a", "doc_b"),
-    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 sized AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING count(*) <= 2),
-                 kept AS (SELECT bands.doc_id, bands.b, bands.bk
+                 sized AS MATERIALIZED (SELECT b, bk FROM bands GROUP BY b, bk HAVING count(*) <= 2),
+                 kept AS MATERIALIZED (SELECT bands.doc_id, bands.b, bands.bk
                           FROM bands JOIN sized ON bands.b = sized.b AND bands.bk = sized.bk),
-                 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                            FROM kept a JOIN kept b
                              ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
             SELECT doc_a, doc_b,
@@ -1274,59 +1274,59 @@ object ExtQueries {
           col("dup_of"), col("batch_id").cast("long").as("batch_id"))
         .orderBy("doc_id")
     },
-    Some("""WITH docs AS (SELECT doc_id,
+    Some("""WITH docs AS MATERIALIZED (SELECT doc_id,
                    CASE WHEN doc_id % 7 = 0
                         THEN 'standard cookie banner please accept all cookies to continue reading'
                         ELSE text END AS text
                  FROM documents),
-                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM docs),
-                 sh AS (SELECT doc_id,
+                 toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM docs),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 s1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
-                 s2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-                 sized1 AS (SELECT b, bk FROM bands WHERE doc_id % 3 = 0
+                 s1 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+                 s2 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+                 sized1 AS MATERIALIZED (SELECT b, bk FROM bands WHERE doc_id % 3 = 0
                             GROUP BY b, bk HAVING count(*) <= 2),
-                 k1 AS (SELECT bands.doc_id, bands.b, bands.bk FROM bands
+                 k1 AS MATERIALIZED (SELECT bands.doc_id, bands.b, bands.bk FROM bands
                         JOIN sized1 ON bands.b = sized1.b AND bands.bk = sized1.bk),
-                 m1 AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                 m1 AS MATERIALIZED (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
                         FROM k1 n JOIN k1 s ON n.b = s.b AND n.bk = s.bk
                         JOIN sig sa ON sa.doc_id = n.doc_id
                         JOIN sig sb ON sb.doc_id = s.doc_id
                         WHERE n.doc_id % 3 = 1 AND s.doc_id % 3 = 0
                           AND len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
-                 v1 AS (SELECT s1.doc_id, (min(m1.store_id) IS NULL) AS kept,
+                 v1 AS MATERIALIZED (SELECT s1.doc_id, (min(m1.store_id) IS NULL) AS kept,
                                CAST(count(m1.store_id) AS BIGINT) AS n_store_matches,
                                min(m1.store_id) AS dup_of
                         FROM s1 LEFT JOIN m1 ON s1.doc_id = m1.new_id
                         GROUP BY s1.doc_id),
-                 st1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+                 st1 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
                          UNION ALL SELECT doc_id FROM v1 WHERE kept),
-                 sized2 AS (SELECT b, bk FROM bands
+                 sized2 AS MATERIALIZED (SELECT b, bk FROM bands
                             JOIN st1 ON bands.doc_id = st1.doc_id
                             GROUP BY b, bk HAVING count(*) <= 2),
-                 k2 AS (SELECT bands.doc_id, bands.b, bands.bk FROM bands
+                 k2 AS MATERIALIZED (SELECT bands.doc_id, bands.b, bands.bk FROM bands
                         JOIN sized2 ON bands.b = sized2.b AND bands.bk = sized2.bk),
-                 m2 AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                 m2 AS MATERIALIZED (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
                         FROM k2 n JOIN k2 s ON n.b = s.b AND n.bk = s.bk
                         JOIN st1 ON s.doc_id = st1.doc_id
                         JOIN sig sa ON sa.doc_id = n.doc_id
                         JOIN sig sb ON sb.doc_id = s.doc_id
                         WHERE n.doc_id % 3 = 2
                           AND len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
-                 v2 AS (SELECT s2.doc_id, (min(m2.store_id) IS NULL) AS kept,
+                 v2 AS MATERIALIZED (SELECT s2.doc_id, (min(m2.store_id) IS NULL) AS kept,
                                CAST(count(m2.store_id) AS BIGINT) AS n_store_matches,
                                min(m2.store_id) AS dup_of
                         FROM s2 LEFT JOIN m2 ON s2.doc_id = m2.new_id
@@ -1362,43 +1362,43 @@ object ExtQueries {
           k = 8, rounds = 2, minCosine = 0.4, maxClusterDocs = cap)
         .orderBy("vec_id")
     },
-    Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+    Some("""WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
                       v -> CAST(floor(CAST(v AS DOUBLE)*1048576 + 0.5) AS BIGINT) + 2097152) AS u
                     FROM embeddings),
-             ql AS (SELECT vec_id, e.e.i AS pos, e.e.x AS x
+             ql AS MATERIALIZED (SELECT vec_id, e.e.i AS pos, e.e.x AS x
                     FROM q, unnest(list_transform(generate_series(1, len(u)),
                            i -> {'i': i-1, 'x': u[i]})) AS e(e)),
-             c0 AS (SELECT vec_id AS cid, pos, x AS c FROM ql WHERE vec_id < 8),
-             d1 AS (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
+             c0 AS MATERIALIZED (SELECT vec_id AS cid, pos, x AS c FROM ql WHERE vec_id < 8),
+             d1 AS MATERIALIZED (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
                     FROM ql JOIN c0 USING (pos) GROUP BY 1, 2),
-             a1 AS (SELECT vec_id, cid,
+             a1 AS MATERIALIZED (SELECT vec_id, cid,
                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                     FROM d1),
-             m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
-             c1 AS (SELECT m1.cid, ql.pos,
+             m1 AS MATERIALIZED (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+             c1 AS MATERIALIZED (SELECT m1.cid, ql.pos,
                       CAST((2*sum(ql.x) + count(*)) // (2*count(*)) AS BIGINT) AS c
                     FROM ql JOIN m1 USING (vec_id) GROUP BY 1, 2),
-             d2 AS (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
+             d2 AS MATERIALIZED (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
                     FROM ql JOIN c1 USING (pos) GROUP BY 1, 2),
-             a2 AS (SELECT vec_id, cid,
+             a2 AS MATERIALIZED (SELECT vec_id, cid,
                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                     FROM d2),
-             cl AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2 WHERE rn = 1),
-             ok AS (SELECT cluster FROM cl GROUP BY cluster
+             cl AS MATERIALIZED (SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2 WHERE rn = 1),
+             ok AS MATERIALIZED (SELECT cluster FROM cl GROUP BY cluster
                     HAVING count(*) <= CAST(ceil(CAST(1.05 AS DOUBLE)
                       * (SELECT count(*) FROM embeddings) / 8) AS BIGINT)),
-             pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             pairs AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                        FROM cl a JOIN cl b
                          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
                        WHERE a.cluster IN (SELECT cluster FROM ok)),
-             scored AS (SELECT id_a, id_b,
+             scored AS MATERIALIZED (SELECT id_a, id_b,
                  list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
                FROM pairs JOIN embeddings ea ON ea.vec_id = id_a
                           JOIN embeddings eb ON eb.vec_id = id_b),
-             drp AS (SELECT id_b AS vec_id, min(id_a) AS dup_of
+             drp AS MATERIALIZED (SELECT id_b AS vec_id, min(id_a) AS dup_of
                      FROM scored WHERE cos >= 0.4 GROUP BY id_b)
             SELECT cl.vec_id, cl.cluster, (drp.dup_of IS NULL) AS kept, drp.dup_of
             FROM cl LEFT JOIN drp USING (vec_id)
@@ -1416,20 +1416,20 @@ object ExtQueries {
       Retrieval.topK(documents(s, d), "doc_id", "text", qdf, k = 10)
         .orderBy("query_id", "rank")
     },
-    Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
                     FROM documents),
-             tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                     FROM toks GROUP BY 1, 2),
-             dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             n AS (SELECT count(*) AS n_docs FROM documents),
-             idf AS (SELECT term, (n_docs * 1000) // df AS idf FROM dfc, n),
-             qt AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'window'), (0, 'merge'),
+             dfc AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             n AS MATERIALIZED (SELECT count(*) AS n_docs FROM documents),
+             idf AS MATERIALIZED (SELECT term, (n_docs * 1000) // df AS idf FROM dfc, n),
+             qt AS MATERIALIZED (SELECT * FROM (VALUES (0, 'spark'), (0, 'window'), (0, 'merge'),
                       (1, 'customer'), (1, 'vector'),
                       (2, 'hash'), (2, 'filter'), (2, 'stream')) AS t(query_id, term)),
-             sc AS (SELECT query_id, doc_id, CAST(sum(tf.tf * idf.idf) AS BIGINT) AS score
+             sc AS MATERIALIZED (SELECT query_id, doc_id, CAST(sum(tf.tf * idf.idf) AS BIGINT) AS score
                     FROM tf JOIN qt USING (term) JOIN idf USING (term)
                     GROUP BY 1, 2),
-             rk AS (SELECT query_id, doc_id, score,
+             rk AS MATERIALIZED (SELECT query_id, doc_id, score,
                       row_number() OVER (PARTITION BY query_id
                         ORDER BY score DESC, doc_id) AS rn
                     FROM sc)
@@ -1459,15 +1459,15 @@ object ExtQueries {
           lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
       Pii.annotate(seeded, "doc_id", "__seeded").orderBy("doc_id")
     },
-    Some("""WITH seeded AS (SELECT doc_id, text
+    Some("""WITH seeded AS MATERIALIZED (SELECT doc_id, text
                  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
                  || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END
                  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
                  AS t FROM documents),
-            r1 AS (SELECT doc_id, t,
+            r1 AS MATERIALIZED (SELECT doc_id, t,
                      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
                    FROM seeded),
-            r2 AS (SELECT doc_id, t, t1,
+            r2 AS MATERIALIZED (SELECT doc_id, t, t1,
                      regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
                    FROM r1)
             SELECT doc_id,
@@ -1488,10 +1488,10 @@ object ExtQueries {
     (s, d) => CorpusShuffle.order(documents(s, d), "doc_id",
         seed = "graft-shuffle-r7", shardSize = 128L)
       .orderBy("pos"),
-    Some("""WITH k AS (SELECT doc_id,
+    Some("""WITH k AS MATERIALIZED (SELECT doc_id,
                  md5('graft-shuffle-r7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
                FROM documents),
-             p AS (SELECT doc_id, shuffle_key,
+             p AS MATERIALIZED (SELECT doc_id, shuffle_key,
                  CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS pos
                FROM k)
             SELECT doc_id, shuffle_key, pos,
@@ -1504,12 +1504,12 @@ object ExtQueries {
     (s, d) => Chunking.chunks(documents(s, d), "doc_id", "text",
         win = 64, stride = 48)
       .orderBy("doc_id", "chunk_idx"),
-    Some("""WITH t AS (SELECT doc_id,
+    Some("""WITH t AS MATERIALIZED (SELECT doc_id,
                  regexp_extract_all(lower(trim(text)), '\S+') AS toks
                FROM documents),
-             n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+             n AS MATERIALIZED (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
                FROM t WHERE len(toks) > 0),
-             c AS (SELECT doc_id, toks, n,
+             c AS MATERIALIZED (SELECT doc_id, toks, n,
                  unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS chunk_idx
                FROM n)
             SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
@@ -1557,39 +1557,39 @@ object ExtQueries {
             graft.ext.IncrementalDedup.countsTable("x43_sig_store"))))
         .orderBy("doc_id")
     },
-    Some("""WITH docs AS (SELECT doc_id,
+    Some("""WITH docs AS MATERIALIZED (SELECT doc_id,
                    CASE WHEN doc_id % 7 = 0
                         THEN 'standard cookie banner please accept all cookies to continue reading'
                         ELSE text END AS text
                  FROM documents),
-                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM docs),
-                 sh AS (SELECT doc_id,
+                 toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM docs),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 sized AS (SELECT b, bk FROM bands WHERE doc_id % 5 <> 4
+                 sized AS MATERIALIZED (SELECT b, bk FROM bands WHERE doc_id % 5 <> 4
                            GROUP BY b, bk HAVING count(*) <= 2),
-                 kept AS (SELECT bands.doc_id, bands.b, bands.bk
+                 kept AS MATERIALIZED (SELECT bands.doc_id, bands.b, bands.bk
                           FROM bands JOIN sized ON bands.b = sized.b AND bands.bk = sized.bk),
-                 pairs AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                 pairs AS MATERIALIZED (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
                            FROM kept n JOIN kept s ON n.b = s.b AND n.bk = s.bk
                            WHERE n.doc_id % 5 = 4 AND s.doc_id % 5 <> 4),
-                 m AS (SELECT new_id, store_id
+                 m AS MATERIALIZED (SELECT new_id, store_id
                        FROM pairs JOIN sig sa ON sa.doc_id = new_id
                                   JOIN sig sb ON sb.doc_id = store_id
                        WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
-                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
+                 agg AS MATERIALIZED (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
                                 min(store_id) AS dup_of
                          FROM m GROUP BY new_id)
             SELECT d.doc_id, (a.dup_of IS NULL) AS kept,
@@ -1614,14 +1614,14 @@ object ExtQueries {
         col("doc_id") % 10 === 0, n = 8)
       .orderBy("doc_id"),
     Some(s"""WITH $tokSql,
-             g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+             g AS MATERIALIZED (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
                       i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
                    FROM toks WHERE len(w) >= 8),
-             dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
-             ev AS (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
-             tr AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
-             tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
-             sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+             dg AS MATERIALIZED (SELECT DISTINCT doc_id, gram_fp FROM g),
+             ev AS MATERIALIZED (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
+             tr AS MATERIALIZED (SELECT * FROM dg WHERE doc_id % 10 <> 0),
+             tot AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
+             sh AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
                     FROM tr JOIN ev USING (gram_fp) GROUP BY 1)
              SELECT s.doc_id, t.n_grams, s.n_shared,
                     CAST(s.n_shared AS DOUBLE) / t.n_grams AS contamination
@@ -1650,7 +1650,7 @@ object ExtQueries {
           nCentroids = 16, nProbe = 4, dim = 64, seedOffset = 100000L)
         .orderBy("vec_id")
     },
-    Some("""WITH sc AS (SELECT vec_id, embedding,
+    Some("""WITH sc AS MATERIALIZED (SELECT vec_id, embedding,
                    list_transform(range(0,16), kk ->
                      list_sum(list_transform(list_zip(embedding, range(0,64)),
                        x -> CAST(x[1] AS DOUBLE) *
@@ -1662,17 +1662,17 @@ object ExtQueries {
                          * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
                             / 2147483648.0 * 2 - 1))))) AS scores
                  FROM embeddings),
-                 assigned AS (SELECT vec_id, embedding,
+                 assigned AS MATERIALIZED (SELECT vec_id, embedding,
                                 CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
                               FROM sc WHERE vec_id % 5 <> 4),
-                 probes AS (SELECT new_id, qe, cell FROM (
+                 probes AS MATERIALIZED (SELECT new_id, qe, cell FROM (
                      SELECT vec_id AS new_id, embedding AS qe, CAST(j AS INT) AS cell,
                             row_number() OVER (PARTITION BY vec_id
                               ORDER BY scores[j+1] DESC, j) AS pr
                      FROM sc, (SELECT unnest(range(0,16)) AS j)
                      WHERE vec_id % 5 = 4)
                    WHERE pr <= 4),
-                 m AS (SELECT new_id, a.vec_id AS store_id
+                 m AS MATERIALIZED (SELECT new_id, a.vec_id AS store_id
                        FROM probes p JOIN assigned a
                          ON a.cell = p.cell AND a.vec_id <> p.new_id
                        WHERE list_sum(list_transform(list_zip(p.qe, a.embedding),
@@ -1680,7 +1680,7 @@ object ExtQueries {
                              / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                               * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
                              >= 0.4),
-                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
+                 agg AS MATERIALIZED (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
                                 min(store_id) AS dup_of
                          FROM m GROUP BY new_id)
             SELECT e.vec_id, (a.dup_of IS NULL) AS kept,
@@ -1744,12 +1744,12 @@ object ExtQueries {
           col("dup_of"), col("batch_id").cast("long").as("batch_id"))
         .orderBy("vec_id")
     },
-    Some("""WITH emb2 AS (SELECT vec_id,
+    Some("""WITH emb2 AS MATERIALIZED (SELECT vec_id,
                    CASE WHEN vec_id % 7 = 0
                         THEN list_transform(range(0,64), j -> CAST(j % 7 - 3 AS FLOAT))
                         ELSE embedding END AS embedding
                  FROM embeddings),
-                 sc AS (SELECT vec_id, embedding,
+                 sc AS MATERIALIZED (SELECT vec_id, embedding,
                    list_transform(range(0,16), kk ->
                      list_sum(list_transform(list_zip(embedding, range(0,64)),
                        x -> CAST(x[1] AS DOUBLE) *
@@ -1761,22 +1761,22 @@ object ExtQueries {
                          * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
                             / 2147483648.0 * 2 - 1))))) AS scores
                  FROM emb2),
-                 cells AS (SELECT vec_id, embedding,
+                 cells AS MATERIALIZED (SELECT vec_id, embedding,
                              CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
                            FROM sc),
-                 cap AS (SELECT CAST(ceiling(1.05 * count(*) / 16) AS BIGINT) AS cap
+                 cap AS MATERIALIZED (SELECT CAST(ceiling(1.05 * count(*) / 16) AS BIGINT) AS cap
                          FROM embeddings WHERE vec_id % 3 = 0),
-                 probes AS (SELECT new_id, qe, cell FROM (
+                 probes AS MATERIALIZED (SELECT new_id, qe, cell FROM (
                      SELECT vec_id AS new_id, embedding AS qe, CAST(j AS INT) AS cell,
                             row_number() OVER (PARTITION BY vec_id
                               ORDER BY scores[j+1] DESC, j) AS pr
                      FROM sc, (SELECT unnest(range(0,16)) AS j))
                    WHERE pr <= 4),
-                 s1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1),
-                 s2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2),
-                 sized1 AS (SELECT cell FROM cells WHERE vec_id % 3 = 0
+                 s1 AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1),
+                 s2 AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2),
+                 sized1 AS MATERIALIZED (SELECT cell FROM cells WHERE vec_id % 3 = 0
                             GROUP BY cell HAVING count(*) <= (SELECT cap FROM cap)),
-                 m1 AS (SELECT p.new_id, a.vec_id AS store_id
+                 m1 AS MATERIALIZED (SELECT p.new_id, a.vec_id AS store_id
                         FROM probes p JOIN cells a
                           ON a.cell = p.cell AND a.vec_id <> p.new_id
                         JOIN sized1 ON a.cell = sized1.cell
@@ -1786,16 +1786,16 @@ object ExtQueries {
                               / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                                * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
                               >= 0.4),
-                 v1 AS (SELECT s1.vec_id, (min(m1.store_id) IS NULL) AS kept,
+                 v1 AS MATERIALIZED (SELECT s1.vec_id, (min(m1.store_id) IS NULL) AS kept,
                                CAST(count(m1.store_id) AS BIGINT) AS n_store_matches,
                                min(m1.store_id) AS dup_of
                         FROM s1 LEFT JOIN m1 ON s1.vec_id = m1.new_id
                         GROUP BY s1.vec_id),
-                 st1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+                 st1 AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
                          UNION ALL SELECT vec_id FROM v1 WHERE kept),
-                 sized2 AS (SELECT a.cell FROM cells a JOIN st1 ON a.vec_id = st1.vec_id
+                 sized2 AS MATERIALIZED (SELECT a.cell FROM cells a JOIN st1 ON a.vec_id = st1.vec_id
                             GROUP BY a.cell HAVING count(*) <= (SELECT cap FROM cap)),
-                 m2 AS (SELECT p.new_id, a.vec_id AS store_id
+                 m2 AS MATERIALIZED (SELECT p.new_id, a.vec_id AS store_id
                         FROM probes p JOIN cells a
                           ON a.cell = p.cell AND a.vec_id <> p.new_id
                         JOIN st1 ON a.vec_id = st1.vec_id
@@ -1806,7 +1806,7 @@ object ExtQueries {
                               / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                                * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
                               >= 0.4),
-                 v2 AS (SELECT s2.vec_id, (min(m2.store_id) IS NULL) AS kept,
+                 v2 AS MATERIALIZED (SELECT s2.vec_id, (min(m2.store_id) IS NULL) AS kept,
                                CAST(count(m2.store_id) AS BIGINT) AS n_store_matches,
                                min(m2.store_id) AS dup_of
                         FROM s2 LEFT JOIN m2 ON s2.vec_id = m2.new_id
@@ -1858,12 +1858,12 @@ object ExtQueries {
             graft.ext.VectorStore.countsTable("x47_vec_store"))))
         .orderBy("vec_id")
     },
-    Some("""WITH emb2 AS (SELECT vec_id,
+    Some("""WITH emb2 AS MATERIALIZED (SELECT vec_id,
                    CASE WHEN vec_id % 7 = 0
                         THEN list_transform(range(0,64), j -> CAST(j % 7 - 3 AS FLOAT))
                         ELSE embedding END AS embedding
                  FROM embeddings),
-                 sc AS (SELECT vec_id, embedding,
+                 sc AS MATERIALIZED (SELECT vec_id, embedding,
                    list_transform(range(0,16), kk ->
                      list_sum(list_transform(list_zip(embedding, range(0,64)),
                        x -> CAST(x[1] AS DOUBLE) *
@@ -1875,22 +1875,22 @@ object ExtQueries {
                          * (CAST((1103515245*(100000 + kk*64 + j) + 12345) % 2147483648 AS DOUBLE)
                             / 2147483648.0 * 2 - 1))))) AS scores
                  FROM emb2),
-                 assigned AS (SELECT vec_id, embedding,
+                 assigned AS MATERIALIZED (SELECT vec_id, embedding,
                                 CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
                               FROM sc WHERE vec_id % 5 <> 4),
-                 sized AS (SELECT cell FROM assigned GROUP BY cell
+                 sized AS MATERIALIZED (SELECT cell FROM assigned GROUP BY cell
                            HAVING count(*) <=
                              CAST(ceiling(1.05 * (SELECT count(*) FROM assigned) / 16) AS BIGINT)),
-                 aok AS (SELECT a.vec_id, a.embedding, a.cell
+                 aok AS MATERIALIZED (SELECT a.vec_id, a.embedding, a.cell
                          FROM assigned a JOIN sized ON a.cell = sized.cell),
-                 probes AS (SELECT new_id, qe, cell FROM (
+                 probes AS MATERIALIZED (SELECT new_id, qe, cell FROM (
                      SELECT vec_id AS new_id, embedding AS qe, CAST(j AS INT) AS cell,
                             row_number() OVER (PARTITION BY vec_id
                               ORDER BY scores[j+1] DESC, j) AS pr
                      FROM sc, (SELECT unnest(range(0,16)) AS j)
                      WHERE vec_id % 5 = 4)
                    WHERE pr <= 4),
-                 m AS (SELECT new_id, a.vec_id AS store_id
+                 m AS MATERIALIZED (SELECT new_id, a.vec_id AS store_id
                        FROM probes p JOIN aok a
                          ON a.cell = p.cell AND a.vec_id <> p.new_id
                        WHERE list_sum(list_transform(list_zip(p.qe, a.embedding),
@@ -1898,7 +1898,7 @@ object ExtQueries {
                              / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                               * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
                              >= 0.4),
-                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
+                 agg AS MATERIALIZED (SELECT new_id, CAST(count(*) AS BIGINT) AS n_store_matches,
                                 min(store_id) AS dup_of
                          FROM m GROUP BY new_id)
             SELECT e.vec_id, (a.dup_of IS NULL) AS kept,
@@ -1927,34 +1927,34 @@ object ExtQueries {
           "vec_id", "embedding", k = 5, centroids = codebook, nProbe = 4)
         .orderBy("query_id", "rank")
     },
-    Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+    Some("""WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
                       v -> CAST(floor(CAST(v AS DOUBLE)*1048576 + 0.5) AS BIGINT) + 2097152) AS u
                     FROM embeddings),
-             ql AS (SELECT vec_id, e.e.i AS pos, e.e.x AS x
+             ql AS MATERIALIZED (SELECT vec_id, e.e.i AS pos, e.e.x AS x
                     FROM q, unnest(list_transform(generate_series(1, len(u)),
                            i -> {'i': i-1, 'x': u[i]})) AS e(e)),
-             c0 AS (SELECT vec_id AS cid, pos, x AS c FROM ql WHERE vec_id < 16),
-             d1 AS (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
+             c0 AS MATERIALIZED (SELECT vec_id AS cid, pos, x AS c FROM ql WHERE vec_id < 16),
+             d1 AS MATERIALIZED (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
                     FROM ql JOIN c0 USING (pos) GROUP BY 1, 2),
-             a1 AS (SELECT vec_id, cid,
+             a1 AS MATERIALIZED (SELECT vec_id, cid,
                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                     FROM d1),
-             m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
-             c1 AS (SELECT m1.cid, ql.pos,
+             m1 AS MATERIALIZED (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+             c1 AS MATERIALIZED (SELECT m1.cid, ql.pos,
                       CAST((2*sum(ql.x) + count(*)) // (2*count(*)) AS BIGINT) AS c
                     FROM ql JOIN m1 USING (vec_id) GROUP BY 1, 2),
-             d2 AS (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
+             d2 AS MATERIALIZED (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
                     FROM ql JOIN c1 USING (pos) GROUP BY 1, 2),
-             asg AS (SELECT vec_id, cid FROM
+             asg AS MATERIALIZED (SELECT vec_id, cid FROM
                        (SELECT vec_id, cid,
                           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                         FROM d2)
                      WHERE rn = 1),
-             prn AS (SELECT vec_id AS query_id, cid,
+             prn AS MATERIALIZED (SELECT vec_id AS query_id, cid,
                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
                      FROM d2 WHERE vec_id < 8),
-             probes AS (SELECT query_id, cid FROM prn WHERE pr <= 4),
-             scored AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             probes AS MATERIALIZED (SELECT query_id, cid FROM prn WHERE pr <= 4),
+             scored AS MATERIALIZED (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
                  list_sum(list_transform(list_zip(qe.embedding, ne.embedding),
                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                  / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
@@ -1963,7 +1963,7 @@ object ExtQueries {
                JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
                JOIN embeddings qe ON qe.vec_id = p.query_id
                JOIN embeddings ne ON ne.vec_id = a.vec_id),
-             r AS (SELECT query_id, neighbor_id, sim,
+             r AS MATERIALIZED (SELECT query_id, neighbor_id, sim,
                      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
                    FROM scored)
             SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
@@ -2021,45 +2021,45 @@ object ExtQueries {
           col("dup_of"), col("batch_id").cast("long").as("batch_id"))
         .orderBy("vec_id")
     },
-    Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+    Some("""WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
                       v -> CAST(floor(CAST(v AS DOUBLE)*1048576 + 0.5) AS BIGINT) + 2097152) AS u
                     FROM embeddings),
-             ql AS (SELECT vec_id, e.e.i AS pos, e.e.x AS x
+             ql AS MATERIALIZED (SELECT vec_id, e.e.i AS pos, e.e.x AS x
                     FROM q, unnest(list_transform(generate_series(1, len(u)),
                            i -> {'i': i-1, 'x': u[i]})) AS e(e)),
-             seeds AS (SELECT vec_id, rn - 1 AS cid FROM (
+             seeds AS MATERIALIZED (SELECT vec_id, rn - 1 AS cid FROM (
                          SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
                          FROM embeddings WHERE vec_id % 3 = 0)
                        WHERE rn <= 16),
-             c0 AS (SELECT s.cid, ql.pos, ql.x AS c
+             c0 AS MATERIALIZED (SELECT s.cid, ql.pos, ql.x AS c
                     FROM seeds s JOIN ql ON ql.vec_id = s.vec_id),
-             d1 AS (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
+             d1 AS MATERIALIZED (SELECT ql.vec_id, c0.cid, sum((ql.x - c0.c)*(ql.x - c0.c)) AS dist
                     FROM ql JOIN c0 USING (pos)
                     WHERE ql.vec_id % 3 = 0
                     GROUP BY 1, 2),
-             m1 AS (SELECT vec_id, cid FROM
+             m1 AS MATERIALIZED (SELECT vec_id, cid FROM
                       (SELECT vec_id, cid,
                          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                        FROM d1)
                     WHERE rn = 1),
-             c1 AS (SELECT m1.cid, ql.pos,
+             c1 AS MATERIALIZED (SELECT m1.cid, ql.pos,
                       CAST((2*sum(ql.x) + count(*)) // (2*count(*)) AS BIGINT) AS c
                     FROM ql JOIN m1 USING (vec_id) GROUP BY 1, 2),
-             d2 AS (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
+             d2 AS MATERIALIZED (SELECT ql.vec_id, c1.cid, sum((ql.x - c1.c)*(ql.x - c1.c)) AS dist
                     FROM ql JOIN c1 USING (pos) GROUP BY 1, 2),
-             cells AS (SELECT vec_id, cid FROM
+             cells AS MATERIALIZED (SELECT vec_id, cid FROM
                          (SELECT vec_id, cid,
                             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                           FROM d2)
                        WHERE rn = 1),
-             probes AS (SELECT vec_id AS new_id, cid FROM
+             probes AS MATERIALIZED (SELECT vec_id AS new_id, cid FROM
                           (SELECT vec_id, cid,
                              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
                            FROM d2 WHERE vec_id % 3 <> 0)
                         WHERE pr <= 4),
-             s1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1),
-             s2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2),
-             m1v AS (SELECT p.new_id, a.vec_id AS store_id
+             s1 AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1),
+             s2 AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2),
+             m1v AS MATERIALIZED (SELECT p.new_id, a.vec_id AS store_id
                      FROM probes p JOIN cells a
                        ON a.cid = p.cid AND a.vec_id <> p.new_id
                      JOIN embeddings qe ON qe.vec_id = p.new_id
@@ -2070,14 +2070,14 @@ object ExtQueries {
                            / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                             * sqrt(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
                            >= 0.4),
-             v1 AS (SELECT s1.vec_id, (min(m1v.store_id) IS NULL) AS kept,
+             v1 AS MATERIALIZED (SELECT s1.vec_id, (min(m1v.store_id) IS NULL) AS kept,
                            CAST(count(m1v.store_id) AS BIGINT) AS n_store_matches,
                            min(m1v.store_id) AS dup_of
                     FROM s1 LEFT JOIN m1v ON s1.vec_id = m1v.new_id
                     GROUP BY s1.vec_id),
-             st1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+             st1 AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
                      UNION ALL SELECT vec_id FROM v1 WHERE kept),
-             m2v AS (SELECT p.new_id, a.vec_id AS store_id
+             m2v AS MATERIALIZED (SELECT p.new_id, a.vec_id AS store_id
                      FROM probes p JOIN cells a
                        ON a.cid = p.cid AND a.vec_id <> p.new_id
                      JOIN st1 ON a.vec_id = st1.vec_id
@@ -2089,7 +2089,7 @@ object ExtQueries {
                            / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
                             * sqrt(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
                            >= 0.4),
-             v2 AS (SELECT s2.vec_id, (min(m2v.store_id) IS NULL) AS kept,
+             v2 AS MATERIALIZED (SELECT s2.vec_id, (min(m2v.store_id) IS NULL) AS kept,
                            CAST(count(m2v.store_id) AS BIGINT) AS n_store_matches,
                            min(m2v.store_id) AS dup_of
                     FROM s2 LEFT JOIN m2v ON s2.vec_id = m2v.new_id
@@ -2125,12 +2125,12 @@ object ExtQueries {
           s.table("x50_fp_store"))
         .orderBy("doc_id")
     },
-    Some("""WITH f AS (SELECT doc_id,
+    Some("""WITH f AS MATERIALIZED (SELECT doc_id,
                          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
                        FROM documents),
-                 store AS (SELECT fp, min(doc_id) AS canonical_id
+                 store AS MATERIALIZED (SELECT fp, min(doc_id) AS canonical_id
                            FROM f WHERE doc_id % 3 <> 2 GROUP BY fp),
-                 fresh AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 2
+                 fresh AS MATERIALIZED (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 2
                            UNION ALL
                            SELECT doc_id + 100000, fp FROM f WHERE doc_id % 7 = 0)
             SELECT fr.doc_id, (s.canonical_id IS NULL) AS kept,
@@ -2190,34 +2190,34 @@ object ExtQueries {
           col("batch_id").cast("long").as("batch_id"))
         .orderBy("doc_id")
     },
-    Some("""WITH f AS (SELECT doc_id,
+    Some("""WITH f AS MATERIALIZED (SELECT doc_id,
                          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
                        FROM documents),
-                 store0 AS (SELECT fp, min(doc_id) AS cid
+                 store0 AS MATERIALIZED (SELECT fp, min(doc_id) AS cid
                             FROM f WHERE doc_id % 3 = 0 GROUP BY fp),
-                 b1 AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 1
+                 b1 AS MATERIALIZED (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 1
                         UNION ALL
                         SELECT doc_id + 100000, fp FROM f
                         WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
-                 v1 AS (SELECT b1.doc_id, (s.cid IS NULL) AS kept, s.cid AS dup_of,
+                 v1 AS MATERIALIZED (SELECT b1.doc_id, (s.cid IS NULL) AS kept, s.cid AS dup_of,
                                CAST(0 AS BIGINT) AS batch_id
                         FROM b1 LEFT JOIN store0 s ON b1.fp = s.fp),
-                 grow AS (SELECT b1.fp, min(b1.doc_id) AS cid
+                 grow AS MATERIALIZED (SELECT b1.fp, min(b1.doc_id) AS cid
                           FROM b1 JOIN v1 ON v1.doc_id = b1.doc_id
                           LEFT JOIN store0 s ON b1.fp = s.fp
                           WHERE v1.kept AND s.cid IS NULL
                           GROUP BY b1.fp),
-                 store1 AS (SELECT fp, cid FROM store0
+                 store1 AS MATERIALIZED (SELECT fp, cid FROM store0
                             UNION ALL SELECT fp, cid FROM grow),
-                 b2 AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 2
+                 b2 AS MATERIALIZED (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 2
                         UNION ALL
                         SELECT doc_id + 200000, fp FROM f
                         WHERE doc_id % 3 = 1 AND doc_id % 4 = 1
                         UNION ALL
                         SELECT doc_id + 300000, fp FROM f
                         WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
-                 s1m AS (SELECT fp, min(cid) AS cid FROM store1 GROUP BY fp),
-                 v2 AS (SELECT b2.doc_id, (s.cid IS NULL) AS kept, s.cid AS dup_of,
+                 s1m AS MATERIALIZED (SELECT fp, min(cid) AS cid FROM store1 GROUP BY fp),
+                 v2 AS MATERIALIZED (SELECT b2.doc_id, (s.cid IS NULL) AS kept, s.cid AS dup_of,
                                CAST(1 AS BIGINT) AS batch_id
                         FROM b2 LEFT JOIN s1m s ON b2.fp = s.fp)
             SELECT doc_id, kept, dup_of, batch_id
@@ -2250,14 +2250,14 @@ object ExtQueries {
     * append-then-serve must equal a store rebuilt on the whole
     * benchmark, so the two queries must read the SAME replay. */
   private lazy val benchContamOracle = s"""WITH $tokSql,
-             g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+             g AS MATERIALIZED (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
                       i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
                    FROM toks WHERE len(w) >= 8),
-             dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
-             ev AS (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
-             tr AS (SELECT * FROM dg WHERE doc_id % 10 <> 0),
-             tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
-             sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+             dg AS MATERIALIZED (SELECT DISTINCT doc_id, gram_fp FROM g),
+             ev AS MATERIALIZED (SELECT DISTINCT gram_fp FROM g WHERE doc_id % 10 = 0),
+             tr AS MATERIALIZED (SELECT * FROM dg WHERE doc_id % 10 <> 0),
+             tot AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
+             sh AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
                     FROM tr JOIN ev USING (gram_fp) GROUP BY 1)
              SELECT s.doc_id, t.n_grams, s.n_shared,
                     CAST(s.n_shared AS DOUBLE) / t.n_grams AS contamination
@@ -2283,22 +2283,22 @@ object ExtQueries {
     * counts + per-doc quantized sums), shared by the scoring oracles
     * (x53/x54/x55) and x59's per-source quantile gate. */
   private val lmCascadeSql = s"""WITH $tokSql,
-             pairs AS (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
+             pairs AS MATERIALIZED (SELECT doc_id, u.pr.uf AS uni_fp, u.pr.bf AS bi_fp
                        FROM toks, unnest(list_transform(generate_series(1, len(w)-1),
                          i -> {'uf': CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT),
                                'bf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
                        WHERE len(w) >= 2),
-             c1 AS (SELECT fp, count(*) AS c FROM (
+             c1 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                       SELECT unnest(list_transform(generate_series(1, len(w)),
                         i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                       FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 1)
                     GROUP BY fp),
-             c2 AS (SELECT fp, count(*) AS c FROM (
+             c2 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                       SELECT unnest(list_transform(generate_series(1, len(w)-1),
                         i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                       FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 2)
                     GROUP BY fp),
-             sc AS (SELECT p.doc_id,
+             sc AS MATERIALIZED (SELECT p.doc_id,
                       CAST(count(*) AS BIGINT) AS n_bigrams,
                       CAST(sum(CAST(floor(COALESCE(CAST(c2.c AS DOUBLE) / CAST(c1.c AS DOUBLE), 0.0)
                                           * 1073741824.0) AS BIGINT)) AS BIGINT) AS p_sum_q
@@ -2781,11 +2781,11 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .orderBy("doc_id")
     },
     Some(s"""$lmCascadeSql,
-             base AS (SELECT d.doc_id, d.source,
+             base AS MATERIALIZED (SELECT d.doc_id, d.source,
                         CAST(sc.p_sum_q AS DOUBLE) / 1073741824.0
                           / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
                       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
-             ranked AS (SELECT doc_id, source, lm_score,
+             ranked AS MATERIALIZED (SELECT doc_id, source, lm_score,
                           cume_dist() OVER (PARTITION BY source
                             ORDER BY lm_score) AS cume_dist
                         FROM base WHERE lm_score IS NOT NULL)
@@ -2828,24 +2828,24 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .select(col("doc_id"), col("lang"), col("copy_idx"), col("n_copies"))
         .orderBy("doc_id", "copy_idx")
     },
-    Some("""WITH tok AS (SELECT doc_id, lang,
+    Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang,
                     CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS nt
                   FROM documents),
-             b AS (SELECT 3 * CAST(sum(nt) AS BIGINT) AS budget FROM tok),
-             s AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
-             f AS (SELECT lang,
+             b AS MATERIALIZED (SELECT 3 * CAST(sum(nt) AS BIGINT) AS budget FROM tok),
+             s AS MATERIALIZED (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+             f AS MATERIALIZED (SELECT lang,
                      CASE WHEN n_tokens = 0 THEN 0.0
                           ELSE CAST((SELECT budget FROM b) AS DOUBLE)
                                * (CASE lang WHEN 'en' THEN 0.6 WHEN 'fr' THEN 0.15
                                             WHEN 'zh' THEN 0.25 ELSE 0.0 END)
                                / n_tokens END AS factor
                    FROM s),
-             d AS (SELECT t.doc_id, t.lang,
+             d AS MATERIALIZED (SELECT t.doc_id, t.lang,
                      CAST(floor(f.factor) AS BIGINT) AS full_copies,
                      CAST(floor(f.factor * 10000.0) AS BIGINT)
                        - CAST(floor(f.factor) AS BIGINT) * 10000 AS thr
                    FROM tok t JOIN f USING (lang)),
-             c AS (SELECT doc_id, lang,
+             c AS MATERIALIZED (SELECT doc_id, lang,
                      full_copies + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < thr
                                          THEN 1 ELSE 0 END) AS n_copies
                    FROM d)
@@ -2868,10 +2868,10 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
   private val x61 = Q("x61_gopher_rule_gate",
     (s, d) => graft.ext.RuleGate.flags(documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id, text,
+    Some("""WITH t AS MATERIALIZED (SELECT doc_id, text,
                     regexp_extract_all(lower(trim(text)), '\S+') AS toks
                   FROM documents),
-             f AS (SELECT doc_id,
+             f AS MATERIALIZED (SELECT doc_id,
                      CAST(len(toks) AS BIGINT) AS n_words,
                      CASE WHEN len(toks) = 0 THEN 0.0
                           ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
@@ -2916,7 +2916,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     (s, d) => graft.ext.DataCard.perSource(documents(s, d),
         "doc_id", "text", "lang", "source")
       .orderBy("source"),
-    Some("""WITH f AS (SELECT doc_id, lang, source,
+    Some("""WITH f AS MATERIALIZED (SELECT doc_id, lang, source,
                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
                     CAST(length(text) AS BIGINT) AS nc,
                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
@@ -2929,22 +2929,22 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                               / len(regexp_extract_all(lower(text), '[a-z]+'))
                     END AS stop_ratio
                   FROM documents),
-             q AS (SELECT *, CASE WHEN nt = 0 THEN 0.0
+             q AS MATERIALIZED (SELECT *, CASE WHEN nt = 0 THEN 0.0
                      ELSE CAST(nc - nt + 1 AS DOUBLE) / nt END AS avg_len FROM f),
-             sc AS (SELECT *,
+             sc AS MATERIALIZED (SELECT *,
                      CAST(floor((0.4 * stop_ratio + 0.3 * (least(avg_len, 10.0) / 10.0)
                                  + 0.3 * (1.0 - digit_ratio)) * 1048576.0) AS BIGINT) AS score_q
                    FROM q),
-             fpn AS (SELECT fp, count(*) AS fp_n FROM sc GROUP BY 1),
-             g AS (SELECT sc.*, CASE WHEN fpn.fp_n > 1 THEN 1 ELSE 0 END AS is_dup
+             fpn AS MATERIALIZED (SELECT fp, count(*) AS fp_n FROM sc GROUP BY 1),
+             g AS MATERIALIZED (SELECT sc.*, CASE WHEN fpn.fp_n > 1 THEN 1 ELSE 0 END AS is_dup
                    FROM sc JOIN fpn USING (fp)),
-             roll AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             roll AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                         CAST(sum(nt) AS BIGINT) AS n_tokens,
                         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
                         CAST(sum(is_dup) AS BIGINT) AS n_dup,
                         CAST(sum(score_q) AS BIGINT) AS score_sum_q
                       FROM g GROUP BY 1),
-             tl AS (SELECT source, lang AS top_lang, ln FROM (
+             tl AS MATERIALIZED (SELECT source, lang AS top_lang, ln FROM (
                       SELECT source, lang, count(*) AS ln,
                              row_number() OVER (PARTITION BY source
                                ORDER BY count(*) DESC, lang ASC) AS rk
@@ -2972,12 +2972,12 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
           "doc_id", "text", s.table("x63_fp_store"))
         .orderBy("fp")
     },
-    Some("""WITH f AS (SELECT doc_id,
+    Some("""WITH f AS MATERIALIZED (SELECT doc_id,
                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
                   FROM documents),
-             store AS (SELECT fp, min(doc_id) AS prev_id
+             store AS MATERIALIZED (SELECT fp, min(doc_id) AS prev_id
                        FROM f WHERE doc_id % 3 <> 0 GROUP BY fp),
-             cur AS (SELECT fp, min(doc_id) AS cur_id,
+             cur AS MATERIALIZED (SELECT fp, min(doc_id) AS cur_id,
                        CAST(count(*) AS BIGINT) AS n_docs
                      FROM f WHERE doc_id % 5 <> 1 GROUP BY fp)
             SELECT COALESCE(c.fp, st.fp) AS fp,
@@ -3002,11 +3002,11 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         "text", chunkTokens = 10)
       .orderBy("doc_id"),
     Some(s"""WITH $tokSql,
-             p AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN ['']
+             p AS MATERIALIZED (SELECT doc_id, CASE WHEN len(w) = 0 THEN ['']
                      ELSE list_transform(generate_series(0, CAST((len(w)-1)//10 AS INT)),
                             c -> array_to_string(w[c*10+1:c*10+10], ' ')) END AS ps
                    FROM toks),
-             k AS (SELECT doc_id, ps,
+             k AS MATERIALIZED (SELECT doc_id, ps,
                      list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0) AS kept
                    FROM p)
             SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_passages,
@@ -3027,17 +3027,17 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         "text", chunkTokens = 10, minDocFreq = 2)
       .orderBy("doc_id"),
     Some(s"""WITH $tokSql,
-             p AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN ['']
+             p AS MATERIALIZED (SELECT doc_id, CASE WHEN len(w) = 0 THEN ['']
                      ELSE list_transform(generate_series(0, CAST((len(w)-1)//10 AS INT)),
                             c -> array_to_string(w[c*10+1:c*10+10], ' ')) END AS ps
                    FROM toks),
-             e AS (SELECT doc_id, u.e.i AS idx, u.e.p AS passage
+             e AS MATERIALIZED (SELECT doc_id, u.e.i AS idx, u.e.p AS passage
                    FROM p, unnest(list_transform(generate_series(1, len(ps)),
                           i -> {'i': i-1, 'p': ps[i]})) AS u(e)),
-             f AS (SELECT md5(passage) AS fp, count(DISTINCT doc_id) AS df
+             f AS MATERIALIZED (SELECT md5(passage) AS fp, count(DISTINCT doc_id) AS df
                    FROM e GROUP BY 1),
-             b AS (SELECT fp FROM f WHERE df >= 2),
-             j AS (SELECT e.doc_id, e.idx, e.passage,
+             b AS MATERIALIZED (SELECT fp FROM f WHERE df >= 2),
+             j AS MATERIALIZED (SELECT e.doc_id, e.idx, e.passage,
                      (b.fp IS NOT NULL) AS is_b
                    FROM e LEFT JOIN b ON md5(e.passage) = b.fp)
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
@@ -3338,7 +3338,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         1L, "doc_id", "text", "lang", "source", "x67_card", 4)
       graft.ext.DataCard.serveCard(s, "x67_card").orderBy("source")
     },
-    Some("""WITH f AS (SELECT doc_id, lang, source,
+    Some("""WITH f AS MATERIALIZED (SELECT doc_id, lang, source,
                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
                     CAST(length(text) AS BIGINT) AS nc,
                     CASE WHEN length(text) = 0 THEN 0.0
@@ -3350,18 +3350,18 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                               / len(regexp_extract_all(lower(text), '[a-z]+'))
                     END AS stop_ratio
                   FROM documents),
-             q AS (SELECT *, CASE WHEN nt = 0 THEN 0.0
+             q AS MATERIALIZED (SELECT *, CASE WHEN nt = 0 THEN 0.0
                      ELSE CAST(nc - nt + 1 AS DOUBLE) / nt END AS avg_len FROM f),
-             sc AS (SELECT *,
+             sc AS MATERIALIZED (SELECT *,
                      CAST(floor((0.4 * stop_ratio + 0.3 * (least(avg_len, 10.0) / 10.0)
                                  + 0.3 * (1.0 - digit_ratio)) * 1048576.0) AS BIGINT) AS score_q
                    FROM q),
-             roll AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             roll AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                         CAST(sum(nt) AS BIGINT) AS n_tokens,
                         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
                         CAST(sum(score_q) AS BIGINT) AS score_sum_q
                       FROM sc GROUP BY 1),
-             tl AS (SELECT source, lang AS top_lang, ln FROM (
+             tl AS MATERIALIZED (SELECT source, lang AS top_lang, ln FROM (
                       SELECT source, lang, count(*) AS ln,
                              row_number() OVER (PARTITION BY source
                                ORDER BY count(*) DESC, lang ASC) AS rk
@@ -3383,7 +3383,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
   /** x68's trigram-backoff oracle, shared verbatim by x69 (the
     * store-served form) — the x53/x54 adjudication pattern. */
   private val lm3ScoreOracle = s"""WITH $tokSql,
-             pairs3 AS (SELECT doc_id, u.pr.tf AS tri_fp, u.pr.cf AS ctx_fp,
+             pairs3 AS MATERIALIZED (SELECT doc_id, u.pr.tf AS tri_fp, u.pr.cf AS ctx_fp,
                           u.pr.bf AS bo_fp, u.pr.gf AS bo_ctx_fp
                         FROM toks, unnest(list_transform(generate_series(1, len(w)-2),
                           i -> {'tf': CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15) AS UBIGINT) AS BIGINT),
@@ -3391,22 +3391,22 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                                 'bf': CAST(CAST('0x'||substr(md5(w[i+1]||' '||w[i+2]),1,15) AS UBIGINT) AS BIGINT),
                                 'gf': CAST(CAST('0x'||substr(md5(w[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
                         WHERE len(w) >= 3),
-             c1 AS (SELECT fp, count(*) AS c FROM (
+             c1 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                       SELECT unnest(list_transform(generate_series(1, len(w)),
                         i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                       FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 1)
                     GROUP BY fp),
-             c2 AS (SELECT fp, count(*) AS c FROM (
+             c2 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                       SELECT unnest(list_transform(generate_series(1, len(w)-1),
                         i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                       FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 2)
                     GROUP BY fp),
-             c3 AS (SELECT fp, count(*) AS c FROM (
+             c3 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                       SELECT unnest(list_transform(generate_series(1, len(w)-2),
                         i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                       FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 3)
                     GROUP BY fp),
-             sc3 AS (SELECT p.doc_id,
+             sc3 AS MATERIALIZED (SELECT p.doc_id,
                        CAST(count(*) AS BIGINT) AS n_trigrams,
                        CAST(sum(CASE WHEN t3.c IS NOT NULL
                                  THEN CAST(floor(CAST(t3.c AS DOUBLE) / CAST(t12.c AS DOUBLE)
@@ -3481,17 +3481,17 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .orderBy("doc_id", "copy_idx")
     },
     Some(s"""WITH $dsirAggSql,
-             sel AS (SELECT d.doc_id, d.lang
+             sel AS MATERIALIZED (SELECT d.doc_id, d.lang
                      FROM documents d JOIN agg a ON a.doc_id = d.doc_id
                      WHERE a.n_bigrams > 0 AND a.t_sum_q > a.s_sum_q),
-             mtok AS (SELECT doc_id, lang,
+             mtok AS MATERIALIZED (SELECT doc_id, lang,
                         CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT) AS nt
                       FROM documents),
-             selm AS (SELECT m.lang, CAST(sum(m.nt) AS BIGINT) AS sel_tokens
+             selm AS MATERIALIZED (SELECT m.lang, CAST(sum(m.nt) AS BIGINT) AS sel_tokens
                       FROM mtok m JOIN sel ON sel.doc_id = m.doc_id
                       GROUP BY 1),
-             tot AS (SELECT CAST(sum(sel_tokens) AS BIGINT) AS t FROM selm),
-             fx AS (SELECT st.lang,
+             tot AS MATERIALIZED (SELECT CAST(sum(sel_tokens) AS BIGINT) AS t FROM selm),
+             fx AS MATERIALIZED (SELECT st.lang,
                       CASE WHEN st.n_tokens = 0 THEN 0.0
                            ELSE CAST(30000 AS DOUBLE)
                                 * (CAST(COALESCE(sm.sel_tokens, 0) AS DOUBLE)
@@ -3500,12 +3500,12 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                     FROM (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
                           FROM mtok GROUP BY 1) st
                     LEFT JOIN selm sm USING (lang)),
-             dd AS (SELECT m.doc_id, m.lang,
+             dd AS MATERIALIZED (SELECT m.doc_id, m.lang,
                       CAST(floor(fx.factor) AS BIGINT) AS full_copies,
                       CAST(floor(fx.factor * 10000.0) AS BIGINT)
                         - CAST(floor(fx.factor) AS BIGINT) * 10000 AS thr
                     FROM mtok m JOIN fx USING (lang)),
-             cc AS (SELECT doc_id, lang,
+             cc AS MATERIALIZED (SELECT doc_id, lang,
                       full_copies + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < thr
                                           THEN 1 ELSE 0 END) AS n_copies
                     FROM dd)
@@ -3608,33 +3608,33 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
       graft.ext.CurationLoop.funnelHistory(s, root)
         .orderBy("stage_no", "batch_id")
     },
-    Some("""WITH f AS (SELECT doc_id,
+    Some("""WITH f AS MATERIALIZED (SELECT doc_id,
                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
                   FROM documents WHERE doc_id % 10 <> 0
                     AND doc_id IN (SELECT vec_id FROM embeddings)),
-             fs0 AS (SELECT fp, min(doc_id) AS cid FROM f WHERE doc_id % 4 = 0 GROUP BY fp),
-             b1 AS (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 1),
-             e1 AS (SELECT b1.doc_id, s.cid AS dup_of FROM b1 LEFT JOIN fs0 s USING (fp)),
-             fg1 AS (SELECT b1.fp, min(b1.doc_id) AS cid
+             fs0 AS MATERIALIZED (SELECT fp, min(doc_id) AS cid FROM f WHERE doc_id % 4 = 0 GROUP BY fp),
+             b1 AS MATERIALIZED (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 1),
+             e1 AS MATERIALIZED (SELECT b1.doc_id, s.cid AS dup_of FROM b1 LEFT JOIN fs0 s USING (fp)),
+             fg1 AS MATERIALIZED (SELECT b1.fp, min(b1.doc_id) AS cid
                      FROM b1 JOIN e1 ON e1.doc_id = b1.doc_id
                      WHERE e1.dup_of IS NULL GROUP BY b1.fp),
-             fs1 AS (SELECT fp, min(cid) AS cid FROM (
+             fs1 AS MATERIALIZED (SELECT fp, min(cid) AS cid FROM (
                        SELECT * FROM fs0 UNION ALL SELECT * FROM fg1) GROUP BY fp),
-             b2 AS (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 2
+             b2 AS MATERIALIZED (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 2
                     UNION ALL
                     SELECT doc_id + 200000, fp FROM f
                     WHERE doc_id % 4 = 0 AND doc_id % 2 = 0),
-             e2 AS (SELECT b2.doc_id, s.cid AS dup_of FROM b2 LEFT JOIN fs1 s USING (fp)),
-             fg2 AS (SELECT b2.fp, min(b2.doc_id) AS cid
+             e2 AS MATERIALIZED (SELECT b2.doc_id, s.cid AS dup_of FROM b2 LEFT JOIN fs1 s USING (fp)),
+             fg2 AS MATERIALIZED (SELECT b2.fp, min(b2.doc_id) AS cid
                      FROM b2 JOIN e2 ON e2.doc_id = b2.doc_id
                      WHERE e2.dup_of IS NULL GROUP BY b2.fp),
-             fs2 AS (SELECT fp, min(cid) AS cid FROM (
+             fs2 AS MATERIALIZED (SELECT fp, min(cid) AS cid FROM (
                        SELECT * FROM fs1 UNION ALL SELECT * FROM fg2) GROUP BY fp),
-             b3 AS (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 3
+             b3 AS MATERIALIZED (SELECT doc_id, fp FROM f WHERE doc_id % 4 = 3
                     UNION ALL
                     SELECT doc_id + 300000, fp FROM f WHERE doc_id % 4 = 0),
-             e3 AS (SELECT b3.doc_id, s.cid AS dup_of FROM b3 LEFT JOIN fs2 s USING (fp)),
-             cnt AS (SELECT CAST(0 AS BIGINT) AS batch_id,
+             e3 AS MATERIALIZED (SELECT b3.doc_id, s.cid AS dup_of FROM b3 LEFT JOIN fs2 s USING (fp)),
+             cnt AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS batch_id,
                        CAST(count(*) AS BIGINT) AS n_docs,
                        CAST(count(*) FILTER (WHERE dup_of IS NULL) AS BIGINT) AS n_kept
                      FROM e1
@@ -3646,13 +3646,13 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                      SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
                        CAST(count(*) FILTER (WHERE dup_of IS NULL) AS BIGINT)
                      FROM e3),
-             st AS (SELECT * FROM (VALUES (1, 'exact'), (2, 'neardup'),
+             st AS MATERIALIZED (SELECT * FROM (VALUES (1, 'exact'), (2, 'neardup'),
                       (3, 'vector'), (4, 'decontam'), (5, 'lm')) AS t(stage_no, stage)),
-             long AS (SELECT c.batch_id, st.stage_no, st.stage,
+             long AS MATERIALIZED (SELECT c.batch_id, st.stage_no, st.stage,
                         CASE WHEN st.stage_no = 1 THEN c.n_docs ELSE c.n_kept END AS n_in,
                         c.n_kept AS n_out
                       FROM cnt c CROSS JOIN st),
-             rr AS (SELECT *, CASE WHEN n_in > 0
+             rr AS MATERIALIZED (SELECT *, CASE WHEN n_in > 0
                       THEN CAST(n_in - n_out AS DOUBLE) / n_in END AS drop_rate
                     FROM long)
             SELECT batch_id, stage_no, stage, n_in, n_out, drop_rate,
@@ -3678,7 +3678,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .orderBy("doc_id")
     },
     Some(s"""$lmCascadeSql,
-             base AS (SELECT d.doc_id, d.source,
+             base AS MATERIALIZED (SELECT d.doc_id, d.source,
                         CAST(sc.p_sum_q AS DOUBLE) / 1073741824.0
                           / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
                       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
@@ -3703,13 +3703,13 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         col("doc_id") % 10 === 0, n = 8)
       .orderBy("doc_id"),
     Some(s"""WITH $tokSql,
-             g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+             g AS MATERIALIZED (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
                       i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
                    FROM toks WHERE len(w) >= 8),
-             dg AS (SELECT DISTINCT doc_id, gram_fp FROM g),
-             ev AS (SELECT * FROM dg WHERE doc_id % 10 = 0),
-             tr AS (SELECT doc_id AS tid, gram_fp FROM dg WHERE doc_id % 10 <> 0),
-             j AS (SELECT ev.doc_id, ev.gram_fp, tr.tid
+             dg AS MATERIALIZED (SELECT DISTINCT doc_id, gram_fp FROM g),
+             ev AS MATERIALIZED (SELECT * FROM dg WHERE doc_id % 10 = 0),
+             tr AS MATERIALIZED (SELECT doc_id AS tid, gram_fp FROM dg WHERE doc_id % 10 <> 0),
+             j AS MATERIALIZED (SELECT ev.doc_id, ev.gram_fp, tr.tid
                    FROM ev LEFT JOIN tr USING (gram_fp))
             SELECT doc_id,
                    CAST(count(DISTINCT gram_fp) AS BIGINT) AS n_grams,
@@ -3809,30 +3809,30 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
           minJaccard = 0.5)
         .orderBy("doc_id")
     },
-    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 pairs AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+                 pairs AS MATERIALIZED (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
                            FROM bands n JOIN bands s ON n.b = s.b AND n.bk = s.bk
                            WHERE n.doc_id % 10 <> 0 AND s.doc_id % 10 = 0),
-                 m AS (SELECT new_id, store_id
+                 m AS MATERIALIZED (SELECT new_id, store_id
                        FROM pairs JOIN sig sa ON sa.doc_id = new_id
                                   JOIN sig sb ON sb.doc_id = store_id
                        WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
-                 agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+                 agg AS MATERIALIZED (SELECT new_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
                                 min(store_id) AS min_bench_id
                          FROM m GROUP BY new_id)
             SELECT d.doc_id, (a.min_bench_id IS NOT NULL) AS contaminated,
@@ -3915,16 +3915,16 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .withColumn("n_out_rows", coalesce(col("n_out_rows"), lit(0L)))
         .orderBy("lang")
     },
-    Some("""WITH tok AS (SELECT doc_id, lang,
+    Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang,
                     CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS nt
                   FROM documents),
-             b AS (SELECT 2 * CAST(sum(nt) AS BIGINT) AS budget FROM tok),
-             s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             b AS MATERIALIZED (SELECT 2 * CAST(sum(nt) AS BIGINT) AS budget FROM tok),
+             s AS MATERIALIZED (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(nt) AS BIGINT) AS n_tokens
                    FROM tok GROUP BY 1),
-             q AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 16.0) AS BIGINT) AS qf FROM s),
-             t AS (SELECT *, sum(qf) OVER () AS total FROM q),
-             f AS (SELECT lang, n_docs, n_tokens,
+             q AS MATERIALIZED (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 16.0) AS BIGINT) AS qf FROM s),
+             t AS MATERIALIZED (SELECT *, sum(qf) OVER () AS total FROM q),
+             f AS MATERIALIZED (SELECT lang, n_docs, n_tokens,
                      CASE WHEN total = 0 THEN 0.0
                           ELSE CAST(qf AS DOUBLE) / CAST(total AS DOUBLE) END AS weight,
                      CASE WHEN n_tokens = 0 THEN 0.0
@@ -3933,14 +3933,14 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                                        ELSE CAST(qf AS DOUBLE) / CAST(total AS DOUBLE) END)
                                / n_tokens END AS repeat_factor
                    FROM t),
-             d AS (SELECT tk.lang,
+             d AS MATERIALIZED (SELECT tk.lang,
                      CAST(floor(f.repeat_factor) AS BIGINT)
                        + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(tk.doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000
                                < CAST(floor(f.repeat_factor * 10000.0) AS BIGINT)
                                  - CAST(floor(f.repeat_factor) AS BIGINT) * 10000
                                THEN 1 ELSE 0 END) AS n_copies
                    FROM tok tk JOIN f USING (lang)),
-             c AS (SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_out_rows
+             c AS MATERIALIZED (SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_out_rows
                    FROM d GROUP BY lang)
             SELECT f.lang, f.n_docs, f.n_tokens, f.weight, f.repeat_factor,
                    COALESCE(c.n_out_rows, 0) AS n_out_rows
@@ -3957,18 +3957,18 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     (s, d) => PassageDedup.removeDuplicateSpans(documents(s, d), "doc_id",
         "text", windowTokens = 8)
       .orderBy("doc_id"),
-    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 w0 AS (SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 w0 AS MATERIALIZED (SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
                           ELSE list_transform(range(0, len(w)-8+1), i ->
                             {'pos': i, 'fp': md5(array_to_string(list_slice(w, i+1, i+8), ' '))}) END) AS u
                         FROM toks),
-                 wins AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0),
-                 r AS (SELECT doc_id, pos, fp,
+                 wins AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0),
+                 r AS MATERIALIZED (SELECT doc_id, pos, fp,
                          row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
                        FROM wins),
-                 ds AS (SELECT doc_id, list_sort(list(pos)) AS starts
+                 ds AS MATERIALIZED (SELECT doc_id, list_sort(list(pos)) AS starts
                         FROM r WHERE rn > 1 GROUP BY doc_id),
-                 k AS (SELECT t.doc_id, t.w,
+                 k AS MATERIALIZED (SELECT t.doc_id, t.w,
                          CASE WHEN d.starts IS NULL THEN t.w
                               ELSE list_filter(list_transform(range(0, len(t.w)), j ->
                                      CASE WHEN len(list_filter(d.starts, x -> x <= j AND j < x + 8)) > 0
@@ -3999,18 +3999,18 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .orderBy("doc_id")
     },
     Some(s"""WITH $tokSql,
-             ev AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-7),
+             ev AS MATERIALIZED (SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-7),
                       i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
                     FROM toks WHERE doc_id % 10 = 0 AND len(w) >= 8),
-             w0 AS (SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
+             w0 AS MATERIALIZED (SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
                       ELSE list_transform(range(0, len(w)-8+1), i ->
                         {'pos': i, 'fp': CAST(CAST('0x'||substr(md5(array_to_string(list_slice(w, i+1, i+8), ' ')),1,15) AS UBIGINT) AS BIGINT)}) END) AS u
                     FROM toks WHERE doc_id % 10 <> 0),
-             wins AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0),
-             fl AS (SELECT doc_id, list_sort(list(pos)) AS starts
+             wins AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM w0),
+             fl AS MATERIALIZED (SELECT doc_id, list_sort(list(pos)) AS starts
                     FROM wins JOIN ev ON wins.fp = ev.gram_fp
                     GROUP BY doc_id),
-             k AS (SELECT t.doc_id, t.w,
+             k AS MATERIALIZED (SELECT t.doc_id, t.w,
                      CASE WHEN f.starts IS NULL THEN t.w
                           ELSE list_filter(list_transform(range(0, len(t.w)), j ->
                                  CASE WHEN len(list_filter(f.starts, x -> x <= j AND j < x + 8)) > 0
@@ -4045,14 +4045,14 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
           "doc_id", "text", "prio")
         .orderBy("doc_id")
     },
-    Some("""WITH corpus AS (SELECT doc_id, text, source FROM documents
+    Some("""WITH corpus AS MATERIALIZED (SELECT doc_id, text, source FROM documents
                      UNION ALL
                      SELECT doc_id + 100000, text, 'recrawl' FROM documents),
-                 d AS (SELECT doc_id,
+                 d AS MATERIALIZED (SELECT doc_id,
                          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
                          CASE WHEN source = 'recrawl' THEN doc_id % 2 ELSE 1 END AS prio
                        FROM corpus),
-                 w AS (SELECT fp, doc_id AS win_id FROM (
+                 w AS MATERIALIZED (SELECT fp, doc_id AS win_id FROM (
                          SELECT fp, doc_id,
                            row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn
                          FROM d WHERE fp IS NOT NULL)
@@ -4083,38 +4083,38 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .orderBy("doc_id")
     },
     Some(s"""WITH $tokSql,
-             c1 AS (SELECT fp, count(*) AS c FROM (
+             c1 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                       SELECT unnest(list_transform(generate_series(1, len(w)),
                         i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                       FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 1)
                     GROUP BY fp),
-             c2 AS (SELECT fp, count(*) AS c FROM (
+             c2 AS MATERIALIZED (SELECT fp, count(*) AS c FROM (
                       SELECT unnest(list_transform(generate_series(1, len(w)-1),
                         i -> CAST(CAST('0x'||substr(md5(w[i]||' '||w[i+1]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                       FROM toks WHERE doc_id % 10 <> 0 AND len(w) >= 2)
                     GROUP BY fp),
-             ps0 AS (SELECT doc_id, unnest(
+             ps0 AS MATERIALIZED (SELECT doc_id, unnest(
                        CASE WHEN len(w) = 0 THEN [{'idx': CAST(0 AS BIGINT), 'pt': CAST([] AS VARCHAR[])}]
                             ELSE list_transform(range(0, CAST(floor((len(w)-1)/16) AS BIGINT) + 1),
                               c -> {'idx': c, 'pt': list_slice(w, CAST(c*16+1 AS INT), CAST(c*16+16 AS INT))}) END) AS u
                      FROM toks),
-             ps AS (SELECT doc_id, u.idx AS idx, u.pt AS pt FROM ps0),
-             pp AS (SELECT doc_id, idx, u.pr.uf AS uf, u.pr.bf AS bf
+             ps AS MATERIALIZED (SELECT doc_id, u.idx AS idx, u.pt AS pt FROM ps0),
+             pp AS MATERIALIZED (SELECT doc_id, idx, u.pr.uf AS uf, u.pr.bf AS bf
                     FROM ps, unnest(list_transform(generate_series(1, len(pt)-1),
                       i -> {'uf': CAST(CAST('0x'||substr(md5(pt[i]),1,15) AS UBIGINT) AS BIGINT),
                             'bf': CAST(CAST('0x'||substr(md5(pt[i]||' '||pt[i+1]),1,15) AS UBIGINT) AS BIGINT)})) AS u(pr)
                     WHERE len(pt) >= 2),
-             sc AS (SELECT doc_id, idx, CAST(count(*) AS BIGINT) AS n,
+             sc AS MATERIALIZED (SELECT doc_id, idx, CAST(count(*) AS BIGINT) AS n,
                       CAST(sum(CAST(floor(COALESCE(CAST(c2.c AS DOUBLE) / CAST(c1.c AS DOUBLE), 0.0)
                                           * 1073741824.0) AS BIGINT)) AS BIGINT) AS q
                     FROM pp LEFT JOIN c2 ON pp.bf = c2.fp
                             LEFT JOIN c1 ON pp.uf = c1.fp
                     GROUP BY 1, 2),
-             v AS (SELECT ps.doc_id, ps.idx, ps.pt,
+             v AS MATERIALIZED (SELECT ps.doc_id, ps.idx, ps.pt,
                      (sc.q IS NOT NULL
                        AND CAST(sc.q AS DOUBLE) / 1073741824.0 / CAST(sc.n AS DOUBLE) < 0.0315) AS dropped
                    FROM ps LEFT JOIN sc USING (doc_id, idx)),
-             agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+             agg AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
                        CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
                        array_to_string(
                          list(array_to_string(pt, ' ') ORDER BY idx)
@@ -4144,28 +4144,28 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
           "lang", "text", factors)
         .orderBy("lang")
     },
-    Some("""WITH tok AS (SELECT doc_id, lang,
+    Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang,
                     CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS nt
                   FROM documents),
-             b AS (SELECT 2 * CAST(sum(nt) AS BIGINT) AS budget FROM tok),
-             s AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
-             q AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 16.0) AS BIGINT) AS qf FROM s),
-             t AS (SELECT *, sum(qf) OVER () AS total FROM q),
-             f AS (SELECT lang, n_tokens,
+             b AS MATERIALIZED (SELECT 2 * CAST(sum(nt) AS BIGINT) AS budget FROM tok),
+             s AS MATERIALIZED (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+             q AS MATERIALIZED (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 16.0) AS BIGINT) AS qf FROM s),
+             t AS MATERIALIZED (SELECT *, sum(qf) OVER () AS total FROM q),
+             f AS MATERIALIZED (SELECT lang, n_tokens,
                      CASE WHEN n_tokens = 0 THEN 0.0
                           ELSE CAST((SELECT budget FROM b) AS DOUBLE)
                                * (CASE WHEN total = 0 THEN 0.0
                                        ELSE CAST(qf AS DOUBLE) / CAST(total AS DOUBLE) END)
                                / n_tokens END AS repeat_factor
                    FROM t),
-             d AS (SELECT tk.lang, tk.nt,
+             d AS MATERIALIZED (SELECT tk.lang, tk.nt,
                      CAST(floor(f.repeat_factor) AS BIGINT)
                        + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(tk.doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000
                                < CAST(floor(f.repeat_factor * 10000.0) AS BIGINT)
                                  - CAST(floor(f.repeat_factor) AS BIGINT) * 10000
                                THEN 1 ELSE 0 END) AS n_copies
                    FROM tok tk JOIN f USING (lang)),
-             o AS (SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_out_rows,
+             o AS MATERIALIZED (SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_out_rows,
                      CAST(sum(n_copies * nt) AS BIGINT) AS out_tokens
                    FROM d WHERE n_copies > 0 GROUP BY lang)
             SELECT f.lang,
@@ -4199,26 +4199,26 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         .orderBy("doc_id")
     },
     Some("""WITH RECURSIVE
-                 toks AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
-                 sh AS (SELECT doc_id,
+                 toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+                 sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
-                 hs AS (SELECT doc_id, list_transform(sgl, s ->
+                 hs AS MATERIALIZED (SELECT doc_id, list_transform(sgl, s ->
                           CAST(CAST('0x'||substr(md5(s),1,15) AS UBIGINT) AS BIGINT) % 1000000007) AS hh
                         FROM sh),
-                 sig AS (SELECT doc_id, list_transform(range(0,16), i ->
+                 sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0,16), i ->
                            list_min(list_transform(hh, h ->
                              (((1103515245*(i+1) + 12345) % 1000000006 + 1) * h
                                + (1103515245*(i+101) + 12345) % 1000000007) % 1000000007))) AS sg
                          FROM hs),
-                 bands AS (SELECT doc_id, b,
+                 bands AS MATERIALIZED (SELECT doc_id, b,
                              CAST(sg[4*b+1] AS VARCHAR)||'-'||CAST(sg[4*b+2] AS VARCHAR)
                                ||'-'||CAST(sg[4*b+3] AS VARCHAR)||'-'||CAST(sg[4*b+4] AS VARCHAR) AS bk
                            FROM sig, (SELECT unnest(range(0,4)) AS b)),
-                 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                           FROM bands a JOIN bands b
                             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-                 pairs AS (SELECT doc_a, doc_b FROM cand
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
                            JOIN sig sa ON sa.doc_id = doc_a
                            JOIN sig sb ON sb.doc_id = doc_b
                            WHERE len(list_filter(list_zip(sa.sg, sb.sg), x -> x[1] = x[2])) >= 8),
@@ -4226,10 +4226,10 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                              UNION SELECT doc_b, doc_a FROM pairs),
                  reach(u, v) AS (SELECT u, v FROM e
                                  UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
-                 comp AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+                 comp AS MATERIALIZED (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
                           FROM reach GROUP BY u),
-                 qual AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS q FROM toks),
-                 win AS (SELECT canonical_id, doc_id AS win_id FROM (
+                 qual AS MATERIALIZED (SELECT doc_id, CAST(len(w) AS BIGINT) AS q FROM toks),
+                 win AS MATERIALIZED (SELECT canonical_id, doc_id AS win_id FROM (
                            SELECT c.canonical_id, c.doc_id,
                              row_number() OVER (PARTITION BY c.canonical_id
                                ORDER BY q.q DESC, c.doc_id) AS rn
@@ -4336,10 +4336,10 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
           docs, "doc_id", "text")
         .orderBy("shard_id")
     },
-    Some("""WITH k AS (SELECT doc_id, text,
+    Some("""WITH k AS MATERIALIZED (SELECT doc_id, text,
                  md5('graft-shuffle-r7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
                FROM documents),
-             p AS (SELECT doc_id, text,
+             p AS MATERIALIZED (SELECT doc_id, text,
                  CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS pos
                FROM k)
             SELECT CAST(pos // 128 AS BIGINT) AS shard_id,
