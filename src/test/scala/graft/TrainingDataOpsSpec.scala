@@ -163,6 +163,25 @@ class DecontaminateSpec extends SparkSpec {
         Decontaminate.appendToBenchmark(evalC, "text", "deco_app", 4)
       }
       assert(e.getMessage.contains("re-run writeBenchmarkStore"))
+      // a CORRUPT marker (external damage — the resume path itself no
+      // longer rewrites the only durable contract copy) refuses loudly
+      // with the rebuild repair named, instead of dying in toInt
+      val out2 = fs.create(marker, true)
+      try out2.write("garbage".getBytes("UTF-8")) finally out2.close()
+      val e2 = intercept[IllegalStateException] {
+        Decontaminate.appendToBenchmark(evalC, "text", "deco_app", 4)
+      }
+      assert(e2.getMessage.contains("corrupt append marker") &&
+        e2.getMessage.contains("writeBenchmarkStore"),
+        s"corrupt-marker refusal must name the repair, got: ${e2.getMessage}")
+      fs.delete(marker, false)
+      // a rebuild's commit marker also covers the LEDGER: after a fresh
+      // writeBenchmarkStore, previously-applied batch ids are forgotten
+      // (a resumed stream's ids restart at 0 and must not silently skip)
+      Decontaminate.writeBenchmarkStore(evalA, "text", n = 3,
+        table = "deco_app", buckets = 4)
+      assert(!graft.core.IngestLedger.applied(spark, "deco_app", 0L),
+        "a rebuilt store must restart its batch-id space")
     } finally {
       Seq("deco_app", "deco_app_ref").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
