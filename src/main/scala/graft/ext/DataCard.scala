@@ -111,6 +111,37 @@ object DataCard {
     * everywhere in the store family, the meta is the build's COMMIT
     * MARKER: dropped first, written last, so a crashed (re)build
     * serves nothing rather than a half-written card. */
+  /** Per-group DUPLICATE-RATE audit — the data-card section the
+    * incremental card ([[perSource]]/[[serveCard]]) deliberately
+    * omits: distinct-content counts are NOT additive across deltas, so
+    * the counter store cannot maintain them, but every published data
+    * sheet reports them, as a BATCH audit over a release snapshot —
+    * which is exactly this operator. Per `groupCol`: document count,
+    * distinct normalized-content fingerprints (the x01
+    * [[TextAnalysis.fingerprintMd5]] — ONE normalization, so this rate
+    * and exact dedup can never disagree about what "a duplicate" is),
+    * and `dup_rate = 1 − distinct/docs` over fingerprinted docs.
+    * Null-text docs carry no fingerprint: counted in `n_docs`, never
+    * dup-able (the [[qualityFeats]] convention).
+    *
+    * Scale shape: one projection + one map-side-combined groupBy with
+    * an exact count-distinct per group (one extra partial-aggregate
+    * exchange keyed (group, fp) — dedup-cardinality data, not corpus
+    * rows); output is group-cardinality. */
+  def dupRates(docs: DataFrame, idCol: String, textCol: String,
+               groupCol: String): DataFrame =
+    docs.select(col(groupCol), col(idCol),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("__fp"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("__fp")).as("n_fingerprinted"),
+        countDistinct(col("__fp")).as("n_distinct"))
+      .select(col(groupCol), col("n_docs"), col("n_fingerprinted"),
+        col("n_distinct"),
+        when(col("n_fingerprinted") === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_fingerprinted").cast("double")).as("dup_rate"))
+
   def cardMeta(table: String): String = s"${table}_meta"
 
   /** Store grain: one `(source, lang, n_docs, n_tokens, score_sum_q,

@@ -118,4 +118,31 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
+
+  /** EXACT-k per-stratum sample — the fixed-size draw (eval-set
+    * construction, per-domain human-review batches: "exactly k docs
+    * per source", not "roughly rate·n"). Rows rank within their
+    * stratum by the seeded md5 key (the [[CorpusShuffle]] permutation
+    * primitive — a different seed draws a different, reproducible
+    * sample; the doc key itself tie-breaks the astronomically unlikely
+    * digest collision so the cut is total-ordered) and the top k per
+    * stratum survive. Strata with ≤ k rows keep everything — a draw,
+    * not a guarantee of k.
+    *
+    * Scale shape: one hash exchange on the stratum + an in-partition
+    * sort — the [[Curation.topFractionPerGroup]] window shape; no
+    * global sort, no driver state. Hot strata are one window partition
+    * each — the same documented skew bound as every per-group rank in
+    * this engine. */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, keyCol: String,
+                       k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(seed + ":"), col(keyCol).cast("string"))),
+        col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Frequency-based vocabulary build + out-of-vocabulary rates — the
   * relational core of tokenizer training: the top-K corpus terms by
@@ -25,6 +26,75 @@ object Vocab {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
+
+  /** VOCABULARY COVERAGE CURVE — the Zipf analysis that sizes a
+    * tokenizer's vocabulary (every tokenizer-training writeup plots
+    * it: what fraction of all token OCCURRENCES does the top-k
+    * vocabulary cover, for a grid of k — the knee of that curve is
+    * where another 10× of vocab stops buying coverage). One row per
+    * requested k: `(k, n_terms = min(k, |vocab|), covered, total,
+    * coverage)` with `covered`/`total` exact int64 occurrence counts
+    * and `coverage` one correctly rounded division.
+    *
+    * Scale shape: term counts are one map-side-combined aggregate;
+    * the cumulative-occurrence ranking is the [[Packing.packSequences]]
+    * DISTRIBUTED prefix sum over the (cnt desc, term) range order —
+    * a RANGE exchange + two narrow passes with one count-per-partition
+    * driver array, never a single-partition window (a 10⁹-term
+    * vocabulary must rank in parallel); the curve assembly reads only
+    * the |ks| boundary rows. The ranked frame is persisted across the
+    * two passes for the same determinism reason Packing documents
+    * (both passes must see identical partition contents), and released
+    * before returning — the result is the collected boundary rows
+    * re-parallelized (|ks| rows, driver-sized by construction). */
+  def coverageCurve(docs: DataFrame, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0),
+      s"ks must be non-empty positive vocabulary sizes, got $ks")
+    val spark = docs.sparkSession
+    val counts = docs
+      .select(explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .select(col("term"), col("cnt"))
+      .repartitionByRange(col("cnt").desc, col("term").asc)
+      .sortWithinPartitions(col("cnt").desc, col("term").asc)
+    val cached = counts.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rdd = cached.rdd
+      // pass 1: per-partition (row count, occurrence mass)
+      val partStats = rdd.mapPartitions { it =>
+        var rows = 0L; var mass = 0L
+        it.foreach { r => rows += 1; mass += r.getLong(1) }
+        Iterator.single((rows, mass))
+      }.collect()
+      val rankBefore = partStats.map(_._1).scanLeft(0L)(_ + _)
+      val massBefore = partStats.map(_._2).scanLeft(0L)(_ + _)
+      val totalTerms = partStats.map(_._1).sum
+      val totalMass = partStats.map(_._2).sum
+      // pass 2: (rank, cumulative occurrences) per term, narrow
+      val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var rank = rankBefore(pid)
+        var cum = massBefore(pid)
+        it.map { r =>
+          rank += 1; cum += r.getLong(1)
+          Row(rank, cum)
+        }
+      }
+      // the curve reads ONE boundary row per k: rank = min(k, |vocab|)
+      val boundaries = ks.map(k => math.min(k.toLong, totalTerms)).toSet
+      val hit = ranked.filter(r => boundaries.contains(r.getLong(0)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val s2 = spark
+      import s2.implicits._
+      ks.map { k =>
+        val b = math.min(k.toLong, totalTerms)
+        val covered = if (b == 0L) 0L else hit(b)
+        (k, b, covered, totalMass,
+          if (totalMass == 0L) 0.0 else covered.toDouble / totalMass.toDouble)
+      }.toDF("k", "n_terms", "covered", "total", "coverage")
+    } finally cached.unpersist()
+  }
 
   /** Per-doc OOV occurrence fraction against the top-K vocabulary.
     * @return (id, n_tokens, n_oov, oov_rate); tokenless docs get 0s. */

@@ -4802,11 +4802,93 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                      / CAST(count(*) AS DOUBLE) AS pii_doc_rate
             FROM pr4 GROUP BY source ORDER BY source"""))
 
+  /** Vocabulary coverage curve ([[graft.ext.Vocab.coverageCurve]] —
+    * the Zipf analysis that sizes a tokenizer's vocabulary): per
+    * requested k, the exact fraction of all token occurrences the
+    * top-k vocabulary covers. The ranking is the x26 distributed
+    * prefix sum over the (count desc, term) range order — never a
+    * single-partition window — and the 100000 entry exercises the
+    * k > |vocab| clamp. */
+  private val x96 = Q("x96_vocab_coverage",
+    (s, d) => Vocab.coverageCurve(documents(s, d), "text",
+        Seq(10, 100, 1000, 100000))
+      .orderBy("k"),
+    Some("""WITH tc AS MATERIALIZED (
+               SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+                 SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                 FROM documents) GROUP BY 1),
+             rk AS MATERIALIZED (
+               SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank,
+                      CAST(sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM tc),
+             tot AS MATERIALIZED (
+               SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                      CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS total
+               FROM tc)
+            SELECT k, least(CAST(k AS BIGINT), tot.n_terms) AS n_terms,
+                   COALESCE(rk.cum, 0) AS covered, tot.total AS total,
+                   CASE WHEN tot.total = 0 THEN 0.0
+                        ELSE CAST(COALESCE(rk.cum, 0) AS DOUBLE)
+                             / CAST(tot.total AS DOUBLE) END AS coverage
+            FROM (VALUES (10), (100), (1000), (100000)) AS t(k)
+            CROSS JOIN tot
+            LEFT JOIN rk ON rk.rank = least(CAST(k AS BIGINT), tot.n_terms)
+            ORDER BY k"""))
+
+  /** Per-source duplicate-rate card ([[graft.ext.DataCard.dupRates]] —
+    * the data-sheet section the incremental counter store deliberately
+    * omits because distinct counts are not delta-additive; as a batch
+    * release audit it is exactly computable). The corpus carries the
+    * x66-convention re-crawl twins so the rate provably bites. */
+  private val x97 = Q("x97_dup_rate_card",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          col("text")))
+      graft.ext.DataCard.dupRates(corpus, "doc_id", "text", "source")
+        .orderBy("source")
+    },
+    Some("""WITH corpus AS MATERIALIZED (
+               SELECT doc_id, source, text FROM documents
+               UNION ALL
+               SELECT doc_id + 100000, source, text FROM documents
+               WHERE doc_id % 7 = 0),
+             f AS MATERIALIZED (
+               SELECT source,
+                      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+               FROM corpus)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(fp) AS BIGINT) AS n_fingerprinted,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+                   CASE WHEN count(fp) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+                             / CAST(count(fp) AS DOUBLE) END AS dup_rate
+            FROM f GROUP BY source ORDER BY source"""))
+
+  /** Exact-k per-stratum sample ([[graft.ext.Sampling.exactKPerStratum]]
+    * — the fixed-size draw eval-set construction needs: exactly 7 docs
+    * per source under a seeded, reproducible md5 permutation; each
+    * sf0.01 source holds 25 docs, so the cut bites everywhere). */
+  private val x98 = Q("x98_exact_k_sample",
+    (s, d) => graft.ext.Sampling.exactKPerStratum(
+        documents(s, d).select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 7, seed = "graft-eval-r18")
+      .orderBy("source", "doc_id"),
+    Some("""SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (PARTITION BY source
+                ORDER BY md5('graft-eval-r18:' || CAST(doc_id AS VARCHAR)),
+                         doc_id) AS rk
+              FROM documents) WHERE rk <= 7
+            ORDER BY source, doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95)
+    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98)
 }

@@ -491,6 +491,20 @@ class SamplingSpec extends SparkSpec {
     assert(lower.subsetOf(a))
   }
 
+  test("exactKPerStratum: exactly k per full stratum, everything from small ones, seed-pinned") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 30L).map(i => (i, "big")) ++ Seq((100L, "small"),
+      (101L, "small"))).toDF("id", "grp")
+    def draw(seed: String) = Sampling.exactKPerStratum(df, "grp", "id", 5, seed)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val a = draw("s1")
+    assert(a.count(_._1 == "big") == 5, "a 30-doc stratum yields exactly k")
+    assert(a.count(_._1 == "small") == 2, "a below-k stratum keeps everything")
+    assert(draw("s1").toSet == a.toSet, "same seed reproduces the draw")
+    assert(draw("s2").filter(_._1 == "big").toSet !=
+      a.filter(_._1 == "big").toSet, "a new seed draws differently")
+  }
+
   test("stratified rates apply per stratum with the default as fallback") {
     val s = spark; import s.implicits._
     val df = (1L to 9000L).map(i =>
@@ -1852,6 +1866,23 @@ class CardStreamSpec extends SparkSpec {
 
 /** Per-source corpus data card ([[graft.ext.DataCard]]). */
 class DataCardSpec extends SparkSpec {
+  test("dupRates: per-group rate over fingerprinted docs; null text never dups") {
+    val docs = df(Seq(
+      (1L, "a", "same text"), (2L, "a", "same  text"),  // normalized twins
+      (3L, "a", "other"), (4L, "b", "x"), (5L, "b", "y")))
+      .toDF("doc_id", "source", "text")
+      .unionByName(df(Seq((6L, "b"))).toDF("doc_id", "source")
+        .withColumn("text", org.apache.spark.sql.functions.lit(null)
+          .cast("string")))
+    val out = graft.ext.DataCard.dupRates(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // source a: 3 docs, 3 fingerprinted, 2 distinct -> rate 1/3
+    // source b: 3 docs, 2 fingerprinted (null text uncounted), 2 distinct -> 0
+    assert(out == Seq(("a", 3L, 3L, 2L, 1.0 - 2.0 / 3), ("b", 3L, 2L, 2L, 0.0)))
+  }
+
   test("counts, dominant language with asc tie-break, corpus-wide dup rate") {
     val docs = df(Seq(
       (1L, "en", "a", "same text twice"),

@@ -1065,6 +1065,26 @@ class VocabSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(rates == Seq((1L, 4L, 1L, 0.25), (2L, 3L, 1L, 1.0 / 3)))
   }
+
+  test("coverageCurve: exact cumulative shares, k>|vocab| clamps, partition-invariant") {
+    val docs = df(Seq(
+      (1L, "aa aa aa bb bb cc"), (2L, "aa bb dd"))).toDF("doc_id", "text")
+    // counts: aa=4, bb=3, cc=1, dd=1 (total 9); rank order aa,bb,cc,dd
+    def curve(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.Vocab.coverageCurve(d, "text", Seq(1, 2, 3, 99))
+        .orderBy("k").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    val expected = Seq(
+      (1, 1L, 4L, 9L, 4.0 / 9), (2, 2L, 7L, 9L, 7.0 / 9),
+      (3, 3L, 8L, 9L, 8.0 / 9), (99, 4L, 9L, 9L, 1.0))
+    assert(curve(docs) == expected)
+    // the distributed prefix sum must not depend on input partitioning
+    assert(curve(docs.repartition(7)) == expected)
+    // empty corpus: zero terms, zero mass, coverage 0 by convention
+    val empty = curve(df(Seq((1L, ""))).toDF("doc_id", "text"))
+    assert(empty.forall(r => r._2 == 0L && r._3 == 0L && r._5 == 0.0))
+  }
 }
 
 class EdgeCaseSpec extends SparkSpec {
