@@ -105,12 +105,6 @@ object DataCard {
   // funnel metric — the store serves every OTHER card column exactly.
   // ---------------------------------------------------------------------
 
-  /** Name of the 1-row meta table kept next to a card store `table`:
-    * `(q_scale)` — the quantizer contract ([[serveCard]] refuses a
-    * mismatch: quality sums are only additive under ONE scale). As
-    * everywhere in the store family, the meta is the build's COMMIT
-    * MARKER: dropped first, written last, so a crashed (re)build
-    * serves nothing rather than a half-written card. */
   /** Per-group DUPLICATE-RATE audit — the data-card section the
     * incremental card ([[perSource]]/[[serveCard]]) deliberately
     * omits: distinct-content counts are NOT additive across deltas, so
@@ -128,9 +122,9 @@ object DataCard {
     * an exact count-distinct per group (one extra partial-aggregate
     * exchange keyed (group, fp) — dedup-cardinality data, not corpus
     * rows); output is group-cardinality. */
-  def dupRates(docs: DataFrame, idCol: String, textCol: String,
+  def dupRates(docs: DataFrame, textCol: String,
                groupCol: String): DataFrame =
-    docs.select(col(groupCol), col(idCol),
+    docs.select(col(groupCol),
         TextAnalysis.fingerprintMd5(col(textCol)).as("__fp"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
@@ -142,6 +136,13 @@ object DataCard {
           .otherwise(lit(1.0) - col("n_distinct").cast("double") /
             col("n_fingerprinted").cast("double")).as("dup_rate"))
 
+
+  /** Name of the 1-row meta table kept next to a card store `table`:
+    * `(q_scale)` — the quantizer contract ([[serveCard]] refuses a
+    * mismatch: quality sums are only additive under ONE scale). As
+    * everywhere in the store family, the meta is the build's COMMIT
+    * MARKER: dropped first, written last, so a crashed (re)build
+    * serves nothing rather than a half-written card. */
   def cardMeta(table: String): String = s"${table}_meta"
 
   /** Store grain: one `(source, lang, n_docs, n_tokens, score_sum_q,

@@ -81,8 +81,17 @@ object QualityClassifier {
     * tokens to the wrong corpus side in a way no downstream check can
     * see. */
   def fitLabeled(docs: DataFrame, labelCol: String,
-                 textCol: String): DataFrame =
-    docs.select(col(labelCol).as("__lbl"), toks(textCol))
+                 textCol: String): DataFrame = {
+    // a BooleanType label is a legitimate 0/1 encoding: normalize it
+    // up front (true → 1) — without this the isin(0, 1) validity check
+    // fails ANALYSIS on boolean columns instead of accepting them
+    // (review finding, round 18)
+    val raw = docs.schema(labelCol).dataType match {
+      case org.apache.spark.sql.types.BooleanType =>
+        col(labelCol).cast("int")
+      case _ => col(labelCol)
+    }
+    docs.select(raw.as("__lbl"), toks(textCol))
       .select(
         // validate the ORIGINAL value, cast only after: casting first
         // would truncate a fractional label (0.9 → 0) into validity and
@@ -97,6 +106,7 @@ object QualityClassifier {
         explode(graft.functions.ShingleMd5(col("__toks"), 1)).as("fp"))
       .groupBy("side", "fp")
       .agg(count(lit(1)).as("c"))
+  }
 
   /** The three smoothing scalars of a fitted model: positive token
     * mass, background token mass, joint vocabulary size. Driver

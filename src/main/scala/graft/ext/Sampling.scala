@@ -139,8 +139,7 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-      .orderBy(md5(concat(lit(seed + ":"), col(keyCol).cast("string"))),
-        col(keyCol))
+      .orderBy(CorpusShuffle.shuffleKey(keyCol, seed), col(keyCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")

@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Frequency-based vocabulary build + out-of-vocabulary rates — the
   * relational core of tokenizer training: the top-K corpus terms by

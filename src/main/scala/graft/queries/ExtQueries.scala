@@ -4848,7 +4848,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
       val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
           col("text")))
-      graft.ext.DataCard.dupRates(corpus, "doc_id", "text", "source")
+      graft.ext.DataCard.dupRates(corpus, "text", "source")
         .orderBy("source")
     },
     Some("""WITH corpus AS MATERIALIZED (

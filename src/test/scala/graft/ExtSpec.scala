@@ -1874,7 +1874,7 @@ class DataCardSpec extends SparkSpec {
       .unionByName(df(Seq((6L, "b"))).toDF("doc_id", "source")
         .withColumn("text", org.apache.spark.sql.functions.lit(null)
           .cast("string")))
-    val out = graft.ext.DataCard.dupRates(docs, "doc_id", "text", "source")
+    val out = graft.ext.DataCard.dupRates(docs, "text", "source")
       .orderBy("source").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toSeq

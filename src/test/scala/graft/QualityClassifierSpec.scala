@@ -157,6 +157,13 @@ class QualityClassifierSpec extends SparkSpec {
         QualityClassifier.fitLabeled(frac, "label", "text").collect()
       }
       assert(messages(e3).exists(_.contains("must be 0 or 1")))
+      // a BOOLEAN label column is a legitimate 0/1 encoding and must
+      // fit normally (the validity check used to fail analysis on it)
+      val boolLbl = Seq((1L, "good words here", true),
+        (2L, "bad words here", false)).toDF("doc_id", "text", "label")
+      val fitted = QualityClassifier.fitLabeled(boolLbl, "label", "text")
+        .collect()
+      assert(fitted.map(_.getInt(0)).toSet == Set(0, 1))
     } finally {
       Seq("qc_ledger", "qc_ledger_meta").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
