@@ -756,6 +756,64 @@ object Decontaminate {
                               textCol: String, table: String): DataFrame =
     removeContaminatedSpansOwned(trainDocs, idCol, textCol, table)._1
 
+  /** CONTAMINATION SEVERITY report — the run-length grain the flat
+    * overlap fraction ([[contaminatedAgainstStore]]) cannot express: a
+    * doc sharing fifty SCATTERED 8-grams with a benchmark (boilerplate,
+    * idiom) and a doc sharing one CONTIGUOUS 50-gram block (a verbatim
+    * eval item) have similar overlap fractions but belong to different
+    * policies — the published cuts key on run length (GPT-3's 13-gram
+    * windows, ExactSubstr's 50-token spans). Per doc: total grams,
+    * shared grams, the LONGEST CONSECUTIVE shared-gram run, and that
+    * run's token length (`max_run + n − 1`). Clean and null-text docs
+    * report zeros — the report covers every input doc (the
+    * [[LmScore.score]] spine convention).
+    *
+    * The run detection is the islands idiom: among a doc's shared gram
+    * POSITIONS in ascending order, `pos − row_number` is constant
+    * exactly on each maximal consecutive run — one window + one
+    * groupBy, both keyed by the doc (and the window's partition count
+    * is bounded by the doc's shared grams, not the corpus). Gram size
+    * comes from the store's committed meta (the serve-path contract:
+    * severity at a different n than the store's grams would be
+    * silently meaningless).
+    *
+    * Shape at 100 TB: the (id, pos, 8-byte fp) stream is the only
+    * corpus-proportional exchange — document text never shuffles; the
+    * store side is the exact fp-keyed semi join reading its buckets in
+    * place (the x52 confirm leg, positions preserved on the probe
+    * side). */
+  def contaminationSeverity(trainDocs: DataFrame, idCol: String,
+                            textCol: String, table: String): DataFrame = {
+    val spark = trainDocs.sparkSession
+    val (n, _, _) = readBenchmarkMeta(spark, table)
+    val positioned = trainDocs
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode_outer(graft.functions.ShingleMd5(col("__toks"), n))
+          .as(Seq("__pos", "gram_fp")))
+    val totals = positioned
+      .groupBy(idCol)
+      .agg(count(col("gram_fp")).as("n_grams")) // the null spine row doesn't count
+    val shared = positioned.filter(col("gram_fp").isNotNull)
+      .join(spark.table(table).select(col("gram_fp")).hint("merge"),
+        Seq("gram_fp"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val runs = shared
+      .withColumn("__island", col("__pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(idCol)
+      .agg(sum(col("__run")).as("n_shared"), max(col("__run")).as("max_run"))
+    totals.join(runs, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        when(coalesce(col("max_run"), lit(0L)) === 0, lit(0L))
+          .otherwise(col("max_run") + lit(n.toLong) - lit(1L))
+          .as("max_run_tokens"))
+  }
+
   /** [[removeContaminatedSpans]] with the broadcast stripe map's
     * release handle (the Owned convention); single-stripe stores
     * allocate nothing and the release is a no-op. */

@@ -4884,11 +4884,72 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
               FROM documents) WHERE rk <= 7
             ORDER BY source, doc_id"""))
 
+  /** Contamination SEVERITY report
+    * ([[Decontaminate.contaminationSeverity]] — the run-length grain
+    * x19/x52's flat overlap fraction cannot express: scattered
+    * boilerplate 8-grams vs one contiguous verbatim eval block — the
+    * published cuts key on run length, GPT-3's 13-gram windows and
+    * ExactSubstr's 50-token spans): per doc vs the %10 benchmark
+    * store, total gram positions, shared positions, the longest
+    * consecutive shared run (the islands idiom: `pos − row_number` is
+    * constant on each maximal run), and its token length. The %10
+    * docs themselves sit in the corpus, so full-document runs provably
+    * occur next to partial ones. */
+  private val x99 = Q("x99_contamination_severity",
+    (s, d) => {
+      val docs = documents(s, d)
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
+        "text", n = 8, table = "x99_bench", buckets = 8)
+      Decontaminate.contaminationSeverity(docs, "doc_id", "text", "x99_bench")
+        .orderBy("doc_id")
+    },
+    Some("""WITH bw AS MATERIALIZED (
+               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+               FROM documents WHERE doc_id % 10 = 0),
+             evg AS MATERIALIZED (SELECT DISTINCT gram_fp FROM (
+               SELECT unnest(list_transform(generate_series(1, len(w)-7),
+                 i -> CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT))) AS gram_fp
+               FROM bw WHERE len(w) >= 8)),
+             tw AS MATERIALIZED (
+               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+               FROM documents),
+             pg AS MATERIALIZED (
+               SELECT doc_id, u.g.p AS pos, u.g.f AS gram_fp
+               FROM tw, unnest(list_transform(generate_series(1, len(w)-7),
+                 i -> {'p': CAST(i - 1 AS BIGINT),
+                       'f': CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15) AS UBIGINT) AS BIGINT)})) AS u(g)
+               WHERE len(w) >= 8),
+             sev_tot AS MATERIALIZED (
+               SELECT d.doc_id, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_grams
+               FROM documents d LEFT JOIN (
+                 SELECT doc_id, count(*) AS c FROM pg GROUP BY 1) cnt
+                 ON cnt.doc_id = d.doc_id),
+             sev_sh AS MATERIALIZED (
+               SELECT pg.doc_id, pg.pos FROM pg JOIN evg USING (gram_fp)),
+             sev_isl AS MATERIALIZED (
+               SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id
+                 ORDER BY pos) AS island
+               FROM sev_sh),
+             sev_runs AS MATERIALIZED (
+               SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run
+               FROM sev_isl GROUP BY 1, 2),
+             sev_agg AS MATERIALIZED (
+               SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_shared,
+                      CAST(max(run) AS BIGINT) AS max_run
+               FROM sev_runs GROUP BY 1)
+            SELECT t.doc_id, t.n_grams,
+                   COALESCE(a.n_shared, 0) AS n_shared,
+                   COALESCE(a.max_run, 0) AS max_run,
+                   CAST(CASE WHEN COALESCE(a.max_run, 0) = 0 THEN 0
+                        ELSE a.max_run + 7 END AS BIGINT) AS max_run_tokens
+            FROM sev_tot t LEFT JOIN sev_agg a ON a.doc_id = t.doc_id
+            ORDER BY t.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98)
+    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99)
 }

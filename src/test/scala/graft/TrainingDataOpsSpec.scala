@@ -110,6 +110,43 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("contamination severity: scattered islands vs one contiguous run; clean and null docs zero") {
+    val evalDoc = df(Seq((100L,
+      "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 f1 f2 f3 f4 f5 f6 f7 f8 f9 f10")))
+      .toDF("doc_id", "text")
+    // gram size 8 over the 20-token eval doc -> 13 benchmark grams
+    graft.ext.Decontaminate.writeBenchmarkStore(evalDoc, "text", n = 8,
+      table = "sev_bench", buckets = 2)
+    try {
+      val train = df(Seq(
+        // two SEPARATED 8-token blocks: two islands of 1 shared gram
+        // each -> n_shared = 2, max_run = 1
+        (1L, "e1 e2 e3 e4 e5 e6 e7 e8 zz zz zz zz f1 f2 f3 f4 f5 f6 f7 f8"),
+        // one contiguous 12-token block -> one island of 5 consecutive
+        // grams -> n_shared = 5, max_run = 5, tokens = 12
+        (2L, "xx e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 f1 f2 yy"),
+        // no overlap
+        (3L, "a b c d e f g h i j k l m n o p")))
+        .toDF("doc_id", "text")
+        .unionByName(df(Seq(Tuple1(4L))).toDF("doc_id")
+          .withColumn("text", lit(null).cast("string")))
+      val out = graft.ext.Decontaminate.contaminationSeverity(train,
+          "doc_id", "text", "sev_bench")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(out == Seq(
+        (1L, 13L, 2L, 1L, 8L),
+        (2L, 7L, 5L, 5L, 12L),
+        (3L, 9L, 0L, 0L, 0L),
+        (4L, 0L, 0L, 0L, 0L)))
+    } finally {
+      Seq("sev_bench", "sev_bench_meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.core.IngestLedger.reset(spark, "sev_bench")
+    }
+  }
+
   test("benchmark append ≡ rebuild on the union; crashed append self-repairs; committed batch skips") {
     def rows(d: org.apache.spark.sql.DataFrame) =
       d.orderBy("doc_id").collect().map(_.toSeq).toSeq
