@@ -188,7 +188,12 @@ object Curation {
     * the engine's x02 argmax ([[TextAnalysis.argmaxLang]] — one
     * implementation, so x02 and this routing can never disagree),
     * confidence = the winning score itself, `route` = the prediction
-    * when `confidence ≥ minConfidence` else null, then
+    * when `confidence ≥ minConfidence` AND `confidence > 0` else null
+    * (a zero-evidence doc — no stopword or charset hit on ANY
+    * language — scores 0.0 everywhere, and at `minConfidence = 0` it
+    * would otherwise clear the gate and route to the argmax
+    * TIE-BREAK language, the exact misrouting the gate exists to
+    * prevent; zero evidence always abstains), then
     * [[scoreBuckets]] per ROUTE (not per metadata language — routing
     * is the point: the corpus may be unlabeled or mislabeled). A row's
     * bucket is null unless BOTH verdicts exist: a confident route and
@@ -219,7 +224,7 @@ object Curation {
     val routed = staged
       .withColumn("confidence", greatest(refs.map(_._2): _*))
       .withColumn("route",
-        when(col("confidence") >= minConfidence,
+        when(col("confidence") >= minConfidence && col("confidence") > 0,
           TextAnalysis.argmaxLang(refs)))
       .drop(scores.map { case (l, _) => s"__s_$l" }: _*)
     scoreBuckets(routed, "route", scoreCol, idCol, nBuckets)
@@ -243,16 +248,26 @@ object Curation {
     * Spearman average-ranks ties; a fractional average rank is
     * engine-hashable but the tie-break form keeps every intermediate
     * exact, the x79 quantized-grid argument, and the two variants
-    * agree whenever scores are tie-free). `sum_d2` is an EXACT
-    * decimal(38,0) sum (the Analytics.volatility discipline: worst
-    * case Σd² = n(n²−1)/3 overflows int64 past ~3M docs per group —
-    * an ANSI ArithmeticException at exactly the scale this audit
-    * targets; decimal carries n to ~10¹² and the per-pair d² itself
-    * is int64-safe to n ≈ 3×10⁹); `rho = 1 − 6·sum_d2 / (n(n²−1))`
-    * is evaluated entirely in doubles (cast once from the exact sum;
-    * the n³ product likewise — correctly rounded, engine-identical,
-    * and overflow-free). Groups with n ≤ 1 abstain (null rho — no
-    * pair evidence).
+    * agree whenever scores are tie-free). The Σd² AGGREGATION is an
+    * EXACT decimal(38,0) sum kept INTERNAL (the Analytics.volatility
+    * discipline: worst case Σd² = n(n²−1)/3 overflows a naive int64
+    * sum past ~3M docs per group — an ANSI ArithmeticException at
+    * exactly the scale this audit targets; decimal carries n to
+    * ~10¹² and the per-pair d² itself is int64-safe to n ≈ 3×10⁹);
+    * the EMITTED `sum_d2` is that sum cast ONCE to bigint at the end
+    * (the round-18 lesson: a decimal-typed OUTPUT column stringifies
+    * differently across engines — Spark parquet Decimal '2312' vs
+    * DuckDB fetchdf float64 '2312.0' — and fails the driver's string
+    * compare; bigint is loss-free to n ≈ 10⁶ docs per group and the
+    * ANSI cast fails LOUD, never silently wrong, past it — a deploy
+    * auditing larger groups should drop sum_d2 from its report or
+    * emit double, rho is the signal either way).
+    * `rho = 1 − 6·sum_d2 / (n(n²−1))` is evaluated entirely in
+    * doubles cast once from the emitted bigint (long→double is
+    * correctly rounded IEEE in both engines — unlike decimal→double,
+    * which round-trips through BigDecimal on the Spark side; the n³
+    * product likewise — engine-identical and overflow-free). Groups
+    * with n ≤ 1 abstain (null rho — no pair evidence).
     *
     * Scale shape: one hash exchange on the group key + two
     * in-partition sorts (the two rank windows share the partition),
@@ -271,7 +286,7 @@ object Curation {
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
         sum(((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
-          .cast("decimal(38,0)")).as("sum_d2"))
+          .cast("decimal(38,0)")).cast("long").as("sum_d2"))
       .select(col(groupCol), col("n_docs"), col("sum_d2"),
         when(col("n_docs") > 1,
           lit(1.0) - col("sum_d2").cast("double") * lit(6.0) /

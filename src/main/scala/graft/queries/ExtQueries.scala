@@ -4702,9 +4702,12 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * source, the deterministic Spearman rho between the x53 generative
     * LM score and the x88 discriminative classifier score, over docs
     * where both signals exist. Ranks are row_number on the
-    * (score, doc_id) total order; sum_d2 exact int64; rho one
-    * correctly rounded division — bit-exact replay. A source ranking
-    * near −1 is a filter-disagreement alarm, the audit's point. */
+    * (score, doc_id) total order; Σd² summed in exact decimal(38,0)
+    * internally and EMITTED as bigint (a decimal-typed output column
+    * fails the driver's string compare — the round-18 x94 lesson);
+    * rho one correctly rounded division — bit-exact replay. A source
+    * ranking near −1 is a filter-disagreement alarm, the audit's
+    * point. */
   private val x94 = Q("x94_signal_agreement",
     (s, d) => {
       val docs = documents(s, d)
@@ -4746,7 +4749,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                WHERE lm_score IS NOT NULL AND cls_score IS NOT NULL),
              agr AS MATERIALIZED (
                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                      CAST(sum((ra - rb) * (ra - rb)) AS DECIMAL(38,0)) AS sum_d2
+                      CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
                FROM rk GROUP BY 1)
             SELECT source, n_docs, sum_d2,
                    CASE WHEN n_docs > 1 THEN

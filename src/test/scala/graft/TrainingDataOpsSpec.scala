@@ -983,14 +983,21 @@ class CurationSpec extends SparkSpec {
       // rho stays exactly 1 instead of being dragged by a null rank
       .unionByName(Seq(("a", 9L, 0.4)).toDF("src", "doc_id", "sa")
         .withColumn("sb", lit(null).cast("double")))
-    val out = graft.ext.Curation.rankAgreement(rows, "src", "sa", "sb",
+    val agreed = graft.ext.Curation.rankAgreement(rows, "src", "sa", "sb",
         "doc_id")
+    // output typing pin (the r18 x94 driver-red lesson): the EMITTED
+    // sum_d2 must be bigint — a decimal-typed output column stringifies
+    // differently across engines and fails the driver's compare
+    assert(agreed.schema("sum_d2").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val out = agreed
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
       .toMap
-    assert(out("a") == ((3L, Some(1.0))))
-    assert(out("b") == ((3L, Some(-1.0))))
-    assert(out("c") == ((1L, None)))
+    assert(out("a") == ((3L, 0L, Some(1.0))))
+    assert(out("b") == ((3L, 8L, Some(-1.0))))
+    assert(out("c") == ((1L, 0L, None)))
   }
 
   test("language routing: confident docs route by argmax, low-confidence and null-score docs abstain") {
@@ -1019,6 +1026,23 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((None, None)), "no stopword evidence must abstain")
     assert(out(4L)._1.contains("en") && out(4L)._2.isEmpty,
       "a confident route with no score must not receive a bucket")
+  }
+
+  test("language routing: zero-evidence docs abstain even at minConfidence = 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat of the house is in the garden for the day", 0.9),
+      // no stopword/charset hit on ANY language -> confidence 0.0; at
+      // threshold 0 it must NOT route to the argmax tie-break ('de')
+      (2L, "quartz obelisk granite pylon marble", 0.7))
+      .toDF("doc_id", "text", "score")
+    val out = graft.ext.Curation.languageRoutedBuckets(
+        docs, "doc_id", "text", "score", minConfidence = 0.0, nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("route")))
+      .toMap
+    assert(out(1L).contains("en"))
+    assert(out(2L).isEmpty, "zero evidence must abstain, not tie-break route")
   }
 
   test("quality seam: the classifier gate swaps into stage 7, relabels the funnel, and cuts differently") {
