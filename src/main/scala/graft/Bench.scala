@@ -106,7 +106,17 @@ object Bench {
       "x33_stream_sessionize", "x37_stream_incremental_dedup",
       "x46_stream_vec_dedup", "x76_stream_bench_ingest")
     val (streamMed, batchMed) = med.filter(_._2 >= 0).partition(m => streamingQs(m._1))
-    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(8)
+    // MIN-of-reps for the same slowest queries (the round-18 lesson: two
+    // rounds of driver artifacts were contended — med_over_min_p95 1.31,
+    // 1.35 — and adjudicating "is this slow query a regression or a
+    // co-runner?" required a quiet re-run. min-of-N is the contention-
+    // robust statistic; carrying it in THIS line, which survives the
+    // driver's 2000-char artifact-tail truncation, makes cross-round
+    // comparison self-contained. A min ≈ its historical band with an
+    // inflated median = contention, not a plan change.)
+    val minByName = mins.toMap
+    val slowestMin = slowest.map { case (n, _) => n -> minByName(n) }
     // Contention self-diagnosis (the round-11 lesson: a contended run
     // reported 115 s where a quiet one measures 46 s, and the spikes
     // read as plan regressions until re-measured). med/min per query is
@@ -119,7 +129,7 @@ object Bench {
     }.sorted
     val spreadP95 =
       if (ratios.isEmpty) 1.0 else ratios((ratios.size - 1) * 95 / 100)
-    println(s"""{"metric":"summary","total":$total,"batch_total":${batchMed.map(_._2).sum},"streaming_total":${streamMed.map(_._2).sum},"n_queries":${med.count(_._2 >= 0)},"n_errors":${errors.size},"slowest":${jm(slowest)},"med_over_min_p95":$spreadP95,"unit":"sec","reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":$total,"total_min":${mins.filter(_._2 >= 0).map(_._2).sum},"batch_total":${batchMed.map(_._2).sum},"streaming_total":${streamMed.map(_._2).sum},"n_queries":${med.count(_._2 >= 0)},"n_errors":${errors.size},"slowest":${jm(slowest)},"slowest_min":${jm(slowestMin)},"med_over_min_p95":$spreadP95,"unit":"sec","reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

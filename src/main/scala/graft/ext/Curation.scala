@@ -293,6 +293,93 @@ object Curation {
             (nD * (nD * nD - lit(1.0)))).as("rho"))
   }
 
+  /** CALIBRATION RELIABILITY TABLE — per score-quantile bucket over a
+    * LABELED holdout, (n_docs, n_pos, pos_rate, mean_score): the audit
+    * that tells a pipeline whether its trained quality signal is
+    * actually ORDERED against ground truth before it gates a release
+    * (x90's threshold is only meaningful if pos_rate climbs with the
+    * bucket — a flat or inverted table says the classifier learned
+    * style, not quality; the [[rankAgreement]] discipline applied to
+    * the trained signal against labels instead of against a second
+    * signal). Feed it a held-out split produced by
+    * [[Sampling.clusterSafeSplit]] so near-duplicate leakage cannot
+    * flatter the table. Rows with a null score abstain (no calibration
+    * evidence — the shared null policy); buckets are dealt by GLOBAL
+    * rank `bucket = (rank−1)·k / n + 1` over the (score, `idCol`)
+    * TOTAL order (integer arithmetic — engine-exact, unlike ntile's
+    * remainder policy which needs no replay here).
+    *
+    * Determinism: `mean_score` is the bucket mean of per-row scores
+    * quantized to the 2²⁰ grid (`floor(score·2²⁰)` — one correctly
+    * rounded multiply of engine-identical doubles, then exact int64
+    * sums; the x79 quantized-grid argument), divided once in doubles.
+    * `pos_rate` is one division of two exact counts.
+    *
+    * Scale shape: the global rank is the [[Vocab.coverageCurve]] /
+    * [[Packing.packSequences]] DISTRIBUTED prefix sum — a RANGE
+    * exchange on (score, id) + two narrow passes with one
+    * count-per-partition driver array, never a single-partition
+    * window; the per-bucket rollup is partial-aggregated inside each
+    * partition, so the driver reduce sees O(#partitions · k) tiny
+    * tuples and the result is k rows re-parallelized. The ranked
+    * frame is persisted across the two passes (both must see identical
+    * partition contents — the Packing determinism argument) and
+    * released before returning. */
+  def reliabilityTable(df: DataFrame, idCol: String, scoreCol: String,
+                       labelCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    val QScale = 1048576L // 2^20 — the classifier's own quantizer grid
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(idCol).as("__id"),
+        col(labelCol).cast("boolean").as("__y"),
+        floor(col(scoreCol).cast("double") * lit(QScale.toDouble))
+          .cast("long").as("__sq"))
+      .repartitionByRange(col("__s"), col("__id"))
+      .sortWithinPartitions(col("__s"), col("__id"))
+    val cached = rows.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rdd = cached.rdd
+      val counts = rdd.mapPartitions { it =>
+        var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
+      }.collect()
+      val rankBefore = counts.scanLeft(0L)(_ + _)
+      val n = counts.sum
+      val k = nBuckets.toLong
+      if (n == 0L) {
+        val s2 = spark
+        import s2.implicits._
+        return Seq.empty[(Long, Long, Long, Double, Double)]
+          .toDF("bucket", "n_docs", "n_pos", "pos_rate", "mean_score")
+      }
+      // pass 2: bucket from the global rank, partial-aggregated in place
+      val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var rank = rankBefore(pid)
+        val acc = scala.collection.mutable.LongMap.empty[(Long, Long, Long)]
+        it.foreach { r =>
+          rank += 1
+          val b = (rank - 1) * k / n + 1
+          val (cn, cp, sq) = acc.getOrElse(b, (0L, 0L, 0L))
+          acc(b) = (cn + 1, cp + (if (r.getBoolean(2)) 1L else 0L),
+            sq + r.getLong(3))
+        }
+        acc.iterator
+      }.collect()
+      val byBucket = partials.groupBy(_._1).toSeq.map { case (b, ps) =>
+        val nd = ps.map(_._2._1).sum
+        val np = ps.map(_._2._2).sum
+        val sq = ps.map(_._2._3).sum
+        (b, nd, np, np.toDouble / nd.toDouble,
+          sq.toDouble / QScale.toDouble / nd.toDouble)
+      }.sortBy(_._1)
+      val s2 = spark
+      import s2.implicits._
+      byBucket.toDF("bucket", "n_docs", "n_pos", "pos_rate", "mean_score")
+    } finally cached.unpersist()
+  }
+
   /** The recipe's stage-7 QUALITY seam — which published recipe's
     * quality filter gates the cleaned corpus before the mixture. The
     * published pipelines differ exactly here: CCNet/LLaMA gate on a

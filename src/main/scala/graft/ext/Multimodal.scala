@@ -92,6 +92,46 @@ object Multimodal {
     }
   }
 
+  /** STUB variant with per-coordinate md5 MIXING — measured reason to
+    * exist: [[FakeCodec.features]] is an affine LCG ramp
+    * (`v_j = (a·(seed+j)+b) mod 2³¹` — the same common difference `a`
+    * for every payload, only the offset varies), so ALL its embeddings
+    * are near-collinear: at sf0.01, 12,186 of 124,750 doc pairs score
+    * cosine ≥ 0.95 (measured building x101). That is fine for x14's
+    * top-k PLUMBING pin (rank order is still deterministic) but
+    * degenerate for near-dup semantics — the dup verdict must mean
+    * "same content", not "every pair" — and a hot-bucket hazard: near-
+    * collinear vectors share hyperplane-band keys, so the banded
+    * self-join degenerates toward all-pairs at scale. Here every
+    * coordinate is an INDEPENDENT md5 draw (`md5(payload ‖ ':' ‖ j)`,
+    * the engine's 15-hex-char prefix primitive), giving
+    * near-orthogonal vectors for distinct payloads — the distribution
+    * a real vision/audio embedding has for unrelated inputs. Decode /
+    * resize / frame delegate to [[FakeCodec]] (one source of truth for
+    * the shape fakes). */
+  object MixedCodec extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = FakeCodec.decode(payload)
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      FakeCodec.resize(payload, w, h)
+    def frame(payload: Array[Byte], idx: Int): Array[Byte] =
+      FakeCodec.frame(payload, idx)
+    def features(payload: Array[Byte], dim: Int): Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val v = Array.tabulate(dim) { j =>
+        md.reset()
+        md.update(payload)
+        val d = md.digest(s":$j".getBytes("UTF-8"))
+        var h = 0L
+        var k = 0
+        while (k < 7) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+        val x = ((h << 4) | ((d(7) >> 4) & 0xFL)) % 2147483648L
+        x.toDouble / 2147483648.0 * 2.0 - 1.0
+      }
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      if (n == 0) v else v.map(_ / n)
+    }
+  }
+
   /** Pure-expression metadata over a binary column (codegen'd path — no
     * closure): byte length, content hash, and the FakeCodec dimensions
     * expressed as arithmetic so the whole thing stays in whole-stage

@@ -3841,21 +3841,14 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             WHERE d.doc_id % 10 <> 0
             ORDER BY d.doc_id"""))
 
-  /** Cluster-safe train/validation split
-    * ([[graft.ext.Sampling.clusterSafeSplit]]): near-dup clusters from
-    * x35's star algorithm, the split drawn from the cluster canonical
-    * id through the x15 md5-bucket primitive — no near-duplicate pair
-    * ever straddles the held-out boundary. Oracle = x35's recursive
-    * component CTE + x15's bucket arithmetic composed. */
-  private val x78 = Q("x78_cluster_safe_split",
-    (s, d) => graft.ext.Sampling.clusterSafeSplit(documents(s, d), "doc_id",
-        "text",
-        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
-        validRate = 0.1)
-      .select("doc_id", "split_key", "split")
-      .orderBy("doc_id"),
-    Some("""WITH RECURSIVE
-                 toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
+  /** x78's full near-dup → components → keyed-split cascade, shared
+    * verbatim by x100 (which trains the quality classifier on the
+    * TRAIN side and audits calibration on the held-out VALID side —
+    * the split that makes the audit leak-proof must be the exact split
+    * the engine ships). Ends in `sp(doc_id, source, text, split_key,
+    * split)`; splice after a `WITH RECURSIVE` header. */
+  private val splitCascadeSql =
+    """toks AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w FROM documents),
                  sh AS MATERIALIZED (SELECT doc_id,
                           list_transform(range(0, len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]) AS sgl
                         FROM toks WHERE len(w) >= 3),
@@ -3883,13 +3876,30 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                  reach(u, v) AS (SELECT u, v FROM e
                                  UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
                  comp AS MATERIALIZED (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
-                          FROM reach GROUP BY u)
-            SELECT d.doc_id,
-                   COALESCE(c.canonical_id, d.doc_id) AS split_key,
-                   CASE WHEN CAST(CAST('0x'||substr(md5(CAST(COALESCE(c.canonical_id, d.doc_id) AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 1000
-                        THEN 'valid' ELSE 'train' END AS split
-            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-            ORDER BY d.doc_id"""))
+                          FROM reach GROUP BY u),
+                 sp AS MATERIALIZED (
+                   SELECT d.doc_id, d.source, d.text,
+                          COALESCE(c.canonical_id, d.doc_id) AS split_key,
+                          CASE WHEN CAST(CAST('0x'||substr(md5(CAST(COALESCE(c.canonical_id, d.doc_id) AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 1000
+                               THEN 'valid' ELSE 'train' END AS split
+                   FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)"""
+
+  /** Cluster-safe train/validation split
+    * ([[graft.ext.Sampling.clusterSafeSplit]]): near-dup clusters from
+    * x35's star algorithm, the split drawn from the cluster canonical
+    * id through the x15 md5-bucket primitive — no near-duplicate pair
+    * ever straddles the held-out boundary. Oracle = x35's recursive
+    * component CTE + x15's bucket arithmetic composed. */
+  private val x78 = Q("x78_cluster_safe_split",
+    (s, d) => graft.ext.Sampling.clusterSafeSplit(documents(s, d), "doc_id",
+        "text",
+        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
+        validRate = 0.1)
+      .select("doc_id", "split_key", "split")
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE
+                 $splitCascadeSql
+            SELECT doc_id, split_key, split FROM sp ORDER BY doc_id"""))
 
   /** Temperature-flattened mixture
     * ([[graft.ext.Mixing.temperatureFactors]]): α = 1/2 smoothing of
@@ -4349,28 +4359,31 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    min(pos) AS pos_min, max(pos) AS pos_max
             FROM p GROUP BY 1 ORDER BY shard_id"""))
 
-  /** The trained-classifier scoring replay, shared by x88 (in-memory
-    * fit) and x89 (store-served + gate) — the x53/x54 adjudication
-    * pattern: one oracle, two checked plan shapes. Curated positives =
-    * sources src0–src3, background = the rest; weights are the
-    * Laplace-smoothed positive-affinity odds quantized at 2²⁰ (every
-    * step a correctly rounded IEEE op — see
-    * [[graft.ext.QualityClassifier]]). */
-  private val clsScoreSql = """WITH ctoks AS MATERIALIZED (
-               SELECT doc_id, source,
-                      regexp_extract_all(lower(trim(text)), '\S+') AS w
-               FROM documents),
+  /** The trained-classifier cascade, parameterized: `docsRel` is the
+    * relation providing (doc_id, source, text[, split]); `extraCols`
+    * (leading comma) threads extra columns through ctoks/occ so the
+    * predicates can see them; `trainPred` restricts which token
+    * occurrences TRAIN the weights; `scorePred` restricts which docs
+    * are SCORED. The default instance ([[clsScoreSql]]) trains and
+    * scores everything — x88/x89/x93/x94's shape; x100 trains on the
+    * cluster-safe train split and scores the held-out valid split. */
+  private def clsCascadeSql(docsRel: String, extraCols: String,
+                            trainPred: String, scorePred: String): String =
+    s"""WITH ctoks AS MATERIALIZED (
+               SELECT doc_id, source$extraCols,
+                      regexp_extract_all(lower(trim(text)), '\\S+') AS w
+               FROM $docsRel),
              occ AS MATERIALIZED (
-               SELECT doc_id, source,
+               SELECT doc_id, source$extraCols,
                       unnest(list_transform(generate_series(1, len(w)),
                         i -> CAST(CAST('0x'||substr(md5(w[i]),1,15) AS UBIGINT) AS BIGINT))) AS fp
                FROM ctoks WHERE len(w) >= 1),
              cpos AS MATERIALIZED (
                SELECT fp, CAST(count(*) AS BIGINT) AS c FROM occ
-               WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+               WHERE source IN ('src0','src1','src2','src3') AND $trainPred GROUP BY 1),
              cneg AS MATERIALIZED (
                SELECT fp, CAST(count(*) AS BIGINT) AS c FROM occ
-               WHERE source NOT IN ('src0','src1','src2','src3') GROUP BY 1),
+               WHERE source NOT IN ('src0','src1','src2','src3') AND $trainPred GROUP BY 1),
              tot AS MATERIALIZED (
                SELECT (SELECT COALESCE(sum(c), 0) FROM cpos) AS np,
                       (SELECT COALESCE(sum(c), 0) FROM cneg) AS nn,
@@ -4393,7 +4406,17 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                SELECT o.doc_id,
                       CAST(count(*) AS BIGINT) AS n_tokens,
                       CAST(sum(COALESCE(wt.wq, (SELECT w0 FROM wd))) AS BIGINT) AS w_sum_q
-               FROM occ o LEFT JOIN wt ON wt.fp = o.fp GROUP BY 1)"""
+               FROM occ o LEFT JOIN wt ON wt.fp = o.fp
+               WHERE $scorePred GROUP BY 1)"""
+
+  /** The default instance — train and score over the whole corpus,
+    * shared by x88 (in-memory fit) and x89 (store-served + gate) —
+    * the x53/x54 adjudication pattern: one oracle, two checked plan
+    * shapes. Curated positives = sources src0–src3, background = the
+    * rest; weights are the Laplace-smoothed positive-affinity odds
+    * quantized at 2²⁰ (every step a correctly rounded IEEE op — see
+    * [[graft.ext.QualityClassifier]]). */
+  private val clsScoreSql = clsCascadeSql("documents", "", "TRUE", "TRUE")
 
   private val curatedSources = Seq("src0", "src1", "src2", "src3")
 
@@ -4948,11 +4971,151 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM sev_tot t LEFT JOIN sev_agg a ON a.doc_id = t.doc_id
             ORDER BY t.doc_id"""))
 
+  /** CLASSIFIER CALIBRATION audit ([[Curation.reliabilityTable]] over
+    * the x88 trained signal, judged on x78's cluster-safe holdout —
+    * the x94 audit discipline applied to the newest gate): the
+    * classifier fits on the TRAIN split only (curated src0–src3 vs
+    * the rest), scores the held-out VALID split, and the table reports
+    * per score-decile (n_docs, n_pos, pos_rate, mean_score). A
+    * calibrated signal shows pos_rate climbing with the decile; flat
+    * or inverted = the x90 gate is thresholding noise. The split is
+    * cluster-safe BY CONSTRUCTION (no near-dup pair straddles the
+    * boundary — x78/x86), so memorized near-duplicates of training
+    * docs cannot flatter the audit. Deciles are dealt by the
+    * distributed global rank `(rank−1)·10/n + 1` over the
+    * (cls_score, doc_id) total order — integer arithmetic replayed by
+    * the oracle's `//`; mean_score sums the 2²⁰-quantized per-doc
+    * scores (exact int64) and divides once. */
+  private val x100 = Q("x100_classifier_calibration",
+    (s, d) => {
+      val docs = documents(s, d)
+      val split = graft.ext.Sampling.clusterSafeSplit(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, nBands = 4, minJaccard = 0.5,
+        validRate = 0.1).localCheckpoint(true)
+      val train = split.filter(col("split") === "train")
+      val model = QualityClassifier.fit(
+        train.filter(col("source").isin(curatedSources: _*)),
+        train.filter(!col("source").isin(curatedSources: _*)),
+        "text").localCheckpoint(true)
+      val scored = QualityClassifier.score(
+          split.filter(col("split") === "valid"), "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("is_pos", col("source").isin(curatedSources: _*))
+      Curation.reliabilityTable(scored, "doc_id", "cls_score", "is_pos",
+          nBuckets = 10)
+        .orderBy("bucket")
+    },
+    Some(s"""WITH RECURSIVE
+             $splitCascadeSql,
+             ${clsCascadeSql("sp", ", split", "split = 'train'",
+               "o.split = 'valid'").stripPrefix("WITH ")},
+             lab AS MATERIALIZED (
+               SELECT s.doc_id,
+                      s.source IN ('src0','src1','src2','src3') AS is_pos,
+                      CAST(csc.w_sum_q AS DOUBLE) / 1048576.0
+                        / CAST(csc.n_tokens AS DOUBLE) AS cls_score
+               FROM sp s JOIN csc ON csc.doc_id = s.doc_id
+               WHERE s.split = 'valid'),
+             rnk AS MATERIALIZED (
+               SELECT is_pos, cls_score,
+                      CAST(row_number() OVER (ORDER BY cls_score, doc_id) AS BIGINT) AS r,
+                      CAST(count(*) OVER () AS BIGINT) AS n
+               FROM lab WHERE cls_score IS NOT NULL)
+            SELECT CAST((r - 1) * 10 // n + 1 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS pos_rate,
+                   CAST(sum(CAST(floor(cls_score * 1048576.0) AS BIGINT)) AS DOUBLE)
+                     / 1048576.0 / CAST(count(*) AS DOUBLE) AS mean_score
+            FROM rnk GROUP BY 1 ORDER BY bucket"""))
+
+  /** MULTIMODAL NEAR-DUP dedup — the composition the engine had both
+    * halves of but never joined: codec feature extraction
+    * ([[Multimodal.extractFeatures]], x14's mapPartitions plumbing) →
+    * hyperplane signatures → banded buckets → exact cosine confirm
+    * ([[Similarity.nearDupPairs]], x12's shape) — image/frame dedup as
+    * every published multimodal pipeline runs it (embed, then the
+    * text-dedup machinery verbatim). Seeded fixture: per decade of
+    * doc_ids, `%10 ∈ {0,1}` carry an IDENTICAL payload (the dup pair
+    * the composition must find, cosine = 1), `%10 = 2` carries that
+    * payload plus ONE byte — NEAR-identical bytes. The stub codec is a
+    * content HASH ([[Multimodal.FakeCodec]]), so the one-byte
+    * perturbation yields an unrelated vector and must NOT pair: the
+    * fixture pins exactly where the stub's fidelity ends (a real
+    * vision codec maps near-identical pixels to near-identical
+    * vectors and WOULD pair it — swap the codec, keep the plumbing).
+    * Features come from [[Multimodal.MixedCodec]], not the x14 stub —
+    * measured: the LCG stub's affine-ramp embeddings are
+    * near-collinear (12,186 of 124,750 pairs at cosine ≥ 0.95 at
+    * sf0.01 — a meaningless dup verdict AND a banded-join hot-bucket
+    * hazard); the md5-mixed coordinates give distinct payloads
+    * near-orthogonal vectors, so the verdict means "same content".
+    * Scale shape: x12's — banded self-join candidates, never
+    * all-pairs; decode/embed narrow per-partition. */
+  private val x101 = Q("x101_multimodal_neardup",
+    (s, d) => {
+      val payload = when(col("doc_id") % 10 <= 1,
+          concat(lit("shared-"), expr("doc_id DIV 10").cast("string")))
+        .when(col("doc_id") % 10 === 2,
+          concat(lit("shared-"), expr("doc_id DIV 10").cast("string"),
+            lit("!")))
+        .otherwise(concat(col("text"), col("doc_id").cast("string")))
+      val docs = documents(s, d)
+        .withColumn("payload", payload.cast("binary"))
+      val emb = Multimodal.extractFeatures(s, docs, "doc_id", "payload",
+        dim = 16, codec = Multimodal.MixedCodec)
+      Similarity.nearDupPairs(emb, "doc_id", "embedding",
+          minCosine = 0.95, nBands = 4, bandBits = 4, dim = 16)
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""WITH pay AS MATERIALIZED (SELECT doc_id,
+                   CASE WHEN doc_id % 10 <= 1 THEN 'shared-' || CAST(doc_id // 10 AS VARCHAR)
+                        WHEN doc_id % 10 = 2 THEN 'shared-' || CAST(doc_id // 10 AS VARCHAR) || '!'
+                        ELSE text || CAST(doc_id AS VARCHAR) END AS payload
+                 FROM documents),
+                 raw AS MATERIALIZED (SELECT doc_id,
+                   list_transform(range(0,16), j ->
+                     CAST(CAST(CAST('0x'||substr(md5(payload || ':' || CAST(j AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT)
+                          % 2147483648 AS DOUBLE)
+                     / 2147483648.0 * 2 - 1) AS v
+                 FROM pay),
+                 emb AS MATERIALIZED (SELECT doc_id,
+                           CASE WHEN n = 0 THEN v
+                                ELSE list_transform(v, x -> x / n) END AS e
+                         FROM (SELECT doc_id, v,
+                                 sqrt(list_sum(list_transform(v, y -> y*y))) AS n
+                               FROM raw)),
+                 sig AS MATERIALIZED (SELECT doc_id, e,
+                   list_transform(range(0,16), p -> CASE WHEN
+                     list_sum(list_transform(list_zip(e, range(0,16)),
+                       x -> CAST(x[1] AS DOUBLE) *
+                            (CAST((1103515245*(p*16 + x[2]) + 12345) % 2147483648 AS DOUBLE)
+                             / 2147483648.0 * 2 - 1))) >= 0
+                     THEN 1 ELSE 0 END) AS sg
+                 FROM emb),
+                 bands AS MATERIALIZED (SELECT doc_id, b,
+                             sg[4*b+1]*8 + sg[4*b+2]*4 + sg[4*b+3]*2 + sg[4*b+4] AS bk
+                           FROM sig, (SELECT unnest(range(0,4)) AS b)),
+                 cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS vec_a, b.doc_id AS vec_b
+                          FROM bands a JOIN bands b
+                            ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+                 scored AS MATERIALIZED (SELECT vec_a, vec_b,
+                     list_sum(list_transform(list_zip(ea.e, eb.e),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(ea.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(eb.e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+                   FROM cand JOIN emb ea ON ea.doc_id = vec_a
+                             JOIN emb eb ON eb.doc_id = vec_b)
+            SELECT vec_a, vec_b, cos FROM scored
+            WHERE cos >= 0.95 ORDER BY vec_a, vec_b"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
     x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53,
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99)
+    x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
+    x96, x97, x98, x99, x100, x101)
 }

@@ -84,4 +84,28 @@ class MultimodalSpec extends SparkSpec {
     val plan = top.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("MixedCodec near-dup: exact payload twins pair at cos 1, a one-byte perturbation does not") {
+    val fixture = df(Seq(
+      (1L, "frame-bytes-alpha"), (2L, "frame-bytes-alpha"), // exact twins
+      (3L, "frame-bytes-alpha!"),                           // one byte appended
+      (4L, "frame-bytes-beta"), (5L, "wholly different payload")))
+      .toDF("id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val emb = Multimodal.extractFeatures(spark, fixture, "id", "payload",
+      dim = 16, codec = Multimodal.MixedCodec)
+    val pairs = Similarity.nearDupPairs(emb, "id", "embedding",
+        minCosine = 0.95, nBands = 4, bandBits = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)),
+      "only the byte-identical twins may pair — the hash stub must NOT " +
+        "treat the one-byte perturbation as near-identical")
+    // the mixing property FakeCodec lacks: distinct payloads are
+    // near-orthogonal, not near-collinear
+    val e = emb.orderBy("id").collect().map(_.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos(e(0), e(3))) < 0.9, "distinct payloads must not be collinear")
+    assert(math.abs(cos(e(0), e(2))) < 0.9)
+  }
 }

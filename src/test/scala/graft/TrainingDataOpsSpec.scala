@@ -1028,6 +1028,43 @@ class CurationSpec extends SparkSpec {
       "a confident route with no score must not receive a bucket")
   }
 
+  test("reliabilityTable: rank-dealt buckets, exact counts, quantized means, abstainers excluded") {
+    val s = spark
+    import s.implicits._
+    // 6 scored rows -> k=3 buckets of 2 by the (score, id) rank; labels
+    // arranged so pos_rate climbs 0, 0.5, 1 — plus one null-score
+    // abstainer that must not shift any bucket boundary
+    val rows = Seq(
+      (1L, 0.10, false), (2L, 0.20, false),
+      (3L, 0.40, true), (4L, 0.50, false),
+      (5L, 0.80, true), (6L, 0.90, true))
+      .toDF("doc_id", "score", "is_pos")
+      .unionByName(Seq((9L, true)).toDF("doc_id", "is_pos")
+        .withColumn("score", lit(null).cast("double"))
+        .select("doc_id", "score", "is_pos"))
+    val out = graft.ext.Curation.reliabilityTable(rows, "doc_id", "score",
+        "is_pos", nBuckets = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    def q(x: Double): Long = math.floor(x * 1048576.0).toLong
+    def mean(xs: Double*): Double =
+      xs.map(q).sum.toDouble / 1048576.0 / xs.size.toDouble
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 0L, 0.0, mean(0.10, 0.20))))
+    assert(out(2L) == ((2L, 1L, 0.5, mean(0.40, 0.50))))
+    assert(out(3L) == ((2L, 2L, 1.0, mean(0.80, 0.90))))
+  }
+
+  test("reliabilityTable: no scored rows yields an empty table, not a crash") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, true)).toDF("doc_id", "is_pos")
+      .withColumn("score", lit(null).cast("double"))
+    assert(graft.ext.Curation.reliabilityTable(rows, "doc_id", "score",
+      "is_pos", nBuckets = 4).count() == 0L)
+  }
+
   test("language routing: zero-evidence docs abstain even at minConfidence = 0") {
     val s = spark
     import s.implicits._
