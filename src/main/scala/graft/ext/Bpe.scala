@@ -1,0 +1,161 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding MERGE TRAINING — the tokenizer-construction step
+  * the published pipelines run after sizing the vocabulary (the
+  * [[Vocab.coverageCurve]] analysis says how big; this builds it):
+  * Sennrich et al.'s greedy pair-merge over word types, re-expressed as
+  * iterative exact-count aggregations so the whole fit is relational
+  * and oracle-replayable.
+  *
+  * Algorithm (the published one, made deterministic):
+  *   1. collapse the corpus to its WORD-TYPE table `(word, cnt)` —
+  *      the one corpus-proportional aggregation in the whole fit;
+  *   2. split each word into character symbols plus a dedicated
+  *      end-of-word marker `</w>` (so merges can learn word-final
+  *      units — the published trick that lets `est</w>` differ from
+  *      `est`);
+  *   3. per merge step: count adjacent symbol pairs weighted by word
+  *      count (overlapping positions each count, the reference
+  *      implementation's collections.Counter semantics), pick the
+  *      max-count pair with the deterministic `(count desc, left,
+  *      right)` tie-break, and merge every occurrence greedily
+  *      left-to-right; stop early when no pair reaches `minPairCount`
+  *      (merging a pair seen once memorizes, not generalizes).
+  *
+  * Determinism: counts are exact int64; the tie-break is total; the
+  * greedy left-to-right application is a pure fold (see [[mergeOnce]])
+  * — so the merge SEQUENCE is a pure function of the word-type table,
+  * invariant under row order, partitioning, and duplicate-document
+  * layout (spec-pinned by a permutation property).
+  *
+  * Scale shape at 100 TB: the corpus is touched ONCE (tokenize +
+  * word-type count, map-side combinable); every merge round runs on
+  * the word-TYPE table — millions of rows where the corpus is
+  * billions — as one narrow fold-rewrite plus one map-side-combined
+  * pair count plus a 1-row TakeOrdered to the driver (the merge table
+  * itself is driver-sized by construction: k rows). The evolving
+  * symbols column is `localCheckpoint`ed each round so the plan stays
+  * flat across k rounds instead of nesting k lambdas deep. Encoding a
+  * corpus with the learned merges ([[pieceCounts]]) broadcasts the
+  * encoded word-type table — the corpus-sized side never shuffles.
+  *
+  * Symbols live in the `[a-z]` + `</w>` alphabet
+  * ([[TextAnalysis.wordTokens]] word forms), so no symbol ever
+  * contains a space — the invariant the space-joined oracle fold
+  * replay relies on.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (Sennrich et al.'s `</w>`). */
+  val EndOfWord = "</w>"
+
+  /** The corpus collapsed to its word-type table with initial symbol
+    * sequences: `(word, cnt, syms)` where `syms` = the word's
+    * characters plus [[EndOfWord]]. The ONE corpus-proportional stage
+    * of a BPE fit. */
+  def wordSymbols(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat(
+          transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))),
+          array(lit(EndOfWord))).as("syms"))
+
+  /** One greedy left-to-right merge of the adjacent pair `(a, b)` in a
+    * symbol array — the BPE application step as a pure fold: walking
+    * the symbols, a new symbol `b` arriving when the accumulated tail
+    * is `a` replaces that tail with `a+b`, else appends. The fold IS
+    * the reference semantics for overlapping runs: in `[a,a,a]` with
+    * pair `(a,a)` the leftmost occurrence merges and the freshly
+    * merged `aa` does not re-merge with the next `a` this round —
+    * positions merge alternately within each maximal run. `get` (not
+    * `element_at`) reads the tail so the empty accumulator yields null
+    * (falls to append) instead of an ANSI out-of-bounds error. */
+  def mergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Adjacent-pair counts over the current word-type symbols, weighted
+    * by word count — overlapping positions each count (the reference
+    * Counter semantics). Pairs are built as aligned structs inside a
+    * `transform` lambda (bound, in-range indices — never a
+    * posexplode + `element_at(pos + 1)` against a detached spine). */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) > 1)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("lhs"),
+          element_at(col("syms"), i + 1).as("rhs")))).as("pr"))
+      .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+      .agg(sum(col("cnt")).as("pair_count"))
+
+  /** Train `numMerges` BPE merges over the corpus.
+    * @return the merge table `(step, lhs, rhs, pair_count)` — step
+    *         1-based in merge order; fewer than `numMerges` rows when
+    *         training stops early (no pair reaches `minPairCount`). */
+  def fitMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                minPairCount: Long = 2L): DataFrame = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = docs.sparkSession
+    var words = wordSymbols(docs, textCol).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val top = pairCounts(words)
+        .filter(col("pair_count") >= minPairCount)
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).collect() // 1 row — the merge table is driver-sized
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step, a, b, c))
+        words = words.withColumn("syms", mergeOnce(col("syms"), a, b))
+          .localCheckpoint(true) // flat plan: k rounds, not k nested folds
+        step += 1
+      }
+    }
+    val s2 = spark
+    import s2.implicits._
+    merges.result().toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** Replay a learned merge sequence over a word-symbol table —
+    * encoding. `merges` is the (driver-sized, k-row) merge list in
+    * step order. Narrow: k fold-rewrites, no shuffle. */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.zipWithIndex.foldLeft(words) { case (w, ((a, b), i)) =>
+      val merged = w.withColumn("syms", mergeOnce(col("syms"), a, b))
+      // checkpoint every few rounds: keeps the lambda nesting shallow
+      // without paying a materialization per merge
+      if ((i + 1) % 4 == 0) merged.localCheckpoint(true) else merged
+    }
+
+  /** Apply a learned tokenizer to a CORPUS: per document, the BPE
+    * piece count (the number every mixture/budget operator actually
+    * consumes — x60's token budgets, priced in the real tokenizer's
+    * units instead of whitespace tokens). The corpus re-tokenizes once
+    * (narrow) and joins each word to the BROADCAST encoded word-type
+    * table — the corpus-sized side never shuffles; the rollup is
+    * map-side combinable. Token-less docs count 0 (evidence of
+    * absence, not absent evidence). */
+  def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
+                  encoded: DataFrame): DataFrame = {
+    val pieces = encoded.select(col("word"),
+      size(col("syms")).cast("long").as("__pieces"))
+    docs.select(col(idCol),
+        explode_outer(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .join(broadcast(pieces), Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(coalesce(sum("__pieces"), lit(0L)).as("n_pieces"),
+        count(col("word")).as("n_words"))
+  }
+}

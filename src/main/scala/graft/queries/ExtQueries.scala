@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Chunking, CorpusShuffle, Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Pii, QualityClassifier, Repetition, Retrieval, SemDedup, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
+import graft.ext.{Bpe, Chunking, CorpusShuffle, Curation, Decontaminate, ExactDedup, MinHash, Mixing, Multimodal, KMeans, Packing, PassageDedup, Pii, QualityClassifier, Repetition, Retrieval, SemDedup, SimHash, Similarity, TextAnalysis => TA, TopTerms, Vocab}
 import graft.util.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -5110,6 +5110,126 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             SELECT vec_a, vec_b, cos FROM scored
             WHERE cos >= 0.95 ORDER BY vec_a, vec_b"""))
 
+  /** The BPE training replay, generated per round: `w0` = the
+    * word-type table with character+`</w>` symbols, then per merge
+    * round r — overlap-counted weighted pair counts (`pc_r`), the
+    * `(count desc, lhs, rhs)` top-1 (`top_r`), and the greedy
+    * left-to-right application (`w_r`) as a `list_reduce` fold over
+    * the space-joined symbol string (symbols are `[a-z]`/`</w>` only,
+    * so the space separator and the `LIKE '% '||lhs` last-symbol test
+    * are unambiguous — [[graft.ext.Bpe]]'s documented invariant; an
+    * empty `top_r` null-extends through the `LEFT JOIN ON TRUE` and
+    * the fold is skipped, replaying early stop). */
+  private def bpeCascadeSql(k: Int, minPairCount: Long): String = {
+    val sb = new StringBuilder
+    sb.append("""w0 AS MATERIALIZED (
+               SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+                      list_transform(generate_series(1, length(word)),
+                        i -> substr(word, i, 1)) || ['</w>'] AS syms
+               FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                     FROM documents)
+               GROUP BY 1)""")
+    for (r <- 1 to k) {
+      sb.append(s""",
+             pos$r AS MATERIALIZED (
+               SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+               FROM w${r - 1} WHERE len(syms) > 1),
+             pc$r AS MATERIALIZED (
+               SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+                      CAST(sum(cnt) AS BIGINT) AS c
+               FROM pos$r GROUP BY 1, 2),
+             top$r AS MATERIALIZED (
+               SELECT lhs, rhs, c FROM pc$r WHERE c >= $minPairCount
+               ORDER BY c DESC, lhs, rhs LIMIT 1),
+             w$r AS MATERIALIZED (
+               SELECT word, cnt,
+                 CASE WHEN t.lhs IS NULL THEN syms
+                      ELSE string_split(list_reduce(syms, (acc, s) ->
+                        CASE WHEN s = t.rhs
+                              AND (acc = t.lhs OR acc LIKE '%' || ' ' || t.lhs)
+                             THEN CASE WHEN acc = t.lhs THEN t.lhs || t.rhs
+                                  ELSE left(acc, length(acc) - length(t.lhs))
+                                       || t.lhs || t.rhs END
+                             ELSE acc || ' ' || s END), ' ')
+                 END AS syms
+               FROM w${r - 1} LEFT JOIN top$r t ON true)""")
+    }
+    sb.result()
+  }
+
+  private val bpeK = 8
+  private val bpeMergeTableSql = (1 to bpeK)
+    .map(r => s"SELECT CAST($r AS INTEGER) AS step, lhs, rhs, c AS pair_count FROM top$r")
+    .mkString("\n            UNION ALL ")
+
+  /** BPE MERGE TRAINING ([[Bpe.fitMerges]] — the tokenizer-construction
+    * step x96's coverage curve sizes but nothing built): 8 greedy
+    * merges over the corpus word-type table, emitted as the merge
+    * table `(step, lhs, rhs, pair_count)`. Counts exact int64 with
+    * overlap semantics; tie-break total on (count desc, lhs, rhs); the
+    * merge sequence is permutation-invariant (BpeSpec property). The
+    * oracle replays every round as its own CTE block — pair counts,
+    * top-1, greedy fold — so a divergence names the exact round. */
+  private val x102 = Q("x102_bpe_merges",
+    (s, d) => Bpe.fitMerges(documents(s, d), "text", numMerges = bpeK)
+      .orderBy("step"),
+    Some(s"""WITH ${bpeCascadeSql(bpeK, 2L)}
+            SELECT * FROM ($bpeMergeTableSql)
+            ORDER BY step"""))
+
+  /** BPE ENCODED VOCABULARY ([[Bpe.encodeWords]] replaying x102's
+    * learned sequence over the word-type table): per word, its BPE
+    * pieces after all 8 merges — the artifact a tokenizer SHIPS. The
+    * Spark side re-fits then replays (fit ≡ replay is the check: the
+    * oracle's `w_8` is the fit loop's own final state, so the encoded
+    * table matching proves the replay path reproduces training
+    * exactly). */
+  private val x103 = Q("x103_bpe_encode",
+    (s, d) => {
+      val docs = documents(s, d)
+      val merges = Bpe.fitMerges(docs, "text", numMerges = bpeK)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeWords(Bpe.wordSymbols(docs, "text"), merges)
+        .select(col("word"), col("cnt"),
+          array_join(col("syms"), " ").as("pieces"),
+          size(col("syms")).cast("long").as("n_pieces"))
+        .orderBy("word")
+    },
+    Some(s"""WITH ${bpeCascadeSql(bpeK, 2L)}
+            SELECT word, cnt, array_to_string(syms, ' ') AS pieces,
+                   CAST(len(syms) AS BIGINT) AS n_pieces
+            FROM w$bpeK ORDER BY word"""))
+
+  /** BPE CORPUS PRICING ([[Bpe.pieceCounts]] — the learned tokenizer
+    * applied to the corpus): per document, its piece count in x102's
+    * tokenizer units (what token budgets/mixtures actually consume)
+    * next to its whitespace word count. Scale shape: the encoded
+    * word-TYPE table broadcasts; the corpus re-tokenizes once, narrow,
+    * and never shuffles its text. */
+  private val x104 = Q("x104_bpe_piece_counts",
+    (s, d) => {
+      val docs = documents(s, d)
+      val merges = Bpe.fitMerges(docs, "text", numMerges = bpeK)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.pieceCounts(docs, "doc_id", "text",
+          Bpe.encodeWords(Bpe.wordSymbols(docs, "text"), merges))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${bpeCascadeSql(bpeK, 2L)},
+             dw AS MATERIALIZED (
+               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+               FROM documents),
+             pc AS MATERIALIZED (
+               SELECT doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_pieces,
+                      CAST(count(*) AS BIGINT) AS n_words
+               FROM dw JOIN w$bpeK w ON w.word = dw.word GROUP BY 1)
+            SELECT d.doc_id, COALESCE(pc.n_pieces, 0) AS n_pieces,
+                   COALESCE(pc.n_words, 0) AS n_words
+            FROM documents d LEFT JOIN pc ON pc.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5117,5 +5237,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
-    x96, x97, x98, x99, x100, x101)
+    x96, x97, x98, x99, x100, x101, x102, x103, x104)
 }

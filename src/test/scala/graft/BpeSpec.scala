@@ -1,0 +1,77 @@
+package graft
+
+import graft.ext.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge training: hand-computed greedy semantics (including the
+  * overlapping-run case), the deterministic tie-break, early stop,
+  * permutation invariance of the merge sequence, replay encoding, and
+  * corpus piece counting. */
+class BpeSpec extends SparkSpec {
+
+  // word types: aaa ×3, ab ×2 — hand-traced merge sequence:
+  //   round 1: (a,a)=6 [positions 1,2 of aaa ×3, overlap counted],
+  //            (a,</w>)=3, (a,b)=2, (b,</w>)=2 → merge (a,a), aaa→[aa,a,</w>]
+  //   round 2: (aa,a)=3 ties (a,</w>)=3 → lhs tie-break picks (a,</w>)
+  //   round 3: (aa,a</w>)=3
+  private def corpus = df(Seq(
+    (1L, "aaa aaa ab"), (2L, "aaa ab")))
+    .toDF("doc_id", "text")
+
+  test("fitMerges: hand-computed greedy sequence with overlap counting and tie-break") {
+    val merges = Bpe.fitMerges(corpus, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges == Seq(
+      (1, "a", "a", 6L),
+      (2, "a", "</w>", 3L),
+      (3, "aa", "a</w>", 3L),
+      (4, "a", "b", 2L),
+      (5, "ab", "</w>", 2L)))
+  }
+
+  test("fitMerges: greedy leftmost application — [a,a,a] merges to [aa,a], not [a,aa]") {
+    val words = df(Seq(Tuple1("x"))).toDF("w")
+      .select(split(lit("a a a a a"), " ").as("syms"))
+    val out = words.select(Bpe.mergeOnce(col("syms"), "a", "a").as("m"))
+      .head.getSeq[String](0)
+    assert(out == Seq("aa", "aa", "a"),
+      "runs merge alternately from the left; a fresh merge never re-merges in the same round")
+  }
+
+  test("fitMerges: stops early when no pair reaches minPairCount") {
+    val once = df(Seq((1L, "ab cd"))).toDF("doc_id", "text")
+    assert(Bpe.fitMerges(once, "text", numMerges = 4, minPairCount = 2)
+      .count() == 0L)
+    // with the threshold at 1 the same corpus trains merges
+    assert(Bpe.fitMerges(once, "text", numMerges = 2, minPairCount = 1)
+      .count() == 2L)
+  }
+
+  test("fitMerges: merge sequence invariant under row permutation and partitioning") {
+    val base = Bpe.fitMerges(corpus, "text", numMerges = 5)
+      .collect().toSeq.map(_.toSeq)
+    val shuffled = Bpe.fitMerges(
+      corpus.orderBy(col("doc_id").desc).repartition(7), "text",
+      numMerges = 5).collect().toSeq.map(_.toSeq)
+    assert(base == shuffled)
+  }
+
+  test("encodeWords replays the learned sequence; pieceCounts prices the corpus in BPE units") {
+    val mergeRows = Bpe.fitMerges(corpus, "text", numMerges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val encoded = Bpe.encodeWords(Bpe.wordSymbols(corpus, "text"), mergeRows)
+    val byWord = encoded.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(byWord("aaa") == Seq("aaa</w>"))
+    assert(byWord("ab") == Seq("ab</w>"))
+    val counts = Bpe.pieceCounts(
+      corpus.unionByName(df(Seq((3L, ""))).toDF("doc_id", "text")),
+      "doc_id", "text", encoded)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts(1L) == ((3L, 3L))) // aaa aaa ab -> 1+1+1 pieces
+    assert(counts(2L) == ((2L, 2L)))
+    assert(counts(3L) == ((0L, 0L)), "token-less docs count 0, not null")
+  }
+}
