@@ -95,20 +95,20 @@ object Bpe {
       .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
       .agg(sum(col("cnt")).as("pair_count"))
 
-  /** Train `numMerges` BPE merges over the corpus.
-    * @return the merge table `(step, lhs, rhs, pair_count)` — step
-    *         1-based in merge order; fewer than `numMerges` rows when
-    *         training stops early (no pair reaches `minPairCount`). */
-  def fitMerges(docs: DataFrame, textCol: String, numMerges: Int,
-                minPairCount: Long = 2L): DataFrame = {
+  /** The training loop over an existing word-symbol table — shared by
+    * the from-scratch fit and continuation training (the loop is
+    * Markov on the word table, which is exactly why
+    * fit(k + e) ≡ extend(fit(k), e) — spec-pinned and x105-checked). */
+  private def trainMerges(words0: DataFrame, numMerges: Int,
+                          minPairCount: Long,
+                          firstStep: Int): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    val spark = docs.sparkSession
-    var words = wordSymbols(docs, textCol).localCheckpoint(true)
+    var words = words0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var step = 1
+    var step = firstStep
     var done = false
-    while (step <= numMerges && !done) {
+    while (step < firstStep + numMerges && !done) {
       val top = pairCounts(words)
         .filter(col("pair_count") >= minPairCount)
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
@@ -123,9 +123,20 @@ object Bpe {
         step += 1
       }
     }
-    val s2 = spark
-    import s2.implicits._
-    merges.result().toDF("step", "lhs", "rhs", "pair_count")
+    merges.result()
+  }
+
+  /** Train `numMerges` BPE merges over the corpus.
+    * @return the merge table `(step, lhs, rhs, pair_count)` — step
+    *         1-based in merge order; fewer than `numMerges` rows when
+    *         training stops early (no pair reaches `minPairCount`). */
+  def fitMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = trainMerges(wordSymbols(docs, textCol).localCheckpoint(true),
+      numMerges, minPairCount, firstStep = 1)
+    import spark.implicits._
+    rows.toDF("step", "lhs", "rhs", "pair_count")
   }
 
   /** Replay a learned merge sequence over a word-symbol table —
@@ -157,5 +168,108 @@ object Bpe {
       .groupBy(idCol)
       .agg(coalesce(sum("__pieces"), lit(0L)).as("n_pieces"),
         count(col("word")).as("n_words"))
+  }
+
+  // ---------------- persisted tokenizer store ----------------
+
+  def tokenizerMeta(table: String): String = s"${table}_meta"
+
+  /** Persist a trained tokenizer as catalog tables: `table` = the
+    * merge table in step order, `table_meta` = (n_merges,
+    * min_pair_count) — the COMMIT MARKER, written last.
+    *
+    * This store deliberately breaks with the six big stores' pattern,
+    * and the differences are the point:
+    *   - NO buckets: the merge table is k rows — driver-sized by
+    *     construction — there is nothing to co-locate; a bucketed
+    *     layout would be cargo cult.
+    *   - NO ledgered deltas / streamed ingest: every merge conditions
+    *     on the FULL previous merge state, so there is no commutative
+    *     per-batch delta to ledger — the honest "streamed" form of BPE
+    *     training is a refit (the x55 serve-≡-refit adjudication,
+    *     answered the other way because the math differs). What a
+    *     tokenizer has instead is CONTINUATION training
+    *     ([[extendTokenizer]]): resume the merge loop from the stored
+    *     sequence, with fit(k+e) ≡ extend(fit(k), e) spec-pinned and
+    *     oracle-checked (x105).
+    *   - Crash safety is REBUILD, not repair: the meta writes last, a
+    *     meta-less store refuses loud everywhere, and the documented
+    *     remedy is re-running this method — a BPE fit is k word-type
+    *     aggregations (seconds), where an LmScore store is a
+    *     corpus-sized count table (hours at 100 TB); paying ledger
+    *     machinery to avoid a cheap rebuild would be the wrong trade. */
+  def writeTokenizerStore(docs: DataFrame, textCol: String, numMerges: Int,
+                          table: String, minPairCount: Long = 2L): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${tokenizerMeta(table)}`")
+    val merges = fitMerges(docs, textCol, numMerges, minPairCount)
+    merges.write.mode("overwrite").format("parquet").saveAsTable(table)
+    commitMeta(spark, table, minPairCount)
+  }
+
+  private def commitMeta(spark: org.apache.spark.sql.SparkSession,
+                         table: String, minPairCount: Long): Unit = {
+    import spark.implicits._
+    Seq((spark.table(table).count(), minPairCount))
+      .toDF("n_merges", "min_pair_count")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tokenizerMeta(table))
+  }
+
+  private def requireTokenizerContract(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.Row = {
+    require(spark.catalog.tableExists(tokenizerMeta(table)),
+      s"tokenizer store '$table' has no meta table — a (re)build or " +
+        "extension crashed before committing; re-run writeTokenizerStore")
+    spark.table(tokenizerMeta(table)).head()
+  }
+
+  /** The stored merge sequence in step order — k rows to the driver,
+    * the store's whole point (a tokenizer artifact IS driver-sized). */
+  def mergesFromStore(spark: org.apache.spark.sql.SparkSession,
+                      table: String): Seq[(String, String)] = {
+    requireTokenizerContract(spark, table)
+    spark.table(table).orderBy("step").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+  }
+
+  /** Encode a corpus's word types with the STORED tokenizer. */
+  def encodeAgainstStore(docs: DataFrame, textCol: String,
+                         table: String): DataFrame =
+    encodeWords(wordSymbols(docs, textCol),
+      mergesFromStore(docs.sparkSession, table))
+
+  /** [[pieceCounts]] served from the store — the deployment path. */
+  def pieceCountsAgainstStore(docs: DataFrame, idCol: String,
+                              textCol: String, table: String): DataFrame =
+    pieceCounts(docs, idCol, textCol, encodeAgainstStore(docs, textCol, table))
+
+  /** CONTINUATION training: replay the stored sequence over the
+    * corpus's word types, run `extraMerges` more rounds from that
+    * state, and commit the extended sequence (drop meta → rewrite →
+    * meta last; a crash in between leaves a loudly-refusing store —
+    * see [[writeTokenizerStore]] for why rebuild beats a ledger here).
+    * Over the SAME corpus this equals a deeper one-shot fit (the loop
+    * is Markov on the word table); over a NEW corpus it is domain
+    * continuation — the published "extend the tokenizer for code/
+    * multilingual" move. */
+  def extendTokenizer(docs: DataFrame, textCol: String, extraMerges: Int,
+                      table: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = requireTokenizerContract(spark, table)
+    val minPairCount = meta.getAs[Long]("min_pair_count")
+    val stored = spark.table(table).orderBy("step").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_count"))).toSeq
+    val words = encodeWords(wordSymbols(docs, textCol),
+      stored.map(t => (t._2, t._3))).localCheckpoint(true)
+    val more = trainMerges(words, extraMerges, minPairCount,
+      firstStep = stored.size + 1)
+    spark.sql(s"DROP TABLE IF EXISTS `${tokenizerMeta(table)}`")
+    import spark.implicits._
+    (stored ++ more).toDF("step", "lhs", "rhs", "pair_count")
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    commitMeta(spark, table, minPairCount)
   }
 }

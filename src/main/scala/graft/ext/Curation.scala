@@ -333,7 +333,17 @@ object Curation {
     val rows = df.filter(col(scoreCol).isNotNull)
       .select(col(scoreCol).cast("double").as("__s"),
         col(idCol).as("__id"),
-        col(labelCol).cast("boolean").as("__y"),
+        // a scored row with a NULL label refuses LOUD (the fitLabeled
+        // discipline): labels must be total over the scored holdout —
+        // abstaining is done by nulling the SCORE, never the label
+        // (letting the null through would NPE as a bare executor crash
+        // in the rank pass instead of naming the defect)
+        when(col(labelCol).isNotNull, col(labelCol).cast("boolean"))
+          .otherwise(raise_error(lit(
+            s"reliabilityTable: null label in '$labelCol' on a scored " +
+              "row — labels must be total over the scored holdout " +
+              "(abstain by nulling the score, not the label)"))
+            .cast("boolean")).as("__y"),
         floor(col(scoreCol).cast("double") * lit(QScale.toDouble))
           .cast("long").as("__sq"))
       .repartitionByRange(col("__s"), col("__id"))

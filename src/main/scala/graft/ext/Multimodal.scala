@@ -116,10 +116,14 @@ object Multimodal {
     def frame(payload: Array[Byte], idx: Int): Array[Byte] =
       FakeCodec.frame(payload, idx)
     def features(payload: Array[Byte], dim: Int): Array[Double] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      // hash the payload ONCE and clone the digest state per
+      // coordinate (JDK MD5 is cloneable): O(bytes + dim) instead of
+      // re-hashing the full blob dim times — same md5(payload ‖ ':j')
+      // digests bit-for-bit (review finding, round 19)
+      val base = java.security.MessageDigest.getInstance("MD5")
+      base.update(payload)
       val v = Array.tabulate(dim) { j =>
-        md.reset()
-        md.update(payload)
+        val md = base.clone().asInstanceOf[java.security.MessageDigest]
         val d = md.digest(s":$j".getBytes("UTF-8"))
         var h = 0L
         var k = 0

@@ -4997,9 +4997,13 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         train.filter(col("source").isin(curatedSources: _*)),
         train.filter(!col("source").isin(curatedSources: _*)),
         "text").localCheckpoint(true)
-      val scored = QualityClassifier.score(
-          split.filter(col("split") === "valid"), "doc_id", "text", model)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val valid = split.filter(col("split") === "valid")
+      // source comes from the (checkpointed, ~validRate-sized) valid
+      // slice itself — clusterSafeSplit preserves input columns, so
+      // joining the full corpus back in would be a wasted
+      // corpus-proportional shuffle (review finding, round 19)
+      val scored = QualityClassifier.score(valid, "doc_id", "text", model)
+        .join(valid.select(col("doc_id"), col("source")), Seq("doc_id"))
         .withColumn("is_pos", col("source").isin(curatedSources: _*))
       Curation.reliabilityTable(scored, "doc_id", "cls_score", "is_pos",
           nBuckets = 10)
@@ -5207,17 +5211,13 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * next to its whitespace word count. Scale shape: the encoded
     * word-TYPE table broadcasts; the corpus re-tokenizes once, narrow,
     * and never shuffles its text. */
-  private val x104 = Q("x104_bpe_piece_counts",
-    (s, d) => {
-      val docs = documents(s, d)
-      val merges = Bpe.fitMerges(docs, "text", numMerges = bpeK)
-        .orderBy("step").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      Bpe.pieceCounts(docs, "doc_id", "text",
-          Bpe.encodeWords(Bpe.wordSymbols(docs, "text"), merges))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH ${bpeCascadeSql(bpeK, 2L)},
+  /** The corpus-pricing oracle — shared VERBATIM by x104 (in-memory
+    * fit) and x105 (store + continuation + serve): one oracle, two
+    * checked plan shapes, the x53/x54 adjudication pattern. For x105
+    * it is also the continuation proof — the oracle replays ONE
+    * 8-merge fit, the Spark side commits 5 then extends by 3. */
+  private val bpePieceCountsOracle =
+    s"""WITH ${bpeCascadeSql(bpeK, 2L)},
              dw AS MATERIALIZED (
                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
                FROM documents),
@@ -5228,7 +5228,40 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             SELECT d.doc_id, COALESCE(pc.n_pieces, 0) AS n_pieces,
                    COALESCE(pc.n_words, 0) AS n_words
             FROM documents d LEFT JOIN pc ON pc.doc_id = d.doc_id
-            ORDER BY d.doc_id"""))
+            ORDER BY d.doc_id"""
+
+  private val x104 = Q("x104_bpe_piece_counts",
+    (s, d) => {
+      val docs = documents(s, d)
+      val merges = Bpe.fitMerges(docs, "text", numMerges = bpeK)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.pieceCounts(docs, "doc_id", "text",
+          Bpe.encodeWords(Bpe.wordSymbols(docs, "text"), merges))
+        .orderBy("doc_id")
+    },
+    Some(bpePieceCountsOracle))
+
+  /** TOKENIZER STORE + CONTINUATION ([[Bpe.writeTokenizerStore]] /
+    * [[Bpe.extendTokenizer]] / [[Bpe.pieceCountsAgainstStore]]): 5
+    * merges committed, 3 more trained as a CONTINUATION from the
+    * stored sequence, then the corpus priced from the store. The
+    * oracle is x104's one-shot 8-merge replay verbatim, so the check
+    * proves store round-trip + extend ≡ one-shot fit + serve — the
+    * x54/x55 adjudication folded into one (a tokenizer store has no
+    * commutative deltas to ledger, so continuation IS its append —
+    * the scaladoc on [[Bpe.writeTokenizerStore]] argues why). */
+  private val x105 = Q("x105_tokenizer_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      Bpe.writeTokenizerStore(docs, "text", numMerges = 5,
+        table = "x105_tok")
+      Bpe.extendTokenizer(docs, "text", extraMerges = bpeK - 5,
+        table = "x105_tok")
+      Bpe.pieceCountsAgainstStore(docs, "doc_id", "text", "x105_tok")
+        .orderBy("doc_id")
+    },
+    Some(bpePieceCountsOracle))
 
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
@@ -5237,5 +5270,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
-    x96, x97, x98, x99, x100, x101, x102, x103, x104)
+    x96, x97, x98, x99, x100, x101, x102, x103, x104, x105)
 }

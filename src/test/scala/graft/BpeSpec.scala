@@ -57,6 +57,49 @@ class BpeSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  test("tokenizer store: continuation training equals the deeper one-shot fit") {
+    try {
+      Bpe.writeTokenizerStore(corpus, "text", numMerges = 2, table = "bpe_spec_tok")
+      Bpe.extendTokenizer(corpus, "text", extraMerges = 3, table = "bpe_spec_tok")
+      val extended = spark.table("bpe_spec_tok").orderBy("step")
+        .collect().map(_.toSeq).toSeq
+      val oneShot = Bpe.fitMerges(corpus, "text", numMerges = 5)
+        .orderBy("step").collect().map(_.toSeq).toSeq
+      assert(extended == oneShot,
+        "the merge loop is Markov on the word table: resume ≡ refit deeper")
+      // serve path reads the store
+      val served = Bpe.pieceCountsAgainstStore(corpus, "doc_id", "text",
+        "bpe_spec_tok").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(served(1L) == 3L && served(2L) == 2L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bpe_spec_tok")
+      spark.sql(s"DROP TABLE IF EXISTS ${Bpe.tokenizerMeta("bpe_spec_tok")}")
+    }
+  }
+
+  test("tokenizer store: a meta-less (crashed) store refuses serve AND extend, loud") {
+    try {
+      Bpe.writeTokenizerStore(corpus, "text", numMerges = 2, table = "bpe_spec_crash")
+      // simulate a crash between the merge-table write and the meta commit
+      spark.sql(s"DROP TABLE ${Bpe.tokenizerMeta("bpe_spec_crash")}")
+      val e1 = intercept[IllegalArgumentException] {
+        Bpe.pieceCountsAgainstStore(corpus, "doc_id", "text", "bpe_spec_crash")
+      }
+      assert(e1.getMessage.contains("no meta table"))
+      val e2 = intercept[IllegalArgumentException] {
+        Bpe.extendTokenizer(corpus, "text", extraMerges = 1, "bpe_spec_crash")
+      }
+      assert(e2.getMessage.contains("no meta table"))
+      // the documented repair: re-run the (cheap) build — serve recovers
+      Bpe.writeTokenizerStore(corpus, "text", numMerges = 2, table = "bpe_spec_crash")
+      assert(Bpe.pieceCountsAgainstStore(corpus, "doc_id", "text",
+        "bpe_spec_crash").count() == 2L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bpe_spec_crash")
+      spark.sql(s"DROP TABLE IF EXISTS ${Bpe.tokenizerMeta("bpe_spec_crash")}")
+    }
+  }
+
   test("encodeWords replays the learned sequence; pieceCounts prices the corpus in BPE units") {
     val mergeRows = Bpe.fitMerges(corpus, "text", numMerges = 5)
       .orderBy("step").collect()

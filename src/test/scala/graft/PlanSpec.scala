@@ -937,4 +937,23 @@ class PlanSpec extends SparkSpec {
         s"document text must not cross a scoring shuffle: ${e.output}")
     }
   }
+
+  test("x104 BPE corpus pricing: encoded word-type table broadcasts; corpus text never shuffles") {
+    val df = Registry.queries("x104_bpe_piece_counts")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the encoded vocabulary must broadcast against the corpus:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+    shuffles(df).foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross a pricing shuffle: ${e.output}")
+    }
+  }
+
+  test("x101 multimodal near-dup: banded candidates, never a cartesian over embeddings") {
+    val p = plan("x101_multimodal_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"near-dup candidates must come from the banded equi-join:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -1056,6 +1056,23 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, 1.0, mean(0.80, 0.90))))
   }
 
+  test("reliabilityTable: a scored row with a null label refuses loud, not an executor NPE") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, 0.5, true)).toDF("doc_id", "score", "is_pos")
+      .unionByName(Seq((2L, 0.7)).toDF("doc_id", "score")
+        .withColumn("is_pos", lit(null).cast("boolean"))
+        .select("doc_id", "score", "is_pos"))
+    val e = intercept[Exception] {
+      graft.ext.Curation.reliabilityTable(rows, "doc_id", "score",
+        "is_pos", nBuckets = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null label")),
+      s"expected the crafted null-label message, got: $e")
+  }
+
   test("reliabilityTable: no scored rows yields an empty table, not a crash") {
     val s = spark
     import s.implicits._
