@@ -170,6 +170,37 @@ object Bpe {
         count(col("word")).as("n_words"))
   }
 
+  /** TOKENIZER FERTILITY card — per group (source/language), pieces
+    * per word under the learned tokenizer: the published audit for
+    * tokenizer bias (a source whose fertility is 2× the corpus's pays
+    * 2× the context budget per word — the signal behind "extend the
+    * tokenizer for code/multilingual" decisions, and the reason
+    * multilingual papers report fertility per language). One row per
+    * group: exact int64 word/piece masses and `fertility` = one
+    * correctly rounded division (null when the group has no words —
+    * no evidence, the shared null policy). Words the tokenizer never
+    * saw still price exactly (the merge replay runs on the TARGET
+    * corpus's word types — unseen words just merge less and price
+    * high, which is precisely what fertility is for).
+    *
+    * Scale shape: [[pieceCounts]]'s broadcast pricing join, then one
+    * map-side-combined groupBy on the group key. */
+  def fertilityCard(docs: DataFrame, groupCol: String, textCol: String,
+                    encoded: DataFrame): DataFrame = {
+    val pieces = encoded.select(col("word"),
+      size(col("syms")).cast("long").as("__pieces"))
+    docs.select(col(groupCol),
+        explode_outer(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .join(broadcast(pieces), Seq("word"), "left")
+      .groupBy(groupCol)
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum("__pieces"), lit(0L)).as("n_pieces"))
+      .select(col(groupCol), col("n_words"), col("n_pieces"),
+        when(col("n_words") > 0,
+          col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+  }
+
   // ---------------- persisted tokenizer store ----------------
 
   def tokenizerMeta(table: String): String = s"${table}_meta"

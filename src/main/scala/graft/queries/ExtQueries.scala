@@ -5263,6 +5263,42 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     },
     Some(bpePieceCountsOracle))
 
+  /** TOKENIZER FERTILITY card ([[Bpe.fertilityCard]] — the per-source
+    * pieces-per-word audit every multilingual/tokenizer paper
+    * publishes, here under x102's learned tokenizer served from x105's
+    * store pattern in memory): a source whose fertility runs hot pays
+    * proportionally more context budget per word — the signal that
+    * triggers continuation training ([[Bpe.extendTokenizer]]). Exact
+    * int64 masses, one division; sourceless words impossible (source
+    * is a table column). */
+  private val x106 = Q("x106_tokenizer_fertility",
+    (s, d) => {
+      val docs = documents(s, d)
+      val merges = Bpe.fitMerges(docs, "text", numMerges = bpeK)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.fertilityCard(docs, "source", "text",
+          Bpe.encodeWords(Bpe.wordSymbols(docs, "text"), merges))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${bpeCascadeSql(bpeK, 2L)},
+             dw AS MATERIALIZED (
+               SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+               FROM documents),
+             agg AS MATERIALIZED (
+               SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                      CAST(sum(len(w.syms)) AS BIGINT) AS n_pieces
+               FROM dw JOIN w$bpeK w ON w.word = dw.word GROUP BY 1)
+            SELECT d.source,
+                   COALESCE(agg.n_words, 0) AS n_words,
+                   COALESCE(agg.n_pieces, 0) AS n_pieces,
+                   CASE WHEN COALESCE(agg.n_words, 0) > 0 THEN
+                     CAST(agg.n_pieces AS DOUBLE) / CAST(agg.n_words AS DOUBLE)
+                   END AS fertility
+            FROM (SELECT DISTINCT source FROM documents) d
+            LEFT JOIN agg ON agg.source = d.source
+            ORDER BY d.source"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5270,5 +5306,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
-    x96, x97, x98, x99, x100, x101, x102, x103, x104, x105)
+    x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106)
 }

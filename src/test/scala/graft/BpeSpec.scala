@@ -100,6 +100,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encode handles words the training corpus never saw (merge less, price high)") {
+    val merges = Bpe.fitMerges(corpus, "text", numMerges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // serve a NEW corpus: 'aaab' never occurred in training, but the
+    // learned merges still apply to its prefix ((a,a) then (a,</w>) has
+    // no site, (aa,a</w>) has no site, (a,b) then (ab,</w>) hit)
+    val served = df(Seq((1L, "aaab aaa zzz"))).toDF("doc_id", "text")
+    val enc = Bpe.encodeWords(Bpe.wordSymbols(served, "text"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(enc("aaa") == Seq("aaa</w>"), "seen word replays to its trained pieces")
+    assert(enc("aaab") == Seq("aa", "ab</w>"),
+      "unseen word merges as far as the learned sequence reaches")
+    assert(enc("zzz") == Seq("z", "z", "z", "</w>"),
+      "wholly novel characters stay unmerged — priced high, the fertility signal")
+    val fert = Bpe.fertilityCard(
+      served.withColumn("source", lit("s0")), "source", "text",
+      Bpe.encodeWords(Bpe.wordSymbols(served, "text"), merges))
+      .head
+    assert(fert.getLong(1) == 3L && fert.getLong(2) == 7L)
+    assert(fert.getDouble(3) == 7.0 / 3.0)
+  }
+
   test("encodeWords replays the learned sequence; pieceCounts prices the corpus in BPE units") {
     val mergeRows = Bpe.fitMerges(corpus, "text", numMerges = 5)
       .orderBy("step").collect()
