@@ -99,16 +99,26 @@ object Bpe {
     * the from-scratch fit and continuation training (the loop is
     * Markov on the word table, which is exactly why
     * fit(k + e) ≡ extend(fit(k), e) — spec-pinned and x105-checked). */
+  // validated at every public entry point BEFORE the corpus-
+  // proportional work runs — a bad argument must fail instantly, not
+  // after the 100 TB word-type aggregation (review finding, round 19
+  // second pass)
+  private def validate(numMerges: Int, minPairCount: Long): Unit = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+  }
+
   private def trainMerges(words0: DataFrame, numMerges: Int,
                           minPairCount: Long,
                           firstStep: Int): Seq[(Int, String, String, Long)] = {
-    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     var words = words0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = firstStep
+    // counting down avoids the `firstStep + numMerges` Int overflow a
+    // "train until convergence" Int.MaxValue sentinel would hit
+    var remaining = numMerges
     var done = false
-    while (step < firstStep + numMerges && !done) {
+    while (remaining > 0 && !done) {
       val top = pairCounts(words)
         .filter(col("pair_count") >= minPairCount)
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
@@ -121,6 +131,7 @@ object Bpe {
         words = words.withColumn("syms", mergeOnce(col("syms"), a, b))
           .localCheckpoint(true) // flat plan: k rounds, not k nested folds
         step += 1
+        remaining -= 1
       }
     }
     merges.result()
@@ -132,6 +143,7 @@ object Bpe {
     *         training stops early (no pair reaches `minPairCount`). */
   def fitMerges(docs: DataFrame, textCol: String, numMerges: Int,
                 minPairCount: Long = 2L): DataFrame = {
+    validate(numMerges, minPairCount)
     val spark = docs.sparkSession
     val rows = trainMerges(wordSymbols(docs, textCol).localCheckpoint(true),
       numMerges, minPairCount, firstStep = 1)
@@ -158,17 +170,28 @@ object Bpe {
     * table — the corpus-sized side never shuffles; the rollup is
     * map-side combinable. Token-less docs count 0 (evidence of
     * absence, not absent evidence). */
-  def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
-                  encoded: DataFrame): DataFrame = {
+  /** The ONE pricing join (shared by [[pieceCounts]] and
+    * [[fertilityCard]] so the two can never diverge on what a piece
+    * costs): tokenize the corpus once (narrow), broadcast-join each
+    * word to the encoded word-type table, roll up exact int64 masses
+    * per `keyCol`. Rows with no words get (0, 0) — evidence of
+    * absence, not absent evidence. */
+  private def priceWords(docs: DataFrame, keyCol: String, textCol: String,
+                         encoded: DataFrame): DataFrame = {
     val pieces = encoded.select(col("word"),
       size(col("syms")).cast("long").as("__pieces"))
-    docs.select(col(idCol),
+    docs.select(col(keyCol),
         explode_outer(TextAnalysis.wordTokens(col(textCol))).as("word"))
       .join(broadcast(pieces), Seq("word"), "left")
-      .groupBy(idCol)
+      .groupBy(keyCol)
       .agg(coalesce(sum("__pieces"), lit(0L)).as("n_pieces"),
         count(col("word")).as("n_words"))
   }
+
+  def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
+                  encoded: DataFrame): DataFrame =
+    priceWords(docs, idCol, textCol, encoded)
+      .select(col(idCol), col("n_pieces"), col("n_words"))
 
   /** TOKENIZER FERTILITY card — per group (source/language), pieces
     * per word under the learned tokenizer: the published audit for
@@ -186,20 +209,12 @@ object Bpe {
     * Scale shape: [[pieceCounts]]'s broadcast pricing join, then one
     * map-side-combined groupBy on the group key. */
   def fertilityCard(docs: DataFrame, groupCol: String, textCol: String,
-                    encoded: DataFrame): DataFrame = {
-    val pieces = encoded.select(col("word"),
-      size(col("syms")).cast("long").as("__pieces"))
-    docs.select(col(groupCol),
-        explode_outer(TextAnalysis.wordTokens(col(textCol))).as("word"))
-      .join(broadcast(pieces), Seq("word"), "left")
-      .groupBy(groupCol)
-      .agg(count(col("word")).as("n_words"),
-        coalesce(sum("__pieces"), lit(0L)).as("n_pieces"))
+                    encoded: DataFrame): DataFrame =
+    priceWords(docs, groupCol, textCol, encoded)
       .select(col(groupCol), col("n_words"), col("n_pieces"),
         when(col("n_words") > 0,
           col("n_pieces").cast("double") / col("n_words").cast("double"))
           .as("fertility"))
-  }
 
   // ---------------- persisted tokenizer store ----------------
 
@@ -231,17 +246,26 @@ object Bpe {
     *     machinery to avoid a cheap rebuild would be the wrong trade. */
   def writeTokenizerStore(docs: DataFrame, textCol: String, numMerges: Int,
                           table: String, minPairCount: Long = 2L): Unit = {
+    validate(numMerges, minPairCount)
     val spark = docs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `${tokenizerMeta(table)}`")
-    val merges = fitMerges(docs, textCol, numMerges, minPairCount)
-    merges.write.mode("overwrite").format("parquet").saveAsTable(table)
-    commitMeta(spark, table, minPairCount)
+    val merges = fitMerges(docs, textCol, numMerges, minPairCount).collect()
+    import spark.implicits._
+    merges.toSeq.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toDF("step", "lhs", "rhs", "pair_count")
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    commitMeta(spark, table, merges.length.toLong, minPairCount)
   }
 
   private def commitMeta(spark: org.apache.spark.sql.SparkSession,
-                         table: String, minPairCount: Long): Unit = {
+                         table: String, nMerges: Long,
+                         minPairCount: Long): Unit = {
     import spark.implicits._
-    Seq((spark.table(table).count(), minPairCount))
+    // callers already hold the merge count on the driver — no re-count
+    // scan of the just-written table (review finding, round 19 second
+    // pass)
+    Seq((nMerges, minPairCount))
       .toDF("n_merges", "min_pair_count")
       .write.mode("overwrite").format("parquet")
       .saveAsTable(tokenizerMeta(table))
@@ -290,6 +314,7 @@ object Bpe {
     val spark = docs.sparkSession
     val meta = requireTokenizerContract(spark, table)
     val minPairCount = meta.getAs[Long]("min_pair_count")
+    validate(extraMerges, minPairCount)
     val stored = spark.table(table).orderBy("step").collect()
       .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
         r.getAs[String]("rhs"), r.getAs[Long]("pair_count"))).toSeq
@@ -301,6 +326,6 @@ object Bpe {
     import spark.implicits._
     (stored ++ more).toDF("step", "lhs", "rhs", "pair_count")
       .write.mode("overwrite").format("parquet").saveAsTable(table)
-    commitMeta(spark, table, minPairCount)
+    commitMeta(spark, table, (stored.size + more.size).toLong, minPairCount)
   }
 }

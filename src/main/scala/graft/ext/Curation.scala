@@ -333,17 +333,22 @@ object Curation {
     val rows = df.filter(col(scoreCol).isNotNull)
       .select(col(scoreCol).cast("double").as("__s"),
         col(idCol).as("__id"),
-        // a scored row with a NULL label refuses LOUD (the fitLabeled
-        // discipline): labels must be total over the scored holdout —
-        // abstaining is done by nulling the SCORE, never the label
-        // (letting the null through would NPE as a bare executor crash
-        // in the rank pass instead of naming the defect)
-        when(col(labelCol).isNotNull, col(labelCol).cast("boolean"))
-          .otherwise(raise_error(lit(
-            s"reliabilityTable: null label in '$labelCol' on a scored " +
-              "row — labels must be total over the scored holdout " +
-              "(abstain by nulling the score, not the label)"))
-            .cast("boolean")).as("__y"),
+        // a scored row whose label is null — or casts to null — refuses
+        // LOUD (the fitLabeled discipline): labels must be total over
+        // the scored holdout; abstaining is done by nulling the SCORE,
+        // never the label. The guard tests the CAST result, not the
+        // raw column, so an uncastable label cannot slip through as a
+        // null __y and NPE bare in the rank pass (review finding,
+        // round 19 second pass)
+        {
+          val y = col(labelCol).cast("boolean")
+          when(y.isNotNull, y)
+            .otherwise(raise_error(lit(
+              s"reliabilityTable: null label in '$labelCol' on a scored " +
+                "row — labels must be total over the scored holdout " +
+                "(abstain by nulling the score, not the label)"))
+              .cast("boolean")).as("__y")
+        },
         floor(col(scoreCol).cast("double") * lit(QScale.toDouble))
           .cast("long").as("__sq"))
       .repartitionByRange(col("__s"), col("__id"))

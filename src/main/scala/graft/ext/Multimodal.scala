@@ -119,11 +119,20 @@ object Multimodal {
       // hash the payload ONCE and clone the digest state per
       // coordinate (JDK MD5 is cloneable): O(bytes + dim) instead of
       // re-hashing the full blob dim times — same md5(payload ‖ ':j')
-      // digests bit-for-bit (review finding, round 19)
+      // digests bit-for-bit. Cloning is OPTIONAL in the MessageDigest
+      // contract, so a non-cloneable provider falls back to the
+      // re-hash path rather than crashing the task (review finding,
+      // round 19 second pass).
       val base = java.security.MessageDigest.getInstance("MD5")
       base.update(payload)
       val v = Array.tabulate(dim) { j =>
-        val md = base.clone().asInstanceOf[java.security.MessageDigest]
+        val md = try base.clone().asInstanceOf[java.security.MessageDigest]
+        catch {
+          case _: CloneNotSupportedException =>
+            val m = java.security.MessageDigest.getInstance("MD5")
+            m.update(payload)
+            m
+        }
         val d = md.digest(s":$j".getBytes("UTF-8"))
         var h = 0L
         var k = 0

@@ -5205,12 +5205,6 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    CAST(len(syms) AS BIGINT) AS n_pieces
             FROM w$bpeK ORDER BY word"""))
 
-  /** BPE CORPUS PRICING ([[Bpe.pieceCounts]] — the learned tokenizer
-    * applied to the corpus): per document, its piece count in x102's
-    * tokenizer units (what token budgets/mixtures actually consume)
-    * next to its whitespace word count. Scale shape: the encoded
-    * word-TYPE table broadcasts; the corpus re-tokenizes once, narrow,
-    * and never shuffles its text. */
   /** The corpus-pricing oracle — shared VERBATIM by x104 (in-memory
     * fit) and x105 (store + continuation + serve): one oracle, two
     * checked plan shapes, the x53/x54 adjudication pattern. For x105
@@ -5230,6 +5224,12 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM documents d LEFT JOIN pc ON pc.doc_id = d.doc_id
             ORDER BY d.doc_id"""
 
+  /** BPE CORPUS PRICING ([[Bpe.pieceCounts]] — the learned tokenizer
+    * applied to the corpus): per document, its piece count in x102's
+    * tokenizer units (what token budgets/mixtures actually consume)
+    * next to its whitespace word count. Scale shape: the encoded
+    * word-TYPE table broadcasts; the corpus re-tokenizes once, narrow,
+    * and never shuffles its text. */
   private val x104 = Q("x104_bpe_piece_counts",
     (s, d) => {
       val docs = documents(s, d)
