@@ -17,20 +17,28 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Packing {
 
-  /** The distributed-sort stage of the prefix sum (token counts,
-    * range-partitioned in document order), exposed so PlanSpec can pin
-    * its physical shape: the Exchange must be RANGE — never a
-    * SinglePartition collapse. */
-  private[graft] def orderedTokenCounts(docs: DataFrame, idCol: String,
-                                        textCol: String): DataFrame =
-    docs.select(col(idCol),
-        // NULL text → 0 tokens, not a null that the prefix-sum closures
-        // would unbox into an NPE (sibling operators null-propagate;
-        // a layout computation must instead keep every document)
-        coalesce(size(Ngrams.normTokens(col(textCol))).cast("long"), lit(0L))
-          .as("n_tokens"))
+  /** The distributed-sort stage of the prefix sum over an ARBITRARY
+    * per-document cost column (whitespace tokens, BPE pieces — any
+    * unit a budget is priced in), range-partitioned in document
+    * order. NULL costs → 0, not a null the prefix-sum closures would
+    * unbox into an NPE (sibling operators null-propagate; a layout
+    * computation must instead keep every document). */
+  private[graft] def orderedCounts(counts: DataFrame, idCol: String,
+                                   countCol: String): DataFrame =
+    counts.select(col(idCol),
+        coalesce(col(countCol).cast("long"), lit(0L)).as("n_tokens"))
       .repartitionByRange(col(idCol).asc)
       .sortWithinPartitions(col(idCol).asc)
+
+  /** [[orderedCounts]] over whitespace token counts — exposed so
+    * PlanSpec can pin its physical shape: the Exchange must be RANGE —
+    * never a SinglePartition collapse. */
+  private[graft] def orderedTokenCounts(docs: DataFrame, idCol: String,
+                                        textCol: String): DataFrame =
+    orderedCounts(
+      docs.select(col(idCol),
+        size(Ngrams.normTokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol, "n_tokens")
 
   /** @return (id, n_tokens, offset, bin_start, bin_end) — `offset` the
     *         document's first-token position in the global concatenated
@@ -39,8 +47,23 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     windowTokens: Int): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
-    val spark = docs.sparkSession
-    val counted = orderedTokenCounts(docs, idCol, textCol)
+    packOrdered(orderedTokenCounts(docs, idCol, textCol), windowTokens)
+  }
+
+  /** [[packSequences]] over PRECOMPUTED per-document costs — the form
+    * a real batch-assembly stage runs once a trained tokenizer exists
+    * (budgets are priced in the tokenizer's units, not whitespace
+    * tokens — x107 composes this with [[Bpe.pieceCounts]]). Same
+    * distributed prefix sum, same output contract; the count column is
+    * renamed `n_tokens` in the output regardless of its input name. */
+  def packCountedSequences(counts: DataFrame, idCol: String,
+                           countCol: String, windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    packOrdered(orderedCounts(counts, idCol, countCol), windowTokens)
+  }
+
+  private def packOrdered(counted: DataFrame, windowTokens: Int): DataFrame = {
+    val spark = counted.sparkSession
     // Persisted across the two passes (per-partition totals, then the
     // running-offset map) so the tokenize + range shuffle runs ONCE and
     // — more importantly — both passes see the SAME partition contents:

@@ -5299,6 +5299,49 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             LEFT JOIN agg ON agg.source = d.source
             ORDER BY d.source"""))
 
+  /** TOKENIZER-PRICED sequence packing
+    * ([[Packing.packCountedSequences]] ∘ [[Bpe.pieceCounts]] — x26's
+    * batch-assembly layout re-priced in x102's learned tokenizer
+    * units, which is what a real pre-training packer consumes: context
+    * windows hold PIECES, not whitespace tokens, so a whitespace-
+    * priced layout misbins every document whose fertility differs
+    * from 1). Same distributed prefix sum as x26 (range exchange, two
+    * narrow passes, O(#partitions) driver longs), fed by the broadcast
+    * pricing join. */
+  private val x107 = Q("x107_bpe_packing",
+    (s, d) => {
+      val docs = documents(s, d)
+      val merges = Bpe.fitMerges(docs, "text", numMerges = bpeK)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val pc = Bpe.pieceCounts(docs, "doc_id", "text",
+        Bpe.encodeWords(Bpe.wordSymbols(docs, "text"), merges))
+      Packing.packCountedSequences(
+          pc.select(col("doc_id"), col("n_pieces")),
+          "doc_id", "n_pieces", windowTokens = 512)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${bpeCascadeSql(bpeK, 2L)},
+             dw AS MATERIALIZED (
+               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+               FROM documents),
+             pcnt AS MATERIALIZED (
+               SELECT doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_pieces
+               FROM dw JOIN w$bpeK w ON w.word = dw.word GROUP BY 1),
+             costs AS MATERIALIZED (
+               SELECT d.doc_id, COALESCE(pcnt.n_pieces, 0) AS n_tokens
+               FROM documents d LEFT JOIN pcnt ON pcnt.doc_id = d.doc_id),
+             laid AS MATERIALIZED (
+               SELECT doc_id, n_tokens,
+                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+               FROM costs)
+            SELECT doc_id, n_tokens, "offset",
+                   "offset" // 512 AS bin_start,
+                   CASE WHEN n_tokens = 0 THEN "offset" // 512
+                        ELSE ("offset" + n_tokens - 1) // 512 END AS bin_end
+            FROM laid ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5306,5 +5349,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
-    x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106)
+    x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107)
 }

@@ -1073,6 +1073,22 @@ class CurationSpec extends SparkSpec {
       s"expected the crafted null-label message, got: $e")
   }
 
+  test("reliabilityTable: invariant under input row order and partitioning") {
+    val s = spark
+    import s.implicits._
+    // 97 rows, ties in score included — the (score, id) total order and
+    // the two-pass distributed rank must yield the same table no matter
+    // how the input is laid out (the Packing/Vocab determinism promise)
+    val rows = (1L to 97L).map(i =>
+      (i, (i * 37 % 10).toDouble / 10.0, i % 3 == 0))
+      .toDF("doc_id", "score", "is_pos")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Curation.reliabilityTable(df, "doc_id", "score", "is_pos",
+        nBuckets = 7).orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(table(rows) == table(rows.orderBy(col("doc_id").desc).repartition(13)))
+    assert(table(rows) == table(rows.repartition(1)))
+  }
+
   test("reliabilityTable: no scored rows yields an empty table, not a crash") {
     val s = spark
     import s.implicits._
