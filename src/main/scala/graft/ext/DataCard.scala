@@ -136,6 +136,53 @@ object DataCard {
           .otherwise(lit(1.0) - col("n_distinct").cast("double") /
             col("n_fingerprinted").cast("double")).as("dup_rate"))
 
+  /** CROSS-SOURCE OVERLAP matrix — the inter-source section of a data
+    * card: for every pair of groups (sources, dumps, releases) that
+    * share at least one document, the count of distinct normalized
+    * contents present in BOTH and the content-set Jaccard. Published
+    * releases report exactly this grain (FineWeb's dump-vs-dump
+    * overlap, The Pile's inter-set dedup accounting) because a high
+    * pairwise overlap means one source is a re-crawl / mirror of the
+    * other and the mixture weights double-count it. Shares
+    * [[TextAnalysis.fingerprintMd5]] with exact dedup ([[dupRates]]'s
+    * ONE-normalization argument), so "overlap" here and "duplicate"
+    * in x01 can never disagree.
+    *
+    * Pair convention: unordered, emitted once with `source_a <
+    * source_b` (string order); pairs sharing nothing are absent (at
+    * #groups² grain an all-zero matrix row is noise, and the inner
+    * fp-join never manufactures it).
+    *
+    * Scale shape: text collapses to (group, fp) ONCE and is
+    * de-duplicated map-side-combined (dedup-cardinality, 16-byte fps —
+    * never text on the wire); the pair generation is a fp-keyed
+    * equi self-join whose per-fp fan-out is bounded by #groups (a
+    * content shared by g groups yields g·(g−1)/2 pairs — #groups is
+    * mixture-weight cardinality, tens not millions); per-side distinct
+    * counts are group-cardinality and join back BROADCAST. No all-pairs
+    * doc comparison anywhere. */
+  def crossSourceOverlap(docs: DataFrame, textCol: String,
+                         groupCol: String): DataFrame = {
+    val fps = docs.select(col(groupCol).as("__g"),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("__fp"))
+      .filter(col("__fp").isNotNull && col("__g").isNotNull)
+      .distinct()
+    val perGroup = fps.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val a = fps.select(col("__g").as("source_a"), col("__fp"))
+    val b = fps.select(col("__g").as("source_b"), col("__fp"))
+    a.join(b, Seq("__fp")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perGroup.select(col("__g").as("source_a"),
+        col("__n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(perGroup.select(col("__g").as("source_b"),
+        col("__n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
 
   /** Name of the 1-row meta table kept next to a card store `table`:
     * `(q_scale)` — the quantizer contract ([[serveCard]] refuses a

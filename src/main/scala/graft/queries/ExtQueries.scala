@@ -5342,6 +5342,53 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                         ELSE ("offset" + n_tokens - 1) // 512 END AS bin_end
             FROM laid ORDER BY doc_id"""))
 
+  /** Cross-source overlap matrix
+    * ([[graft.ext.DataCard.crossSourceOverlap]] — the inter-source
+    * data-card section: per source pair, distinct shared contents +
+    * content-set Jaccard; a mirror/re-crawl shows up as a high-overlap
+    * pair the mixture weights must not double-count). The synthetic
+    * corpus adds two remix "releases" drawing doc_id % 3 and doc_id % 4
+    * slices across every origin source (the x97 constructed-twin
+    * convention; doc_ids are dealt round-robin across sources, so a
+    * single-modulus slice would clone whole sources and every jaccard
+    * would be the degenerate 1.0) — the matrix provably has partial
+    * overlaps at several distinct jaccard values, remix-vs-remix
+    * overlap (doc_id % 12), and absent pairs. */
+  private val x108 = Q("x108_cross_source_overlap",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("text"))
+      def remix(m: Int, name: String) = docs.filter(col("doc_id") % m === 0)
+        .select((col("doc_id") + lit(200000L * m)).as("doc_id"),
+          lit(name).as("source"), col("text"))
+      val corpus = docs.unionByName(remix(3, "remix_a"))
+        .unionByName(remix(4, "remix_b"))
+      graft.ext.DataCard.crossSourceOverlap(corpus, "text", "source")
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH corpus AS MATERIALIZED (
+               SELECT source, text FROM documents
+               UNION ALL
+               SELECT 'remix_a', text FROM documents WHERE doc_id % 3 = 0
+               UNION ALL
+               SELECT 'remix_b', text FROM documents WHERE doc_id % 4 = 0),
+             fps AS MATERIALIZED (
+               SELECT DISTINCT source,
+                      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+               FROM corpus WHERE text IS NOT NULL),
+             pg AS MATERIALIZED (
+               SELECT source, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY 1)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   pa.n AS n_a, pb.n AS n_b,
+                   CAST(count(*) AS BIGINT) AS n_shared,
+                   CAST(count(*) AS DOUBLE)
+                     / CAST(pa.n + pb.n - count(*) AS DOUBLE) AS jaccard
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+            JOIN pg pa ON pa.source = a.source
+            JOIN pg pb ON pb.source = b.source
+            GROUP BY 1, 2, pa.n, pb.n
+            ORDER BY source_a, source_b"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5349,5 +5396,6 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67,
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
-    x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107)
+    x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
+    x108)
 }

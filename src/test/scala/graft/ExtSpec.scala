@@ -1883,6 +1883,31 @@ class DataCardSpec extends SparkSpec {
     assert(out == Seq(("a", 3L, 3L, 2L, 1.0 - 2.0 / 3), ("b", 3L, 2L, 2L, 0.0)))
   }
 
+  test("crossSourceOverlap: unordered pairs, shared distinct contents, " +
+      "jaccard; null text never overlaps; zero-pairs absent") {
+    val docs = df(Seq(
+      (1L, "a", "shared one"), (2L, "a", "shared two"), (3L, "a", "only a"),
+      (4L, "b", "shared  one"),              // normalized twin of doc 1
+      (5L, "b", "shared two"), (6L, "b", "only b"),
+      (7L, "c", "shared one"),               // c ∩ a, c ∩ b via doc 1/4
+      (8L, "c", "shared one")))              // in-source dup: distinct once
+      .toDF("doc_id", "source", "text")
+      .unionByName(df(Seq((9L, "d"))).toDF("doc_id", "source")
+        .withColumn("text", org.apache.spark.sql.functions.lit(null)
+          .cast("string")))
+    val out = graft.ext.DataCard.crossSourceOverlap(docs, "text", "source")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // a: {s1, s2, onlyA}=3  b: {s1, s2, onlyB}=3  c: {s1}=1  d: {}=0
+    assert(out == Seq(
+      ("a", "b", 3L, 3L, 2L, 2.0 / 4),
+      ("a", "c", 3L, 1L, 1L, 1.0 / 3),
+      ("b", "c", 3L, 1L, 1L, 1.0 / 3)))
+    // d shares nothing (null text) -> absent, not a zero row
+    assert(!out.exists(p => p._1 == "d" || p._2 == "d"))
+  }
+
   test("counts, dominant language with asc tie-break, corpus-wide dup rate") {
     val docs = df(Seq(
       (1L, "en", "a", "same text twice"),
