@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation funnel as ONE declarative
@@ -291,6 +291,61 @@ object Curation {
         when(col("n_docs") > 1,
           lit(1.0) - col("sum_d2").cast("double") * lit(6.0) /
             (nD * (nD * nD - lit(1.0)))).as("rho"))
+  }
+
+  /** BINARY GATE-AGREEMENT audit — per group, Cohen's kappa between
+    * two boolean keep/drop gates (the categorical twin of
+    * [[rankAgreement]]: pipelines stack a cheap rule gate in front of
+    * a model gate, and what the recipe actually needs to know is
+    * whether the two DECISIONS agree beyond chance — two gates can
+    * rank-correlate and still disagree at their thresholds, and a
+    * kappa near 0 means the expensive gate is re-litigating every
+    * document the cheap one already adjudicated). One row per group:
+    * the 2×2 confusion counts (`n_both`, `n_a_only`, `n_b_only`,
+    * `n_neither`), observed agreement `po`, chance agreement `pe`, and
+    * `kappa = (po − pe)/(1 − pe)`. Docs where EITHER gate abstained
+    * (null) carry no decision evidence — excluded from the table and
+    * counted in `n_unrated` (the shared null policy, x94's exclusion
+    * rule at the categorical grain).
+    *
+    * Determinism: the confusion cells are exact int64 counts; po/pe/
+    * kappa replay the identical IEEE double op sequence in the oracle
+    * (int64→double casts are exact below 2⁵³ and correctly rounded
+    * IEEE above — engine-identical either way; the pe numerator
+    * multiplies marginals as doubles, deterministic at any scale).
+    * Degenerate groups abstain rather than divide by zero: n_rated = 0
+    * → po/pe/kappa null; pe = 1 (both gates constant — agreement
+    * carries no information) → kappa null, the published convention.
+    *
+    * Scale shape: one narrow boolean projection + one map-side-
+    * combined groupBy to group cardinality — no window, no join, no
+    * driver state; the audit costs one pass regardless of corpus
+    * size. */
+  def gateAgreement(df: DataFrame, groupCol: String, gateACol: String,
+                    gateBCol: String): DataFrame = {
+    val a = col(gateACol)
+    val b = col(gateBCol)
+    val rated = a.isNotNull && b.isNotNull
+    val cell = (pa: Column, pb: Column) =>
+      sum(when(rated && pa && pb, 1L).otherwise(0L))
+    val nD = col("n_rated").cast("double")
+    df.groupBy(groupCol)
+      .agg(sum(when(rated, 1L).otherwise(0L)).as("n_rated"),
+        sum(when(rated, 0L).otherwise(1L)).as("n_unrated"),
+        cell(a, b).as("n_both"),
+        cell(a, !b).as("n_a_only"),
+        cell(!a, b).as("n_b_only"),
+        cell(!a, !b).as("n_neither"))
+      .withColumn("po", when(col("n_rated") > 0,
+        (col("n_both") + col("n_neither")).cast("double") / nD))
+      .withColumn("pe", when(col("n_rated") > 0,
+        ((col("n_both") + col("n_a_only")).cast("double") *
+          (col("n_both") + col("n_b_only")).cast("double") +
+          (col("n_b_only") + col("n_neither")).cast("double") *
+            (col("n_a_only") + col("n_neither")).cast("double")) /
+          (nD * nD)))
+      .withColumn("kappa", when(col("pe") < 1.0,
+        (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
 
   /** CALIBRATION RELIABILITY TABLE — per score-quantile bucket over a

@@ -5389,6 +5389,90 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             GROUP BY 1, 2, pa.n, pb.n
             ORDER BY source_a, source_b"""))
 
+  /** Binary gate-agreement audit ([[graft.ext.Curation.gateAgreement]]
+    * — per source, Cohen's kappa between the Gopher rule gate (x61's
+    * `keep`) and the heuristic quality-score gate (x03's score at a
+    * median-split threshold): the categorical twin of x94's Spearman
+    * audit — the decision-level cross-check that tells a recipe
+    * whether its stacked gates agree beyond chance. Docs where the
+    * score gate abstains (a synthetic doc_id % 17 abstention band,
+    * modeling a model gate's low-confidence refusals) are excluded
+    * and counted `n_unrated`. */
+  private val x109 = Q("x109_gate_agreement",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("text"))
+      val rule = graft.ext.RuleGate.flags(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("__ga"))
+      val scored = docs.select(col("doc_id"), col("source"),
+        when(col("doc_id") % 17 =!= 0,
+          TA.qualityScore(col("text")) >= lit(0.46)).as("__gb"))
+      graft.ext.Curation.gateAgreement(
+          scored.join(rule, Seq("doc_id")), "source", "__ga", "__gb")
+        .orderBy("source")
+    },
+    Some("""WITH t AS MATERIALIZED (SELECT doc_id, source, text,
+                    regexp_extract_all(lower(trim(text)), '\S+') AS toks
+                  FROM documents),
+             rule AS MATERIALIZED (SELECT doc_id,
+                     (CAST(len(toks) AS BIGINT) >= 20 AND CAST(len(toks) AS BIGINT) <= 80
+                      AND (CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END) >= 4.0
+                      AND (CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END) <= 5.0
+                      AND CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) >= 2
+                      AND (CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE CAST(list_max(list_transform(list_distinct(toks),
+                                  w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / len(toks) END) <= 0.2
+                      AND (CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE CAST(CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)
+                                     + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS DOUBLE) / len(toks) END) <= 0.1
+                      AND (CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) END) >= 0.8) AS ga
+                   FROM t),
+             sf AS MATERIALIZED (SELECT doc_id, source,
+                     CAST(length(text) AS BIGINT) AS nc,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+                     END AS digit_ratio,
+                     CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                 x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                               / len(regexp_extract_all(lower(text), '[a-z]+'))
+                     END AS stop_ratio
+                   FROM documents),
+             gb AS MATERIALIZED (SELECT doc_id, source,
+                     CASE WHEN doc_id % 17 <> 0 THEN
+                       (0.4 * stop_ratio
+                        + 0.3 * (least(CASE WHEN nt = 0 THEN 0.0
+                                            ELSE CAST(nc - nt + 1 AS DOUBLE) / nt END, 10.0) / 10.0)
+                        + 0.3 * (1.0 - digit_ratio)) >= 0.46
+                     END AS gb
+                   FROM sf),
+             j AS MATERIALIZED (SELECT gb.source, rule.ga, gb.gb
+                   FROM gb JOIN rule ON rule.doc_id = gb.doc_id),
+             agg AS MATERIALIZED (SELECT source,
+                     CAST(sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rated,
+                     CAST(sum(CASE WHEN ga IS NULL OR gb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unrated,
+                     CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                     CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+                     CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+                     CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+                   FROM j GROUP BY 1),
+             pp AS MATERIALIZED (SELECT *,
+                     CASE WHEN n_rated > 0 THEN
+                       CAST(n_both + n_neither AS DOUBLE) / CAST(n_rated AS DOUBLE) END AS po,
+                     CASE WHEN n_rated > 0 THEN
+                       (CAST(n_both + n_a_only AS DOUBLE) * CAST(n_both + n_b_only AS DOUBLE)
+                        + CAST(n_b_only + n_neither AS DOUBLE) * CAST(n_a_only + n_neither AS DOUBLE))
+                       / (CAST(n_rated AS DOUBLE) * CAST(n_rated AS DOUBLE)) END AS pe
+                   FROM agg)
+            SELECT source, n_rated, n_unrated, n_both, n_a_only, n_b_only,
+                   n_neither, po, pe,
+                   CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+            FROM pp ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5397,5 +5481,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108)
+    x108, x109)
 }

@@ -1000,6 +1000,53 @@ class CurationSpec extends SparkSpec {
     assert(out("c") == ((1L, 0L, None)))
   }
 
+  test("gateAgreement: kappa 1 on identical gates, 0 at independence, " +
+      "null gates excluded, constant gates abstain") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // group a: identical decisions -> po 1, kappa 1
+      ("a", true, true), ("a", false, false), ("a", true, true),
+      // group b: independent 2x2 (each cell once) -> po 0.5 = pe, kappa 0
+      ("b", true, true), ("b", true, false), ("b", false, true),
+      ("b", false, false),
+      // group c: gate A constant-true -> pe 1, kappa abstains
+      ("c", true, true), ("c", true, false))
+      .toDF("src", "ga", "gb")
+      // group a also carries an abstainer (null gate B): excluded from
+      // the table, counted unrated — kappa stays exactly 1
+      .unionByName(Seq(("a", true)).toDF("src", "ga")
+        .withColumn("gb", lit(null).cast("boolean")))
+    val out = graft.ext.Curation.gateAgreement(rows, "src", "ga", "gb")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)),
+          (if (r.isNullAt(7)) None else Some(r.getDouble(7)),
+            if (r.isNullAt(8)) None else Some(r.getDouble(8)),
+            if (r.isNullAt(9)) None else Some(r.getDouble(9)))))
+      .toMap
+    assert(out("a") == (((3L, 1L, 2L, 0L, 0L, 1L),
+      (Some(1.0), Some(5.0 / 9), Some(1.0)))))
+    assert(out("b") == (((4L, 0L, 1L, 1L, 1L, 1L),
+      (Some(0.5), Some(0.5), Some(0.0)))))
+    // c: pe = (2*1 + 0*1)/4 = 0.5? no: marginals a1=2,b1=1,a0=0,b0=1 ->
+    // pe = (2*1 + 1*0)/4 = 0.5, po = 0.5, kappa = 0 — NOT degenerate.
+    // Constant gate A alone doesn't force pe=1; check computed values.
+    assert(out("c")._1 == ((2L, 0L, 1L, 1L, 0L, 0L)))
+    assert(out("c")._2 == ((Some(0.5), Some(0.5), Some(0.0))))
+  }
+
+  test("gateAgreement: both gates constant -> pe 1 -> kappa abstains") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("d", true, true), ("d", true, true))
+      .toDF("src", "ga", "gb")
+    val r = graft.ext.Curation.gateAgreement(rows, "src", "ga", "gb")
+      .collect()(0)
+    assert(r.getDouble(7) == 1.0 && r.getDouble(8) == 1.0)
+    assert(r.isNullAt(9))
+  }
+
   test("language routing: confident docs route by argmax, low-confidence and null-score docs abstain") {
     val s = spark
     import s.implicits._
