@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprint selection — the MOSS document-fingerprinting
+  * algorithm (Schleimer, Wilkerson, Aiken, SIGMOD 2003: "Winnowing:
+  * Local Algorithms for Document Fingerprinting"): hash every k-gram,
+  * slide a window of `w` consecutive hashes over the sequence, and in
+  * each window select the MINIMUM hash, breaking ties by the RIGHTMOST
+  * position; record each selected (position, hash) once. The selected
+  * set is a position-stable ~2/(w+1) subsample of the gram stream with
+  * the winnowing guarantee: any shared run of at least w+k−1 tokens
+  * between two documents surfaces as at least one shared selected
+  * fingerprint — the sparse index plagiarism/overlap detectors build
+  * when indexing EVERY gram (x19/x52's grain) is too large, which at
+  * 100 TB it is (the benchmark side stays exhaustive; the CORPUS side
+  * is what winnowing compresses ~w/2-fold).
+  *
+  * Window convention: one window ends at every gram index, with the
+  * frame clipped at the sequence start — i.e. the leading partial
+  * windows are included. For docs with ≥ w grams this selects exactly
+  * the standard full-window set PLUS the prefix selections (a superset
+  * — the guarantee only strengthens); docs with FEWER than w grams
+  * still fingerprint (one whole-doc minimum) instead of vanishing from
+  * the index, the same no-silent-drop policy as the null-spine rows in
+  * [[Decontaminate.contaminationSeverity]].
+  *
+  * Determinism: the (min hash, rightmost position) argmin is computed
+  * as ONE `min()` window aggregate over an order-encoding string key —
+  * `lpad(fp, 19) ⧺ lpad(10⁹−1−pos, 9)` sorts by (fp asc, pos desc), so
+  * the frame minimum IS the MOSS selection, with no reliance on a
+  * `min_by` tie policy (engine-undefined on ties in both Spark and
+  * DuckDB). Both digits-only encodings compare identically as strings
+  * in both engines.
+  *
+  * Scale shape: narrow projection → position-aligned [[graft.functions.ShingleMd5]]
+  * posexplode (the fused native gram hasher, no shingle strings
+  * materialized) → ONE hash exchange on the doc id + one in-partition
+  * sort shared by the window → per-doc distinct + rollup, all keyed by
+  * the id. No join, no driver state, output is Θ(grams/w) per doc.
+  */
+object Winnowing {
+
+  private val PosCeil = 999999999L
+
+  /** Internal: (id, __pos, __fp) position-aligned gram stream; docs
+    * with fewer than k tokens keep a null spine row. */
+  private def grams(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame =
+    docs.select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode_outer(graft.functions.ShingleMd5(col("__toks"), k))
+          .as(Seq("__pos", "__fp")))
+
+  /** The selected fingerprints: one row per doc per selected
+    * (sel_pos, sel_fp), the winnowed sparse index of the corpus.
+    * Gram-less docs select nothing (absent here; [[stats]] still
+    * reports them). */
+  def selectFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(w >= 1, s"window size w must be >= 1, got $w")
+    val g = grams(docs, idCol, textCol, k).filter(col("__fp").isNotNull)
+      .withColumn("__key", concat(
+        lpad(col("__fp").cast("string"), 19, "0"),
+        lpad((lit(PosCeil) - col("__pos")).cast("string"), 9, "0")))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(-(w - 1).toLong, Window.currentRow)
+    g.withColumn("__sel", min(col("__key")).over(frame))
+      .select(col(idCol), col("__sel")).distinct()
+      .select(col(idCol),
+        (lit(PosCeil) - substring(col("__sel"), 20, 9).cast("long"))
+          .as("sel_pos"),
+        substring(col("__sel"), 1, 19).cast("long").as("sel_fp"))
+  }
+
+  /** Per-doc selection stats: gram count, selected-fingerprint count,
+    * and the realized sampling density (expected ≈ 2/(w+1) for random
+    * hashes — the MOSS paper's bound; the audit column a deploy reads
+    * to confirm the index compressed). Docs with no grams report
+    * (0, 0, 0.0). */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+            k: Int, w: Int): DataFrame = {
+    val totals = grams(docs, idCol, textCol, k)
+      .groupBy(idCol).agg(count(col("__fp")).as("n_grams"))
+    val sel = selectFingerprints(docs, idCol, textCol, k, w)
+      .groupBy(idCol).agg(count(lit(1)).as("n_selected"))
+    totals.join(sel, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        when(col("n_grams") === 0, 0.0)
+          .otherwise(coalesce(col("n_selected"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("density"))
+  }
+}

@@ -5473,6 +5473,55 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
             FROM pp ORDER BY source"""))
 
+  /** MOSS winnowing fingerprint selection
+    * ([[graft.ext.Winnowing.stats]] — the SIGMOD'03 local
+    * fingerprinting algorithm: per window of w consecutive k-gram
+    * hashes select the min, rightmost on ties; the selected set is the
+    * sparse ~2/(w+1) index with the guarantee that any shared run of
+    * ≥ w+k−1 tokens surfaces a shared fingerprint). The oracle replays
+    * the (min fp, rightmost pos) argmin through the SAME
+    * order-encoding string key (`lpad(fp,19) ⧺ lpad(10⁹−1−pos,9)`), so
+    * neither engine relies on a `min_by` tie policy. Per doc: gram
+    * count, selected count, realized density. */
+  private val x110 = Q("x110_winnowing_stats",
+    (s, d) => graft.ext.Winnowing.stats(documents(s, d), "doc_id", "text",
+        k = 3, w = 4)
+      .orderBy("doc_id"),
+    Some("""WITH tw AS MATERIALIZED (
+               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+               FROM documents),
+             pg AS MATERIALIZED (
+               SELECT doc_id, u.g.p AS pos, u.g.f AS fp
+               FROM tw, unnest(list_transform(generate_series(1, len(w)-2),
+                 i -> {'p': CAST(i - 1 AS BIGINT),
+                       'f': CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15) AS UBIGINT) AS BIGINT)})) AS u(g)
+               WHERE len(w) >= 3),
+             keyed AS MATERIALIZED (
+               SELECT doc_id, pos,
+                      lpad(CAST(fp AS VARCHAR), 19, '0')
+                        || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS k
+               FROM pg),
+             sel AS MATERIALIZED (
+               SELECT DISTINCT doc_id,
+                      min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+               FROM keyed),
+             cnt AS MATERIALIZED (
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected
+               FROM sel GROUP BY 1),
+             tot AS MATERIALIZED (
+               SELECT d.doc_id, CAST(COALESCE(c.c, 0) AS BIGINT) AS n_grams
+               FROM documents d LEFT JOIN (
+                 SELECT doc_id, count(*) AS c FROM pg GROUP BY 1) c
+                 ON c.doc_id = d.doc_id)
+            SELECT t.doc_id, t.n_grams,
+                   COALESCE(cnt.n_selected, 0) AS n_selected,
+                   CASE WHEN t.n_grams = 0 THEN 0.0
+                        ELSE CAST(COALESCE(cnt.n_selected, 0) AS DOUBLE)
+                             / CAST(t.n_grams AS DOUBLE) END AS density
+            FROM tot t LEFT JOIN cnt ON cnt.doc_id = t.doc_id
+            ORDER BY t.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5481,5 +5530,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109)
+    x108, x109, x110)
 }

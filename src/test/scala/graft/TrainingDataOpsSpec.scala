@@ -1207,6 +1207,87 @@ class CurationSpec extends SparkSpec {
   }
 }
 
+/** MOSS winnowing fingerprint selection ([[graft.ext.Winnowing]]). */
+class WinnowingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.{col, expr}
+
+  /** Reference winnowing over a doc's gram-hash sequence: every window
+    * end (frame clipped at start), min hash, rightmost tie-break. */
+  private def reference(hashes: Seq[Long], w: Int): Set[(Int, Long)] =
+    hashes.indices.map { e =>
+      val lo = math.max(0, e - w + 1)
+      val window = (lo to e).map(p => (hashes(p), -p))
+      val (h, negP) = window.min
+      (-negP, h)
+    }.toSet
+
+  private def gramHashes(text: String, k: Int): Seq[Long] = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text")
+      .select(org.apache.spark.sql.functions.posexplode(
+        graft.functions.ShingleMd5(
+          graft.ext.Ngrams.normTokens(col("text")), k)))
+      .orderBy("pos")
+      .collect().map(_.getLong(1)).toSeq
+  }
+
+  test("selection equals the reference algorithm (min hash, rightmost tie, clipped leading windows)") {
+    val text = "the quick brown fox jumps over the lazy dog and then " +
+      "the quick brown fox jumps again over the very lazy dog"
+    val docs = df(Seq((1L, text))).toDF("doc_id", "text")
+    val k = 3; val w = 4
+    val got = graft.ext.Winnowing
+      .selectFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(1).toInt, r.getLong(2))).toSet
+    assert(got == reference(gramHashes(text, k), w))
+  }
+
+  test("winnowing guarantee: docs sharing a run of >= w+k-1 tokens share a selected fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = df(Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten eleven twelve"))).toDF("doc_id", "text")
+    val k = 3; val w = 4 // shared run = 10 tokens >= w+k-1 = 6
+    val sel = graft.ext.Winnowing
+      .selectFingerprints(docs, "doc_id", "text", k, w)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert((sel(1L) intersect sel(2L)).nonEmpty)
+  }
+
+  test("stats: density ~ 2/(w+1) band, short docs still fingerprint, gram-less docs report zeros") {
+    val long = (1 to 200).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val docs = df(Seq(
+      (1L, long),
+      (2L, "just two"),          // 2 tokens < k: zero grams
+      (3L, "tiny doc here now")  // 4 tokens, 2 grams < w: whole-doc window
+    )).toDF("doc_id", "text")
+    val out = graft.ext.Winnowing.stats(docs, "doc_id", "text", k = 3, w = 9)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (_, n1, s1, d1) = out(0)
+    assert(n1 == 198L && s1 >= 1L)
+    assert(d1 > 0.1 && d1 < 0.4, s"density $d1 outside the 2/(w+1)=0.2 band")
+    assert(out(1) == ((2L, 0L, 0L, 0.0)))
+    val (_, n3, s3, _) = out(2)
+    assert(n3 == 2L && s3 >= 1L && s3 <= 2L)
+  }
+
+  test("selection is invariant under input partitioning") {
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 30).map(j => s"t${(i * 31 + j * 17) % 23}").mkString(" ")))
+    val a = graft.ext.Winnowing.selectFingerprints(
+        df(docs).toDF("doc_id", "text").repartition(1), "doc_id", "text", 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.ext.Winnowing.selectFingerprints(
+        df(docs).toDF("doc_id", "text").repartition(7, col("doc_id") % 3),
+        "doc_id", "text", 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+}
+
 class PackingSpec extends SparkSpec {
   private val docs = df(Seq(
     (1L, "a b c"), (2L, ""), (3L, "d e f g"), (4L, "h"))).toDF("doc_id", "text")
