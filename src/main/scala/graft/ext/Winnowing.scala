@@ -76,6 +76,46 @@ object Winnowing {
         substring(col("__sel"), 1, 19).cast("long").as("sel_fp"))
   }
 
+  /** Document-overlap candidate pairs over the WINNOWED index — the
+    * MOSS use case: two documents sharing any token run of ≥ w+k−1
+    * provably share a selected fingerprint, so an fp-keyed equi-join
+    * on the ~2/(w+1)-sparse index finds every such pair at a fraction
+    * of the exhaustive gram-index cost (x11's full n-gram Jaccard
+    * grain). One row per unordered (id_a < id_b) pair with the count
+    * of distinct shared selected fingerprints, kept when ≥ `minShared`.
+    *
+    * `maxDocsPerFp` drops fingerprints selected in more than that many
+    * documents BEFORE the join — boilerplate grams (headers, license
+    * blocks) are exactly the hot keys that would quadratically blow a
+    * fp bucket (a fp in g docs yields g(g−1)/2 pairs), and MOSS itself
+    * prescribes dropping over-frequent fingerprints as noise. The cut
+    * is reported honestly by [[stats]]' density audit, not silent: it
+    * is a DOCUMENTED index policy, the x36 capped-bucket convention.
+    *
+    * Scale shape: selection is the one windowed pass ([[selectFingerprints]]);
+    * the frequency cut is a map-side-combined fp count + in-place
+    * semi-join shape; the pair join is fp-keyed equi with per-key
+    * fan-out bounded by `maxDocsPerFp`; the pair rollup keys on the
+    * pair. No all-pairs stage anywhere. */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, w: Int, minShared: Long,
+                   maxDocsPerFp: Long = 64L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocsPerFp >= 2,
+      s"maxDocsPerFp must be >= 2 (a pair needs two docs), got $maxDocsPerFp")
+    val sel = selectFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("sel_fp")).distinct()
+    val rare = sel.groupBy("sel_fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxDocsPerFp).select(col("sel_fp"))
+    val kept = sel.join(rare, Seq("sel_fp"), "left_semi")
+    val a = kept.select(col(idCol).as("id_a"), col("sel_fp"))
+    val b = kept.select(col(idCol).as("id_b"), col("sel_fp"))
+    a.join(b, Seq("sel_fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   /** Per-doc selection stats: gram count, selected-fingerprint count,
     * and the realized sampling density (expected ≈ 2/(w+1) for random
     * hashes — the MOSS paper's bound; the audit column a deploy reads

@@ -5522,6 +5522,63 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM tot t LEFT JOIN cnt ON cnt.doc_id = t.doc_id
             ORDER BY t.doc_id"""))
 
+  /** Winnowed overlap pairs ([[graft.ext.Winnowing.overlapPairs]] —
+    * the MOSS composition: the fp-keyed equi-join runs on the
+    * ~2/(w+1)-SPARSE winnowed index instead of the exhaustive gram
+    * index, with the over-frequent-fingerprint cut applied before the
+    * join). The corpus adds a mutated twin (prefix-shifted copy, so
+    * exact dedup misses it) for every doc_id % 9 doc; the winnowing
+    * guarantee makes every original–twin pair provably surface (the
+    * full original text is a shared run ≫ w+k−1 tokens — all 56 pairs
+    * do at sf0.01, min 6 shared fps), while minShared = 2 drops the
+    * single-fp accidental matches between unrelated docs. */
+  private val x111 = Q("x111_winnowing_pairs",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("mutated twin prefix "), col("text")).as("text")))
+      graft.ext.Winnowing.overlapPairs(corpus, "doc_id", "text",
+          k = 3, w = 4, minShared = 2L)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH corpus AS MATERIALIZED (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 300000, 'mutated twin prefix ' || text
+               FROM documents WHERE doc_id % 9 = 0),
+             tw AS MATERIALIZED (
+               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+               FROM corpus),
+             pg AS MATERIALIZED (
+               SELECT doc_id, u.g.p AS pos, u.g.f AS fp
+               FROM tw, unnest(list_transform(generate_series(1, len(w)-2),
+                 i -> {'p': CAST(i - 1 AS BIGINT),
+                       'f': CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15) AS UBIGINT) AS BIGINT)})) AS u(g)
+               WHERE len(w) >= 3),
+             keyed AS MATERIALIZED (
+               SELECT doc_id, pos,
+                      lpad(CAST(fp AS VARCHAR), 19, '0')
+                        || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS k
+               FROM pg),
+             sel AS MATERIALIZED (
+               SELECT DISTINCT doc_id,
+                      min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+               FROM keyed),
+             fps AS MATERIALIZED (
+               SELECT DISTINCT doc_id, CAST(substr(s, 1, 19) AS BIGINT) AS fp
+               FROM sel),
+             rare AS MATERIALIZED (
+               SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 64),
+             kept AS MATERIALIZED (
+               SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_fps
+            FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY id_a, id_b"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5530,5 +5587,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110)
+    x108, x109, x110, x111)
 }

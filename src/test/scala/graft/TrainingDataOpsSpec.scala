@@ -1274,6 +1274,25 @@ class WinnowingSpec extends SparkSpec {
     assert(n3 == 2L && s3 >= 1L && s3 <= 2L)
   }
 
+  test("overlapPairs: shared-run docs pair, disjoint docs don't, hot fingerprints capped") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val boiler = "common header line every doc carries verbatim today"
+    val docs = df(Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten eleven"),
+      (3L, "totally different words nothing shared at all here friend"),
+      // 40 docs sharing ONLY the boilerplate line: with the cap at 8,
+      // its fingerprints are dropped and none of these pair
+      ) ++ (10L to 49L).map(i => (i, s"$boiler unique$i marker$i")))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Winnowing.overlapPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 1, maxDocsPerFp = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!out.exists(p => p._1 >= 10L), s"boilerplate pairs leaked: $out")
+  }
+
   test("selection is invariant under input partitioning") {
     val docs = (1L to 20L).map(i =>
       (i, (1 to 30).map(j => s"t${(i * 31 + j * 17) % 23}").mkString(" ")))
