@@ -198,6 +198,106 @@ object Mixing {
           .as("repeat_factor"))
   }
 
+  /** EPOCH-CAPPED TOKEN-BUDGET PLAN — exact water-filling: the
+    * missing constraint in [[repeatFactors]] (which happily asks a
+    * small source for 40 epochs). The data-constrained-LM literature
+    * caps useful repetition at a few epochs (Muennighoff et al.'s ~4;
+    * the Llama-1 table tops out under 2), so the real planning problem
+    * is: given per-stratum token masses T_s, integer target weights
+    * w_s, a total budget B, and an epoch cap E, allocate
+    * `A_s = min(E·T_s, λ·w_s)` with λ chosen so `Σ A_s = B` — capped
+    * strata keep their ceiling and the overflow re-waters the rest by
+    * weight.
+    *
+    * EXACT closed form, no iteration: sort strata by tightness
+    * `t_s = cap_s/w_s` (ascending; the capped set under any λ is a
+    * prefix of this order); for the minimal prefix length k where the
+    * remaining budget fits under the next tightness bound, every
+    * stratum before the boundary caps and the rest get
+    * `floor((B − Σ_{capped} cap)·w_s / Σ_{uncapped} w)`. The boundary
+    * test and every allocation are EXACT integer arithmetic
+    * (decimal(38,0) cross-multiplications here, HUGEINT in the oracle
+    * — that is WHY weights are integers; magnitudes are require()-
+    * bounded so no product can near the 38-digit rail). The double
+    * `t_s` is used ONLY as the sort key, identically on both engines
+    * (correctly-rounded int64→double division; stratum tie-break);
+    * floor allocations leave < #strata tokens of budget dust
+    * unallocated — sub-stratum-count dust on a token budget, reported
+    * by the epochs column, never silently redistributed.
+    *
+    * Infeasible budgets degrade honestly: B ≥ Σ cap caps EVERY
+    * stratum (every epochs = E and Σ A < B — the "not enough data at
+    * this cap" signal). Zero-weight strata take no part in the walk
+    * and allocate 0; zero-token strata with weight cap instantly
+    * (cap = 0) and allocate 0.
+    *
+    * Shape at 100 TB: one map-side-combined groupBy for the stratum
+    * stats, then stratum-cardinality window arithmetic (dozens of
+    * rows — the [[temperatureFactors]] precedent); the plan feeds
+    * [[materializeMixture]]'s broadcast factor join via
+    * `epochs = A_s/T_s` as the repeat factor.
+    *
+    * @return (stratum, n_docs, n_tokens, weight, cap_tokens, capped,
+    *         alloc_tokens, epochs). */
+  def budgetPlan(docs: DataFrame, stratumCol: String, textCol: String,
+                 weights: Map[String, Long], budgetTokens: Long,
+                 maxEpochs: Int): DataFrame = {
+    require(budgetTokens >= 0 && budgetTokens <= 1000000000000000L,
+      s"budgetTokens must be in [0, 10^15], got $budgetTokens")
+    require(maxEpochs >= 1 && maxEpochs <= 1000,
+      s"maxEpochs must be in 1..1000, got $maxEpochs")
+    weights.foreach { case (s0, w) =>
+      require(w >= 0 && w <= 1000000L,
+        s"weights must be integers in [0, 10^6], got $w for '$s0'") }
+    val dec = "decimal(38,0)"
+    val weightCase = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(0L): Column) { case ((s0, w), acc) =>
+        when(col(stratumCol) === s0, lit(w)).otherwise(acc)
+      }
+    val base = stratumStats(docs, stratumCol, textCol)
+      .withColumn("weight", weightCase)
+      .withColumn("cap_tokens", col("n_tokens") * lit(maxEpochs.toLong))
+    val zeroW = base.filter(col("weight") === 0)
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        col("weight"), col("cap_tokens"),
+        lit(false).as("capped"), lit(0L).as("alloc_tokens"),
+        lit(0.0).as("epochs"))
+    val byTightness = Window.orderBy(col("__t"), col(stratumCol))
+    val whole = Window.partitionBy()
+    val b = lit(budgetTokens).cast(dec)
+    val walked = base.filter(col("weight") > 0)
+      .withColumn("__t",
+        col("cap_tokens").cast("double") / col("weight").cast("double"))
+      .withColumn("__rn", row_number().over(byTightness))
+      .withColumn("__cprev",
+        coalesce(sum(col("cap_tokens").cast(dec)).over(
+          byTightness.rowsBetween(Window.unboundedPreceding, -1)), lit(0L).cast(dec)))
+      .withColumn("__wfrom",
+        sum(col("weight").cast(dec)).over(
+          byTightness.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__valid",
+        (b - col("__cprev")) * col("weight").cast(dec) <=
+          col("cap_tokens").cast(dec) * col("__wfrom"))
+      .withColumn("__fv", min(when(col("__valid"), col("__rn"))).over(whole))
+      .withColumn("__lam_num",
+        max(when(col("__rn") === col("__fv"), b - col("__cprev"))).over(whole))
+      .withColumn("__lam_den",
+        max(when(col("__rn") === col("__fv"), col("__wfrom"))).over(whole))
+      .withColumn("capped", col("__fv").isNull || col("__rn") < col("__fv"))
+    val prod = col("__lam_num") * col("weight").cast(dec)
+    val alloc = when(col("capped"), col("cap_tokens"))
+      .otherwise(((prod - prod % col("__lam_den")) / col("__lam_den"))
+        .cast("long"))
+    val planned = walked
+      .withColumn("alloc_tokens", alloc)
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        col("weight"), col("cap_tokens"), col("capped"), col("alloc_tokens"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("alloc_tokens").cast("double") /
+            col("n_tokens").cast("double")).as("epochs"))
+    planned.unionByName(zeroW)
+  }
+
   /** Post-materialization mixture AUDIT — the recipe's verification
     * step: per stratum, how many output rows and tokens the
     * materialized mixture actually carries vs the factor table's

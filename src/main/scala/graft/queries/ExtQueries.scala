@@ -5579,6 +5579,73 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY id_a, id_b"""))
 
+  /** Epoch-capped token-budget plan ([[graft.ext.Mixing.budgetPlan]] —
+    * exact water-filling: per-source integer weights, a budget of
+    * 1.8× the corpus token mass (computed from the data so the capping
+    * dynamics survive scale-factor changes), epoch cap 2; tight
+    * strata (high weight per cap) hit the ceiling and the overflow
+    * re-waters the rest by weight, all in exact integer arithmetic —
+    * decimal(38,0) cross-multiplications on the Spark side, HUGEINT in
+    * the oracle, the double tightness used ONLY as the shared sort
+    * key. Weights cycle 1..5 by source index, so the plan provably
+    * contains both capped and uncapped strata. */
+  private val x112 = Q("x112_budget_plan",
+    (s, d) => {
+      val docs = documents(s, d)
+      val total = docs.select(
+        sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
+          .cast("long"), lit(0L))).as("t"))
+        .first().getLong(0)
+      val weights = (0 to 19).map(i => s"src$i" -> ((i % 5) + 1L)).toMap
+      Mixing.budgetPlan(docs, "source", "text", weights,
+          budgetTokens = total * 9L / 5L, maxEpochs = 2)
+        .orderBy("source")
+    },
+    Some("""WITH st AS MATERIALIZED (
+               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+'))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+             bt AS MATERIALIZED (
+               SELECT (CAST(sum(n_tokens) AS HUGEINT) * 9) // 5 AS b FROM st),
+             base AS MATERIALIZED (
+               SELECT source, n_docs, n_tokens,
+                      CAST((CAST(substr(source, 4) AS BIGINT) % 5) + 1 AS BIGINT) AS weight,
+                      CAST(n_tokens * 2 AS BIGINT) AS cap_tokens
+               FROM st),
+             walk AS MATERIALIZED (
+               SELECT *,
+                      row_number() OVER (ORDER BY CAST(cap_tokens AS DOUBLE) / CAST(weight AS DOUBLE), source) AS rn,
+                      COALESCE(sum(CAST(cap_tokens AS HUGEINT)) OVER (
+                        ORDER BY CAST(cap_tokens AS DOUBLE) / CAST(weight AS DOUBLE), source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev,
+                      sum(CAST(weight AS HUGEINT)) OVER (
+                        ORDER BY CAST(cap_tokens AS DOUBLE) / CAST(weight AS DOUBLE), source
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wfrom
+               FROM base WHERE weight > 0),
+             v AS MATERIALIZED (
+               SELECT *, ((SELECT b FROM bt) - cprev) * weight
+                           <= CAST(cap_tokens AS HUGEINT) * wfrom AS valid
+               FROM walk),
+             fv AS MATERIALIZED (
+               SELECT *, min(CASE WHEN valid THEN rn END) OVER () AS fvn FROM v),
+             lam AS MATERIALIZED (
+               SELECT *,
+                      max(CASE WHEN rn = fvn THEN (SELECT b FROM bt) - cprev END) OVER () AS lam_num,
+                      max(CASE WHEN rn = fvn THEN wfrom END) OVER () AS lam_den
+               FROM fv),
+             planned AS MATERIALIZED (
+               SELECT source, n_docs, n_tokens, weight, cap_tokens,
+                      (fvn IS NULL OR rn < fvn) AS capped,
+                      CAST(CASE WHEN fvn IS NULL OR rn < fvn THEN CAST(cap_tokens AS HUGEINT)
+                           ELSE (lam_num * weight) // lam_den END AS BIGINT) AS alloc_tokens
+               FROM lam)
+            SELECT source, n_docs, n_tokens, weight, cap_tokens, capped,
+                   alloc_tokens,
+                   CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   END AS epochs
+            FROM planned ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5587,5 +5654,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111)
+    x108, x109, x110, x111, x112)
 }

@@ -1561,6 +1561,71 @@ class EdgeCaseSpec extends SparkSpec {
 }
 
 class MixingSpec extends SparkSpec {
+
+  /** 100-token and 100-token strata via 50 two-token docs each. */
+  private def twoStrata = {
+    val rows = (1L to 50L).map(i => (i, "a", "tok tok")) ++
+      (51L to 100L).map(i => (i, "b", "tok tok"))
+    df(rows).toDF("doc_id", "src", "text")
+  }
+
+  private def plan(budget: Long, e: Int, w: Map[String, Long]) =
+    graft.ext.Mixing.budgetPlan(twoStrata, "src", "text", w, budget, e)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6), r.getDouble(7)))
+      .toSeq
+
+  test("budgetPlan: nothing caps -> proportional-by-weight water level") {
+    // caps 200/200, t: b 22.2 < a 200; B=150: valid at row b
+    // (150*9 <= 200*10) -> lambda 15 -> b 135, a 15
+    assert(plan(150L, 2, Map("a" -> 1L, "b" -> 9L)) == Seq(
+      ("a", 100L, 1L, 200L, false, 15L, 0.15),
+      ("b", 100L, 9L, 200L, false, 135L, 1.35)))
+  }
+
+  test("budgetPlan: tight stratum caps, overflow re-waters the rest") {
+    // B=250: b invalid (250*9 > 200*10) -> b capped at 200;
+    // a valid ((250-200)*1 <= 200*1) -> lambda 50 -> a gets 50
+    assert(plan(250L, 2, Map("a" -> 1L, "b" -> 9L)) == Seq(
+      ("a", 100L, 1L, 200L, false, 50L, 0.5),
+      ("b", 100L, 9L, 200L, true, 200L, 2.0)))
+  }
+
+  test("budgetPlan: infeasible budget caps everything at maxEpochs") {
+    assert(plan(1000L, 2, Map("a" -> 1L, "b" -> 9L)) == Seq(
+      ("a", 100L, 1L, 200L, true, 200L, 2.0),
+      ("b", 100L, 9L, 200L, true, 200L, 2.0)))
+  }
+
+  test("budgetPlan: zero-weight strata allocate nothing and absorb no budget") {
+    // b weight 0: excluded from the walk; a takes the whole budget
+    // up to its cap
+    assert(plan(150L, 2, Map("a" -> 1L, "b" -> 0L)) == Seq(
+      ("a", 100L, 1L, 200L, false, 150L, 1.5),
+      ("b", 100L, 0L, 200L, false, 0L, 0.0)))
+  }
+
+  test("budgetPlan: conservation and cap invariants on an uneven three-way split") {
+    val rows = (1L to 30L).map(i => (i, "a", "t t t")) ++   // 90 tokens
+      (31L to 40L).map(i => (i, "b", "t t")) ++             // 20 tokens
+      (41L to 45L).map(i => (i, "c", "t"))                  // 5 tokens
+    val docs = df(rows).toDF("doc_id", "src", "text")
+    val out = graft.ext.Mixing.budgetPlan(docs, "src", "text",
+        Map("a" -> 2L, "b" -> 3L, "c" -> 5L), budgetTokens = 120L,
+        maxEpochs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+        r.getBoolean(5), r.getLong(6))).toSeq
+    val total = out.map(_._5).sum
+    // caps: a 270, b 60, c 15; t: c 3 < b 20 < a 135.
+    // c caps (120*5 > 15*10), b caps ((120-15)*3 > 60*5),
+    // a valid ((105-60)*2 <= 270*2) -> lambda 45/2 -> a floor(45)=45
+    assert(out.toSet == Set(("a", 90L, 270L, false, 45L),
+      ("b", 20L, 60L, true, 60L), ("c", 5L, 15L, true, 15L)))
+    assert(total == 120L)
+    out.foreach { case (_, _, cap, _, alloc) => assert(alloc <= cap) }
+  }
+
   test("uniform rates hit the smallest stratum exactly and never upsample") {
     val docs = df(Seq(
       (1L, "en", "a b c d"), (2L, "en", "e f"),     // en: 6 tokens
