@@ -5579,29 +5579,33 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY id_a, id_b"""))
 
-  /** Epoch-capped token-budget plan ([[graft.ext.Mixing.budgetPlan]] —
-    * exact water-filling: per-source integer weights, a budget of
-    * 1.8× the corpus token mass (computed from the data so the capping
-    * dynamics survive scale-factor changes), epoch cap 2; tight
-    * strata (high weight per cap) hit the ceiling and the overflow
-    * re-waters the rest by weight, all in exact integer arithmetic —
-    * decimal(38,0) cross-multiplications on the Spark side, HUGEINT in
-    * the oracle, the double tightness used ONLY as the shared sort
-    * key. Weights cycle 1..5 by source index, so the plan provably
-    * contains both capped and uncapped strata. */
-  private val x112 = Q("x112_budget_plan",
-    (s, d) => {
-      val docs = documents(s, d)
-      val total = docs.select(
-        sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
-          .cast("long"), lit(0L))).as("t"))
-        .first().getLong(0)
-      val weights = (0 to 19).map(i => s"src$i" -> ((i % 5) + 1L)).toMap
-      Mixing.budgetPlan(docs, "source", "text", weights,
-          budgetTokens = total * 9L / 5L, maxEpochs = 2)
-        .orderBy("source")
-    },
-    Some("""WITH st AS MATERIALIZED (
+  /** The x112/x113 plan fixture ([[graft.ext.Mixing.budgetPlan]] —
+    * exact water-filling): per-source integer weights cycling 1..5 by
+    * source index (so the plan provably contains both capped and
+    * uncapped strata), epoch cap 2, budget 1.8× the corpus token mass
+    * (computed from the data so the capping dynamics survive
+    * scale-factor changes). Tight strata (high weight per cap) hit the
+    * ceiling and the overflow re-waters the rest by weight, all in
+    * exact integer arithmetic — decimal(38,0) cross-multiplications on
+    * the Spark side, HUGEINT in the oracle, the double tightness used
+    * ONLY as the shared sort key. */
+  private def budgetPlanFixture(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    val docs = documents(s, d)
+    val total = docs.select(
+      sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
+        .cast("long"), lit(0L))).as("t"))
+      .first().getLong(0)
+    val weights = (0 to 19).map(i => s"src$i" -> ((i % 5) + 1L)).toMap
+    Mixing.budgetPlan(docs, "source", "text", weights,
+      budgetTokens = total * 9L / 5L, maxEpochs = 2)
+  }
+
+  /** Oracle twin of [[budgetPlanFixture]]: the exact water-filling CTE
+    * chain `st → bt → base → walk → v → fv → lam → planned`, shared
+    * verbatim by x112 (the plan itself) and x113 (the plan driving the
+    * materialize + audit chain) so the two can never drift. */
+  private val budgetPlanSql: String = """st AS MATERIALIZED (
                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                       CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+'))) AS BIGINT) AS n_tokens
                FROM documents GROUP BY 1),
@@ -5638,13 +5642,69 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                       (fvn IS NULL OR rn < fvn) AS capped,
                       CAST(CASE WHEN fvn IS NULL OR rn < fvn THEN CAST(cap_tokens AS HUGEINT)
                            ELSE (lam_num * weight) // lam_den END AS BIGINT) AS alloc_tokens
-               FROM lam)
+               FROM lam)"""
+
+  private val x112 = Q("x112_budget_plan",
+    (s, d) => budgetPlanFixture(s, d).orderBy("source"),
+    Some(s"""WITH $budgetPlanSql
             SELECT source, n_docs, n_tokens, weight, cap_tokens, capped,
                    alloc_tokens,
                    CASE WHEN n_tokens = 0 THEN 0.0
                         ELSE CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                    END AS epochs
             FROM planned ORDER BY source"""))
+
+  /** The budget plan made ACTIONABLE: x112's epoch-capped allocation
+    * drives [[graft.ext.Mixing.materializeMixture]] (the plan's
+    * `epochs` column IS the repeat factor — `A_s/T_s`), then
+    * [[graft.ext.Mixing.mixtureAudit]] verifies the realized mixture
+    * against the plan's own targets (the x84 closing-audit discipline
+    * applied to the capped planner). Capped strata must realize
+    * ~maxEpochs; the oracle splices [[budgetPlanSql]] verbatim, so the
+    * plan feeding the audit is bit-identical to the plan x112
+    * checks. */
+  private val x113 = Q("x113_budget_mixture_audit",
+    (s, d) => {
+      val docs = documents(s, d)
+      val factors = budgetPlanFixture(s, d).select(col("source"),
+        col("n_tokens"), col("epochs").as("repeat_factor"))
+      Mixing.mixtureAudit(
+          Mixing.materializeMixture(docs, "source", "doc_id", factors),
+          "source", "text", factors)
+        .orderBy("source")
+    },
+    Some(s"""WITH $budgetPlanSql,
+             f AS MATERIALIZED (
+               SELECT source, n_tokens,
+                      CASE WHEN n_tokens = 0 THEN 0.0
+                           ELSE CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                      END AS repeat_factor
+               FROM planned),
+             tok AS MATERIALIZED (
+               SELECT doc_id, source,
+                      CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT) AS nt
+               FROM documents),
+             md AS MATERIALIZED (
+               SELECT tk.source, tk.nt,
+                      CAST(floor(f.repeat_factor) AS BIGINT)
+                        + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(tk.doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000
+                                < CAST(floor(f.repeat_factor * 10000.0) AS BIGINT)
+                                  - CAST(floor(f.repeat_factor) AS BIGINT) * 10000
+                                THEN 1 ELSE 0 END) AS n_copies
+               FROM tok tk JOIN f USING (source)),
+             o AS MATERIALIZED (
+               SELECT source, CAST(sum(n_copies) AS BIGINT) AS n_out_rows,
+                      CAST(sum(n_copies * nt) AS BIGINT) AS out_tokens
+               FROM md WHERE n_copies > 0 GROUP BY source)
+            SELECT f.source,
+                   COALESCE(o.n_out_rows, 0) AS n_out_rows,
+                   COALESCE(o.out_tokens, 0) AS out_tokens,
+                   f.repeat_factor * f.n_tokens AS target_tokens,
+                   CASE WHEN f.repeat_factor * f.n_tokens = 0.0 THEN NULL
+                        ELSE CAST(COALESCE(o.out_tokens, 0) AS DOUBLE)
+                             / (f.repeat_factor * f.n_tokens) END AS attainment
+            FROM f LEFT JOIN o USING (source)
+            ORDER BY f.source"""))
 
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
@@ -5654,5 +5714,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112)
+    x108, x109, x110, x111, x112, x113)
 }
