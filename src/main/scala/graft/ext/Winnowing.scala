@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import graft.core.{Bucketing, IngestLedger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,6 +116,159 @@ object Winnowing {
       .agg(count(lit(1)).as("n_shared_fps"))
       .filter(col("n_shared_fps") >= minShared)
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted winnowed index — the MOSS deployment shape: the reference
+  // corpus is winnowed ONCE into a bucketed (sel_fp, doc_id) store (the
+  // ~2/(w+1)-sparse index), and every new shard is winnowed and joined
+  // against it in place. The seventh store family, in the x50 idiom:
+  // fp-bucketed catalog table, 1-row meta as the COMMIT MARKER carrying
+  // the selection parameters (k, w) — fingerprints from different
+  // parameters are incomparable, so serve/append refuse a mismatch the
+  // way the card store refuses a foreign quantizer scale.
+  // ---------------------------------------------------------------------
+
+  /** Name of the 1-row meta table next to a winnow store: `(k, w)`.
+    * Dropped first, written last — a crashed (re)build serves nothing
+    * rather than a half-written index. */
+  def winnowMeta(table: String): String = s"${table}_meta"
+
+  private def readMeta(spark: SparkSession, table: String): (Int, Int) = {
+    require(spark.catalog.tableExists(winnowMeta(table)),
+      s"winnow store '$table' has no meta table — a (re)build crashed " +
+        "before committing; re-run writeWinnowStore before serving")
+    val m = spark.table(winnowMeta(table)).head()
+    (m.getAs[Int]("k"), m.getAs[Int]("w"))
+  }
+
+  private def storeRows(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int): DataFrame =
+    selectFingerprints(docs, idCol, textCol, k, w)
+      .select(col("sel_fp"), col(idCol).cast("long").as("doc_id")).distinct()
+
+  /** Build the winnowed index for `docs` as the bucketed catalog table
+    * `table` (bucketed+sorted by `sel_fp`); commits the (k, w) meta
+    * LAST. A fresh store restarts its batch-id space. */
+  def writeWinnowStore(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int, table: String, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${winnowMeta(table)}`")
+    Bucketing.writeBucketed(storeRows(docs, idCol, textCol, k, w),
+      table, Seq("sel_fp"), buckets)
+    IngestLedger.reset(spark, table)
+    spark.range(1).select(lit(k).as("k"), lit(w).as("w"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(winnowMeta(table))
+  }
+
+  /** Append a shard's winnowed fingerprints (selection parameters come
+    * FROM the committed meta — a caller cannot mix incomparable
+    * fingerprints into the index). Caller-driven appends own their
+    * atomicity; [[ingestWinnowBatch]] adds exactly-once. Duplicate
+    * (fp, doc) rows from a replayed append are harmless: every reader
+    * collapses to distinct pairs (the dedup stores' defensive read
+    * grain), and [[compactWinnowStore]] makes the collapse durable. */
+  def appendWinnowShard(docs: DataFrame, idCol: String, textCol: String,
+                        table: String, buckets: Int): Unit = {
+    val (k, w) = readMeta(docs.sparkSession, table)
+    Bucketing.appendBucketed(storeRows(docs, idCol, textCol, k, w),
+      table, Seq("sel_fp"), buckets)
+  }
+
+  /** Overlap a NEW shard against the persisted index: winnow the shard
+    * under the STORE's own (k, w) and count distinct shared selected
+    * fingerprints per (shard doc, indexed doc) pair — the
+    * [[overlapPairs]] verdict with the reference side read in place.
+    * The over-frequent-fingerprint cut (`maxDocsPerFp`) is computed on
+    * the STORE side per fingerprint — an in-bucket aggregation (the
+    * store is bucketed by `sel_fp`), never a corpus recount. The merge
+    * hint pins the sort-merge strategy so a test-scale shard cannot
+    * broadcast around the bucketed layout being proven.
+    *
+    * @return (id, store_doc_id, n_shared_fps) with n ≥ `minShared`. */
+  def overlapAgainstStore(newDocs: DataFrame, idCol: String, textCol: String,
+                          table: String, minShared: Long,
+                          maxDocsPerFp: Long = 64L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocsPerFp >= 1, s"maxDocsPerFp must be >= 1, got $maxDocsPerFp")
+    val spark = newDocs.sparkSession
+    val (k, w) = readMeta(spark, table)
+    val store = spark.table(table).select(col("sel_fp"), col("doc_id"))
+      .distinct()
+    // the frequency cut joins two in-bucket derivations of the SAME
+    // bucketed table — merge-hinted so a test-scale `rare` cannot
+    // broadcast: at corpus scale it is fp-cardinality, and the SMJ is
+    // Exchange-free on both sides by co-partitioning
+    val rare = store.groupBy("sel_fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxDocsPerFp).select(col("sel_fp"))
+      .hint("merge")
+    val q = selectFingerprints(newDocs, idCol, textCol, k, w)
+      .select(col(idCol), col("sel_fp")).distinct()
+    q.join(store.join(rare, Seq("sel_fp"), "left_semi")
+        .withColumnRenamed("doc_id", "store_doc_id").hint("merge"),
+        Seq("sel_fp"))
+      .groupBy(col(idCol), col("store_doc_id"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
+  /** Periodic maintenance: one file per bucket, duplicate (fp, doc)
+    * pairs collapsed (idempotent — safe next to a dangling append),
+    * ledger pruned below the contiguous-commit watermark. */
+  def compactWinnowStore(spark: SparkSession, table: String,
+                         buckets: Int): Unit = {
+    Bucketing.compact(spark, table, Seq("sel_fp"), buckets,
+      prepare = _.distinct())
+    IngestLedger.prune(spark, table)
+  }
+
+  /** [[compactWinnowStore]] behind the files-per-bucket decay trigger. */
+  def compactWinnowStoreIfNeeded(spark: SparkSession, table: String,
+                                 buckets: Int,
+                                 maxFilesPerBucket: Int): Boolean = {
+    Bucketing.recoverSwap(spark, table)
+    val due = Bucketing.needsCompaction(spark, table, buckets,
+      maxFilesPerBucket)
+    if (due) compactWinnowStore(spark, table, buckets)
+    due
+  }
+
+  /** One exactly-once ingest micro-batch: a committed batch skips; a
+    * batch that crashed mid-append re-appends — the pair grain makes
+    * the replay IDEMPOTENT (duplicate (fp, doc) rows collapse at every
+    * read and at compaction), so unlike the count-delta stores no
+    * partial-append repair pass is needed; the intent marker still
+    * brackets the append so [[IngestLedger.danglingIntents]] can name
+    * unfinished batches for the maintenance audit. */
+  def ingestWinnowBatch(batch: DataFrame, batchId: Long,
+                        idCol: String, textCol: String,
+                        table: String, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    Bucketing.recoverSwap(spark, table)
+    if (IngestLedger.applied(spark, table, batchId)) return
+    if (!IngestLedger.intended(spark, table, batchId))
+      IngestLedger.intent(spark, table, batchId)
+    appendWinnowShard(batch, idCol, textCol, table, buckets)
+    IngestLedger.record(spark, table, batchId)
+  }
+
+  /** The CONTINUOUS form: every shard's winnowed fingerprints land
+    * exactly-once; in-loop maintenance on the shared cadence policy. */
+  def streamIngestWinnow(shards: DataFrame, idCol: String, textCol: String,
+                         table: String, buckets: Int, checkpoint: String,
+                         compactEvery: Int = 0, maxFilesPerBucket: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    shards.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestWinnowBatch(batch, batchId, idCol, textCol, table, buckets)
+        Bucketing.maintainInLoop(batchId, compactEvery, maxFilesPerBucket)(
+          compactWinnowStore(batch.sparkSession, table, buckets))(
+          m => compactWinnowStoreIfNeeded(batch.sparkSession, table,
+            buckets, m))
+      }
+      .start()
 
   /** Per-doc selection stats: gram count, selected-fingerprint count,
     * and the realized sampling density (expected ≈ 2/(w+1) for random

@@ -5483,29 +5483,45 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * order-encoding string key (`lpad(fp,19) ⧺ lpad(10⁹−1−pos,9)`), so
     * neither engine relies on a `min_by` tie policy. Per doc: gram
     * count, selected count, realized density. */
+  /** Oracle twin of [[graft.ext.Winnowing.selectFingerprints]]: the
+    * winnowing CTE cascade `{p}tw → {p}pg → {p}keyed → {p}sel →
+    * {p}fps` over source CTE `src`, name-prefixed so one query can
+    * winnow two corpora (x114's store and query sides). `{p}sel` is
+    * the position-level selection (distinct order-encoded keys);
+    * `{p}fps` collapses to the (doc, fp) pair grain the overlap joins
+    * consume. Shared verbatim by x110/x111/x114 so the three can never
+    * drift. */
+  private def winnowSql(p: String, src: String, k: Int, w: Int): String = {
+    val km1 = k - 1
+    s"""${p}tw AS MATERIALIZED (
+               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w
+               FROM $src),
+             ${p}pg AS MATERIALIZED (
+               SELECT doc_id, u.g.p AS pos, u.g.f AS fp
+               FROM ${p}tw, unnest(list_transform(generate_series(1, len(w)-$km1),
+                 i -> {'p': CAST(i - 1 AS BIGINT),
+                       'f': CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+$km1], ' ')),1,15) AS UBIGINT) AS BIGINT)})) AS u(g)
+               WHERE len(w) >= $k),
+             ${p}keyed AS MATERIALIZED (
+               SELECT doc_id, pos,
+                      lpad(CAST(fp AS VARCHAR), 19, '0')
+                        || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS k
+               FROM ${p}pg),
+             ${p}sel AS MATERIALIZED (
+               SELECT DISTINCT doc_id,
+                      min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS s
+               FROM ${p}keyed),
+             ${p}fps AS MATERIALIZED (
+               SELECT DISTINCT doc_id, CAST(substr(s, 1, 19) AS BIGINT) AS fp
+               FROM ${p}sel)"""
+  }
+
   private val x110 = Q("x110_winnowing_stats",
     (s, d) => graft.ext.Winnowing.stats(documents(s, d), "doc_id", "text",
         k = 3, w = 4)
       .orderBy("doc_id"),
-    Some("""WITH tw AS MATERIALIZED (
-               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
-               FROM documents),
-             pg AS MATERIALIZED (
-               SELECT doc_id, u.g.p AS pos, u.g.f AS fp
-               FROM tw, unnest(list_transform(generate_series(1, len(w)-2),
-                 i -> {'p': CAST(i - 1 AS BIGINT),
-                       'f': CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15) AS UBIGINT) AS BIGINT)})) AS u(g)
-               WHERE len(w) >= 3),
-             keyed AS MATERIALIZED (
-               SELECT doc_id, pos,
-                      lpad(CAST(fp AS VARCHAR), 19, '0')
-                        || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS k
-               FROM pg),
-             sel AS MATERIALIZED (
-               SELECT DISTINCT doc_id,
-                      min(k) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
-               FROM keyed),
+    Some(s"""WITH ${winnowSql("", "documents", 3, 4)},
              cnt AS MATERIALIZED (
                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected
                FROM sel GROUP BY 1),
@@ -5542,33 +5558,12 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
           k = 3, w = 4, minShared = 2L)
         .orderBy("id_a", "id_b")
     },
-    Some("""WITH corpus AS MATERIALIZED (
+    Some(s"""WITH corpus AS MATERIALIZED (
                SELECT doc_id, text FROM documents
                UNION ALL
                SELECT doc_id + 300000, 'mutated twin prefix ' || text
                FROM documents WHERE doc_id % 9 = 0),
-             tw AS MATERIALIZED (
-               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
-               FROM corpus),
-             pg AS MATERIALIZED (
-               SELECT doc_id, u.g.p AS pos, u.g.f AS fp
-               FROM tw, unnest(list_transform(generate_series(1, len(w)-2),
-                 i -> {'p': CAST(i - 1 AS BIGINT),
-                       'f': CAST(CAST('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15) AS UBIGINT) AS BIGINT)})) AS u(g)
-               WHERE len(w) >= 3),
-             keyed AS MATERIALIZED (
-               SELECT doc_id, pos,
-                      lpad(CAST(fp AS VARCHAR), 19, '0')
-                        || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS k
-               FROM pg),
-             sel AS MATERIALIZED (
-               SELECT DISTINCT doc_id,
-                      min(k) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
-               FROM keyed),
-             fps AS MATERIALIZED (
-               SELECT DISTINCT doc_id, CAST(substr(s, 1, 19) AS BIGINT) AS fp
-               FROM sel),
+             ${winnowSql("", "corpus", 3, 4)},
              rare AS MATERIALIZED (
                SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 64),
              kept AS MATERIALIZED (
@@ -5706,6 +5701,53 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM f LEFT JOIN o USING (source)
             ORDER BY f.source"""))
 
+  /** Persisted winnowed index — the MOSS deployment shape
+    * ([[graft.ext.Winnowing.writeWinnowStore]] /
+    * [[graft.ext.Winnowing.overlapAgainstStore]], the seventh store
+    * family): release 1 (doc_id % 3 ≠ 0) is winnowed ONCE into the
+    * fp-bucketed (sel_fp, doc_id) store under a committed (k, w) meta;
+    * the query shard — prefix-mutated twins of indexed docs
+    * (doc_id % 9 = 1, always in release 1) plus the held-out
+    * doc_id % 3 = 0 docs — winnows under the STORE's own parameters
+    * and joins the buckets in place (merge-hinted, PlanSpec-pinned),
+    * with the over-frequent-fingerprint cut computed store-side
+    * in-bucket. Every twin provably hits its original (the winnowing
+    * guarantee); held-out docs only hit via accidental short overlaps,
+    * which minShared = 2 suppresses. */
+  private val x114 = Q("x114_winnow_store_overlap",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      graft.ext.Winnowing.writeWinnowStore(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        k = 3, w = 4, table = "x114_winnow_store", buckets = 8)
+      val shard = docs.filter(col("doc_id") % 9 === 1)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("mutated twin prefix "), col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0))
+      graft.ext.Winnowing.overlapAgainstStore(shard, "doc_id", "text",
+          "x114_winnow_store", minShared = 2L)
+        .orderBy("doc_id", "store_doc_id")
+    },
+    Some(s"""WITH store_docs AS MATERIALIZED (
+               SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+             q_docs AS MATERIALIZED (
+               SELECT doc_id + 400000 AS doc_id,
+                      'mutated twin prefix ' || text AS text
+               FROM documents WHERE doc_id % 9 = 1
+               UNION ALL
+               SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+             ${winnowSql("s_", "store_docs", 3, 4)},
+             ${winnowSql("q_", "q_docs", 3, 4)},
+             rare AS MATERIALIZED (
+               SELECT fp FROM s_fps GROUP BY 1 HAVING count(*) <= 64),
+             kept AS MATERIALIZED (
+               SELECT f.doc_id, f.fp FROM s_fps f JOIN rare USING (fp))
+            SELECT q.doc_id AS doc_id, kept.doc_id AS store_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_fps
+            FROM q_fps q JOIN kept ON q.fp = kept.fp
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY doc_id, store_doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5714,5 +5756,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113)
+    x108, x109, x110, x111, x112, x113, x114)
 }

@@ -592,6 +592,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x114 winnow store side reads bucketed, Exchange-free; no text on the wire") {
+    val df = Registry.queries("x114_winnow_store_overlap")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val smjs = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    val storeSides = smjs.flatMap(j => Seq(j.left, j.right)).filter(_.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan &&
+          f.tableIdentifier.exists(_.table == "x114_winnow_store") => f
+    }.nonEmpty)
+    assert(storeSides.nonEmpty,
+      s"no sort-merge join reads the bucketed winnow store:\n${root.toString.take(1200)}")
+    // the PURE store subtrees (no nested join — the query side's
+    // exchanges live under the other child) must read buckets in place
+    storeSides.filter(_.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty).foreach { side =>
+      val es = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(es.isEmpty,
+        s"winnow store side must read its buckets in place, found: $es")
+    }
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross the overlap shuffle: ${e.output}")
+    }
+  }
+
   test("x54 model-store scoring: count sides read buckets Exchange-free, one tokenize, no bloom") {
     val df = Registry.queries("x54_lm_score_store")(spark, sf)
     val root = df.queryExecution.executedPlan match {
