@@ -5748,6 +5748,61 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY doc_id, store_doc_id"""))
 
+  /** Streamed winnow-index ingest
+    * ([[graft.ext.Winnowing.streamIngestWinnow]] — the seventh store
+    * family's batch+stream symmetry leg): the index starts from the
+    * doc_id % 3 = 0 slice, two staged waves stream the % 3 = 1 and
+    * % 3 = 2 slices in exactly-once (with in-loop compaction every
+    * batch), and the CHECKED result is the overlap serve after the
+    * stream — prefix-mutated twins of doc_id % 9 = 2 docs (wave-2
+    * residents) against the grown store. The winnowed pair grain is
+    * order-free, so the oracle is simply the one-shot cascade over the
+    * full corpus — streamed-grown ≡ batch-built is exactly the
+    * symmetry being checked; the crash/replay discipline itself is
+    * WinnowStoreSpec's pin. */
+  private val x115 = Q("x115_stream_winnow_ingest",
+    (s, d) => graft.util.Sessions.withShufflePartitions(s,
+        graft.util.Sessions.streamingShufflePartitions) {
+      val root = java.nio.file.Files.createTempDirectory("graft-x115-")
+      val in = root.resolve("in"); val chk = s"$root/chk"
+      java.nio.file.Files.createDirectories(in)
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      graft.ext.Winnowing.writeWinnowStore(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        k = 3, w = 4, table = "x115_winnow_store", buckets = 8)
+      graft.util.Staging.stageWave(docs.filter(col("doc_id") % 3 === 1),
+        in, "wave1.parquet", 1704067200000L)
+      graft.util.Staging.stageWave(docs.filter(col("doc_id") % 3 === 2),
+        in, "wave2.parquet", 1704067260000L)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      graft.ext.Winnowing.streamIngestWinnow(stream, "doc_id", "text",
+          table = "x115_winnow_store", buckets = 8, checkpoint = chk,
+          compactEvery = 1)
+        .awaitTermination()
+      val shard = docs.filter(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(lit("mutated twin prefix "), col("text")).as("text"))
+      graft.ext.Winnowing.overlapAgainstStore(shard, "doc_id", "text",
+          "x115_winnow_store", minShared = 2L)
+        .orderBy("doc_id", "store_doc_id")
+    },
+    Some(s"""WITH q_docs AS MATERIALIZED (
+               SELECT doc_id + 500000 AS doc_id,
+                      'mutated twin prefix ' || text AS text
+               FROM documents WHERE doc_id % 9 = 2),
+             ${winnowSql("s_", "documents", 3, 4)},
+             ${winnowSql("q_", "q_docs", 3, 4)},
+             rare AS MATERIALIZED (
+               SELECT fp FROM s_fps GROUP BY 1 HAVING count(*) <= 64),
+             kept AS MATERIALIZED (
+               SELECT f.doc_id, f.fp FROM s_fps f JOIN rare USING (fp))
+            SELECT q.doc_id AS doc_id, kept.doc_id AS store_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_fps
+            FROM q_fps q JOIN kept ON q.fp = kept.fp
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY doc_id, store_doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5756,5 +5811,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114)
+    x108, x109, x110, x111, x112, x113, x114, x115)
 }
