@@ -104,7 +104,9 @@ object Bench {
     val streamingQs = Set("x17_stream_dedup", "x18_stream_windowed_agg",
       "x24_stream_enrich", "x27_stream_interval_join", "x32_stream_ohlc",
       "x33_stream_sessionize", "x37_stream_incremental_dedup",
-      "x46_stream_vec_dedup", "x76_stream_bench_ingest")
+      "x46_stream_vec_dedup", "x49_stream_vec_trained",
+      "x51_stream_exact_dedup", "x76_stream_bench_ingest",
+      "x93_stream_classifier_ingest", "x115_stream_winnow_ingest")
     val (streamMed, batchMed) = med.filter(_._2 >= 0).partition(m => streamingQs(m._1))
     val slowest = med.filter(_._2 >= 0).sortBy(-_._2).take(8)
     // MIN-of-reps for the same slowest queries (the round-18 lesson: two
