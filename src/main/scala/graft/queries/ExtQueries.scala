@@ -5803,6 +5803,81 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY doc_id, store_doc_id"""))
 
+  /** Oracle twin of the [[graft.ext.SpanCorruption]] pipeline through
+    * the islands rollup: seeded hash start marks (threshold 500 =
+    * round(0.15/3 · 10⁴)) → spanLen-frame window max → maximal-run
+    * islands. Shared by x116 (the span table) and x117 (the audit). */
+  private def spanCorruptSql(seed: String): String =
+    s"""sc_tw AS MATERIALIZED (
+               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w
+               FROM documents),
+             sc_pos AS MATERIALIZED (
+               SELECT doc_id, CAST(unnest(generate_series(0, len(w) - 1)) AS BIGINT) AS pos
+               FROM sc_tw WHERE len(w) >= 1),
+             sc_mark AS MATERIALIZED (
+               SELECT doc_id, pos,
+                      (CAST(CAST('0x'||substr(md5('$seed' || ':' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 < 500) AS strt
+               FROM sc_pos),
+             sc_cor AS MATERIALIZED (
+               SELECT doc_id, pos FROM (
+                 SELECT doc_id, pos,
+                        max(CASE WHEN strt THEN 1 ELSE 0 END) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c
+                 FROM sc_mark) WHERE c = 1),
+             sc_isl AS MATERIALIZED (
+               SELECT doc_id, pos,
+                      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM sc_cor),
+             sc_spans AS MATERIALIZED (
+               SELECT doc_id,
+                      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY min(pos)) AS BIGINT) - 1 AS span_idx,
+                      CAST(min(pos) AS BIGINT) AS start_pos,
+                      CAST(max(pos) AS BIGINT) AS end_pos,
+                      CAST(count(*) AS BIGINT) AS span_len
+               FROM sc_isl GROUP BY doc_id, island)"""
+
+  /** T5-style span-corruption construction
+    * ([[graft.ext.SpanCorruption.spans]] — the objective-building step
+    * of the T5/UL2 recipe: seeded-hash span starts at rate r/L, spans
+    * of length L merged into maximal islands, sentinel numbering by
+    * position; the engine-wide deterministic-draw substitute for the
+    * published sampler's RNG). */
+  private val x116 = Q("x116_span_corruption",
+    (s, d) => graft.ext.SpanCorruption.spans(documents(s, d), "doc_id",
+        "text", corruptionRate = 0.15, spanLen = 3, seed = "t5-r19")
+      .orderBy("doc_id", "span_idx"),
+    Some(s"""WITH ${spanCorruptSql("t5-r19")}
+            SELECT doc_id, span_idx, start_pos, end_pos, span_len
+            FROM sc_spans ORDER BY doc_id, span_idx"""))
+
+  /** The span-corruption AUDIT ([[graft.ext.SpanCorruption.audit]]):
+    * per doc, tokens / spans / corrupted tokens / realized rate — the
+    * release check that the objective builder samples at spec
+    * (realized ≈ 0.15 in expectation; token-less docs report zeros
+    * instead of vanishing). */
+  private val x117 = Q("x117_span_corruption_audit",
+    (s, d) => graft.ext.SpanCorruption.audit(documents(s, d), "doc_id",
+        "text", corruptionRate = 0.15, spanLen = 3, seed = "t5-r19")
+      .orderBy("doc_id"),
+    Some(s"""WITH ${spanCorruptSql("t5-r19")},
+             sc_tot AS MATERIALIZED (
+               SELECT doc_id,
+                      CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT) AS n_tokens
+               FROM documents),
+             sc_agg AS MATERIALIZED (
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                      CAST(sum(span_len) AS BIGINT) AS n_corrupted
+               FROM sc_spans GROUP BY 1)
+            SELECT t.doc_id, t.n_tokens,
+                   COALESCE(a.n_spans, 0) AS n_spans,
+                   COALESCE(a.n_corrupted, 0) AS n_corrupted,
+                   CASE WHEN t.n_tokens = 0 THEN 0.0
+                        ELSE CAST(COALESCE(a.n_corrupted, 0) AS DOUBLE)
+                             / CAST(t.n_tokens AS DOUBLE) END AS realized_rate
+            FROM sc_tot t LEFT JOIN sc_agg a ON a.doc_id = t.doc_id
+            ORDER BY t.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5811,5 +5886,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117)
 }

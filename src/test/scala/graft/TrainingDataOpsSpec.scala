@@ -1307,6 +1307,82 @@ class WinnowingSpec extends SparkSpec {
   }
 }
 
+/** T5-style span-corruption construction ([[graft.ext.SpanCorruption]]). */
+class SpanCorruptionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val docs = {
+    val long = (1 to 400).map(i => s"tk${(i * 37) % 101}").mkString(" ")
+    df(Seq((1L, long), (2L, "short doc of seven little words here"),
+      (3L, ""))).toDF("doc_id", "text")
+  }
+
+  /** Reference: corrupted set = union of [p, p+L-1] over hash-marked
+    * starts, clipped to doc length — computed with the engine's own
+    * hash but WITHOUT the window/islands machinery under test. */
+  private def referenceSpans(L: Int, seed: String): Map[Long, Set[Long]] = {
+    val thr = math.round(0.15 / L * graft.ext.Sampling.Denom)
+    val starts = docs
+      .select(col("doc_id"),
+        posexplode(graft.ext.Ngrams.normTokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(graft.ext.Sampling.hashBucket(
+        concat_ws(":", lit(seed), col("doc_id"), col("pos"))) < lit(thr))
+      .select("doc_id", "pos", "n").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    starts.groupBy(_._1).map { case (id, ss) =>
+      id -> ss.flatMap { case (_, p, n) =>
+        p to math.min(p + L - 1, n - 1) }.toSet
+    }
+  }
+
+  test("spans are the maximal islands of the reference corrupted set") {
+    val L = 3; val seed = "t5-spec"
+    val got = graft.ext.SpanCorruption
+      .spans(docs, "doc_id", "text", 0.15, L, seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ref = referenceSpans(L, seed)
+    // positions covered match exactly
+    val covered = got.groupBy(_._1).map { case (id, ss) =>
+      id -> ss.flatMap(s => s._3 to s._4).toSet }
+    assert(covered == ref, s"covered=$covered\nref=$ref")
+    // spans are maximal: consecutive spans leave a gap; idx is 0..n-1
+    got.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 > a._4 + 1, s"adjacent spans $a $b")
+        case _ =>
+      }
+      sorted.foreach(s => assert(s._5 == s._4 - s._3 + 1))
+    }
+  }
+
+  test("audit: realized rate in band on a long doc, zeros for empty docs, sum matches spans") {
+    val out = graft.ext.SpanCorruption
+      .audit(docs, "doc_id", "text", 0.15, 3, "t5-spec")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val (_, n1, s1, c1, r1) = out(0)
+    assert(n1 == 400L && s1 > 0L && c1 > 0L)
+    assert(r1 > 0.05 && r1 < 0.3, s"realized rate $r1 far from 0.15")
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("selection is seed-sensitive and partitioning-invariant") {
+    def run(seed: String, parts: Int) = graft.ext.SpanCorruption
+      .spans(docs.repartition(parts), "doc_id", "text", 0.15, 3, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(run("a", 1) == run("a", 5))
+    assert(run("a", 1) != run("b", 1))
+  }
+}
+
 /** Persisted winnowed index ([[graft.ext.Winnowing]] store family). */
 class WinnowStoreSpec extends SparkSpec {
   import org.apache.spark.sql.functions.col
