@@ -348,6 +348,53 @@ object Curation {
         (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
 
+  /** GATE-ATTRIBUTION audit — the filtering-ablation table a release
+    * publishes next to its funnel: per gate, how many documents (and
+    * tokens) it DROPS, and how many it drops UNIQUELY (no other gate
+    * would have caught them). The unique-drop column is the decision
+    * column: a gate with near-zero unique drops is pure cost — every
+    * document it removes is already removed by the cheaper gates
+    * (exactly the redundancy [[gateAgreement]]'s kappa hints at, here
+    * quantified in dropped mass). Gate columns are keep/drop booleans;
+    * a NULL verdict is an abstention — it neither drops nor blocks
+    * another gate's uniqueness (the shared null policy).
+    *
+    * Determinism: exact int64 counts; the drop rate is one double
+    * division. Scale shape: one narrow projection computing the
+    * per-row dropping-gate count, then ONE explode to (row × G) gate
+    * observations and a map-side-combined groupBy to gate cardinality
+    * — no join, no second corpus pass, G is single digits.
+    *
+    * @return (gate, n_docs, n_eval, n_drop, n_unique_drop,
+    *         tokens_drop, tokens_unique_drop, drop_rate), one row per
+    *         gate in `gates` order-insensitively (callers order). */
+  def gateAttribution(df: DataFrame, tokensCol: String,
+                      gates: Seq[String]): DataFrame = {
+    require(gates.nonEmpty, "gateAttribution needs at least one gate column")
+    val dropCnt = gates.map(g =>
+      when(col(g) === false, 1).otherwise(0): Column).reduce(_ + _)
+    val obs = df
+      .withColumn("__ndrop", dropCnt)
+      .withColumn("__tok", coalesce(col(tokensCol).cast("long"), lit(0L)))
+      .select(explode(array(gates.map(g => struct(
+        lit(g).as("gate"),
+        col(g).as("keep"),
+        (col(g) === false && col("__ndrop") === 1).as("uniq"),
+        col("__tok").as("tok"))): _*)).as("o"))
+      .select(col("o.gate"), col("o.keep"), col("o.uniq"), col("o.tok"))
+    obs.groupBy("gate")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep").isNotNull, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("keep") === false, 1L).otherwise(0L)).as("n_drop"),
+        sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique_drop"),
+        sum(when(col("keep") === false, col("tok")).otherwise(0L))
+          .as("tokens_drop"),
+        sum(when(col("uniq"), col("tok")).otherwise(0L))
+          .as("tokens_unique_drop"))
+      .withColumn("drop_rate", when(col("n_eval") > 0,
+        col("n_drop").cast("double") / col("n_eval").cast("double")))
+  }
+
   /** CALIBRATION RELIABILITY TABLE — per score-quantile bucket over a
     * LABELED holdout, (n_docs, n_pos, pos_rate, mean_score): the audit
     * that tells a pipeline whether its trained quality signal is

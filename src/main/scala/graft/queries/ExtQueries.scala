@@ -5398,23 +5398,14 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * score gate abstains (a synthetic doc_id % 17 abstention band,
     * modeling a model gate's low-confidence refusals) are excluded
     * and counted `n_unrated`. */
-  private val x109 = Q("x109_gate_agreement",
-    (s, d) => {
-      val docs = documents(s, d).select(col("doc_id"), col("source"),
-        col("text"))
-      val rule = graft.ext.RuleGate.flags(docs, "doc_id", "text")
-        .select(col("doc_id"), col("keep").as("__ga"))
-      val scored = docs.select(col("doc_id"), col("source"),
-        when(col("doc_id") % 17 =!= 0,
-          TA.qualityScore(col("text")) >= lit(0.46)).as("__gb"))
-      graft.ext.Curation.gateAgreement(
-          scored.join(rule, Seq("doc_id")), "source", "__ga", "__gb")
-        .orderBy("source")
-    },
-    Some("""WITH t AS MATERIALIZED (SELECT doc_id, source, text,
+  /** Oracle twin of x61's `keep` conjunction, pared to (doc_id, ga):
+    * CTEs `rg_t → rg`. Shared by x109 and x118 so the gate audits can
+    * never drift from one another. */
+  private val ruleKeepSql: String =
+    """rg_t AS MATERIALIZED (SELECT doc_id, source, text,
                     regexp_extract_all(lower(trim(text)), '\S+') AS toks
                   FROM documents),
-             rule AS MATERIALIZED (SELECT doc_id,
+             rg AS MATERIALIZED (SELECT doc_id,
                      (CAST(len(toks) AS BIGINT) >= 20 AND CAST(len(toks) AS BIGINT) <= 80
                       AND (CASE WHEN len(toks) = 0 THEN 0.0
                            ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END) >= 4.0
@@ -5429,8 +5420,14 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                                      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS DOUBLE) / len(toks) END) <= 0.1
                       AND (CASE WHEN len(toks) = 0 THEN 0.0
                            ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) END) >= 0.8) AS ga
-                   FROM t),
-             sf AS MATERIALIZED (SELECT doc_id, source,
+                   FROM rg_t)"""
+
+  /** Oracle twin of the x03 quality score, pared to
+    * (doc_id, source, n_words, score): CTEs `qs_f → qs`. Shared by
+    * x109 and x118 (each applies its own threshold / abstention
+    * band). */
+  private val scoreSql: String =
+    """qs_f AS MATERIALIZED (SELECT doc_id, source,
                      CAST(length(text) AS BIGINT) AS nc,
                      CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
                      CASE WHEN length(text) = 0 THEN 0.0
@@ -5442,16 +5439,33 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                                / len(regexp_extract_all(lower(text), '[a-z]+'))
                      END AS stop_ratio
                    FROM documents),
+             qs AS MATERIALIZED (SELECT doc_id, source, nt AS n_ws_tokens,
+                     (0.4 * stop_ratio
+                      + 0.3 * (least(CASE WHEN nt = 0 THEN 0.0
+                                          ELSE CAST(nc - nt + 1 AS DOUBLE) / nt END, 10.0) / 10.0)
+                      + 0.3 * (1.0 - digit_ratio)) AS score
+                   FROM qs_f)"""
+
+  private val x109 = Q("x109_gate_agreement",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("text"))
+      val rule = graft.ext.RuleGate.flags(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("__ga"))
+      val scored = docs.select(col("doc_id"), col("source"),
+        when(col("doc_id") % 17 =!= 0,
+          TA.qualityScore(col("text")) >= lit(0.46)).as("__gb"))
+      graft.ext.Curation.gateAgreement(
+          scored.join(rule, Seq("doc_id")), "source", "__ga", "__gb")
+        .orderBy("source")
+    },
+    Some(s"""WITH $ruleKeepSql,
+             $scoreSql,
              gb AS MATERIALIZED (SELECT doc_id, source,
-                     CASE WHEN doc_id % 17 <> 0 THEN
-                       (0.4 * stop_ratio
-                        + 0.3 * (least(CASE WHEN nt = 0 THEN 0.0
-                                            ELSE CAST(nc - nt + 1 AS DOUBLE) / nt END, 10.0) / 10.0)
-                        + 0.3 * (1.0 - digit_ratio)) >= 0.46
-                     END AS gb
-                   FROM sf),
-             j AS MATERIALIZED (SELECT gb.source, rule.ga, gb.gb
-                   FROM gb JOIN rule ON rule.doc_id = gb.doc_id),
+                     CASE WHEN doc_id % 17 <> 0 THEN score >= 0.46 END AS gb
+                   FROM qs),
+             j AS MATERIALIZED (SELECT gb.source, rg.ga, gb.gb
+                   FROM gb JOIN rg ON rg.doc_id = gb.doc_id),
              agg AS MATERIALIZED (SELECT source,
                      CAST(sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rated,
                      CAST(sum(CASE WHEN ga IS NULL OR gb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unrated,
@@ -5473,16 +5487,6 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
             FROM pp ORDER BY source"""))
 
-  /** MOSS winnowing fingerprint selection
-    * ([[graft.ext.Winnowing.stats]] — the SIGMOD'03 local
-    * fingerprinting algorithm: per window of w consecutive k-gram
-    * hashes select the min, rightmost on ties; the selected set is the
-    * sparse ~2/(w+1) index with the guarantee that any shared run of
-    * ≥ w+k−1 tokens surfaces a shared fingerprint). The oracle replays
-    * the (min fp, rightmost pos) argmin through the SAME
-    * order-encoding string key (`lpad(fp,19) ⧺ lpad(10⁹−1−pos,9)`), so
-    * neither engine relies on a `min_by` tie policy. Per doc: gram
-    * count, selected count, realized density. */
   /** Oracle twin of [[graft.ext.Winnowing.selectFingerprints]]: the
     * winnowing CTE cascade `{p}tw → {p}pg → {p}keyed → {p}sel →
     * {p}fps` over source CTE `src`, name-prefixed so one query can
@@ -5517,6 +5521,16 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                FROM ${p}sel)"""
   }
 
+  /** MOSS winnowing fingerprint selection
+    * ([[graft.ext.Winnowing.stats]] — the SIGMOD'03 local
+    * fingerprinting algorithm: per window of w consecutive k-gram
+    * hashes select the min, rightmost on ties; the selected set is the
+    * sparse ~2/(w+1) index with the guarantee that any shared run of
+    * ≥ w+k−1 tokens surfaces a shared fingerprint). The oracle replays
+    * the (min fp, rightmost pos) argmin through the SAME
+    * order-encoding string key (`lpad(fp,19) ⧺ lpad(10⁹−1−pos,9)`), so
+    * neither engine relies on a `min_by` tie policy. Per doc: gram
+    * count, selected count, realized density. */
   private val x110 = Q("x110_winnowing_stats",
     (s, d) => graft.ext.Winnowing.stats(documents(s, d), "doc_id", "text",
         k = 3, w = 4)
@@ -5878,6 +5892,69 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM sc_tot t LEFT JOIN sc_agg a ON a.doc_id = t.doc_id
             ORDER BY t.doc_id"""))
 
+  /** Gate-attribution audit ([[graft.ext.Curation.gateAttribution]] —
+    * the filtering-ablation table: per gate, documents and tokens
+    * dropped, and dropped UNIQUELY, i.e. by no other gate; a gate with
+    * near-zero unique drops is pure cost). Three stacked gates over
+    * the corpus: x61's rule conjunction, the x03 score gate at the
+    * median split (abstaining on the doc_id % 17 band — an abstention
+    * neither drops nor blocks another gate's uniqueness), and a
+    * word-count band gate. Oracle splices the shared
+    * [[ruleKeepSql]]/[[scoreSql]] twins and replays the
+    * dropping-gate-count arithmetic. */
+  private val x118 = Q("x118_gate_attribution",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("text"))
+      val rule = graft.ext.RuleGate.flags(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("gate_rule"))
+      val flagged = docs.select(col("doc_id"),
+          coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
+            .cast("long"), lit(0L)).as("__nt"),
+          when(col("doc_id") % 17 =!= 0,
+            TA.qualityScore(col("text")) >= lit(0.46)).as("gate_score"))
+        .withColumn("gate_len", col("__nt") >= 25 && col("__nt") <= 70)
+        .join(rule, Seq("doc_id"))
+      graft.ext.Curation.gateAttribution(flagged, "__nt",
+          Seq("gate_rule", "gate_score", "gate_len"))
+        .orderBy("gate")
+    },
+    Some(s"""WITH $ruleKeepSql,
+             $scoreSql,
+             flags AS MATERIALIZED (
+               SELECT qs.doc_id, qs.n_ws_tokens AS nt, rg.ga AS gate_rule,
+                      CASE WHEN qs.doc_id % 17 <> 0 THEN qs.score >= 0.46
+                      END AS gate_score,
+                      (qs.n_ws_tokens >= 25 AND qs.n_ws_tokens <= 70) AS gate_len
+               FROM qs JOIN rg ON rg.doc_id = qs.doc_id),
+             nd AS MATERIALIZED (
+               SELECT *,
+                      (CASE WHEN gate_rule = false THEN 1 ELSE 0 END
+                       + CASE WHEN gate_score = false THEN 1 ELSE 0 END
+                       + CASE WHEN gate_len = false THEN 1 ELSE 0 END) AS ndrop
+               FROM flags),
+             obs AS MATERIALIZED (
+               SELECT u.o.gate AS gate, u.o.keep AS keep,
+                      u.o.uniq AS uniq, u.o.tok AS tok
+               FROM nd, unnest([
+                 {'gate': 'gate_rule', 'keep': gate_rule,
+                  'uniq': gate_rule = false AND ndrop = 1, 'tok': nt},
+                 {'gate': 'gate_score', 'keep': gate_score,
+                  'uniq': gate_score = false AND ndrop = 1, 'tok': nt},
+                 {'gate': 'gate_len', 'keep': gate_len,
+                  'uniq': gate_len = false AND ndrop = 1, 'tok': nt}]) AS u(o))
+            SELECT gate, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN keep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+                   CAST(sum(CASE WHEN keep = false THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+                   CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_drop,
+                   CAST(sum(CASE WHEN keep = false THEN tok ELSE 0 END) AS BIGINT) AS tokens_drop,
+                   CAST(sum(CASE WHEN uniq THEN tok ELSE 0 END) AS BIGINT) AS tokens_unique_drop,
+                   CASE WHEN sum(CASE WHEN keep IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+                     CAST(sum(CASE WHEN keep = false THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN keep IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   END AS drop_rate
+            FROM obs GROUP BY 1 ORDER BY gate"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5886,5 +5963,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118)
 }

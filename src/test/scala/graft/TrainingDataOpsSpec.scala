@@ -1036,6 +1036,27 @@ class CurationSpec extends SparkSpec {
     assert(out("c")._2 == ((Some(0.5), Some(0.5), Some(0.0))))
   }
 
+  test("gateAttribution: unique drops need exactly one dropping gate; abstainers neither drop nor block") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // (tokens, ga, gb): kept by both; dropped by A only (unique);
+      // dropped by both (not unique); B abstains while A drops (unique)
+      (10L, Some(true), Some(true)),
+      (20L, Some(false), Some(true)),
+      (40L, Some(false), Some(false)),
+      (80L, Some(false), None))
+      .toDF("tok", "ga", "gb")
+    val out = graft.ext.Curation.gateAttribution(rows, "tok", Seq("ga", "gb"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    // A: 4 eval, 3 drops, unique = rows where ONLY A drops (20, 80)
+    assert(out("ga") == ((4L, 4L, 3L, 2L, 140L, 100L, 0.75)))
+    // B: 3 eval (one abstain), 1 drop, not unique (A drops it too)
+    assert(out("gb") == ((4L, 3L, 1L, 0L, 40L, 0L, 1.0 / 3)))
+  }
+
   test("gateAgreement: both gates constant -> pe 1 -> kappa abstains") {
     val s = spark
     import s.implicits._
