@@ -1,0 +1,219 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training — the SentencePiece counterpart of
+  * the BPE family ([[Bpe]]): seed a piece vocabulary from substring
+  * counts, segment every word type by maximum-probability Viterbi
+  * under the current piece distribution, re-estimate piece
+  * probabilities from usage, iterate, and prune unused pieces (Kudo
+  * 2018's unigram model, in its HARD-EM / Viterbi variant).
+  *
+  * DETERMINISM DECISIONS, per the engine's no-transcendentals
+  * discipline ([[LmScore]]'s "no logs, nothing engine-dependent"):
+  *
+  *   - Probabilities are QUANTIZED RATIONALS on the 2⁻²⁰ grid:
+  *     `q(piece) = max(1, (cnt·2²⁰) div total) / 2²⁰` — the integer
+  *     division is exact on both engines and the final division by a
+  *     power of two is an exact double. The max(1,·) floor keeps every
+  *     vocabulary piece usable (a zero-probability piece would zero
+  *     every segmentation through it).
+  *   - Viterbi maximizes the PRODUCT of piece probabilities directly —
+  *     published trainers sum logs, but `log` is not correctly-rounded
+  *     IEEE and diverges across engines in the last ulp; double
+  *     multiplication IS correctly rounded, and the DP multiplies in
+  *     one fixed left-to-right order, so both engines land on the
+  *     identical double at every cell.
+  *   - Ties break deterministically: (max product, FEWEST pieces,
+  *     LONGEST last piece), realized as one ascending sort on the
+  *     state struct `(negs = −product, k, b)` — no reliance on either
+  *     engine's `min_by`/argmax tie policy.
+  *   - Hard-EM over soft-EM, deliberately: the published E-step's
+  *     forward-backward expectations are sums of float products in
+  *     data-dependent order (engine-hashable only through brittle
+  *     quantization); Viterbi counts are exact integers. Same
+  *     fixed-point family, bit-exact replay. Pruning drops pieces with
+  *     ZERO final-round usage (the x103 used-pieces discipline) rather
+  *     than Kudo's likelihood-loss ranking, for the same reason.
+  *
+  * Scale shape (the x102 discipline): the corpus collapses ONCE to its
+  * word-TYPE table — every fold below runs per word type, never per
+  * corpus occurrence; the vocabulary is k-row (collected per round —
+  * the accepted merge-table pattern) and enters the DP as a broadcast
+  * map literal; piece-usage re-estimation is one map-side-combined
+  * explode + groupBy per round. Pricing joins the scored corpus to its
+  * priced word types BROADCAST — corpus text never shuffles.
+  */
+object Unigram {
+
+  /** Probability quantizer: 2²⁰ (the engine-wide fractional grid). */
+  val Scale = 1048576L
+
+  /** Corpus word-TYPE table `(word, cnt)` over lowercase alphabetic
+    * tokens (the [[Bpe.wordSymbols]] token grain, minus the
+    * end-of-word marker — unigram pieces are plain substrings). */
+  def wordTypes(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Occurrence-weighted substring counts up to `maxPieceLen` — the
+    * seed statistics (SentencePiece seeds from suffix-array substring
+    * counts; this is the same quantity for bounded piece length). */
+  private def seedCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words.select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          transform(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("word")) - i + 1)), l =>
+            col("word").substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("cnt"))
+
+  /** Seed vocabulary: ALL single characters (the coverage floor —
+    * every corpus word stays segmentable) plus the top `vocabSize`
+    * multi-character substrings by (count desc, piece asc). */
+  def seedVocab(words: DataFrame, maxPieceLen: Int,
+                vocabSize: Int): DataFrame = {
+    val counts = seedCounts(words, maxPieceLen)
+    counts.filter(length(col("piece")) === 1)
+      .unionByName(counts.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(vocabSize))
+  }
+
+  /** `(cnt, total)` → the quantized probability as an exact double:
+    * `max(1, cnt·2²⁰ div total) / 2²⁰`. */
+  private def qProb(cnt: Column, total: Column): Column = {
+    val prod = cnt.cast("decimal(38,0)") * lit(Scale)
+    val den = total.cast("decimal(38,0)")
+    greatest(lit(1L), ((prod - prod % den) / den).cast("long"))
+      .cast("double") / lit(Scale.toDouble)
+  }
+
+  /** Sentinel `negs` for "prefix unreachable": every REAL state's negs
+    * is negative (−product of probabilities in (0,1]), so +1.0 sorts
+    * AFTER all real candidates and a `least()` only yields it when no
+    * segmentation exists. A sentinel instead of NULL, deliberately:
+    * aggregate()'s accumulator type is derived from its (constant-
+    * folded) init expression, so a nullable-by-expression struct field
+    * collapses to non-nullable at the physical stage and a runtime
+    * NULL written into it reads back as 0.0 under codegen —
+    * plan-DEPENDENT silent garbage (UnigramSpec's foreign-word and
+    * distinct-input cases pin this). With the sentinel the state
+    * struct is null-free end to end and no nullability metadata can
+    * bite. */
+  private val Unreachable = 1.0
+
+  /** The Viterbi DP state array for `word` under the broadcast piece
+    * map: element p+1 = best state for the prefix of length p, as
+    * `(negs = −bestProduct, k = pieces, b = last-piece start)`; negs
+    * = [[Unreachable]] where no segmentation exists. One `aggregate`
+    * fold over positions; the ≤ maxPieceLen last-piece candidates are
+    * UNROLLED in Scala (an `array(...)` of expressions, NOT an inner
+    * `transform` lambda over `acc` — nested-HOF capture of the outer
+    * fold's accumulator is a second plan-dependent hazard), decided by
+    * one `least()` (ascending struct order IS the tie-break). */
+  private def viterbiState(word: Column, probs: Column,
+                           maxPieceLen: Int): Column = {
+    val sentinel = struct(lit(Unreachable).as("negs"),
+      lit(0).as("k"), lit(-1).as("b"))
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(-1.0).as("negs"), lit(0).as("k"), lit(-1).as("b"))),
+      (acc, i) => {
+        // candidate with last piece of length d: start jj = i-d+1 >= 1
+        val cands = (1 to maxPieceLen).map { d =>
+          val jj = i - (d - 1)
+          // try_element_at: jj can fall below 1 for short prefixes, and
+          // ANSI element_at would throw before the guard is consulted
+          val prev = try_element_at(acc, jj)
+          val p = try_element_at(probs, word.substr(jj, lit(d)))
+          when(jj < 1 || prev("negs") >= Unreachable || p.isNull, sentinel)
+            .otherwise(struct((prev("negs") * p).as("negs"),
+              (prev("k") + 1).as("k"), (jj - 1).as("b")))
+        }
+        concat(acc, array(least(cands: _*)))
+      })
+  }
+
+  /** Per-word-type Viterbi results under a piece-probability map:
+    * `(word, cnt, n_pieces, pieces)` — `n_pieces`/`pieces` NULL when
+    * the word cannot be segmented (an unseen character outside the
+    * vocabulary's coverage — impossible for the training corpus by the
+    * seed's char floor, the honest verdict for foreign words). */
+  def viterbiSegments(words: DataFrame, probs: Map[String, Double],
+                      maxPieceLen: Int): DataFrame = {
+    require(probs.nonEmpty, "viterbiSegments needs a non-empty vocabulary")
+    val pm = typedlit(probs)
+    val n = length(col("word"))
+    val staged = words
+      .withColumn("__st", viterbiState(col("word"), pm, maxPieceLen))
+      .withColumn("__ok",
+        element_at(col("__st"), n + 1)("negs") < Unreachable)
+    val back = aggregate(
+      sequence(lit(1), n),
+      struct(n.as("pos"), array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val b = element_at(col("__st"), acc("pos") + 1)("b")
+        when(acc("pos") <= 0, acc)
+          .otherwise(struct(b.as("pos"),
+            concat(acc("ps"),
+              array(col("word").substr(b + 1, acc("pos") - b))).as("ps")))
+      })
+    staged.select(col("word"), col("cnt"),
+      when(col("__ok"),
+        element_at(col("__st"), n + 1)("k").cast("long")).as("n_pieces"),
+      when(col("__ok"), back("ps")).as("pieces"))
+  }
+
+  /** Train the tokenizer: seed → `rounds` × (Viterbi segment +
+    * re-estimate) → prune to the pieces the final round actually used.
+    * @return the vocabulary `(piece, cnt, prob)` — usage counts of the
+    *         final round and their quantized probabilities. */
+  def fit(docs: DataFrame, textCol: String, vocabSize: Int,
+          maxPieceLen: Int, rounds: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = wordTypes(docs, textCol).localCheckpoint(true)
+    var vocab = seedVocab(words, maxPieceLen, vocabSize)
+    for (_ <- 1 to rounds) {
+      val probs = withProbs(vocab).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      vocab = viterbiSegments(words, probs, maxPieceLen)
+        .filter(col("pieces").isNotNull)
+        .select(col("cnt"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("cnt"))
+    }
+    withProbs(vocab)
+  }
+
+  /** Attach the quantized probability column to a `(piece, cnt)`
+    * table (total = Σ cnt, one scalar window — vocab-cardinality). */
+  private def withProbs(vocab: DataFrame): DataFrame =
+    vocab.withColumn("__total",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("piece"), col("cnt"),
+        qProb(col("cnt"), col("__total")).as("prob"))
+
+  /** Price a corpus in trained-tokenizer units: per doc, word count,
+    * piece count, and unpriced words (NULL-segmentation foreign
+    * words — reported, never silently dropped). The scored corpus's
+    * word TYPES are priced once by the DP and join back BROADCAST —
+    * the [[Bpe.pieceCounts]] shape. */
+  def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
+                  probs: Map[String, Double], maxPieceLen: Int): DataFrame = {
+    val types = docs
+      .select(explode(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .distinct().withColumn("cnt", lit(1L))
+    val priced = viterbiSegments(types, probs, maxPieceLen)
+      .select(col("word"), col("n_pieces"))
+    docs.select(col(idCol),
+        explode_outer(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .join(broadcast(priced), Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(count(col("word")).as("n_words"),
+        sum(coalesce(col("n_pieces"), lit(0L))).as("n_pieces"),
+        sum(when(col("word").isNotNull && col("n_pieces").isNull, 1L)
+          .otherwise(0L)).as("n_unpriced"))
+  }
+}

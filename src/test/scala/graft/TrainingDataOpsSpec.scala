@@ -1328,6 +1328,139 @@ class WinnowingSpec extends SparkSpec {
   }
 }
 
+/** Unigram-LM tokenizer ([[graft.ext.Unigram]] — hard-EM Viterbi). */
+class UnigramSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private val L = 4
+
+  private def refQ(cnt: Long, total: Long): Double =
+    math.max(1L, cnt * 1048576L / total).toDouble / 1048576.0
+
+  private case class St(negs: Double, k: Int, b: Int)
+
+  /** Reference Viterbi: max product, fewest pieces, longest last piece
+    * — plain Scala, no Spark machinery. */
+  private def refViterbi(word: String, probs: Map[String, Double])
+      : Option[List[String]] = {
+    val st = Array.fill[Option[St]](word.length + 1)(None)
+    st(0) = Some(St(-1.0, 0, -1))
+    for (i <- 1 to word.length) {
+      val cands = for {
+        jj <- math.max(1, i - L + 1) to i
+        prev <- st(jj - 1)
+        p <- probs.get(word.substring(jj - 1, i))
+      } yield St(prev.negs * p, prev.k + 1, jj - 1)
+      if (cands.nonEmpty)
+        st(i) = Some(cands.minBy(c => (c.negs, c.k, c.b)))
+    }
+    st(word.length).map { _ =>
+      var pos = word.length
+      var ps = List.empty[String]
+      while (pos > 0) {
+        val s = st(pos).get
+        ps = word.substring(s.b, pos) :: ps
+        pos = s.b
+      }
+      ps
+    }
+  }
+
+  /** Reference trainer: seed substring counts -> top-V multi + all
+    * chars -> rounds x (viterbi + recount) -> quantized probs. */
+  private def refFit(words: Map[String, Long], v: Int, rounds: Int)
+      : Map[String, (Long, Double)] = {
+    val seed = words.toSeq.flatMap { case (w, c) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(L, w.length - i))
+        yield (w.substring(i, i + l), c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val chars = seed.filter(_._1.length == 1)
+    val multi = seed.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(v)
+    var vocab: Map[String, Long] = chars ++ multi
+    for (_ <- 1 to rounds) {
+      val total = vocab.values.sum
+      val probs = vocab.map { case (p, c) => p -> refQ(c, total) }
+      vocab = words.toSeq.flatMap { case (w, c) =>
+        refViterbi(w, probs).get.map(_ -> c)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    }
+    val total = vocab.values.sum
+    vocab.map { case (p, c) => p -> (c, refQ(c, total)) }
+  }
+
+  private val corpus = df(Seq(
+    (1L, "the cat and the catnip and the cast"),
+    (2L, "a cat sat on the mat with another cat"),
+    (3L, "casting the catnip net can net the cat"))).toDF("doc_id", "text")
+
+  private def wordFreqs: Map[String, Long] = corpus.collect()
+    .flatMap(_.getString(1).split(" ")).groupBy(identity)
+    .map { case (w, xs) => w -> xs.length.toLong }
+
+  test("fit matches the reference trainer exactly (counts and quantized probs)") {
+    val got = graft.ext.Unigram
+      .fit(corpus, "text", vocabSize = 12, maxPieceLen = L, rounds = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val ref = refFit(wordFreqs, v = 12, rounds = 2)
+    assert(got == ref, s"got=${got.toSeq.sorted}\nref=${ref.toSeq.sorted}")
+  }
+
+  test("every training word segments; richer vocab never raises the piece count") {
+    val words = graft.ext.Unigram.wordTypes(corpus, "text")
+    val probsSmall = graft.ext.Unigram
+      .fit(corpus, "text", vocabSize = 2, maxPieceLen = L, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val probsBig = graft.ext.Unigram
+      .fit(corpus, "text", vocabSize = 40, maxPieceLen = L, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val kSmall = graft.ext.Unigram.viterbiSegments(words, probsSmall, L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val kBig = graft.ext.Unigram.viterbiSegments(words, probsBig, L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(kSmall.keySet == kBig.keySet)           // all words segment
+    kBig.foreach { case (w, k) => assert(k <= kSmall(w), w) }
+  }
+
+  test("pieceCounts prices in trained units and reports foreign words unpriced") {
+    val probs = graft.ext.Unigram
+      .fit(corpus, "text", vocabSize = 12, maxPieceLen = L, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val scored = df(Seq(
+      (10L, "the cat sat"),
+      (11L, "zz zq"),          // 'z'/'q' unseen chars: unpriced
+      (12L, ""))).toDF("doc_id", "text")
+    val out = graft.ext.Unigram
+      .pieceCounts(scored, "doc_id", "text", probs, L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0)._2 == 3L && out(0)._3 >= 3L && out(0)._4 == 0L)
+    assert(out(1) == ((11L, 2L, 0L, 2L)))
+    assert(out(2) == ((12L, 0L, 0L, 0L)))
+  }
+
+  test("fit is invariant under input partitioning") {
+    def run(parts: Int) = graft.ext.Unigram
+      .fit(corpus.repartition(parts), "text", vocabSize = 12,
+        maxPieceLen = L, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(run(1) == run(7))
+  }
+
+  test("tie-break: equal-probability segmentations prefer fewer, then longer-last pieces") {
+    // probs hand-set so 'abab' splits tie: ab|ab (k=2) beats a|b|ab etc.
+    val words = df(Seq(("abab", 1L))).toDF("word", "cnt")
+    val probs = Map("a" -> 0.25, "b" -> 0.25, "ab" -> 0.0625, "abab" -> 0.00390625)
+    // products: abab=0.00390625 (k=1), ab|ab=0.00390625 (k=2),
+    // a|b|ab=0.00390625 (k=3) ... all tie -> fewest pieces wins: [abab]
+    val out = graft.ext.Unigram.viterbiSegments(words, probs, 4)
+      .collect()(0).getSeq[String](3)
+    assert(out == Seq("abab"), out)
+  }
+}
+
 /** T5-style span-corruption construction ([[graft.ext.SpanCorruption]]). */
 class SpanCorruptionSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
