@@ -5955,6 +5955,183 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    END AS drop_rate
             FROM obs GROUP BY 1 ORDER BY gate"""))
 
+  /** Oracle twin of [[graft.ext.Unigram]]'s hard-EM Viterbi trainer —
+    * the DP UNROLLED into plain per-position CTEs (DuckDB 1.0's
+    * `list_reduce` silently corrupts struct accumulators and outer
+    * column captures, so NO lambda fold is trusted with state; every
+    * cell is a 4-way UNION of candidate rows decided by one
+    * `row_number() OVER (ORDER BY negs, k, b)` — the identical
+    * (max product, fewest pieces, longest last piece) tie-break as
+    * the engine's struct `least()`). `m` bounds the unrolling: every
+    * corpus word must be ≤ m chars (the checked queries require() it
+    * loudly against the data). Per round: probability CTE (the same
+    * `max(1, cnt·2²⁰ div total)/2²⁰` quantized rational), M DP
+    * position CTEs, the backpointer walk (M chained CTEs emitting one
+    * piece each), and the usage recount. Bit-exact against
+    * [[graft.ext.Unigram.fit]] including every double. */
+  private def unigramDpRound(pre: String, wordsCte: String, r: Int,
+                             vocab: String, l: Int, m: Int): Seq[String] = {
+    val probs =
+      s"""${pre}p$r AS MATERIALIZED (
+      SELECT piece, CAST(greatest(1, (CAST(cnt AS HUGEINT) * 1048576) // (SELECT CAST(sum(cnt) AS HUGEINT) FROM $vocab)) AS DOUBLE) / 1048576.0 AS prob
+      FROM $vocab)"""
+    val d0 =
+      s"""${pre}d${r}_0 AS MATERIALIZED (
+      SELECT word, cnt, CAST(-1.0 AS DOUBLE) AS negs, 0 AS k, CAST(-1 AS INT) AS b FROM $wordsCte)"""
+    val dps = (1 to m).map { p =>
+      val cands = (1 to math.min(l, p)).map { d =>
+        s"""SELECT w.word, w.cnt, s.negs * pp.prob AS negs, s.k + 1 AS k, CAST(${p - d} AS INT) AS b
+        FROM $wordsCte w
+        JOIN ${pre}d${r}_${p - d} s ON s.word = w.word
+        JOIN ${pre}p$r pp ON pp.piece = substr(w.word, ${p - d + 1}, $d)
+        WHERE length(w.word) >= $p"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""${pre}d${r}_$p AS MATERIALIZED (
+      SELECT word, cnt, negs, k, b FROM (
+        SELECT *, row_number() OVER (PARTITION BY word ORDER BY negs, k, b) AS rk FROM (
+        $cands)) WHERE rk = 1)"""
+    }
+    val all = s"${pre}all$r AS MATERIALIZED (" + (0 to m).map(p =>
+      s"SELECT word, $p AS pos, negs, k, b FROM ${pre}d${r}_$p")
+      .mkString("\n        UNION ALL\n        ") + ")"
+    val fin =
+      s"""${pre}fin$r AS MATERIALIZED (
+      SELECT a.word, w.cnt, a.pos, a.k, a.b FROM ${pre}all$r a
+      JOIN $wordsCte w ON w.word = a.word AND a.pos = length(w.word))"""
+    val walk1 =
+      s"""${pre}walk${r}_1 AS MATERIALIZED (
+      SELECT word, cnt, b AS pos, substr(word, b + 1, pos - b) AS piece FROM ${pre}fin$r)"""
+    val walks = (2 to m).map { s =>
+      s"""${pre}walk${r}_$s AS MATERIALIZED (
+      SELECT w.word, w.cnt, a.b AS pos, substr(w.word, a.b + 1, w.pos - a.b) AS piece
+      FROM ${pre}walk${r}_${s - 1} w JOIN ${pre}all$r a ON a.word = w.word AND a.pos = w.pos
+      WHERE w.pos > 0)"""
+    }
+    val pieces = s"${pre}pieces$r AS MATERIALIZED (" + (1 to m).map(s =>
+      s"SELECT word, cnt, piece FROM ${pre}walk${r}_$s")
+      .mkString("\n        UNION ALL\n        ") + ")"
+    val vR =
+      s"""${pre}v$r AS MATERIALIZED (
+      SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM ${pre}pieces$r GROUP BY 1)"""
+    Seq(probs, d0) ++ dps ++ Seq(all, fin, walk1) ++ walks ++
+      Seq(pieces, vR)
+  }
+
+  /** The full training cascade: seed + `rounds` DP rounds, all under
+    * the `ug_` prefix. */
+  private def unigramSql(wordsCte: String, rounds: Int, l: Int, v: Int,
+                         m: Int): String = {
+    val seed = Seq(
+      s"""ug_seed AS MATERIALIZED (
+      SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+        SELECT unnest(flatten(list_transform(generate_series(1, length(word)),
+          i -> list_transform(generate_series(1, least($l, length(word) - i + 1)),
+            j -> substr(word, CAST(i AS INT), CAST(j AS INT)))))) AS piece, cnt
+        FROM $wordsCte) GROUP BY 1)""",
+      s"""ug_v0 AS MATERIALIZED (
+      SELECT piece, cnt FROM ug_seed WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM ug_seed WHERE length(piece) > 1) WHERE rk <= $v)""")
+    (seed ++ (1 to rounds).flatMap(r =>
+      unigramDpRound("ug_", wordsCte, r, s"ug_v${r - 1}", l, m)))
+      .mkString(",\n    ")
+  }
+
+  /** The x119/x120 trainer fixture: V = 25 multi-char pieces, piece
+    * length ≤ 4, 2 hard-EM rounds; the oracle's DP unrolls to m = 10
+    * positions, and the fixture require()s the corpus's max word
+    * length inside that bound so a data regeneration cannot silently
+    * desynchronize the two sides. */
+  private val ugV = 25; private val ugL = 4; private val ugR = 2
+  private val ugM = 10
+
+  private def requireWordBound(docs: org.apache.spark.sql.DataFrame): Unit = {
+    val maxLen = graft.ext.Unigram.wordTypes(docs, "text")
+      .agg(max(length(col("word")))).head().getInt(0)
+    require(maxLen <= ugM,
+      s"unigram oracle unrolls the Viterbi DP to $ugM positions but the " +
+        s"corpus has a $maxLen-char word — raise ugM to match")
+  }
+
+  /** Unigram-LM tokenizer fit ([[graft.ext.Unigram.fit]] — the
+    * SentencePiece counterpart of the x102 BPE family: seed substring
+    * vocabulary → Viterbi max-product segmentation → usage recount,
+    * iterated, pruned to used pieces; probabilities are quantized
+    * rationals and the DP multiplies doubles in one fixed order, so
+    * the trained table is bit-exact across engines — no logs
+    * anywhere, the engine-wide no-transcendentals discipline). */
+  private val x119 = Q("x119_unigram_fit",
+    (s, d) => {
+      val docs = documents(s, d)
+      requireWordBound(docs)
+      graft.ext.Unigram.fit(docs, "text", vocabSize = ugV,
+          maxPieceLen = ugL, rounds = ugR)
+        .orderBy("piece")
+    },
+    Some(s"""WITH ug_w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) GROUP BY 1),
+    ${unigramSql("ug_w", ugR, ugL, ugV, ugM)}
+            SELECT piece, cnt,
+                   CAST(greatest(1, (CAST(cnt AS HUGEINT) * 1048576) // (SELECT CAST(sum(cnt) AS HUGEINT) FROM ug_v$ugR)) AS DOUBLE) / 1048576.0 AS prob
+            FROM ug_v$ugR ORDER BY piece"""))
+
+  /** The corpus priced in trained UNIGRAM units
+    * ([[graft.ext.Unigram.pieceCounts]] — x104's BPE pricing with the
+    * Viterbi segmenter: per doc, words, pieces, and UNPRICED words,
+    * i.e. words carrying characters outside the tokenizer's coverage,
+    * reported rather than silently dropped; the doc_id % 7 docs carry
+    * appended foreign words ('zebra xylo' — 'x'/'z' are outside the
+    * corpus alphabet) so the unpriced column provably fires. The
+    * scoring DP is one more oracle round under the FINAL vocabulary's
+    * probabilities. */
+  private val x120 = Q("x120_unigram_price",
+    (s, d) => {
+      val docs = documents(s, d)
+      requireWordBound(docs)
+      val probs = graft.ext.Unigram.fit(docs, "text", vocabSize = ugV,
+          maxPieceLen = ugL, rounds = ugR)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val scored = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" zebra xylo")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Unigram.pieceCounts(scored, "doc_id", "text", probs, ugL)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ug_w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) GROUP BY 1),
+    ${unigramSql("ug_w", ugR, ugL, ugV, ugM)},
+    scored AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' zebra xylo'
+                          ELSE text END AS text FROM documents),
+    qq_w AS MATERIALIZED (
+      SELECT word, CAST(1 AS BIGINT) AS cnt FROM (
+        SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM scored)),
+    ${unigramDpRound("qq_", "qq_w", 1, s"ug_v$ugR", ugL, ugM)
+      .mkString(",\n    ")},
+    dw AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM scored),
+    kk AS MATERIALIZED (
+      SELECT word, CAST(k AS BIGINT) AS np FROM qq_fin1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(agg.n_pieces, 0) AS BIGINT) AS n_pieces,
+                   CAST(COALESCE(agg.n_unpriced, 0) AS BIGINT) AS n_unpriced
+            FROM documents d LEFT JOIN (
+              SELECT dw.doc_id, count(*) AS n_words,
+                     sum(COALESCE(kk.np, 0)) AS n_pieces,
+                     sum(CASE WHEN kk.np IS NULL THEN 1 ELSE 0 END) AS n_unpriced
+              FROM dw LEFT JOIN kk ON kk.word = dw.word
+              GROUP BY 1) agg ON agg.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -5963,5 +6140,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120)
 }
