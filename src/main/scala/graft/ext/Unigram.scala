@@ -164,6 +164,25 @@ object Unigram {
       when(col("__ok"), back("ps")).as("pieces"))
   }
 
+  /** The hard-EM loop: `rounds` × (Viterbi segment under the current
+    * quantized probabilities + usage recount). Markov on
+    * (word table, vocab counts) — which is what makes the persisted
+    * store's CONTINUATION training exact: `extend(fit(r), e) ≡
+    * fit(r+e)` over the same corpus. */
+  private def emRounds(words: DataFrame, vocab0: DataFrame, rounds: Int,
+                       maxPieceLen: Int): DataFrame = {
+    var vocab = vocab0
+    for (_ <- 1 to rounds) {
+      val probs = withProbs(vocab).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      vocab = viterbiSegments(words, probs, maxPieceLen)
+        .filter(col("pieces").isNotNull)
+        .select(col("cnt"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("cnt"))
+    }
+    vocab
+  }
+
   /** Train the tokenizer: seed → `rounds` × (Viterbi segment +
     * re-estimate) → prune to the pieces the final round actually used.
     * @return the vocabulary `(piece, cnt, prob)` — usage counts of the
@@ -174,16 +193,104 @@ object Unigram {
     require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val words = wordTypes(docs, textCol).localCheckpoint(true)
-    var vocab = seedVocab(words, maxPieceLen, vocabSize)
-    for (_ <- 1 to rounds) {
-      val probs = withProbs(vocab).collect()
-        .map(r => r.getString(0) -> r.getDouble(2)).toMap
-      vocab = viterbiSegments(words, probs, maxPieceLen)
-        .filter(col("pieces").isNotNull)
-        .select(col("cnt"), explode(col("pieces")).as("piece"))
-        .groupBy("piece").agg(sum("cnt").as("cnt"))
-    }
-    withProbs(vocab)
+    withProbs(emRounds(words, seedVocab(words, maxPieceLen, vocabSize),
+      rounds, maxPieceLen))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted unigram tokenizer — the [[Bpe.writeTokenizerStore]] shape:
+  // a tokenizer artifact IS driver-sized (a k-row vocabulary), so the
+  // store is a plain catalog table with the 1-row meta as the COMMIT
+  // MARKER (dropped first, written last; meta-less stores refuse loud;
+  // crash recovery is a documented REBUILD). No streamed ingest, by the
+  // same argument as BPE: every EM round conditions on the full prior
+  // vocabulary, no commutative delta exists — CONTINUATION training is
+  // the honest incremental form, and it is EXACT (the loop is Markov on
+  // the word table + vocab counts).
+  // ---------------------------------------------------------------------
+
+  /** Name of the 1-row meta next to a unigram store:
+    * `(vocab_size, max_piece_len, rounds, q_scale)`. */
+  def tokenizerMeta(table: String): String = s"${table}_meta"
+
+  private def commitMeta(spark: org.apache.spark.sql.SparkSession,
+                         table: String, vocabSize: Int, maxPieceLen: Int,
+                         rounds: Int): Unit = {
+    import spark.implicits._
+    Seq((vocabSize, maxPieceLen, rounds, Scale))
+      .toDF("vocab_size", "max_piece_len", "rounds", "q_scale")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tokenizerMeta(table))
+  }
+
+  private def requireContract(spark: org.apache.spark.sql.SparkSession,
+                              table: String): org.apache.spark.sql.Row = {
+    require(spark.catalog.tableExists(tokenizerMeta(table)),
+      s"unigram store '$table' has no meta table — a (re)build or " +
+        "extension crashed before committing; re-run writeUnigramStore")
+    val m = spark.table(tokenizerMeta(table)).head()
+    require(m.getAs[Long]("q_scale") == Scale,
+      s"unigram store '$table' was built with quantizer scale " +
+        s"${m.getAs[Long]("q_scale")}, this engine serves at $Scale — " +
+        "rebuild the store")
+    m
+  }
+
+  /** Fit and persist the vocabulary counts as catalog table `table`
+    * (piece, cnt); meta committed LAST. */
+  def writeUnigramStore(docs: DataFrame, textCol: String, vocabSize: Int,
+                        maxPieceLen: Int, rounds: Int,
+                        table: String): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${tokenizerMeta(table)}`")
+    fit(docs, textCol, vocabSize, maxPieceLen, rounds)
+      .select(col("piece"), col("cnt"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    commitMeta(spark, table, vocabSize, maxPieceLen, rounds)
+  }
+
+  /** The stored vocabulary served with its quantized probabilities —
+    * bit-identical to [[fit]]'s return (one oracle, two plan shapes:
+    * the x105 precedent). */
+  def serveVocab(spark: org.apache.spark.sql.SparkSession,
+                 table: String): DataFrame = {
+    requireContract(spark, table)
+    withProbs(spark.table(table).select(col("piece"), col("cnt")))
+  }
+
+  /** [[pieceCounts]] served from the store — the deployment path
+    * (probabilities and the piece-length bound come FROM the committed
+    * meta, so a caller cannot price under mismatched parameters). */
+  def pieceCountsAgainstStore(docs: DataFrame, idCol: String,
+                              textCol: String, table: String): DataFrame = {
+    val spark = docs.sparkSession
+    val meta = requireContract(spark, table)
+    val probs = serveVocab(spark, table).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    pieceCounts(docs, idCol, textCol, probs,
+      meta.getAs[Int]("max_piece_len"))
+  }
+
+  /** CONTINUATION training: run `extraRounds` more hard-EM rounds from
+    * the stored vocabulary over `docs`' word types and commit the
+    * extended store (drop meta → rewrite → meta last). Over the SAME
+    * corpus this equals a deeper one-shot fit (the loop is Markov);
+    * over a NEW corpus it is domain continuation. */
+  def extendUnigram(docs: DataFrame, textCol: String, extraRounds: Int,
+                    table: String): Unit = {
+    require(extraRounds >= 1, s"extraRounds must be >= 1, got $extraRounds")
+    val spark = docs.sparkSession
+    val meta = requireContract(spark, table)
+    val maxPieceLen = meta.getAs[Int]("max_piece_len")
+    val vocab0 = spark.table(table).select(col("piece"), col("cnt"))
+      .localCheckpoint(true)
+    val words = wordTypes(docs, textCol).localCheckpoint(true)
+    val extended = emRounds(words, vocab0, extraRounds, maxPieceLen)
+      .localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS `${tokenizerMeta(table)}`")
+    extended.write.mode("overwrite").format("parquet").saveAsTable(table)
+    commitMeta(spark, table, meta.getAs[Int]("vocab_size"), maxPieceLen,
+      meta.getAs[Int]("rounds") + extraRounds)
   }
 
   /** Attach the quantized probability column to a `(piece, cnt)`

@@ -6062,6 +6062,19 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * rationals and the DP multiplies doubles in one fixed order, so
     * the trained table is bit-exact across engines — no logs
     * anywhere, the engine-wide no-transcendentals discipline). */
+  /** x119's oracle text — shared VERBATIM by x121 (the store's
+    * extend-then-serve path must equal the one-shot fit: one oracle,
+    * two plan shapes, the x105 precedent). */
+  private val unigramFitOracle: String =
+    s"""WITH ug_w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) GROUP BY 1),
+    ${unigramSql("ug_w", ugR, ugL, ugV, ugM)}
+            SELECT piece, cnt,
+                   CAST(greatest(1, (CAST(cnt AS HUGEINT) * 1048576) // (SELECT CAST(sum(cnt) AS HUGEINT) FROM ug_v$ugR)) AS DOUBLE) / 1048576.0 AS prob
+            FROM ug_v$ugR ORDER BY piece"""
+
   private val x119 = Q("x119_unigram_fit",
     (s, d) => {
       val docs = documents(s, d)
@@ -6070,14 +6083,30 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
           maxPieceLen = ugL, rounds = ugR)
         .orderBy("piece")
     },
-    Some(s"""WITH ug_w AS MATERIALIZED (
-      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-        FROM documents) GROUP BY 1),
-    ${unigramSql("ug_w", ugR, ugL, ugV, ugM)}
-            SELECT piece, cnt,
-                   CAST(greatest(1, (CAST(cnt AS HUGEINT) * 1048576) // (SELECT CAST(sum(cnt) AS HUGEINT) FROM ug_v$ugR)) AS DOUBLE) / 1048576.0 AS prob
-            FROM ug_v$ugR ORDER BY piece"""))
+    Some(unigramFitOracle))
+
+  /** Persisted unigram tokenizer with CONTINUATION training
+    * ([[graft.ext.Unigram.writeUnigramStore]] /
+    * [[graft.ext.Unigram.extendUnigram]] /
+    * [[graft.ext.Unigram.serveVocab]] — the x105 BPE-store pattern:
+    * meta commit marker last, meta-less stores refuse loud, crash
+    * recovery is a documented rebuild, NO streamed ingest because an
+    * EM round conditions on the whole prior vocabulary; continuation
+    * is the honest incremental form and it is EXACT — the loop is
+    * Markov on (word table, vocab counts), spec-pinned). The store is
+    * built with 1 round, extended by 1 more, and served — checked
+    * against x119's ONE-SHOT 2-round oracle VERBATIM. */
+  private val x121 = Q("x121_unigram_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      requireWordBound(docs)
+      graft.ext.Unigram.writeUnigramStore(docs, "text", vocabSize = ugV,
+        maxPieceLen = ugL, rounds = ugR - 1, table = "x121_ug_store")
+      graft.ext.Unigram.extendUnigram(docs, "text", extraRounds = 1,
+        table = "x121_ug_store")
+      graft.ext.Unigram.serveVocab(s, "x121_ug_store").orderBy("piece")
+    },
+    Some(unigramFitOracle))
 
   /** The corpus priced in trained UNIGRAM units
     * ([[graft.ext.Unigram.pieceCounts]] — x104's BPE pricing with the
@@ -6140,5 +6169,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121)
 }

@@ -1449,6 +1449,44 @@ class UnigramSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("store: serve == fit, extend(fit(1), 1) == fit(2), meta-less store refuses") {
+    val t = "unigram_store_spec"
+    def cleanup(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+    }
+    cleanup()
+    try {
+      graft.ext.Unigram.writeUnigramStore(corpus, "text", vocabSize = 12,
+        maxPieceLen = L, rounds = 1, table = t)
+      val served1 = graft.ext.Unigram.serveVocab(spark, t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val fit1 = graft.ext.Unigram.fit(corpus, "text", 12, L, 1)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(served1 == fit1)
+      graft.ext.Unigram.extendUnigram(corpus, "text", extraRounds = 1, t)
+      val served2 = graft.ext.Unigram.serveVocab(spark, t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val fit2 = graft.ext.Unigram.fit(corpus, "text", 12, L, 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(served2 == fit2, "continuation must equal the deeper one-shot fit")
+      // store-served pricing == in-memory pricing
+      val probs = fit2.map(x => x._1 -> x._3).toMap
+      val a = graft.ext.Unigram.pieceCountsAgainstStore(corpus, "doc_id",
+          "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val b = graft.ext.Unigram.pieceCounts(corpus, "doc_id", "text", probs, L)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(a == b)
+      // the meta is the commit marker: without it, serving refuses loud
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      val e = intercept[IllegalArgumentException] {
+        graft.ext.Unigram.serveVocab(spark, t)
+      }
+      assert(e.getMessage.contains("no meta table"))
+    } finally cleanup()
+  }
+
   test("tie-break: equal-probability segmentations prefer fewer, then longer-last pieces") {
     // probs hand-set so 'abab' splits tie: ab|ab (k=2) beats a|b|ab etc.
     val words = df(Seq(("abab", 1L))).toDF("word", "cnt")
