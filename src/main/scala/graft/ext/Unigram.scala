@@ -271,6 +271,39 @@ object Unigram {
       meta.getAs[Int]("max_piece_len"))
   }
 
+  /** Per-group unigram FERTILITY card — [[Bpe.fertilityCard]]'s twin
+    * (pieces per word, the published tokenizer-bias audit), with the
+    * unigram-specific honesty column: BPE prices every word as far as
+    * its merges reach, but a Viterbi segmentation simply does not
+    * exist for words with out-of-coverage characters — those count in
+    * `n_unpriced` and the fertility divides over PRICED words only.
+    * Same scale shape as pricing: word types priced once by the DP,
+    * broadcast join back, one map-side-combined rollup. */
+  def fertilityCard(docs: DataFrame, groupCol: String, textCol: String,
+                    probs: Map[String, Double],
+                    maxPieceLen: Int): DataFrame = {
+    val types = docs
+      .select(explode(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .distinct().withColumn("cnt", lit(1L))
+    val priced = viterbiSegments(types, probs, maxPieceLen)
+      .select(col("word"), col("n_pieces"))
+    docs.select(col(groupCol),
+        explode_outer(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .join(broadcast(priced), Seq("word"), "left")
+      .groupBy(groupCol)
+      .agg(count(col("word")).as("n_words"),
+        sum(when(col("word").isNotNull && col("n_pieces").isNotNull, 1L)
+          .otherwise(0L)).as("n_priced"),
+        sum(coalesce(col("n_pieces"), lit(0L))).as("n_pieces"),
+        sum(when(col("word").isNotNull && col("n_pieces").isNull, 1L)
+          .otherwise(0L)).as("n_unpriced"))
+      .select(col(groupCol), col("n_words"), col("n_priced"),
+        col("n_pieces"), col("n_unpriced"),
+        when(col("n_priced") > 0,
+          col("n_pieces").cast("double") / col("n_priced").cast("double"))
+          .as("fertility"))
+  }
+
   /** CONTINUATION training: run `extraRounds` more hard-EM rounds from
     * the stored vocabulary over `docs`' word types and commit the
     * extended store (drop meta → rewrite → meta last). Over the SAME

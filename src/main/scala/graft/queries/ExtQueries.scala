@@ -6161,6 +6161,71 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
               GROUP BY 1) agg ON agg.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Tokenizer COMPARISON card — the selection audit a pipeline runs
+    * before committing to a tokenizer: per source, fertility
+    * (pieces/word) under the x102 BPE tokenizer vs the x119 unigram
+    * tokenizer, both trained on the same corpus, side by side
+    * ([[graft.ext.Bpe.fertilityCard]] ⋈
+    * [[graft.ext.Unigram.fertilityCard]]). The unigram side prices
+    * over segmentable words only and reports `ug_unpriced` honestly
+    * (0 here — the scorer runs on the training corpus). The oracle
+    * splices the x102 merge cascade and the x119 unigram cascade plus
+    * one scoring DP round, so neither tokenizer's numbers can drift
+    * from their own checked queries. */
+  private val x122 = Q("x122_tokenizer_compare",
+    (s, d) => {
+      val docs = documents(s, d)
+      requireWordBound(docs)
+      val merges = Bpe.fitMerges(docs, "text", numMerges = bpeK)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val bpe = Bpe.fertilityCard(docs, "source", "text",
+          Bpe.encodeWords(Bpe.wordSymbols(docs, "text"), merges))
+        .select(col("source"), col("n_words"),
+          col("n_pieces").as("bpe_pieces"),
+          col("fertility").as("bpe_fertility"))
+      val probs = graft.ext.Unigram.fit(docs, "text", vocabSize = ugV,
+          maxPieceLen = ugL, rounds = ugR)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val ug = graft.ext.Unigram.fertilityCard(docs, "source", "text",
+          probs, ugL)
+        .select(col("source"), col("n_pieces").as("ug_pieces"),
+          col("n_unpriced").as("ug_unpriced"),
+          col("fertility").as("ug_fertility"))
+      bpe.join(ug, Seq("source")).orderBy("source")
+    },
+    Some(s"""WITH ${bpeCascadeSql(bpeK, 2L)},
+             ug_w AS MATERIALIZED (
+               SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+                 SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                 FROM documents) GROUP BY 1),
+             ${unigramSql("ug_w", ugR, ugL, ugV, ugM)},
+             ${unigramDpRound("qq_", "ug_w", 1, s"ug_v$ugR", ugL, ugM)
+               .mkString(",\n             ")},
+             dw AS MATERIALIZED (
+               SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+               FROM documents),
+             bpe_card AS MATERIALIZED (
+               SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                      CAST(sum(len(w.syms)) AS BIGINT) AS bpe_pieces
+               FROM dw JOIN w$bpeK w ON w.word = dw.word GROUP BY 1),
+             ug_card AS MATERIALIZED (
+               SELECT dw.source,
+                      CAST(sum(CASE WHEN f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_priced,
+                      CAST(sum(COALESCE(f.k, 0)) AS BIGINT) AS ug_pieces,
+                      CAST(sum(CASE WHEN f.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ug_unpriced
+               FROM dw LEFT JOIN qq_fin1 f ON f.word = dw.word GROUP BY 1)
+            SELECT b.source, b.n_words, b.bpe_pieces,
+                   CASE WHEN b.n_words > 0 THEN
+                     CAST(b.bpe_pieces AS DOUBLE) / CAST(b.n_words AS DOUBLE)
+                   END AS bpe_fertility,
+                   u.ug_pieces, u.ug_unpriced,
+                   CASE WHEN u.n_priced > 0 THEN
+                     CAST(u.ug_pieces AS DOUBLE) / CAST(u.n_priced AS DOUBLE)
+                   END AS ug_fertility
+            FROM bpe_card b JOIN ug_card u ON u.source = b.source
+            ORDER BY b.source"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6169,5 +6234,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122)
 }
