@@ -6226,6 +6226,52 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM bpe_card b JOIN ug_card u ON u.source = b.source
             ORDER BY b.source"""))
 
+  /** UNIGRAM-priced sequence packing
+    * ([[Packing.packCountedSequences]] ∘
+    * [[graft.ext.Unigram.pieceCounts]] — x107's batch-assembly layout
+    * re-priced in the x119 tokenizer's units; same distributed prefix
+    * sum, fed by the unigram scoring DP's broadcast pricing join). */
+  private val x123 = Q("x123_unigram_packing",
+    (s, d) => {
+      val docs = documents(s, d)
+      requireWordBound(docs)
+      val probs = graft.ext.Unigram.fit(docs, "text", vocabSize = ugV,
+          maxPieceLen = ugL, rounds = ugR)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val pc = graft.ext.Unigram.pieceCounts(docs, "doc_id", "text",
+        probs, ugL)
+      Packing.packCountedSequences(
+          pc.select(col("doc_id"), col("n_pieces")),
+          "doc_id", "n_pieces", windowTokens = 512)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ug_w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) GROUP BY 1),
+    ${unigramSql("ug_w", ugR, ugL, ugV, ugM)},
+    ${unigramDpRound("qq_", "ug_w", 1, s"ug_v$ugR", ugL, ugM)
+      .mkString(",\n    ")},
+    dw AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents),
+    pcnt AS MATERIALIZED (
+      SELECT dw.doc_id, CAST(sum(COALESCE(f.k, 0)) AS BIGINT) AS n_pieces
+      FROM dw LEFT JOIN qq_fin1 f ON f.word = dw.word GROUP BY 1),
+    costs AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(pcnt.n_pieces, 0) AS n_tokens
+      FROM documents d LEFT JOIN pcnt ON pcnt.doc_id = d.doc_id),
+    laid AS MATERIALIZED (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      FROM costs)
+            SELECT doc_id, n_tokens, "offset",
+                   "offset" // 512 AS bin_start,
+                   CASE WHEN n_tokens = 0 THEN "offset" // 512
+                        ELSE ("offset" + n_tokens - 1) // 512 END AS bin_end
+            FROM laid ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6234,5 +6280,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123)
 }
