@@ -135,7 +135,8 @@ object Unigram {
   }
 
   /** Per-word-type Viterbi results under a piece-probability map:
-    * `(word, cnt, n_pieces, pieces)` — `n_pieces`/`pieces` NULL when
+    * `(word, cnt, n_pieces, pieces)` — `pieces` in FORWARD word
+    * order (concat(pieces) = word); `n_pieces`/`pieces` NULL when
     * the word cannot be segmented (an unseen character outside the
     * vocabulary's coverage — impossible for the training corpus by the
     * seed's char floor, the honest verdict for foreign words). */
@@ -155,8 +156,8 @@ object Unigram {
         val b = element_at(col("__st"), acc("pos") + 1)("b")
         when(acc("pos") <= 0, acc)
           .otherwise(struct(b.as("pos"),
-            concat(acc("ps"),
-              array(col("word").substr(b + 1, acc("pos") - b))).as("ps")))
+            concat(array(col("word").substr(b + 1, acc("pos") - b)),
+              acc("ps")).as("ps")))
       })
     staged.select(col("word"), col("cnt"),
       when(col("__ok"),
@@ -265,8 +266,10 @@ object Unigram {
                               textCol: String, table: String): DataFrame = {
     val spark = docs.sparkSession
     val meta = requireContract(spark, table)
-    val probs = serveVocab(spark, table).collect()
-      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // one contract read: withProbs over the raw table, not serveVocab
+    // (which would re-run requireContract and re-read the meta)
+    val probs = withProbs(spark.table(table).select(col("piece"), col("cnt")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     pieceCounts(docs, idCol, textCol, probs,
       meta.getAs[Int]("max_piece_len"))
   }
@@ -282,11 +285,7 @@ object Unigram {
   def fertilityCard(docs: DataFrame, groupCol: String, textCol: String,
                     probs: Map[String, Double],
                     maxPieceLen: Int): DataFrame = {
-    val types = docs
-      .select(explode(TextAnalysis.wordTokens(col(textCol))).as("word"))
-      .distinct().withColumn("cnt", lit(1L))
-    val priced = viterbiSegments(types, probs, maxPieceLen)
-      .select(col("word"), col("n_pieces"))
+    val priced = pricedWordTypes(docs, textCol, probs, maxPieceLen)
     docs.select(col(groupCol),
         explode_outer(TextAnalysis.wordTokens(col(textCol))).as("word"))
       .join(broadcast(priced), Seq("word"), "left")
@@ -309,8 +308,15 @@ object Unigram {
     * extended store (drop meta → rewrite → meta last). Over the SAME
     * corpus this equals a deeper one-shot fit (the loop is Markov);
     * over a NEW corpus it is domain continuation. */
+  /** @return the number of word TYPES the continuation could not
+    *         segment (characters outside the stored vocabulary's
+    *         coverage) — they contribute nothing to any EM round, and
+    *         a domain continuation where this is large needs a refit
+    *         with a re-seeded vocabulary instead (the no-silent-drop
+    *         policy: training reports its dropped mass the way
+    *         [[pieceCounts]] reports n_unpriced). */
   def extendUnigram(docs: DataFrame, textCol: String, extraRounds: Int,
-                    table: String): Unit = {
+                    table: String): Long = {
     require(extraRounds >= 1, s"extraRounds must be >= 1, got $extraRounds")
     val spark = docs.sparkSession
     val meta = requireContract(spark, table)
@@ -318,12 +324,17 @@ object Unigram {
     val vocab0 = spark.table(table).select(col("piece"), col("cnt"))
       .localCheckpoint(true)
     val words = wordTypes(docs, textCol).localCheckpoint(true)
+    val probs0 = withProbs(vocab0).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val dropped = viterbiSegments(words, probs0, maxPieceLen)
+      .filter(col("pieces").isNull).count()
     val extended = emRounds(words, vocab0, extraRounds, maxPieceLen)
       .localCheckpoint(true)
     spark.sql(s"DROP TABLE IF EXISTS `${tokenizerMeta(table)}`")
     extended.write.mode("overwrite").format("parquet").saveAsTable(table)
     commitMeta(spark, table, meta.getAs[Int]("vocab_size"), maxPieceLen,
       meta.getAs[Int]("rounds") + extraRounds)
+    dropped
   }
 
   /** Attach the quantized probability column to a `(piece, cnt)`
@@ -340,13 +351,21 @@ object Unigram {
     * words — reported, never silently dropped). The scored corpus's
     * word TYPES are priced once by the DP and join back BROADCAST —
     * the [[Bpe.pieceCounts]] shape. */
+  /** The scored corpus's word TYPES priced once by the DP:
+    * (word, n_pieces) — shared by [[pieceCounts]] and
+    * [[fertilityCard]] so the pricing grain cannot diverge. */
+  private def pricedWordTypes(docs: DataFrame, textCol: String,
+                              probs: Map[String, Double],
+                              maxPieceLen: Int): DataFrame =
+    viterbiSegments(
+      docs.select(explode(TextAnalysis.wordTokens(col(textCol))).as("word"))
+        .distinct().withColumn("cnt", lit(1L)),
+      probs, maxPieceLen)
+      .select(col("word"), col("n_pieces"))
+
   def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
                   probs: Map[String, Double], maxPieceLen: Int): DataFrame = {
-    val types = docs
-      .select(explode(TextAnalysis.wordTokens(col(textCol))).as("word"))
-      .distinct().withColumn("cnt", lit(1L))
-    val priced = viterbiSegments(types, probs, maxPieceLen)
-      .select(col("word"), col("n_pieces"))
+    val priced = pricedWordTypes(docs, textCol, probs, maxPieceLen)
     docs.select(col(idCol),
         explode_outer(TextAnalysis.wordTokens(col(textCol))).as("word"))
       .join(broadcast(priced), Seq("word"), "left")

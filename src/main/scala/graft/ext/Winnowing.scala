@@ -142,9 +142,16 @@ object Winnowing {
   }
 
   private def storeRows(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, w: Int): DataFrame =
+                        k: Int, w: Int): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"winnow store ids must be integral (got $idType for '$idCol') — " +
+        "a silent cast would turn non-numeric ids into NULLs and corrupt " +
+        "the index")
     selectFingerprints(docs, idCol, textCol, k, w)
       .select(col("sel_fp"), col(idCol).cast("long").as("doc_id")).distinct()
+  }
 
   /** Build the winnowed index for `docs` as the bucketed catalog table
     * `table` (bucketed+sorted by `sel_fp`); commits the (k, w) meta

@@ -1407,6 +1407,35 @@ class UnigramSpec extends SparkSpec {
     assert(got == ref, s"got=${got.toSeq.sorted}\nref=${ref.toSeq.sorted}")
   }
 
+  test("viterbiSegments returns pieces in forward order, equal to the reference") {
+    val words = graft.ext.Unigram.wordTypes(corpus, "text")
+    val probs = graft.ext.Unigram
+      .fit(corpus, "text", vocabSize = 12, maxPieceLen = L, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val got = graft.ext.Unigram.viterbiSegments(words, probs, L)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](3).toList).toMap
+    got.foreach { case (w, ps) =>
+      assert(ps.mkString("") == w, s"pieces must concatenate to the word: $w -> $ps")
+      assert(ps == refViterbi(w, probs).get, w)
+    }
+  }
+
+  test("extendUnigram reports the word types a domain continuation cannot segment") {
+    val t = "unigram_extend_spec"
+    def cleanup(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+    }
+    cleanup()
+    try {
+      graft.ext.Unigram.writeUnigramStore(corpus, "text", vocabSize = 12,
+        maxPieceLen = L, rounds = 1, table = t)
+      val foreign = df(Seq((9L, "the cat zzz qqzz sat"))).toDF("doc_id", "text")
+      val dropped = graft.ext.Unigram.extendUnigram(foreign, "text", 1, t)
+      assert(dropped == 2L, s"zzz and qqzz are uncovered, got $dropped")
+    } finally cleanup()
+  }
+
   test("every training word segments; richer vocab never raises the piece count") {
     val words = graft.ext.Unigram.wordTypes(corpus, "text")
     val probsSmall = graft.ext.Unigram
@@ -1620,6 +1649,19 @@ class WinnowStoreSpec extends SparkSpec {
           minShared = 1)
       }
       assert(e.getMessage.contains("no meta table"))
+    } finally cleanup(t)
+  }
+
+  test("non-integral ids refuse loud instead of silently corrupting the index") {
+    val t = "winnow_idtype_spec"
+    cleanup(t)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ext.Winnowing.writeWinnowStore(
+          df(Seq(("doc-1", "some text here for the index"))).toDF("doc_id", "text"),
+          "doc_id", "text", k = 3, w = 4, table = t, buckets = 2)
+      }
+      assert(e.getMessage.contains("integral"))
     } finally cleanup(t)
   }
 
