@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,68 @@ object SpanCorruption {
           .orderBy(col("start_pos"))).cast("long") - 1L)
       .select(col(idCol), col("span_idx"), col("start_pos"),
         col("end_pos"), col("span_len"))
+  }
+
+  /** MATERIALIZE the objective: per document, the T5-format
+    * (input, target) pair — the input is the token stream with each
+    * span replaced by its sentinel `<extra_id_N>`, the target is the
+    * sentinel-prefixed concatenation of the corrupted spans (Raffel et
+    * al. §3.1.4's example format, whitespace-token grain). Rendering
+    * is deterministic on both engines: every fragment carries an
+    * integer order key (token at position p → 2p; a span's sentinel →
+    * 2·start−1 in the target and 2·start in the input, where it
+    * REPLACES the span's tokens), one per-doc sort, one join of the
+    * position stream against the span table (doc-keyed equi + range
+    * filter — spans per doc are few). Docs with no spans emit their
+    * tokens unchanged and an empty target; token-less docs emit two
+    * empty strings (the no-silent-drop spine). */
+  def materialize(docs: DataFrame, idCol: String, textCol: String,
+                  corruptionRate: Double, spanLen: Int,
+                  seed: String): DataFrame = {
+    val sp = spans(docs, idCol, textCol, corruptionRate, spanLen, seed)
+    val toks = docs
+      .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    // both sides derive from `docs`: rename the span side's id before
+    // joining (a toks(idCol) === sp(idCol) condition self-join-resolves
+    // to the same attribute and degenerates to a per-doc cross join)
+    val spR = sp.select(col(idCol).as("__sid"), col("span_idx"),
+      col("start_pos"), col("end_pos"))
+    val classified = toks.join(spR,
+      col(idCol) === col("__sid") &&
+        col("__pos") >= col("start_pos") && col("__pos") <= col("end_pos"),
+      "left").drop("__sid")
+    val sentinel = concat(lit("<extra_id_"), col("span_idx"), lit(">"))
+    val joined: Column =
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__key"), col("__s")))),
+        e => e("__s")))
+    // a span contributes exactly ONE input fragment (its sentinel, at
+    // the span start) — other in-span tokens are dropped, no distinct
+    val inputFrags = classified
+      .filter(col("span_idx").isNull || col("__pos") === col("start_pos"))
+      .select(col(idCol),
+        when(col("span_idx").isNull, col("__pos") * 2)
+          .otherwise(col("start_pos") * 2).as("__key"),
+        when(col("span_idx").isNull, col("__tok")).otherwise(sentinel)
+          .as("__s"))
+    val targetFrags = classified.filter(col("span_idx").isNotNull)
+      .select(col(idCol), (col("__pos") * 2).as("__key"),
+        col("__tok").as("__s"))
+      .unionByName(sp.select(col(idCol),
+        (col("start_pos") * 2 - 1).as("__key"),
+        concat(lit("<extra_id_"), col("span_idx"), lit(">")).as("__s")))
+    val inputs = inputFrags.groupBy(idCol).agg(joined.as("input_text"))
+    val targets = targetFrags.groupBy(idCol).agg(joined.as("target_text"))
+    docs.select(col(idCol))
+      .join(inputs, Seq(idCol), "left")
+      .join(targets, Seq(idCol), "left")
+      .join(sp.groupBy(idCol).agg(count(lit(1)).as("n_spans")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
   /** Per-doc corruption audit: token count, span count, corrupted

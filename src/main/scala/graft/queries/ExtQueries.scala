@@ -6272,6 +6272,61 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                         ELSE ("offset" + n_tokens - 1) // 512 END AS bin_end
             FROM laid ORDER BY doc_id"""))
 
+  /** Span-corruption MATERIALIZER
+    * ([[graft.ext.SpanCorruption.materialize]] — x116's span table
+    * rendered into the actual T5 training pair: input with sentinels
+    * replacing each span, target replaying sentinel + span tokens;
+    * SpanCorruptionSpec pins the substitution round-trip). Fragment
+    * order keys (token 2p, sentinel 2·start[−1]) replay identically in
+    * the oracle's ORDER BY string_agg. */
+  private val x124 = Q("x124_span_corruption_materialize",
+    (s, d) => graft.ext.SpanCorruption.materialize(documents(s, d),
+        "doc_id", "text", corruptionRate = 0.15, spanLen = 3,
+        seed = "t5-r19")
+      .orderBy("doc_id"),
+    Some(s"""WITH ${spanCorruptSql("t5-r19")},
+             tk AS MATERIALIZED (
+               SELECT doc_id, CAST(u.t.p AS BIGINT) AS pos, u.t.s AS tok
+               FROM sc_tw, unnest(list_transform(generate_series(1, len(w)),
+                 i -> {'p': i - 1, 's': w[CAST(i AS INT)]})) AS u(t)
+               WHERE len(w) >= 1),
+             cls AS MATERIALIZED (
+               SELECT tk.doc_id, tk.pos, tk.tok, s.span_idx, s.start_pos
+               FROM tk LEFT JOIN sc_spans s ON s.doc_id = tk.doc_id
+                 AND tk.pos BETWEEN s.start_pos AND s.end_pos),
+             inp AS MATERIALIZED (
+               SELECT doc_id, string_agg(s, ' ' ORDER BY k) AS input_text
+               FROM (
+                 SELECT doc_id,
+                        CASE WHEN span_idx IS NULL THEN pos * 2
+                             ELSE start_pos * 2 END AS k,
+                        CASE WHEN span_idx IS NULL THEN tok
+                             ELSE '<extra_id_' || CAST(span_idx AS VARCHAR) || '>' END AS s
+                 FROM cls WHERE span_idx IS NULL OR pos = start_pos)
+               GROUP BY 1),
+             tgt AS MATERIALIZED (
+               SELECT doc_id, string_agg(s, ' ' ORDER BY k) AS target_text
+               FROM (
+                 SELECT doc_id, pos * 2 AS k, tok AS s FROM cls
+                 WHERE span_idx IS NOT NULL
+                 UNION ALL
+                 SELECT doc_id, start_pos * 2 - 1 AS k,
+                        '<extra_id_' || CAST(span_idx AS VARCHAR) || '>' AS s
+                 FROM sc_spans)
+               GROUP BY 1),
+             ns AS MATERIALIZED (
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sc_spans
+               GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(inp.input_text, '') AS input_text,
+                   COALESCE(tgt.target_text, '') AS target_text,
+                   COALESCE(ns.n, 0) AS n_spans
+            FROM documents d
+            LEFT JOIN inp USING (doc_id)
+            LEFT JOIN tgt USING (doc_id)
+            LEFT JOIN ns USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6280,5 +6335,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124)
 }

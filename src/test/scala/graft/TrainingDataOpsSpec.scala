@@ -1595,6 +1595,47 @@ class SpanCorruptionSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("materialize: input has sentinels replacing spans, target replays them; reconstruction round-trips") {
+    val L = 3; val seed = "t5-spec"
+    val sp = graft.ext.SpanCorruption
+      .spans(docs, "doc_id", "text", 0.15, L, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).groupBy(_._1)
+    val out = graft.ext.SpanCorruption
+      .materialize(docs, "doc_id", "text", 0.15, L, seed)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    val toks = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    ).toMap
+    out.foreach { case (id, (input, target, nSpans)) =>
+      val spans = sp.getOrElse(id, Array.empty).sortBy(_._3)
+      assert(nSpans == spans.length)
+      if (toks(id).isEmpty) assert(input == "" && target == "")
+      else {
+        // reference render from the spans table
+        val corrupted = spans.flatMap(s => s._3 to s._4).toSet
+        val refInput = toks(id).zipWithIndex.flatMap { case (t, p) =>
+          spans.find(_._3 == p) match {
+            case Some(s) => Some(s"<extra_id_${s._2}>")
+            case None => if (corrupted(p.toLong)) None else Some(t)
+          }
+        }.mkString(" ")
+        val refTarget = spans.flatMap(s =>
+          s"<extra_id_${s._2}>" +: (s._3 to s._4).map(p => toks(id)(p.toInt))
+        ).mkString(" ")
+        assert(input == refInput, s"doc $id input\n got $input\n ref $refInput")
+        assert(target == refTarget, s"doc $id target")
+        // round-trip: substituting each sentinel's span back restores the doc
+        val restored = spans.foldLeft(input) { (acc, s) =>
+          acc.replace(s"<extra_id_${s._2}>",
+            (s._3 to s._4).map(p => toks(id)(p.toInt)).mkString(" "))
+        }
+        assert(restored == toks(id).mkString(" "), s"doc $id round-trip")
+      }
+    }
+  }
+
   test("selection is seed-sensitive and partitioning-invariant") {
     def run(seed: String, parts: Int) = graft.ext.SpanCorruption
       .spans(docs.repartition(parts), "doc_id", "text", 0.15, 3, seed)
