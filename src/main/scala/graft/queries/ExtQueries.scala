@@ -5614,18 +5614,18 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * chain `st → bt → base → walk → v → fv → lam → planned`, shared
     * verbatim by x112 (the plan itself) and x113 (the plan driving the
     * materialize + audit chain) so the two can never drift. */
-  private val budgetPlanSql: String = """st AS MATERIALIZED (
+  private def budgetPlanSqlOver(docsCte: String, q: String = ""): String = s"""${q}st AS MATERIALIZED (
                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                      CAST(sum(len(regexp_extract_all(lower(trim(text)), '\S+'))) AS BIGINT) AS n_tokens
-               FROM documents GROUP BY 1),
-             bt AS MATERIALIZED (
-               SELECT (CAST(sum(n_tokens) AS HUGEINT) * 9) // 5 AS b FROM st),
-             base AS MATERIALIZED (
+                      CAST(sum(len(regexp_extract_all(lower(trim(text)), '\\S+'))) AS BIGINT) AS n_tokens
+               FROM $docsCte GROUP BY 1),
+             ${q}bt AS MATERIALIZED (
+               SELECT (CAST(sum(n_tokens) AS HUGEINT) * 9) // 5 AS b FROM ${q}st),
+             ${q}base AS MATERIALIZED (
                SELECT source, n_docs, n_tokens,
                       CAST((CAST(substr(source, 4) AS BIGINT) % 5) + 1 AS BIGINT) AS weight,
                       CAST(n_tokens * 2 AS BIGINT) AS cap_tokens
-               FROM st),
-             walk AS MATERIALIZED (
+               FROM ${q}st),
+             ${q}walk AS MATERIALIZED (
                SELECT *,
                       row_number() OVER (ORDER BY CAST(cap_tokens AS DOUBLE) / CAST(weight AS DOUBLE), source) AS rn,
                       COALESCE(sum(CAST(cap_tokens AS HUGEINT)) OVER (
@@ -5634,24 +5634,26 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                       sum(CAST(weight AS HUGEINT)) OVER (
                         ORDER BY CAST(cap_tokens AS DOUBLE) / CAST(weight AS DOUBLE), source
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wfrom
-               FROM base WHERE weight > 0),
-             v AS MATERIALIZED (
-               SELECT *, ((SELECT b FROM bt) - cprev) * weight
+               FROM ${q}base WHERE weight > 0),
+             ${q}v AS MATERIALIZED (
+               SELECT *, ((SELECT b FROM ${q}bt) - cprev) * weight
                            <= CAST(cap_tokens AS HUGEINT) * wfrom AS valid
-               FROM walk),
-             fv AS MATERIALIZED (
-               SELECT *, min(CASE WHEN valid THEN rn END) OVER () AS fvn FROM v),
-             lam AS MATERIALIZED (
+               FROM ${q}walk),
+             ${q}fv AS MATERIALIZED (
+               SELECT *, min(CASE WHEN valid THEN rn END) OVER () AS fvn FROM ${q}v),
+             ${q}lam AS MATERIALIZED (
                SELECT *,
-                      max(CASE WHEN rn = fvn THEN (SELECT b FROM bt) - cprev END) OVER () AS lam_num,
+                      max(CASE WHEN rn = fvn THEN (SELECT b FROM ${q}bt) - cprev END) OVER () AS lam_num,
                       max(CASE WHEN rn = fvn THEN wfrom END) OVER () AS lam_den
-               FROM fv),
-             planned AS MATERIALIZED (
+               FROM ${q}fv),
+             ${q}planned AS MATERIALIZED (
                SELECT source, n_docs, n_tokens, weight, cap_tokens,
                       (fvn IS NULL OR rn < fvn) AS capped,
                       CAST(CASE WHEN fvn IS NULL OR rn < fvn THEN CAST(cap_tokens AS HUGEINT)
                            ELSE (lam_num * weight) // lam_den END AS BIGINT) AS alloc_tokens
-               FROM lam)"""
+               FROM ${q}lam)"""
+
+  private val budgetPlanSql: String = budgetPlanSqlOver("documents")
 
   private val x112 = Q("x112_budget_plan",
     (s, d) => budgetPlanFixture(s, d).orderBy("source"),
@@ -6327,6 +6329,73 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             LEFT JOIN ns USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  /** DEDUP-DISCOUNTED budget plan — the composition the
+    * data-constrained planning literature actually prescribes: epoch
+    * budgets count UNIQUE tokens, so planning on a corpus whose
+    * sources carry different duplication rates misallocates (an
+    * inflated source looks bigger than it is, absorbs budget, caps
+    * later than it should). The corpus duplicates the doc_id % 40 < 10
+    * slice (sources src0–src9 only — VARIED inflation by
+    * construction); the plan runs on the raw corpus AND on the
+    * exact-dedup canonical corpus ([[ExactDedup.dedup]]'s min-id
+    * keep), each against 1.8× its own mass, and the card reports the
+    * per-source inflation and the allocation shift the dedup discount
+    * causes. */
+  private val x125 = Q("x125_dedup_budget_plan",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 40 < 10)
+        .select((col("doc_id") + 600000L).as("doc_id"), col("source"),
+          col("text")))
+      val canon = ExactDedup.dedup(corpus, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val unique = corpus.join(canon, Seq("doc_id"), "left_semi")
+      val weights = (0 to 19).map(i => s"src$i" -> ((i % 5) + 1L)).toMap
+      def total(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
+          .cast("long"), lit(0L)))).first().getLong(0)
+      val raw = Mixing.budgetPlan(corpus, "source", "text", weights,
+          total(corpus) * 9L / 5L, maxEpochs = 2)
+        .select(col("source"), col("n_tokens").as("raw_tokens"),
+          col("capped").as("raw_capped"),
+          col("alloc_tokens").as("raw_alloc"))
+      val uq = Mixing.budgetPlan(unique, "source", "text", weights,
+          total(unique) * 9L / 5L, maxEpochs = 2)
+        .select(col("source"), col("n_tokens").as("unique_tokens"),
+          col("capped").as("unique_capped"),
+          col("alloc_tokens").as("unique_alloc"))
+      raw.join(uq, Seq("source"))
+        .withColumn("dup_inflation", col("raw_tokens").cast("double") /
+          col("unique_tokens").cast("double"))
+        .withColumn("alloc_shift", col("raw_alloc") - col("unique_alloc"))
+        .orderBy("source")
+    },
+    Some(s"""WITH corpus AS MATERIALIZED (
+               SELECT doc_id, source, text FROM documents
+               UNION ALL
+               SELECT doc_id + 600000, source, text FROM documents
+               WHERE doc_id % 40 < 10),
+             fpc AS MATERIALIZED (
+               SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                      min(doc_id) AS cid
+               FROM corpus GROUP BY 1),
+             uniqd AS MATERIALIZED (
+               SELECT c.doc_id, c.source, c.text
+               FROM corpus c JOIN fpc ON fpc.cid = c.doc_id),
+             ${budgetPlanSqlOver("corpus", "r_")},
+             ${budgetPlanSqlOver("uniqd", "u_")}
+            SELECT r.source,
+                   r.n_tokens AS raw_tokens, r.capped AS raw_capped,
+                   r.alloc_tokens AS raw_alloc,
+                   u.n_tokens AS unique_tokens, u.capped AS unique_capped,
+                   u.alloc_tokens AS unique_alloc,
+                   CAST(r.n_tokens AS DOUBLE) / CAST(u.n_tokens AS DOUBLE)
+                     AS dup_inflation,
+                   r.alloc_tokens - u.alloc_tokens AS alloc_shift
+            FROM r_planned r JOIN u_planned u ON u.source = r.source
+            ORDER BY r.source"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6335,5 +6404,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125)
 }
