@@ -33,6 +33,23 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < math.round(rate * Denom))
   }
 
+  /** SOFT (score-proportional) sampling — the published alternative to
+    * a hard quality threshold (FineWeb-Edu keeps by classifier-score
+    * band; the soft form keeps each document with probability equal to
+    * its own per-row rate, so marginal documents contribute
+    * proportionally instead of cliff-dropping at a cutoff): keep a row
+    * iff its seeded key-bucket falls under `floor(rate·Denom)`. The
+    * draw is the engine-wide deterministic-Bernoulli substitute for an
+    * RNG ([[hashBucket]] — reproducible across runs, engines,
+    * partitionings, retries); rates are clamped to [0, 1] and a NULL
+    * rate keeps nothing (no evidence, no draw — the shared null
+    * policy). Map-side narrow filter; no shuffle, no state. */
+  def softSample(df: DataFrame, keyCol: String, rateCol: String,
+                 seed: String): DataFrame =
+    df.filter(hashBucket(concat_ws(":", lit(seed), col(keyCol))) <
+      floor(least(greatest(col(rateCol), lit(0.0)), lit(1.0))
+        * Denom.toDouble).cast("long"))
+
   /** Near-dup-SAFE train/validation split: a random per-document split
     * leaks a near-duplicate of every held-out doc into training (the
     * dedup-before-split hazard published with "Deduplicating Training

@@ -6396,6 +6396,48 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM r_planned r JOIN u_planned u ON u.source = r.source
             ORDER BY r.source"""))
 
+  /** SOFT quality sampling ([[graft.ext.Sampling.softSample]] — keep
+    * each doc with probability equal to its own x03 quality score, the
+    * published FineWeb-Edu-style soft alternative to a hard threshold
+    * cliff; the draw is the engine-wide seeded-hash Bernoulli). The
+    * checked output is the per-source audit: docs, kept, the quantized
+    * mean target rate (floor(score·2²⁰) int64 sums — the x53/x62
+    * order-free pattern) and the realized keep rate next to it. */
+  private val x126 = Q("x126_soft_quality_sample",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("text"))
+      val rated = docs.withColumn("__rate", TA.qualityScore(col("text")))
+      val kept = graft.ext.Sampling.softSample(rated, "doc_id", "__rate",
+          seed = "soft-r19")
+        .select(col("doc_id"), lit(1L).as("__kept"))
+      rated.join(kept, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__kept"), lit(0L))).as("n_kept"),
+          sum(floor(col("__rate") * lit(1048576.0)).cast("long"))
+            .as("__rate_q"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (col("__rate_q").cast("double") / lit(1048576.0) /
+            col("n_docs").cast("double")).as("mean_target_rate"),
+          (col("n_kept").cast("double") / col("n_docs").cast("double"))
+            .as("realized_rate"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $scoreSql,
+             drawn AS MATERIALIZED (
+               SELECT doc_id, source, score,
+                      (CAST(CAST('0x'||substr(md5('soft-r19:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000
+                        < CAST(floor(least(greatest(score, 0.0), 1.0) * 10000.0) AS BIGINT)) AS kept
+               FROM qs)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CAST(floor(score * 1048576.0) AS BIGINT)) AS DOUBLE)
+                     / 1048576.0 / count(*) AS mean_target_rate,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS realized_rate
+            FROM drawn GROUP BY 1 ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6404,5 +6446,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125, x126)
 }

@@ -1328,6 +1328,38 @@ class WinnowingSpec extends SparkSpec {
   }
 }
 
+/** Soft score-proportional sampling ([[graft.ext.Sampling.softSample]]). */
+class SoftSampleSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def docs(rates: Seq[java.lang.Double]) = {
+    val s = spark
+    import s.implicits._
+    rates.zipWithIndex.map { case (r, i) => (i.toLong, r) }
+      .toDF("doc_id", "rate")
+  }
+
+  test("rate 1 keeps all, rate 0 and null keep none, rates clamp") {
+    val d = docs(Seq(1.0, 0.0, null, 7.5, -3.0))
+    val kept = graft.ext.Sampling.softSample(d, "doc_id", "rate", "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && kept.contains(3L)) // 1.0 and clamped 7.5
+    assert(!kept.contains(1L) && !kept.contains(2L) && !kept.contains(4L))
+  }
+
+  test("draw is deterministic, partitioning-invariant, seed-sensitive, realized rate in band") {
+    val d = docs(Seq.fill(2000)(java.lang.Double.valueOf(0.3)))
+    def run(seed: String, parts: Int) =
+      graft.ext.Sampling.softSample(d.repartition(parts), "doc_id", "rate",
+        seed).collect().map(_.getLong(0)).toSet
+    val a = run("s1", 1)
+    assert(a == run("s1", 7))
+    assert(a != run("s2", 1))
+    val rate = a.size / 2000.0
+    assert(rate > 0.25 && rate < 0.35, s"realized $rate far from 0.3")
+  }
+}
+
 /** Unigram-LM tokenizer ([[graft.ext.Unigram]] — hard-EM Viterbi). */
 class UnigramSpec extends SparkSpec {
   import org.apache.spark.sql.functions.col
