@@ -46,7 +46,12 @@ object Sampling {
     * policy). Map-side narrow filter; no shuffle, no state. */
   def softSample(df: DataFrame, keyCol: String, rateCol: String,
                  seed: String): DataFrame =
-    df.filter(hashBucket(concat_ws(":", lit(seed), col(keyCol))) <
+    // the explicit isNotNull guard matters: concat_ws SKIPS a null key
+    // (every null-key row would share the bucket of md5(seed) — kept
+    // all-or-nothing), while the engine-wide null-key convention and
+    // the oracle's '||' concatenation keep NOTHING for a null key
+    df.filter(col(keyCol).isNotNull &&
+      hashBucket(concat_ws(":", lit(seed), col(keyCol))) <
       floor(least(greatest(col(rateCol), lit(0.0)), lit(1.0))
         * Denom.toDouble).cast("long"))
 

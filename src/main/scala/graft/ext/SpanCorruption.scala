@@ -79,7 +79,12 @@ object SpanCorruption {
   def materialize(docs: DataFrame, idCol: String, textCol: String,
                   corruptionRate: Double, spanLen: Int,
                   seed: String): DataFrame = {
+    // both frames feed multiple subtrees below (sp: classified, the
+    // target sentinels, the n_spans rollup; classified: both fragment
+    // sets) — materialize each ONCE instead of re-running the
+    // tokenize/window pipeline per consumer (review finding)
     val sp = spans(docs, idCol, textCol, corruptionRate, spanLen, seed)
+      .localCheckpoint(true)
     val toks = docs
       .select(col(idCol), Ngrams.normTokens(col(textCol)).as("__toks"))
       .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
@@ -92,6 +97,7 @@ object SpanCorruption {
       col(idCol) === col("__sid") &&
         col("__pos") >= col("start_pos") && col("__pos") <= col("end_pos"),
       "left").drop("__sid")
+      .localCheckpoint(true)
     val sentinel = concat(lit("<extra_id_"), col("span_idx"), lit(">"))
     val joined: Column =
       concat_ws(" ", transform(

@@ -5598,16 +5598,21 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * exact integer arithmetic — decimal(38,0) cross-multiplications on
     * the Spark side, HUGEINT in the oracle, the double tightness used
     * ONLY as the shared sort key. */
+  /** Exact whitespace-token mass of a corpus — the ONE definition the
+    * budget fixtures share (x112/x113/x125). */
+  private def corpusTokens(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
+      .cast("long"), lit(0L))).as("t"))
+      .first().getLong(0)
+
+  private val budgetWeights: Map[String, Long] =
+    (0 to 19).map(i => s"src$i" -> ((i % 5) + 1L)).toMap
+
   private def budgetPlanFixture(s: org.apache.spark.sql.SparkSession,
                                 d: String): org.apache.spark.sql.DataFrame = {
     val docs = documents(s, d)
-    val total = docs.select(
-      sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
-        .cast("long"), lit(0L))).as("t"))
-      .first().getLong(0)
-    val weights = (0 to 19).map(i => s"src$i" -> ((i % 5) + 1L)).toMap
-    Mixing.budgetPlan(docs, "source", "text", weights,
-      budgetTokens = total * 9L / 5L, maxEpochs = 2)
+    Mixing.budgetPlan(docs, "source", "text", budgetWeights,
+      budgetTokens = corpusTokens(docs) * 9L / 5L, maxEpochs = 2)
   }
 
   /** Oracle twin of [[budgetPlanFixture]]: the exact water-filling CTE
@@ -6350,18 +6355,17 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
           col("text")))
       val canon = ExactDedup.dedup(corpus, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
+      // materialized once: the token-count action AND the plan both
+      // consume it — without this the dedup subplan runs twice
       val unique = corpus.join(canon, Seq("doc_id"), "left_semi")
-      val weights = (0 to 19).map(i => s"src$i" -> ((i % 5) + 1L)).toMap
-      def total(df: org.apache.spark.sql.DataFrame): Long =
-        df.select(sum(coalesce(size(graft.ext.Ngrams.normTokens(col("text")))
-          .cast("long"), lit(0L)))).first().getLong(0)
-      val raw = Mixing.budgetPlan(corpus, "source", "text", weights,
-          total(corpus) * 9L / 5L, maxEpochs = 2)
+        .localCheckpoint(true)
+      val raw = Mixing.budgetPlan(corpus, "source", "text", budgetWeights,
+          corpusTokens(corpus) * 9L / 5L, maxEpochs = 2)
         .select(col("source"), col("n_tokens").as("raw_tokens"),
           col("capped").as("raw_capped"),
           col("alloc_tokens").as("raw_alloc"))
-      val uq = Mixing.budgetPlan(unique, "source", "text", weights,
-          total(unique) * 9L / 5L, maxEpochs = 2)
+      val uq = Mixing.budgetPlan(unique, "source", "text", budgetWeights,
+          corpusTokens(unique) * 9L / 5L, maxEpochs = 2)
         .select(col("source"), col("n_tokens").as("unique_tokens"),
           col("capped").as("unique_capped"),
           col("alloc_tokens").as("unique_alloc"))
