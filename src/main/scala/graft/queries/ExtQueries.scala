@@ -6442,6 +6442,45 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                      / count(*) AS realized_rate
             FROM drawn GROUP BY 1 ORDER BY source"""))
 
+  /** Fill-in-the-middle construction ([[graft.ext.Fim.transform]] —
+    * the published code-model infilling transform: a seeded 50% of
+    * eligible docs re-arrange as `<fim_prefix> P <fim_suffix> S
+    * <fim_middle> M` with two seeded interior cuts; the rest pass
+    * through as the AR half of the FIM mix. FimSpec pins PSM
+    * reconstruction (P ⧺ M ⧺ S = doc) and cut-interiority; the oracle
+    * replays the double-mod cut draw and the inclusive-slice
+    * rendering). */
+  private val x127 = Q("x127_fim_transform",
+    (s, d) => graft.ext.Fim.transform(documents(s, d), "doc_id", "text",
+        fimRate = 0.5, seed = "fim-r19")
+      .orderBy("doc_id"),
+    Some("""WITH ft AS MATERIALIZED (
+               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+               FROM documents),
+             base AS MATERIALIZED (
+               SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+                      CAST(CAST('0x'||substr(md5('fim-r19:apply:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 AS ab,
+                      (CAST(CAST('0x'||substr(md5('fim-r19:c1:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000)
+                        % greatest(1, len(w) - 1) + 1 AS a,
+                      (CAST(CAST('0x'||substr(md5('fim-r19:c2:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000)
+                        % greatest(1, len(w) - 1) + 1 AS b
+               FROM ft),
+             fimd AS MATERIALIZED (
+               SELECT doc_id, w, n_tokens,
+                      (n_tokens >= 3 AND ab < 5000) AS fim,
+                      CASE WHEN n_tokens >= 3 AND ab < 5000
+                           THEN CAST(least(a, b) AS BIGINT) END AS c1,
+                      CASE WHEN n_tokens >= 3 AND ab < 5000
+                           THEN CAST(greatest(a, b) AS BIGINT) END AS c2
+               FROM base)
+            SELECT doc_id, n_tokens, fim, c1, c2,
+                   CASE WHEN fim THEN
+                     '<fim_prefix> ' || COALESCE(array_to_string(w[1:CAST(c1 AS INT)], ' '), '')
+                     || ' <fim_suffix> ' || COALESCE(array_to_string(w[CAST(c2 + 1 AS INT):CAST(n_tokens AS INT)], ' '), '')
+                     || ' <fim_middle> ' || COALESCE(array_to_string(w[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' '), '')
+                   ELSE COALESCE(array_to_string(w, ' '), '') END AS psm_text
+            FROM fimd ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6450,5 +6489,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125, x126)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125, x126, x127)
 }

@@ -1328,6 +1328,58 @@ class WinnowingSpec extends SparkSpec {
   }
 }
 
+/** Fill-in-the-middle construction ([[graft.ext.Fim]]). */
+class FimSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private val docs = df(
+    (1L to 60L).map(i => (i, (0 until 20).map(j => s"w${(i + j) % 13}")
+      .mkString(" "))) ++ Seq((100L, "two tokens"), (101L, ""))
+  ).toDF("doc_id", "text")
+
+  test("PSM rendering reconstructs the document; cuts are interior and ordered") {
+    val out = graft.ext.Fim.transform(docs, "doc_id", "text",
+        fimRate = 0.5, seed = "fim-spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getString(5)))
+    val texts = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    var fimSeen = 0
+    out.foreach { case (id, n, fim, c1, c2, psm) =>
+      assert(n == texts(id).length)
+      if (!fim) assert(psm == texts(id).mkString(" ") && c1 == -1L)
+      else {
+        fimSeen += 1
+        assert(c1 >= 1 && c1 <= c2 && c2 <= n - 1, s"doc $id cuts $c1 $c2")
+        val t = texts(id)
+        val (p, m, s2) = (t.take(c1.toInt), t.slice(c1.toInt, c2.toInt),
+          t.drop(c2.toInt))
+        assert(psm == s"<fim_prefix> ${p.mkString(" ")} <fim_suffix> " +
+          s"${s2.mkString(" ")} <fim_middle> ${m.mkString(" ")}", s"doc $id")
+        // reconstruction: P ++ M ++ S == doc
+        assert((p ++ m ++ s2) == t)
+      }
+    }
+    assert(fimSeen > 10 && fimSeen < 50, s"realized fim count $fimSeen")
+    // short and empty docs never transform
+    assert(!out.find(_._1 == 100L).get._3 && !out.find(_._1 == 101L).get._3)
+  }
+
+  test("transform is deterministic and seed-sensitive; audit rates are consistent") {
+    def run(seed: String) = graft.ext.Fim.transform(docs, "doc_id", "text",
+        0.5, seed).collect().map(r => (r.getLong(0), r.getString(5))).toSet
+    assert(run("a") == run("a"))
+    assert(run("a") != run("b"))
+    val audit = graft.ext.Fim.audit(
+        docs.withColumn("src", col("doc_id") % 2), "doc_id", "text",
+        "src", 0.5, "fim-spec")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (nd, nf, _) = audit.reduce((x, y) => (x._1 + y._1, x._2 + y._2, 0.0))
+    assert(nd == 62L && nf > 10L && nf < 50L)
+  }
+}
+
 /** Soft score-proportional sampling ([[graft.ext.Sampling.softSample]]). */
 class SoftSampleSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
