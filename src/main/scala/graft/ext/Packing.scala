@@ -98,4 +98,39 @@ object Packing {
         when(col("n_tokens") === 0, col("bin_start"))
           .otherwise(expr(s"(offset + n_tokens - 1) DIV $windowTokens")))
   }
+
+  /** The WINDOW MANIFEST — the packed layout pivoted to what a batch
+    * loader actually consumes: one row per (window, document segment)
+    * with the segment's offset inside the window, its token length,
+    * and whether it is the document's head/tail (the flags an
+    * attention-mask builder keys on — a packed window must not attend
+    * across segment boundaries, and a continuation segment is not a
+    * document start). Derived from [[packSequences]]' layout by pure
+    * integer arithmetic: document at global offset o with t tokens
+    * intersects window k on `[max(0, o − kW), min(W, o + t − kW))`.
+    * Zero-token documents contribute no segment (nothing to load —
+    * they remain accounted in the layout itself, the x26 grain).
+    *
+    * Scale shape: one narrow explode over `sequence(bin_start,
+    * bin_end)` (output is manifest-sized — Θ(tokens/W) segments
+    * total); no join, no shuffle beyond the layout's own prefix
+    * sum. */
+  def windowManifest(packed: DataFrame, idCol: String,
+                     windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val w = lit(windowTokens.toLong)
+    packed.filter(col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"), col("offset"),
+        explode(sequence(col("bin_start"), col("bin_end"))).as("bin"))
+      .withColumn("bin_offset",
+        greatest(lit(0L), col("offset") - col("bin") * w))
+      .withColumn("seg_len",
+        least(w, col("offset") + col("n_tokens") - col("bin") * w) -
+          col("bin_offset"))
+      .withColumn("is_head", col("bin") === expr("offset DIV " + windowTokens))
+      .withColumn("is_tail",
+        col("bin") === expr(s"(offset + n_tokens - 1) DIV $windowTokens"))
+      .select(col("bin"), col(idCol), col("bin_offset"), col("seg_len"),
+        col("is_head"), col("is_tail"))
+  }
 }

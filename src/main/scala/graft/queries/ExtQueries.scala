@@ -6481,6 +6481,62 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    ELSE COALESCE(array_to_string(w, ' '), '') END AS psm_text
             FROM fimd ORDER BY doc_id"""))
 
+  /** Packed-WINDOW manifest ([[Packing.windowManifest]] over x123's
+    * unigram-priced layout — the batch-assembly artifact a loader
+    * consumes: per (window, document segment), the in-window offset,
+    * token length, and the head/tail flags an attention-mask builder
+    * keys on; WindowManifestSpec pins exact window tiling). Pure
+    * integer arithmetic off the prefix-sum layout; the oracle explodes
+    * the same window range per doc. */
+  private val x128 = Q("x128_window_manifest",
+    (s, d) => {
+      val docs = documents(s, d)
+      requireWordBound(docs)
+      val probs = graft.ext.Unigram.fit(docs, "text", vocabSize = ugV,
+          maxPieceLen = ugL, rounds = ugR)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val pc = graft.ext.Unigram.pieceCounts(docs, "doc_id", "text",
+        probs, ugL)
+      val packed = Packing.packCountedSequences(
+        pc.select(col("doc_id"), col("n_pieces")),
+        "doc_id", "n_pieces", windowTokens = 512)
+      Packing.windowManifest(packed, "doc_id", windowTokens = 512)
+        .orderBy("bin", "bin_offset")
+    },
+    Some(s"""WITH ug_w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) GROUP BY 1),
+    ${unigramSql("ug_w", ugR, ugL, ugV, ugM)},
+    ${unigramDpRound("qq_", "ug_w", 1, s"ug_v$ugR", ugL, ugM)
+      .mkString(",\n    ")},
+    dw AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents),
+    pcnt AS MATERIALIZED (
+      SELECT dw.doc_id, CAST(sum(COALESCE(f.k, 0)) AS BIGINT) AS n_pieces
+      FROM dw LEFT JOIN qq_fin1 f ON f.word = dw.word GROUP BY 1),
+    costs AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(pcnt.n_pieces, 0) AS n_tokens
+      FROM documents d LEFT JOIN pcnt ON pcnt.doc_id = d.doc_id),
+    laid AS MATERIALIZED (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      FROM costs),
+    segs AS MATERIALIZED (
+      SELECT doc_id, n_tokens, "offset",
+             CAST(unnest(generate_series("offset" // 512,
+               ("offset" + n_tokens - 1) // 512)) AS BIGINT) AS bin
+      FROM laid WHERE n_tokens > 0)
+            SELECT bin, doc_id,
+                   greatest(0, "offset" - bin * 512) AS bin_offset,
+                   least(512, "offset" + n_tokens - bin * 512)
+                     - greatest(0, "offset" - bin * 512) AS seg_len,
+                   (bin = "offset" // 512) AS is_head,
+                   (bin = ("offset" + n_tokens - 1) // 512) AS is_tail
+            FROM segs ORDER BY bin, bin_offset"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6489,5 +6545,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125, x126, x127)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125, x126, x127, x128)
 }

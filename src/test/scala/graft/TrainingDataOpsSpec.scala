@@ -1846,6 +1846,42 @@ class PackingSpec extends SparkSpec {
   }
 }
 
+/** Packed-window manifest ([[graft.ext.Packing.windowManifest]]). */
+class WindowManifestSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("segments tile every window exactly; head/tail flags mark document boundaries") {
+    val counts = df(Seq((1L, 3L), (2L, 5L), (3L, 0L), (4L, 9L), (5L, 2L)))
+      .toDF("doc_id", "n")
+    val packed = graft.ext.Packing.packCountedSequences(counts, "doc_id",
+      "n", windowTokens = 4)
+    val out = graft.ext.Packing.windowManifest(packed, "doc_id", 4)
+      .orderBy("bin", "bin_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    spark.catalog.clearCache()
+    // layout: doc1 [0,3) doc2 [3,8) doc4 [8,17) doc5 [17,19); windows of 4
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0L, 3L, true, true),   // doc1 whole in window 0
+      (0L, 2L, 3L, 1L, true, false),  // doc2 head
+      (1L, 2L, 0L, 4L, false, true),  // doc2 tail
+      (2L, 4L, 0L, 4L, true, false),  // doc4 head
+      (3L, 4L, 0L, 4L, false, false), // doc4 middle
+      (4L, 4L, 0L, 1L, false, true),  // doc4 tail
+      (4L, 5L, 1L, 2L, true, true)))  // doc5 whole
+    // zero-token doc3 contributes no segment
+    assert(!out.exists(_._2 == 3L))
+    // tiling: per window, segments are contiguous from their offsets
+    out.groupBy(_._1).foreach { case (_, segs) =>
+      val sorted = segs.sortBy(_._3)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 == a._3 + a._4, s"gap in window: $a $b")
+        case _ =>
+      }
+    }
+  }
+}
+
 class VocabSpec extends SparkSpec {
   test("topK cuts on count desc then term asc; oov counts occurrences") {
     val docs = df(Seq(
