@@ -6537,6 +6537,56 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    (bin = ("offset" + n_tokens - 1) // 512) AS is_tail
             FROM segs ORDER BY bin, bin_offset"""))
 
+  /** The planned mixture materialized into a TRAINING STREAM — the
+    * end-to-end release chain: x112's epoch-capped budget plan →
+    * [[Mixing.materializeMixture]] (per-doc copies) →
+    * [[CorpusShuffle.order]] over the (doc, copy) grain (seeded md5
+    * permutation + fixed-size shards — repeated copies of a document
+    * scatter across the stream instead of clumping, which is the
+    * point of shuffling a multi-epoch mixture). Output is the x41
+    * order surface at the mixture grain. */
+  private val x129 = Q("x129_mixture_stream",
+    (s, d) => {
+      val docs = documents(s, d)
+      val factors = budgetPlanFixture(s, d).select(col("source"),
+        col("n_tokens"), col("epochs").as("repeat_factor"))
+      val mixture = Mixing.materializeMixture(docs, "source", "doc_id",
+          factors)
+        .select(concat_ws(":", col("doc_id"), col("copy_idx")).as("mix_id"))
+      CorpusShuffle.order(mixture, "mix_id", seed = "stream-r19",
+          shardSize = 128L)
+        .orderBy("pos")
+    },
+    Some(s"""WITH $budgetPlanSql,
+             f AS MATERIALIZED (
+               SELECT source, n_tokens,
+                      CASE WHEN n_tokens = 0 THEN 0.0
+                           ELSE CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                      END AS repeat_factor
+               FROM planned),
+             md AS MATERIALIZED (
+               SELECT tk.doc_id,
+                      CAST(floor(f.repeat_factor) AS BIGINT)
+                        + (CASE WHEN CAST(CAST('0x'||substr(md5(CAST(tk.doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000
+                                < CAST(floor(f.repeat_factor * 10000.0) AS BIGINT)
+                                  - CAST(floor(f.repeat_factor) AS BIGINT) * 10000
+                                THEN 1 ELSE 0 END) AS n_copies
+               FROM documents tk JOIN f USING (source)),
+             mix AS MATERIALIZED (
+               SELECT CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(unnest(range(0, n_copies)) AS VARCHAR) AS mix_id
+               FROM md WHERE n_copies > 0),
+             k AS MATERIALIZED (
+               SELECT mix_id, md5('stream-r19:' || mix_id) AS shuffle_key
+               FROM mix),
+             p AS MATERIALIZED (
+               SELECT mix_id, shuffle_key,
+                      CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS pos
+               FROM k)
+            SELECT mix_id, shuffle_key, pos,
+                   CAST(pos // 128 AS BIGINT) AS shard_id
+            FROM p ORDER BY pos"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6545,5 +6595,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125, x126, x127, x128)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129)
 }
