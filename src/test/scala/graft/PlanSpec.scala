@@ -628,6 +628,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x116 span corruption: no join anywhere; document text never crosses an exchange") {
+    val df = Registry.queries("x116_span_corruption")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val joins = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(joins.isEmpty, s"span selection must be join-free: $joins")
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross the span-corruption shuffle: ${e.output}")
+    }
+  }
+
+  test("x120 unigram pricing: word types join back BROADCAST; no sort-merge join, no text on the wire") {
+    val df = Registry.queries("x120_unigram_price")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val bhj = root.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "the priced word-type table must broadcast")
+    val smj = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"pricing must not shuffle-join the corpus: $smj")
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross the pricing shuffle: ${e.output}")
+    }
+  }
+
   test("x54 model-store scoring: count sides read buckets Exchange-free, one tokenize, no bloom") {
     val df = Registry.queries("x54_lm_score_store")(spark, sf)
     val root = df.queryExecution.executedPlan match {
