@@ -97,8 +97,13 @@ object Mixing {
     * its stable key-hash bucket falls under the factor's fractional
     * part (the [[Sampling.hashBucket]] primitive — deterministic across
     * runs, engines, partitionings and retries, unlike `rand()`), so the
-    * expected token contribution of stratum s is exactly
-    * `factor_s · tokens_s = budget·w_s`. Output rows carry
+    * expected token contribution of stratum s is
+    * `factor_s · tokens_s = budget·w_s` up to the draw's QUANTIZATION:
+    * the fractional part is floored to the 1/10⁴ [[Sampling.Denom]]
+    * grid, so a stratum's expected mass can fall short of the exact
+    * target by at most `tokens_s / 10⁴` — sub-basis-point drift,
+    * surfaced (not hidden) by [[mixtureAudit]]'s attainment column
+    * next to the fractional draw's own sampling noise. Output rows carry
     * (`n_copies`, `copy_idx` ∈ [0, n_copies)) next to the document
     * columns; zero-copy documents are dropped.
     *

@@ -119,18 +119,30 @@ object Packing {
                      windowTokens: Int): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     val w = lit(windowTokens.toLong)
+    // head/tail flags come from the packed frame's OWN bin_start /
+    // bin_end — never recomputed from the caller's windowTokens — and
+    // the geometry (which genuinely needs W) is guarded: a W that
+    // disagrees with the one the frame was packed under must fail loud
+    // per-row, not silently emit negative bin_offset / garbage seg_len.
+    // The guard wraps the selected `bin` column so column pruning can
+    // never drop it.
+    val checkedBin = when(col("bin_start") === expr(s"offset DIV $windowTokens"),
+      col("bin")).otherwise(raise_error(concat(
+      lit(s"windowManifest: windowTokens=$windowTokens disagrees with the " +
+        "packed layout (bin_start != offset DIV W) at id="),
+      col(idCol).cast("string"))))
     packed.filter(col("n_tokens") > 0)
       .select(col(idCol), col("n_tokens"), col("offset"),
+        col("bin_start"), col("bin_end"),
         explode(sequence(col("bin_start"), col("bin_end"))).as("bin"))
       .withColumn("bin_offset",
         greatest(lit(0L), col("offset") - col("bin") * w))
       .withColumn("seg_len",
         least(w, col("offset") + col("n_tokens") - col("bin") * w) -
           col("bin_offset"))
-      .withColumn("is_head", col("bin") === expr("offset DIV " + windowTokens))
-      .withColumn("is_tail",
-        col("bin") === expr(s"(offset + n_tokens - 1) DIV $windowTokens"))
-      .select(col("bin"), col(idCol), col("bin_offset"), col("seg_len"),
-        col("is_head"), col("is_tail"))
+      .withColumn("is_head", col("bin") === col("bin_start"))
+      .withColumn("is_tail", col("bin") === col("bin_end"))
+      .select(checkedBin.as("bin"), col(idCol), col("bin_offset"),
+        col("seg_len"), col("is_head"), col("is_tail"))
   }
 }

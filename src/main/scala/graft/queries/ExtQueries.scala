@@ -6448,21 +6448,22 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * <fim_middle> M` with two seeded interior cuts; the rest pass
     * through as the AR half of the FIM mix. FimSpec pins PSM
     * reconstruction (P ⧺ M ⧺ S = doc) and cut-interiority; the oracle
-    * replays the double-mod cut draw and the inclusive-slice
-    * rendering). */
+    * replays the FULL-WIDTH 60-bit cut draw — a position draw, not a
+    * 10⁴ rate bucket, so long documents cut uniformly — and the
+    * inclusive-slice rendering). */
   private val x127 = Q("x127_fim_transform",
     (s, d) => graft.ext.Fim.transform(documents(s, d), "doc_id", "text",
-        fimRate = 0.5, seed = "fim-r19")
+        fimRate = 0.5, seed = "fim-r20")
       .orderBy("doc_id"),
     Some("""WITH ft AS MATERIALIZED (
                SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
                FROM documents),
              base AS MATERIALIZED (
                SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
-                      CAST(CAST('0x'||substr(md5('fim-r19:apply:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 AS ab,
-                      (CAST(CAST('0x'||substr(md5('fim-r19:c1:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000)
+                      CAST(CAST('0x'||substr(md5('fim-r20:apply:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 AS ab,
+                      CAST(CAST('0x'||substr(md5('fim-r20:c1:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT)
                         % greatest(1, len(w) - 1) + 1 AS a,
-                      (CAST(CAST('0x'||substr(md5('fim-r19:c2:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000)
+                      CAST(CAST('0x'||substr(md5('fim-r20:c2:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT)
                         % greatest(1, len(w) - 1) + 1 AS b
                FROM ft),
              fimd AS MATERIALIZED (

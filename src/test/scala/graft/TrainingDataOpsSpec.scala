@@ -1374,9 +1374,35 @@ class FimSpec extends SparkSpec {
     val audit = graft.ext.Fim.audit(
         docs.withColumn("src", col("doc_id") % 2), "doc_id", "text",
         "src", 0.5, "fim-spec")
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
-    val (nd, nf, _) = audit.reduce((x, y) => (x._1 + y._1, x._2 + y._2, 0.0))
-    assert(nd == 62L && nf > 10L && nf < 50L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val (nd, ne, nf) = audit.map(a => (a._1, a._2, a._3))
+      .reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
+    // 62 docs, but only the 60 long ones are eligible (the apply draw
+    // never runs on <3-token docs) — the realized rate divides by them
+    assert(nd == 62L && ne == 60L && nf > 10L && nf < 50L)
+    audit.foreach { case (_, e, f, r) =>
+      assert(math.abs(r - f.toDouble / e) < 1e-12)
+    }
+  }
+
+  test("cut draws use the full-width hash (not the rate bucket) and null text passes through empty") {
+    val s = spark
+    import s.implicits._
+    val nulled = Seq((1L, null: String), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = graft.ext.Fim.transform(nulled, "doc_id", "text", 1.0, "fs2")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getString(5))).toMap
+    assert(out(1L) == ((0L, false, "")))
+    assert(out(2L)._2) // 4 tokens, rate 1.0: transforms
+    // full-width draw: replay conv(substr(md5,1,15),16,10) % (n-1) + 1
+    def wide(tag: String) = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"fs2:$tag:2")
+        .take(15), 16)
+    val (a, b) = (wide("c1") % 3 + 1, wide("c2") % 3 + 1)
+    val row = graft.ext.Fim.transform(nulled, "doc_id", "text", 1.0, "fs2")
+      .filter(col("doc_id") === 2L).head()
+    assert(row.getLong(3) == math.min(a, b) && row.getLong(4) == math.max(a, b))
   }
 }
 
@@ -1879,6 +1905,20 @@ class WindowManifestSpec extends SparkSpec {
         case _ =>
       }
     }
+  }
+
+  test("a windowTokens that disagrees with the packed layout fails loud, not garbage") {
+    val counts = df(Seq((1L, 3L), (2L, 5L), (3L, 9L))).toDF("doc_id", "n")
+    val packed = graft.ext.Packing.packCountedSequences(counts, "doc_id",
+      "n", windowTokens = 4)
+    val e = intercept[Exception] {
+      graft.ext.Packing.windowManifest(packed, "doc_id", 8).collect()
+    }
+    spark.catalog.clearCache()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("disagrees with the packed layout")),
+      s"unexpected failure: $e")
   }
 }
 
