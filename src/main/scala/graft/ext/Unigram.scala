@@ -40,8 +40,13 @@ import org.apache.spark.sql.functions._
   * Scale shape (the x102 discipline): the corpus collapses ONCE to its
   * word-TYPE table — every fold below runs per word type, never per
   * corpus occurrence; the vocabulary is k-row (collected per round —
-  * the accepted merge-table pattern) and enters the DP as a broadcast
-  * map literal; piece-usage re-estimation is one map-side-combined
+  * the accepted merge-table pattern) and enters the DP as ONE
+  * reference-object expression per lookup site
+  * ([[graft.functions.VocabProbLookup]] — plan size O(1) in |V|, the
+  * table torrent-broadcast with the task binary; a `typedlit` map
+  * literal would grow the plan O(|V|) per site and fail codegen at
+  * production vocabulary sizes); piece-usage re-estimation is one
+  * map-side-combined
   * explode + groupBy per round. Pricing joins the scored corpus to its
   * priced word types BROADCAST — corpus text never shuffles.
   */
@@ -102,16 +107,22 @@ object Unigram {
     * bite. */
   private val Unreachable = 1.0
 
-  /** The Viterbi DP state array for `word` under the broadcast piece
-    * map: element p+1 = best state for the prefix of length p, as
-    * `(negs = −bestProduct, k = pieces, b = last-piece start)`; negs
-    * = [[Unreachable]] where no segmentation exists. One `aggregate`
-    * fold over positions; the ≤ maxPieceLen last-piece candidates are
-    * UNROLLED in Scala (an `array(...)` of expressions, NOT an inner
-    * `transform` lambda over `acc` — nested-HOF capture of the outer
-    * fold's accumulator is a second plan-dependent hazard), decided by
-    * one `least()` (ascending struct order IS the tie-break). */
-  private def viterbiState(word: Column, probs: Column,
+  /** The Viterbi DP state array for `word` under the vocabulary served
+    * by `prob` (key → probability, NULL on miss — the
+    * [[graft.functions.VocabProbLookup]] reference-object expression:
+    * one plan node per lookup SITE regardless of |V|, where a
+    * `typedlit` map literal would embed 2·|V| nodes per site and blow
+    * the plan at production vocabulary sizes; PlanSpec pins the
+    * independence): element p+1 = best state for the prefix of length
+    * p, as `(negs = −bestProduct, k = pieces, b = last-piece start)`;
+    * negs = [[Unreachable]] where no segmentation exists. One
+    * `aggregate` fold over positions; the ≤ maxPieceLen last-piece
+    * candidates are UNROLLED in Scala (an `array(...)` of expressions,
+    * NOT an inner `transform` lambda over `acc` — nested-HOF capture of
+    * the outer fold's accumulator is a second plan-dependent hazard),
+    * decided by one `least()` (ascending struct order IS the
+    * tie-break). */
+  private def viterbiState(word: Column, prob: Column => Column,
                            maxPieceLen: Int): Column = {
     val sentinel = struct(lit(Unreachable).as("negs"),
       lit(0).as("k"), lit(-1).as("b"))
@@ -125,7 +136,7 @@ object Unigram {
           // try_element_at: jj can fall below 1 for short prefixes, and
           // ANSI element_at would throw before the guard is consulted
           val prev = try_element_at(acc, jj)
-          val p = try_element_at(probs, word.substr(jj, lit(d)))
+          val p = prob(word.substr(jj, lit(d)))
           when(jj < 1 || prev("negs") >= Unreachable || p.isNull, sentinel)
             .otherwise(struct((prev("negs") * p).as("negs"),
               (prev("k") + 1).as("k"), (jj - 1).as("b")))
@@ -143,7 +154,8 @@ object Unigram {
   def viterbiSegments(words: DataFrame, probs: Map[String, Double],
                       maxPieceLen: Int): DataFrame = {
     require(probs.nonEmpty, "viterbiSegments needs a non-empty vocabulary")
-    val pm = typedlit(probs)
+    val pm: Column => Column =
+      key => graft.functions.VocabProbLookup(key, probs)
     val n = length(col("word"))
     val staged = words
       .withColumn("__st", viterbiState(col("word"), pm, maxPieceLen))

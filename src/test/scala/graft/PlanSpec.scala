@@ -804,6 +804,26 @@ class PlanSpec extends SparkSpec {
       s"plan grew with codebook size: k=8 → $small chars, k=48 → $large chars")
   }
 
+  test("unigram DP plan size is O(1) in the vocabulary size (reference object, not map literals)") {
+    // the scale guard for production vocabularies (32k-256k pieces):
+    // the probability table rides in ONE reference object per lookup
+    // site, so the analyzed plan must not grow with |V| — the typedlit
+    // map literal it replaced embedded 2·|V| nodes per site
+    val s = spark
+    import s.implicits._
+    val words = Seq(("abc", 3L), ("cab", 1L)).toDF("word", "cnt")
+    def planLen(v: Int): Int = {
+      val probs = (1 to v).map(i => f"p$i%06d" -> 1.0 / 1048576).toMap ++
+        Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.25)
+      graft.ext.Unigram.viterbiSegments(words, probs, 3)
+        .queryExecution.analyzed.treeString.length
+    }
+    val small = planLen(4)
+    val large = planLen(2048)
+    assert(large < small + 200,
+      s"plan grew with vocabulary size: |V|=4 → $small chars, |V|=2048 → $large chars")
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
