@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-ID materialization — the LOADER-facing end of the pipeline:
+  * everything upstream (dedup, mixing, packing) manipulates text and
+  * counts, but what a training loader actually ingests is the packed
+  * window stream of PIECE IDS under the shipped tokenizer. This module
+  * closes that gap: assign every vocabulary piece a dense id, encode
+  * each document as its id stream, and pivot the packed layout's window
+  * manifest ([[Packing.windowManifest]]) so each (window, segment) row
+  * carries the segment's id slice.
+  *
+  * ID assignment: dense 0..|V|−1 in piece sort order — a pure function
+  * of the vocabulary CONTENT (no hash, no insertion order), so the
+  * assignment is reproducible across engines and replayable by the
+  * oracle as one `row_number() OVER (ORDER BY piece)`. The vocabulary
+  * is driver-sized by construction (the [[Bpe]] store argument: the
+  * alphabet plus exactly one new symbol per merge), so the id table
+  * collects to the driver and rides each encode as a
+  * [[graft.functions.PieceIdLookup]] reference object — plan size O(1)
+  * in |V|, one vocabulary copy per executor via the task binary.
+  *
+  * Scale shape at 100 TB: the corpus tokenizes ONCE (narrow
+  * posexplode); each word joins the BROADCAST encoded word-type table
+  * (the [[Bpe.pieceCounts]] pricing join — corpus text never shuffles);
+  * the per-document id assembly is ONE hash exchange keyed by the doc
+  * id (the rollup that builds each document's id array — output-sized,
+  * the stream itself); the packed layout is [[Packing]]'s distributed
+  * prefix sum; and the final slice join is doc-id-keyed equi between
+  * the manifest and the id stream (both already doc-keyed). No driver
+  * state beyond the tokenizer artifact, no RNG, no UDFs.
+  */
+object TokenIds {
+
+  /** Dense piece→id table over an encoded word-type table's vocabulary:
+    * ids 0..|V|−1 in piece sort order. Driver-sized by construction
+    * (see class doc). */
+  def pieceIds(encoded: DataFrame): Map[String, Long] =
+    encoded.select(explode(col("syms")).as("piece")).distinct()
+      .orderBy("piece").collect().iterator.map(_.getString(0))
+      .zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
+
+  /** Per-document token-id streams: `(id, n_tokens, ids)` with `ids`
+    * the document's pieces in word order mapped through `ids0` —
+    * `concat(per-word pieces)` in document order, the x103 encoding
+    * made loader-consumable. Wordless (and null-text) documents carry
+    * the empty stream, not a null (the engine-wide null policy — a
+    * layout must keep every document).
+    *
+    * CONTRACT: `encoded` must cover every word of `docs` (guaranteed on
+    * the [[windowTokenIds]] path, where the word-type table is computed
+    * FROM `docs` — [[Bpe.encodeAgainstStore]] encodes the target
+    * corpus's own types, so unseen words still encode, just into more
+    * pieces). */
+  def docTokenIds(docs: DataFrame, idCol: String, textCol: String,
+                  encoded: DataFrame, ids0: Map[String, Long]): DataFrame = {
+    require(ids0.nonEmpty, "docTokenIds needs a non-empty id table")
+    val wordIds = encoded.select(col("word"),
+      transform(col("syms"),
+        s => graft.functions.PieceIdLookup(s, ids0)).as("__wids"))
+    docs
+      .select(col(idCol),
+        posexplode_outer(TextAnalysis.wordTokens(col(textCol)))
+          .as(Seq("__p", "word")))
+      .join(broadcast(wordIds), Seq("word"), "left")
+      .groupBy(idCol)
+      // collect_list skips nulls, so the explode_outer spine row of a
+      // wordless doc contributes nothing and the doc keeps ids = []
+      .agg(array_sort(collect_list(when(col("word").isNotNull,
+        struct(col("__p").as("p"),
+          coalesce(col("__wids"), array().cast("array<bigint>"))
+            .as("w"))))).as("__s"))
+      .select(col(idCol),
+        flatten(transform(col("__s"), s => s("w"))).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("ids"))
+  }
+
+  /** The TRAINING STREAM: [[Packing.windowManifest]] over the id-priced
+    * packed layout, each (window, segment) row carrying its id slice —
+    * `(bin, id, bin_offset, seg_len, is_head, is_tail, ids)`, the
+    * artifact a batch loader ingests directly. Per document,
+    * `concat(segments in bin order) = the document's full id stream`
+    * (TokenIdsSpec pins the round-trip to the x103 encoding).
+    *
+    * The tokenizer comes from the persisted store `table`
+    * ([[Bpe.writeTokenizerStore]]), so the stream prices in the SAME
+    * units the budget/packing plan committed to. */
+  def windowTokenIds(docs: DataFrame, idCol: String, textCol: String,
+                     table: String, windowTokens: Int): DataFrame = {
+    require(windowTokens > 0,
+      s"windowTokens must be positive, got $windowTokens")
+    val encoded = Bpe.encodeAgainstStore(docs, textCol, table)
+    val ids = pieceIds(encoded)
+    // materialized once: the packing prefix sum AND the slice join both
+    // consume the id streams — without this the tokenize + broadcast
+    // join + per-doc rollup lineage would run twice
+    val doc = docTokenIds(docs, idCol, textCol, encoded, ids)
+      .localCheckpoint(true)
+    val packed = Packing.packCountedSequences(
+      doc.select(col(idCol), col("n_tokens")), idCol, "n_tokens",
+      windowTokens)
+    val w = lit(windowTokens.toLong)
+    Packing.windowManifest(packed, idCol, windowTokens)
+      .join(packed.select(col(idCol), col("offset")), Seq(idCol))
+      .join(doc.select(col(idCol), col("ids")), Seq(idCol))
+      .withColumn("ids", slice(col("ids"),
+        (col("bin") * w + col("bin_offset") - col("offset") + 1).cast("int"),
+        col("seg_len").cast("int")))
+      .select(col("bin"), col(idCol), col("bin_offset"), col("seg_len"),
+        col("is_head"), col("is_tail"), col("ids"))
+  }
+}

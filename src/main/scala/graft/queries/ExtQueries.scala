@@ -6588,6 +6588,80 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    CAST(pos // 128 AS BIGINT) AS shard_id
             FROM p ORDER BY pos"""))
 
+  /** TOKEN-ID TRAINING STREAM ([[graft.ext.TokenIds.windowTokenIds]] —
+    * the loader-facing end of the pipeline: the x105 persisted BPE
+    * tokenizer's pieces get dense ids in piece sort order, every doc
+    * encodes to its id stream, and the x128 window manifest carries
+    * each segment's id slice — the artifact a batch loader actually
+    * ingests; until here the chain stopped at text). The oracle replays
+    * the id assignment as `row_number() OVER (ORDER BY piece)` over the
+    * merge cascade's final vocabulary and slices the same inclusive
+    * bounds; TokenIdsSpec pins that per-doc concat(segment ids) round-
+    * trips to the x103 encoding. W = 64 so multi-window docs and
+    * continuation segments provably occur. */
+  private val x130 = Q("x130_token_id_stream",
+    (s, d) => {
+      val docs = documents(s, d)
+      Bpe.writeTokenizerStore(docs, "text", numMerges = bpeK,
+        table = "x130_tok")
+      graft.ext.TokenIds.windowTokenIds(docs, "doc_id", "text", "x130_tok",
+          windowTokens = 64)
+        .select(col("bin"), col("doc_id"), col("bin_offset"), col("seg_len"),
+          col("is_head"), col("is_tail"),
+          array_join(col("ids").cast("array<string>"), " ").as("ids"))
+        .orderBy("bin", "bin_offset")
+    },
+    Some(s"""WITH ${bpeCascadeSql(bpeK, 2L)},
+             pid AS MATERIALIZED (
+               SELECT piece,
+                      CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid
+               FROM (SELECT DISTINCT unnest(syms) AS piece FROM w$bpeK)),
+             wsym AS MATERIALIZED (
+               SELECT word, u.e.j AS j, u.e.s AS s
+               FROM w$bpeK, unnest(list_transform(generate_series(1, len(syms)),
+                 i -> {'j': i, 's': syms[CAST(i AS INT)]})) AS u(e)),
+             wid AS MATERIALIZED (
+               SELECT ws.word, list(pid.pid ORDER BY ws.j) AS wids
+               FROM wsym ws JOIN pid ON pid.piece = ws.s GROUP BY ws.word),
+             dw AS MATERIALIZED (
+               SELECT doc_id, u.e.p AS p, u.e.wd AS word
+               FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                     FROM documents) t,
+                    unnest(list_transform(generate_series(1, len(ws)),
+                      i -> {'p': i, 'wd': ws[CAST(i AS INT)]})) AS u(e)
+               WHERE len(ws) >= 1),
+             docids AS MATERIALIZED (
+               SELECT dw.doc_id, flatten(list(wid.wids ORDER BY dw.p)) AS ids
+               FROM dw JOIN wid ON wid.word = dw.word GROUP BY dw.doc_id),
+             costs AS MATERIALIZED (
+               SELECT d.doc_id, CAST(COALESCE(len(di.ids), 0) AS BIGINT) AS n_tokens,
+                      di.ids AS ids
+               FROM documents d LEFT JOIN docids di USING (doc_id)),
+             laid AS MATERIALIZED (
+               SELECT doc_id, n_tokens, ids,
+                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+               FROM costs),
+             segs AS MATERIALIZED (
+               SELECT doc_id, n_tokens, ids, "offset",
+                      CAST(unnest(generate_series("offset" // 64,
+                        ("offset" + n_tokens - 1) // 64)) AS BIGINT) AS bin
+               FROM laid WHERE n_tokens > 0),
+             geo AS MATERIALIZED (
+               SELECT doc_id, ids, "offset", bin,
+                      greatest(0, "offset" - bin * 64) AS bin_offset,
+                      least(64, "offset" + n_tokens - bin * 64)
+                        - greatest(0, "offset" - bin * 64) AS seg_len,
+                      (bin = "offset" // 64) AS is_head,
+                      (bin = ("offset" + n_tokens - 1) // 64) AS is_tail
+               FROM segs)
+            SELECT bin, doc_id, bin_offset, seg_len, is_head, is_tail,
+                   array_to_string(
+                     ids[CAST(bin * 64 + bin_offset - "offset" + 1 AS INT)
+                         : CAST(bin * 64 + bin_offset - "offset" + seg_len AS INT)],
+                     ' ') AS ids
+            FROM geo ORDER BY bin, bin_offset"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6596,5 +6670,7 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x68, x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95,
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
-    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129)
+    x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
+    x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129,
+    x130)
 }

@@ -1922,6 +1922,65 @@ class WindowManifestSpec extends SparkSpec {
   }
 }
 
+/** Token-id training stream ([[graft.ext.TokenIds]]). */
+class TokenIdsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val docs = df(Seq(
+    (1L, "the cat sat on the mat"), (2L, ""), (3L, "a cat and a dog"),
+    (4L, "the the the the the the the the"), (5L, "zebra"))
+  ).toDF("doc_id", "text")
+
+  test("segment ids round-trip: concat(segments in bin order) == doc ids == x103 encoding through the id table") {
+    graft.ext.Bpe.writeTokenizerStore(docs, "text", numMerges = 4,
+      table = "tis_tok", minPairCount = 2L)
+    val encoded = graft.ext.Bpe.encodeAgainstStore(docs, "text", "tis_tok")
+    val ids = graft.ext.TokenIds.pieceIds(encoded)
+    // dense, 0-based, contiguous, piece-sorted
+    assert(ids.values.toSeq.sorted == (0L until ids.size).toSeq)
+    assert(ids.toSeq.sortBy(_._1).map(_._2) == (0L until ids.size).toSeq)
+
+    // the reference stream: per doc, words in order -> that word's
+    // pieces from the encoded table -> ids
+    val wordPieces = encoded.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val expect = docs.collect().map { r =>
+      val ws = "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toSeq
+      r.getLong(0) -> ws.flatMap(w => wordPieces(w).map(ids))
+    }.toMap
+
+    val doc = graft.ext.TokenIds.docTokenIds(docs, "doc_id", "text",
+        encoded, ids).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    expect.foreach { case (id, ref) =>
+      assert(doc(id)._2 == ref, s"doc $id ids")
+      assert(doc(id)._1 == ref.length.toLong)
+    }
+    assert(doc(2L) == ((0L, Seq.empty[Long]))) // wordless doc: empty stream
+
+    val stream = graft.ext.TokenIds.windowTokenIds(docs, "doc_id", "text",
+        "tis_tok", windowTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5), r.getSeq[Long](6)))
+    spark.catalog.clearCache()
+    // per doc: concat of segments in bin order == the doc's id stream
+    stream.groupBy(_._2).foreach { case (id, segs) =>
+      val cat = segs.sortBy(_._1).flatMap(_._7).toSeq
+      assert(cat == expect(id), s"doc $id segment concat")
+      segs.foreach(s => assert(s._7.length == s._4.toInt, s"seg_len vs ids: $s"))
+    }
+    // every id the stream ships came from the dense table
+    val all = stream.flatMap(_._7)
+    assert(all.nonEmpty && all.forall(i => i >= 0 && i < ids.size))
+    // windows tile: interior windows are exactly full
+    val byBin = stream.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (b, t) =>
+      if (b < lastBin) assert(t == 5L, s"window $b not full: $t")
+    }
+  }
+}
+
 class VocabSpec extends SparkSpec {
   test("topK cuts on count desc then term asc; oov counts occurrences") {
     val docs = df(Seq(
