@@ -387,4 +387,58 @@ object Unigram {
         sum(when(col("word").isNotNull && col("n_pieces").isNull, 1L)
           .otherwise(0L)).as("n_unpriced"))
   }
+
+  /** CHARACTER-FALLBACK pricing — the coverage-completion step every
+    * shipped unigram tokenizer carries (SentencePiece's
+    * character-coverage floor): hard-EM pruning keeps only the pieces
+    * the final round USED, so a char can drop from the vocabulary and
+    * a NEW word recombining it stops segmenting even though the
+    * tokenizer's declared alphabet covers it. Words the DP cannot
+    * segment fall back to per-character pricing (one piece per char —
+    * the seed's single-char floor) when every character is inside
+    * `fallbackChars` (the tokenizer's DECLARED coverage — the
+    * engine-wide token alphabet `a..z` by default); words outside even
+    * the declared coverage stay `n_unpriced` — reported, never
+    * silently dropped.
+    *
+    * `total_tokens = n_pieces + fallback_tokens` is the mass a
+    * budget/packing stage must plan with: pricing only the
+    * DP-segmentable words under-reads exactly the out-of-distribution
+    * documents a mixture most needs to account for (UnigramSpec pins
+    * that a packed layout over `total_tokens` reconciles to the
+    * column's sum).
+    *
+    * Same scale shape as [[pieceCounts]]: word types priced once by
+    * the DP (+ one narrow regex per type for the coverage test),
+    * broadcast join back, one map-side-combined rollup.
+    *
+    * @return (id, n_words, n_pieces, fallback_words, fallback_tokens,
+    *         n_unpriced, total_tokens). */
+  def pieceCountsWithFallback(docs: DataFrame, idCol: String,
+                              textCol: String, probs: Map[String, Double],
+                              maxPieceLen: Int,
+                              fallbackChars: Set[String] =
+                                ('a' to 'z').map(_.toString).toSet): DataFrame = {
+    require(fallbackChars.nonEmpty, "fallbackChars must be non-empty")
+    fallbackChars.foreach(c => require(c.length == 1,
+      s"fallbackChars must be single characters, got '$c'"))
+    val cls = "^[" + fallbackChars.toSeq.sorted
+      .map(java.util.regex.Pattern.quote).mkString + "]+$"
+    val priced = pricedWordTypes(docs, textCol, probs, maxPieceLen)
+      .withColumn("__fb", col("n_pieces").isNull && col("word").rlike(cls))
+    val isWord = col("word").isNotNull
+    val fb = isWord && col("n_pieces").isNull && col("__fb")
+    docs.select(col(idCol),
+        explode_outer(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .join(broadcast(priced), Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(count(col("word")).as("n_words"),
+        sum(coalesce(col("n_pieces"), lit(0L))).as("n_pieces"),
+        sum(when(fb, 1L).otherwise(0L)).as("fallback_words"),
+        sum(when(fb, length(col("word")).cast("long")).otherwise(0L))
+          .as("fallback_tokens"),
+        sum(when(isWord && col("n_pieces").isNull && !col("__fb"), 1L)
+          .otherwise(0L)).as("n_unpriced"))
+      .withColumn("total_tokens", col("n_pieces") + col("fallback_tokens"))
+  }
 }

@@ -6662,6 +6662,75 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                      ' ') AS ids
             FROM geo ORDER BY bin, bin_offset"""))
 
+  /** Char-fallback unigram pricing
+    * ([[graft.ext.Unigram.pieceCountsWithFallback]] — the
+    * SentencePiece-style coverage floor: DP-unsegmentable words price
+    * per character when their characters sit inside the declared a–z
+    * alphabet, so the budget/packing mass `total_tokens` accounts for
+    * out-of-coverage words instead of silently under-reading them).
+    * The doc_id % 7 fixture docs carry appended foreign words
+    * ('zebra xylo' — 'x'/'z' never occur in the corpus, so the DP
+    * provably fails and the fallback provably fires: fallback_tokens
+    * = 9 on those docs), and with the full Latin floor `n_unpriced`
+    * is provably 0 everywhere — narrower floors are UnigramSpec's
+    * pin. */
+  private val x131 = Q("x131_unigram_fallback_price",
+    (s, d) => {
+      val docs = documents(s, d)
+      requireWordBound(docs)
+      val probs = graft.ext.Unigram.fit(docs, "text", vocabSize = ugV,
+          maxPieceLen = ugL, rounds = ugR)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val scored = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" zebra xylo")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Unigram.pieceCountsWithFallback(scored, "doc_id", "text",
+          probs, ugL)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ug_w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) GROUP BY 1),
+    ${unigramSql("ug_w", ugR, ugL, ugV, ugM)},
+    scored AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' zebra xylo'
+                          ELSE text END AS text FROM documents),
+    qq_w AS MATERIALIZED (
+      SELECT word, CAST(1 AS BIGINT) AS cnt FROM (
+        SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM scored)),
+    ${unigramDpRound("qq_", "qq_w", 1, s"ug_v$ugR", ugL, ugM)
+      .mkString(",\n    ")},
+    dw AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM scored),
+    kk AS MATERIALIZED (
+      SELECT word, CAST(k AS BIGINT) AS np FROM qq_fin1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(agg.n_pieces, 0) AS BIGINT) AS n_pieces,
+                   CAST(COALESCE(agg.fallback_words, 0) AS BIGINT) AS fallback_words,
+                   CAST(COALESCE(agg.fallback_tokens, 0) AS BIGINT) AS fallback_tokens,
+                   CAST(COALESCE(agg.n_unpriced, 0) AS BIGINT) AS n_unpriced,
+                   CAST(COALESCE(agg.n_pieces, 0)
+                     + COALESCE(agg.fallback_tokens, 0) AS BIGINT) AS total_tokens
+            FROM documents d LEFT JOIN (
+              SELECT dw.doc_id, count(*) AS n_words,
+                     sum(COALESCE(kk.np, 0)) AS n_pieces,
+                     sum(CASE WHEN kk.np IS NULL
+                              AND regexp_full_match(dw.word, '[a-z]+')
+                         THEN 1 ELSE 0 END) AS fallback_words,
+                     sum(CASE WHEN kk.np IS NULL
+                              AND regexp_full_match(dw.word, '[a-z]+')
+                         THEN length(dw.word) ELSE 0 END) AS fallback_tokens,
+                     sum(CASE WHEN kk.np IS NULL
+                              AND NOT regexp_full_match(dw.word, '[a-z]+')
+                         THEN 1 ELSE 0 END) AS n_unpriced
+              FROM dw LEFT JOIN kk ON kk.word = dw.word
+              GROUP BY 1) agg ON agg.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6672,5 +6741,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
     x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129,
-    x130)
+    x130, x131)
 }

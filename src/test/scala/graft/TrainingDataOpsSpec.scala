@@ -1579,6 +1579,47 @@ class UnigramSpec extends SparkSpec {
     assert(out(2) == ((12L, 0L, 0L, 0L)))
   }
 
+  test("char fallback prices DP-failures per character inside the floor; outside stays unpriced; packing reconciles on total_tokens") {
+    val probs = graft.ext.Unigram
+      .fit(corpus, "text", vocabSize = 12, maxPieceLen = L, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val scored = df(Seq(
+      (10L, "the cat sat"),
+      (11L, "zz zebra"), // z out of corpus: DP fails for both words
+      (12L, ""))).toDF("doc_id", "text")
+    // full Latin floor: everything DP-unsegmentable falls back per char
+    val full = graft.ext.Unigram
+      .pieceCountsWithFallback(scored, "doc_id", "text", probs, L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (id, n_words, n_pieces, fb_words, fb_tokens, unpriced, total)
+    assert(full(0)._6 == 0L && full(0)._4 == 0L &&
+      full(0)._7 == full(0)._3)
+    assert(full(1) == ((11L, 2L, 0L, 2L, 7L, 0L, 7L))) // 'zz'(2)+'zebra'(5)
+    assert(full(2) == ((12L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // narrower floor (no 'z'): z-words stay honestly unpriced
+    val noZ = ('a' to 'y').map(_.toString).toSet
+    val nz = graft.ext.Unigram
+      .pieceCountsWithFallback(scored, "doc_id", "text", probs, L, noZ)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(nz(1) == ((11L, 0L, 2L, 0L)))
+    // budget reconciliation: a layout packed on total_tokens carries
+    // exactly the column's mass (last offset + n_tokens = sum)
+    val priced = graft.ext.Unigram
+      .pieceCountsWithFallback(scored, "doc_id", "text", probs, L)
+    val packed = graft.ext.Packing.packCountedSequences(
+        priced.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("total_tokens")),
+        "doc_id", "total_tokens", windowTokens = 4)
+      .orderBy("doc_id").collect()
+    spark.catalog.clearCache()
+    val mass = full.map(_._7).sum
+    assert(packed.last.getAs[Long]("offset")
+      + packed.last.getAs[Long]("n_tokens") == mass)
+  }
+
   test("fit is invariant under input partitioning") {
     def run(parts: Int) = graft.ext.Unigram
       .fit(corpus.repartition(parts), "text", vocabSize = 12,
