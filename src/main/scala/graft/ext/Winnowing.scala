@@ -277,6 +277,65 @@ object Winnowing {
       }
       .start()
 
+  /** WINNOW-CLUSTER DEDUP — the MOSS pipeline's keep/drop resolution:
+    * [[overlapPairs]]' candidate graph contracted to connected
+    * components ([[DupClusters.connectedComponentsStars]] — the
+    * planet-scale large-star/small-star form, because boilerplate-
+    * heavy crawls produce long overlap CHAINS a propagation round
+    * count can't bound), then one representative kept per component
+    * (min id canonical — the [[ExactDedup]] convention). One row per
+    * INPUT document: `(id, canonical_id, keep)` — docs with no
+    * qualifying overlap are their own canonical and keep.
+    *
+    * Scale shape: the pair graph is overlap-sized (the winnowed
+    * ~2/(w+1)-sparse index bounds it), star contraction shuffles
+    * pair-graph rows only, and the corpus touches ONE left equi-join
+    * docs ⋈ clusters on the id — the [[Sampling.clusterSafeSplit]]
+    * join shape, never corpus × corpus. */
+  def dedupByOverlap(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, w: Int, minShared: Long,
+                     maxDocsPerFp: Long = 64L): DataFrame = {
+    val pairs = overlapPairs(docs, idCol, textCol, k, w, minShared,
+      maxDocsPerFp)
+    val clusters = DupClusters.connectedComponentsStars(pairs,
+      "id_a", "id_b")
+    docs.select(col(idCol))
+      .join(clusters.select(col("doc_id").as(idCol), col("canonical_id")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+      .withColumn("keep", col("canonical_id") === col(idCol))
+  }
+
+  /** The INCREMENTAL form — dedup a new shard against the persisted
+    * winnowed index ([[overlapAgainstStore]] serving the x114 store in
+    * place): a shard doc overlapping ANY indexed doc (≥ `minShared`
+    * shared selected fingerprints) drops with `dup_of` = its
+    * best-matching store doc (most shared fingerprints, smallest store
+    * id on ties — a total, engine-replayable choice); the rest keep.
+    * First-wins against the store, the [[ExactDedup]] incremental
+    * convention — within-shard duplicates are [[dedupByOverlap]]'s
+    * job, run on the shard before or after this gate.
+    *
+    * @return one row per shard doc:
+    *         `(id, keep, dup_of, n_shared_fps)` — null dup_of/0 shared
+    *         on keepers. */
+  def dedupAgainstStore(newDocs: DataFrame, idCol: String, textCol: String,
+                        table: String, minShared: Long,
+                        maxDocsPerFp: Long = 64L): DataFrame = {
+    val best = overlapAgainstStore(newDocs, idCol, textCol, table,
+        minShared, maxDocsPerFp)
+      .groupBy(idCol)
+      .agg(min(struct((-col("n_shared_fps")).as("ns"),
+        col("store_doc_id").as("sid"))).as("__b"))
+      .select(col(idCol), col("__b.sid").as("dup_of"),
+        (-col("__b.ns")).as("n_shared_fps"))
+    newDocs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("keep"), col("dup_of"),
+        coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"))
+  }
+
   /** Per-doc selection stats: gram count, selected-fingerprint count,
     * and the realized sampling density (expected ≈ 2/(w+1) for random
     * hashes — the MOSS paper's bound; the audit column a deploy reads

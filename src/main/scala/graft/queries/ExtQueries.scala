@@ -6731,6 +6731,54 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
               GROUP BY 1) agg ON agg.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Winnow-cluster dedup ([[graft.ext.Winnowing.dedupByOverlap]] —
+    * the MOSS pipeline's resolution step: x111's winnowed overlap
+    * pairs → star-contracted connected components (x35's machinery) →
+    * min-id canonical keep/drop, one row per input doc). Same
+    * mutated-twin fixture as x111, so every original–twin pair
+    * provably clusters and the twin provably drops; the oracle
+    * replays the pair cascade plus the x35 recursive reach.
+    * WinnowDedupSpec pins the kept set on a seeded fixture; the
+    * store-served variant ([[graft.ext.Winnowing.dedupAgainstStore]])
+    * reads the x114 index in place — PlanSpec pins the bucketed
+    * Exchange-free store side. */
+  private val x132 = Q("x132_winnow_dedup",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("mutated twin prefix "), col("text")).as("text")))
+      graft.ext.Winnowing.dedupByOverlap(corpus, "doc_id", "text",
+          k = 3, w = 4, minShared = 2L)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE corpus AS MATERIALIZED (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 300000, 'mutated twin prefix ' || text
+               FROM documents WHERE doc_id % 9 = 0),
+             ${winnowSql("", "corpus", 3, 4)},
+             rare AS MATERIALIZED (
+               SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 64),
+             kept AS MATERIALIZED (
+               SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+             prs AS MATERIALIZED (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+             e(u, v) AS (SELECT id_a, id_b FROM prs
+                         UNION SELECT id_b, id_a FROM prs),
+             reach(u, v) AS (SELECT u, v FROM e
+                             UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+             canon AS MATERIALIZED (
+               SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+               FROM reach GROUP BY u)
+            SELECT c.doc_id,
+                   COALESCE(canon.canonical_id, c.doc_id) AS canonical_id,
+                   (COALESCE(canon.canonical_id, c.doc_id) = c.doc_id) AS keep
+            FROM corpus c LEFT JOIN canon ON canon.doc_id = c.doc_id
+            ORDER BY c.doc_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6741,5 +6789,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
     x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129,
-    x130, x131)
+    x130, x131, x132)
 }

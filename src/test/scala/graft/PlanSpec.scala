@@ -824,6 +824,48 @@ class PlanSpec extends SparkSpec {
       s"plan grew with vocabulary size: |V|=4 → $small chars, |V|=2048 → $large chars")
   }
 
+  test("store-served winnow dedup reads the bucketed index in place (Exchange-free store side)") {
+    val t = "plan_winnow_dedup_store"
+    def cleanup(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_ledger")
+    }
+    cleanup()
+    try {
+      val docs = graft.util.Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      graft.ext.Winnowing.writeWinnowStore(docs, "doc_id", "text",
+        k = 3, w = 4, table = t, buckets = 4)
+      val df = graft.ext.Winnowing.dedupAgainstStore(
+        docs.limit(5), "doc_id", "text", t, minShared = 2L)
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+      val smjs = root.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      val storeSides = smjs.flatMap(j => Seq(j.left, j.right)).filter(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.bucketedScan && f.tableIdentifier.exists(_.table == t) => f
+      }.nonEmpty)
+      assert(storeSides.nonEmpty,
+        s"no sort-merge join reads the bucketed winnow store:\n${root.toString.take(1200)}")
+      storeSides.filter(_.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty).foreach { side =>
+        val es = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(es.isEmpty,
+          s"winnow store side must read its buckets in place, found: $es")
+      }
+    } finally cleanup()
+  }
+
   test("q33 bucketed merge joins without any hash shuffle (range exchange for ORDER BY only)") {
     val df = Registry.queries("q33_bucketed_merge")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

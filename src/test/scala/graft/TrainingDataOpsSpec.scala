@@ -2866,3 +2866,57 @@ class LmScoreSpec extends SparkSpec {
     } finally { dropStore("dsir_t_spec"); dropStore("dsir_s_spec") }
   }
 }
+
+/** Winnow-cluster dedup ([[graft.ext.Winnowing.dedupByOverlap]] /
+  * [[graft.ext.Winnowing.dedupAgainstStore]]). */
+class WinnowDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private val shared = "alpha beta gamma delta epsilon zeta eta theta"
+  private val docs = df(Seq(
+    (1L, shared),
+    (2L, s"xx yy $shared"),                    // prefix-mutated twin of 1
+    (3L, s"$shared zz qq"),                    // suffix-mutated twin of 1
+    (4L, "one two three four five six seven eight nine"),
+    (5L, "red green blue cyan magenta yellow black white")
+  )).toDF("doc_id", "text")
+
+  test("overlapping docs cluster to the min-id canonical; the kept set is exactly the canonicals") {
+    val out = graft.ext.Winnowing.dedupByOverlap(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // {1,2,3} share the 8-token run >= w+k-1 = 6: one cluster, canon 1
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
+
+  test("store-served dedup drops shard docs overlapping the index, keeps fresh ones") {
+    val t = "winnow_dedup_spec_store"
+    def cleanup(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_ledger")
+    }
+    cleanup()
+    try {
+      graft.ext.Winnowing.writeWinnowStore(
+        docs.filter(col("doc_id").isin(1L, 4L, 5L)), "doc_id", "text",
+        k = 3, w = 4, table = t, buckets = 4)
+      val shard = df(Seq(
+        (2L, s"xx yy $shared"), // twin of stored 1: drops
+        (6L, "purple orange pink brown silver gold copper lead")
+      )).toDF("doc_id", "text")
+      val out = graft.ext.Winnowing.dedupAgainstStore(shard, "doc_id",
+          "text", t, minShared = 1L)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+      assert(out.length == 2)
+      assert(out(0)._1 == 2L && !out(0)._2 && out(0)._3 == 1L &&
+        out(0)._4 >= 1L)
+      assert(out(1) == ((6L, true, -1L, 0L)))
+    } finally cleanup()
+  }
+}
