@@ -145,4 +145,38 @@ object Packing {
       .select(checkedBin.as("bin"), col(idCol), col("bin_offset"),
         col("seg_len"), col("is_head"), col("is_tail"))
   }
+
+  /** PACKED-LAYOUT EFFICIENCY CARD — the batch-assembly audit a recipe
+    * publishes next to its window size choice: over a
+    * [[windowManifest]], the distribution of segments per window (how
+    * fragmented the attention masks get), the head-vs-continuation
+    * split (continuation segments ARE the document boundary crossings
+    * — each one is a doc attending across a window edge it must be
+    * masked from), and the padding waste (concat-and-chunk fills every
+    * window except the stream's last, so `padding_tokens` is nonzero
+    * only on the final window — a property, not an observation;
+    * WindowManifestSpec pins it along with Σ window_tokens =
+    * Σ n_tokens).
+    *
+    * One row per distinct segments-per-window count:
+    * `(segs_per_window, n_windows, window_tokens, padding_tokens,
+    * head_segments, continuation_segments)`.
+    *
+    * Scale shape: two map-side-combined aggregations — window grain
+    * (bin-keyed, manifest-sized input) then bucket grain (≤ the max
+    * segment count, dozens of rows). Exact int64 sums throughout. */
+  def layoutCard(manifest: DataFrame, windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val w = lit(windowTokens.toLong)
+    manifest.groupBy("bin")
+      .agg(count(lit(1)).as("__segs"),
+        sum("seg_len").as("__toks"),
+        sum(when(col("is_head"), 1L).otherwise(0L)).as("__heads"))
+      .groupBy(col("__segs").as("segs_per_window"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum("__toks").as("window_tokens"),
+        sum(w - col("__toks")).as("padding_tokens"),
+        sum("__heads").as("head_segments"),
+        sum(col("__segs") - col("__heads")).as("continuation_segments"))
+  }
 }

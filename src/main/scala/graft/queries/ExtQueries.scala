@@ -6779,6 +6779,74 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             FROM corpus c LEFT JOIN canon ON canon.doc_id = c.doc_id
             ORDER BY c.doc_id"""))
 
+  /** Packed-layout efficiency card ([[Packing.layoutCard]] over x128's
+    * unigram-priced window manifest — segments-per-window
+    * distribution, head-vs-continuation split (continuations ARE the
+    * boundary crossings an attention mask must cut), and padding
+    * waste, which concat-and-chunk confines to the stream's final
+    * window — WindowManifestSpec pins the property plus
+    * Σ window_tokens = Σ n_tokens). Pure int64 rollups: window grain,
+    * then bucket grain. */
+  private val x133 = Q("x133_packing_card",
+    (s, d) => {
+      val docs = documents(s, d)
+      requireWordBound(docs)
+      val probs = graft.ext.Unigram.fit(docs, "text", vocabSize = ugV,
+          maxPieceLen = ugL, rounds = ugR)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val pc = graft.ext.Unigram.pieceCounts(docs, "doc_id", "text",
+        probs, ugL)
+      val packed = Packing.packCountedSequences(
+        pc.select(col("doc_id"), col("n_pieces")),
+        "doc_id", "n_pieces", windowTokens = 512)
+      Packing.layoutCard(Packing.windowManifest(packed, "doc_id", 512), 512)
+        .orderBy("segs_per_window")
+    },
+    Some(s"""WITH ug_w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) GROUP BY 1),
+    ${unigramSql("ug_w", ugR, ugL, ugV, ugM)},
+    ${unigramDpRound("qq_", "ug_w", 1, s"ug_v$ugR", ugL, ugM)
+      .mkString(",\n    ")},
+    dw AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents),
+    pcnt AS MATERIALIZED (
+      SELECT dw.doc_id, CAST(sum(COALESCE(f.k, 0)) AS BIGINT) AS n_pieces
+      FROM dw LEFT JOIN qq_fin1 f ON f.word = dw.word GROUP BY 1),
+    costs AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(pcnt.n_pieces, 0) AS n_tokens
+      FROM documents d LEFT JOIN pcnt ON pcnt.doc_id = d.doc_id),
+    laid AS MATERIALIZED (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      FROM costs),
+    segs AS MATERIALIZED (
+      SELECT doc_id, n_tokens, "offset",
+             CAST(unnest(generate_series("offset" // 512,
+               ("offset" + n_tokens - 1) // 512)) AS BIGINT) AS bin
+      FROM laid WHERE n_tokens > 0),
+    geo AS MATERIALIZED (
+      SELECT bin,
+             least(512, "offset" + n_tokens - bin * 512)
+               - greatest(0, "offset" - bin * 512) AS seg_len,
+             (bin = "offset" // 512) AS is_head
+      FROM segs),
+    perwin AS MATERIALIZED (
+      SELECT bin, CAST(count(*) AS BIGINT) AS segs,
+             CAST(sum(seg_len) AS BIGINT) AS toks,
+             CAST(sum(CASE WHEN is_head THEN 1 ELSE 0 END) AS BIGINT) AS heads
+      FROM geo GROUP BY 1)
+            SELECT segs AS segs_per_window,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(toks) AS BIGINT) AS window_tokens,
+                   CAST(sum(512 - toks) AS BIGINT) AS padding_tokens,
+                   CAST(sum(heads) AS BIGINT) AS head_segments,
+                   CAST(sum(segs - heads) AS BIGINT) AS continuation_segments
+            FROM perwin GROUP BY 1 ORDER BY segs_per_window"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6789,5 +6857,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
     x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129,
-    x130, x131, x132)
+    x130, x131, x132, x133)
 }

@@ -1948,6 +1948,35 @@ class WindowManifestSpec extends SparkSpec {
     }
   }
 
+  test("layoutCard: token mass conserved, padding only on the stream's last window, crossings = continuations") {
+    val counts = df(Seq((1L, 3L), (2L, 5L), (3L, 0L), (4L, 9L), (5L, 2L)))
+      .toDF("doc_id", "n")
+    val packed = graft.ext.Packing.packCountedSequences(counts, "doc_id",
+      "n", windowTokens = 4)
+    val manifest = graft.ext.Packing.windowManifest(packed, "doc_id", 4)
+    val card = graft.ext.Packing.layoutCard(manifest, 4)
+      .orderBy("segs_per_window").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    spark.catalog.clearCache()
+    // layout above: 5 windows; window 0 has 2 segs, window 4 has 2 segs,
+    // windows 1-3 one seg each; total tokens 19, capacity 20 -> 1 pad
+    assert(card.toSeq == Seq(
+      (1L, 3L, 12L, 0L, 1L, 2L),
+      (2L, 2L, 7L, 1L, 3L, 1L)))
+    // properties: sum(window_tokens) == sum(n_tokens); padding ==
+    // capacity - tokens and it sits ONLY on the stream's last window
+    assert(card.map(_._3).sum == 19L && card.map(_._4).sum == 1L)
+    val perWin = manifest.collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    spark.catalog.clearCache()
+    val last = perWin.keys.max
+    perWin.foreach { case (b, t) =>
+      if (b != last) assert(t == 4L, s"interior window $b padded: $t")
+    }
+  }
+
   test("a windowTokens that disagrees with the packed layout fails loud, not garbage") {
     val counts = df(Seq((1L, 3L), (2L, 5L), (3L, 9L))).toDF("doc_id", "n")
     val packed = graft.ext.Packing.packCountedSequences(counts, "doc_id",
