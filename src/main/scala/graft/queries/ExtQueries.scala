@@ -5828,10 +5828,10 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     * the islands rollup: seeded hash start marks (threshold 500 =
     * round(0.15/3 · 10⁴)) → spanLen-frame window max → maximal-run
     * islands. Shared by x116 (the span table) and x117 (the audit). */
-  private def spanCorruptSql(seed: String): String =
+  private def spanCorruptSql(seed: String, src: String = "documents"): String =
     s"""sc_tw AS MATERIALIZED (
                SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w
-               FROM documents),
+               FROM $src),
              sc_pos AS MATERIALIZED (
                SELECT doc_id, CAST(unnest(generate_series(0, len(w) - 1)) AS BIGINT) AS pos
                FROM sc_tw WHERE len(w) >= 1),
@@ -6291,17 +6291,35 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         "doc_id", "text", corruptionRate = 0.15, spanLen = 3,
         seed = "t5-r19")
       .orderBy("doc_id"),
-    Some(s"""WITH ${spanCorruptSql("t5-r19")},
-             tk AS MATERIALIZED (
+    Some(s"""WITH ${spanMaterializeSql("t5-r19", "documents")}
+            SELECT d.doc_id,
+                   COALESCE(sc_inp.input_text, '') AS input_text,
+                   COALESCE(sc_tgt.target_text, '') AS target_text,
+                   COALESCE(sc_ns.n, 0) AS n_spans
+            FROM documents d
+            LEFT JOIN sc_inp USING (doc_id)
+            LEFT JOIN sc_tgt USING (doc_id)
+            LEFT JOIN sc_ns USING (doc_id)
+            ORDER BY d.doc_id"""))
+
+  /** x124's materializer CTE chain over [[spanCorruptSql]]'s span
+    * table, parameterized by the source CTE so x134's objective
+    * mixture can splice it over its span-assigned subset — one
+    * materializer text, two checked call sites. Exposes `sc_inp`
+    * (doc_id, input_text), `sc_tgt` (doc_id, target_text), `sc_ns`
+    * (doc_id, n). */
+  private def spanMaterializeSql(seed: String, src: String): String =
+    s"""${spanCorruptSql(seed, src)},
+             sc_tk AS MATERIALIZED (
                SELECT doc_id, CAST(u.t.p AS BIGINT) AS pos, u.t.s AS tok
                FROM sc_tw, unnest(list_transform(generate_series(1, len(w)),
                  i -> {'p': i - 1, 's': w[CAST(i AS INT)]})) AS u(t)
                WHERE len(w) >= 1),
-             cls AS MATERIALIZED (
-               SELECT tk.doc_id, tk.pos, tk.tok, s.span_idx, s.start_pos
-               FROM tk LEFT JOIN sc_spans s ON s.doc_id = tk.doc_id
-                 AND tk.pos BETWEEN s.start_pos AND s.end_pos),
-             inp AS MATERIALIZED (
+             sc_cls AS MATERIALIZED (
+               SELECT sc_tk.doc_id, sc_tk.pos, sc_tk.tok, s.span_idx, s.start_pos
+               FROM sc_tk LEFT JOIN sc_spans s ON s.doc_id = sc_tk.doc_id
+                 AND sc_tk.pos BETWEEN s.start_pos AND s.end_pos),
+             sc_inp AS MATERIALIZED (
                SELECT doc_id, string_agg(s, ' ' ORDER BY k) AS input_text
                FROM (
                  SELECT doc_id,
@@ -6309,30 +6327,21 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                              ELSE start_pos * 2 END AS k,
                         CASE WHEN span_idx IS NULL THEN tok
                              ELSE '<extra_id_' || CAST(span_idx AS VARCHAR) || '>' END AS s
-                 FROM cls WHERE span_idx IS NULL OR pos = start_pos)
+                 FROM sc_cls WHERE span_idx IS NULL OR pos = start_pos)
                GROUP BY 1),
-             tgt AS MATERIALIZED (
+             sc_tgt AS MATERIALIZED (
                SELECT doc_id, string_agg(s, ' ' ORDER BY k) AS target_text
                FROM (
-                 SELECT doc_id, pos * 2 AS k, tok AS s FROM cls
+                 SELECT doc_id, pos * 2 AS k, tok AS s FROM sc_cls
                  WHERE span_idx IS NOT NULL
                  UNION ALL
                  SELECT doc_id, start_pos * 2 - 1 AS k,
                         '<extra_id_' || CAST(span_idx AS VARCHAR) || '>' AS s
                  FROM sc_spans)
                GROUP BY 1),
-             ns AS MATERIALIZED (
+             sc_ns AS MATERIALIZED (
                SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sc_spans
-               GROUP BY 1)
-            SELECT d.doc_id,
-                   COALESCE(inp.input_text, '') AS input_text,
-                   COALESCE(tgt.target_text, '') AS target_text,
-                   COALESCE(ns.n, 0) AS n_spans
-            FROM documents d
-            LEFT JOIN inp USING (doc_id)
-            LEFT JOIN tgt USING (doc_id)
-            LEFT JOIN ns USING (doc_id)
-            ORDER BY d.doc_id"""))
+               GROUP BY 1)"""
 
   /** DEDUP-DISCOUNTED budget plan — the composition the
     * data-constrained planning literature actually prescribes: epoch
@@ -6847,6 +6856,89 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    CAST(sum(segs - heads) AS BIGINT) AS continuation_segments
             FROM perwin GROUP BY 1 ORDER BY segs_per_window"""))
 
+  /** Objective mixture ([[graft.ext.Objectives.mixAudit]] — the UL2 /
+    * code-model recipe step: ONE seeded objective per document (25%
+    * span corruption, 25% FIM, 50% AR), each leg rendered through its
+    * own checked transform under a derived sub-seed, unioned with an
+    * objective column, audited per source: realized vs target rates
+    * plus the exact char masses that pin the RENDERINGS (not just the
+    * assignment) through the oracle — which splices the x124
+    * materializer cascade and the x127 FIM cascade over the assigned
+    * subsets). */
+  private val x134 = Q("x134_objective_mixture",
+    (s, d) => graft.ext.Objectives.mixAudit(documents(s, d), "doc_id",
+        "text", "source", seed = "x134-r20", spanShare = 0.25,
+        fimShare = 0.25)
+      .orderBy("source", "objective"),
+    Some(s"""WITH asg AS MATERIALIZED (
+               SELECT doc_id, source, text,
+                      CASE WHEN b < 2500 THEN 'span'
+                           WHEN b < 5000 THEN 'fim'
+                           ELSE 'ar' END AS objective
+               FROM (SELECT doc_id, source, text,
+                       CAST(CAST('0x'||substr(md5('x134-r20:obj:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 AS b
+                     FROM documents)),
+             sdocs AS MATERIALIZED (
+               SELECT doc_id, text FROM asg WHERE objective = 'span'),
+             ${spanMaterializeSql("x134-r20:span", "sdocs")},
+             span_leg AS MATERIALIZED (
+               SELECT d.doc_id, 'span' AS objective,
+                      COALESCE(sc_inp.input_text, '') AS input_text,
+                      COALESCE(sc_tgt.target_text, '') AS target_text
+               FROM sdocs d
+               LEFT JOIN sc_inp USING (doc_id)
+               LEFT JOIN sc_tgt USING (doc_id)),
+             fdocs AS MATERIALIZED (
+               SELECT doc_id, text FROM asg WHERE objective = 'fim'),
+             f_ft AS MATERIALIZED (
+               SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w
+               FROM fdocs),
+             f_base AS MATERIALIZED (
+               SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+                      CAST(CAST('0x'||substr(md5('x134-r20:fim:c1:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT)
+                        % greatest(1, len(w) - 1) + 1 AS a,
+                      CAST(CAST('0x'||substr(md5('x134-r20:fim:c2:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT)
+                        % greatest(1, len(w) - 1) + 1 AS b
+               FROM f_ft),
+             f_fimd AS MATERIALIZED (
+               SELECT doc_id, w, n_tokens, (n_tokens >= 3) AS fim,
+                      CASE WHEN n_tokens >= 3
+                           THEN CAST(least(a, b) AS BIGINT) END AS c1,
+                      CASE WHEN n_tokens >= 3
+                           THEN CAST(greatest(a, b) AS BIGINT) END AS c2
+               FROM f_base),
+             fim_leg AS MATERIALIZED (
+               SELECT doc_id, 'fim' AS objective, '' AS input_text,
+                      CASE WHEN fim THEN
+                        '<fim_prefix> ' || COALESCE(array_to_string(w[1:CAST(c1 AS INT)], ' '), '')
+                        || ' <fim_suffix> ' || COALESCE(array_to_string(w[CAST(c2 + 1 AS INT):CAST(n_tokens AS INT)], ' '), '')
+                        || ' <fim_middle> ' || COALESCE(array_to_string(w[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' '), '')
+                      ELSE COALESCE(array_to_string(w, ' '), '') END AS target_text
+               FROM f_fimd),
+             ar_leg AS MATERIALIZED (
+               SELECT doc_id, 'ar' AS objective, '' AS input_text,
+                      COALESCE(array_to_string(regexp_extract_all(lower(trim(text)), '\\S+'), ' '), '') AS target_text
+               FROM asg WHERE objective = 'ar'),
+             legs AS MATERIALIZED (
+               SELECT * FROM span_leg
+               UNION ALL SELECT * FROM fim_leg
+               UNION ALL SELECT * FROM ar_leg),
+             tot AS MATERIALIZED (
+               SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1)
+            SELECT a.source, l.objective,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS realized_rate,
+                   CAST(CASE l.objective WHEN 'span' THEN 0.25
+                        WHEN 'fim' THEN 0.25 ELSE 0.5 END AS DOUBLE) AS target_rate,
+                   CAST(sum(length(l.input_text)) AS BIGINT) AS sum_input_chars,
+                   CAST(sum(length(l.target_text)) AS BIGINT) AS sum_target_chars
+            FROM legs l
+            JOIN asg a USING (doc_id)
+            JOIN tot ON tot.source = a.source
+            GROUP BY a.source, l.objective, tot.n
+            ORDER BY a.source, l.objective"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6857,5 +6949,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
     x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129,
-    x130, x131, x132, x133)
+    x130, x131, x132, x133, x134)
 }

@@ -2949,3 +2949,78 @@ class WinnowDedupSpec extends SparkSpec {
     } finally cleanup()
   }
 }
+
+/** Objective-mixture construction ([[graft.ext.Objectives]]). */
+class ObjectivesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private val docs = df(
+    (1L to 80L).map(i => (i, (0 until 12).map(j => s"w${(i * 3 + j) % 17}")
+      .mkString(" "), s"src${i % 2}")) ++
+      Seq((100L, "two tokens", "src0"), (101L, "", "src1"))
+  ).toDF("doc_id", "text", "source")
+
+  test("every doc renders exactly once under its assigned objective; legs match their own transforms") {
+    val mix = graft.ext.Objectives.materializeMix(docs, "doc_id", "text",
+        "obj-spec", spanShare = 0.3, fimShare = 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(mix.length == 82 && mix.map(_._1).distinct.length == 82)
+    val byObj = mix.groupBy(_._2)
+    assert(byObj.keySet == Set("span", "fim", "ar"))
+    // assignment replay: seeded bucket over cumulative shares
+    val asg = graft.ext.Objectives.assign(docs, "doc_id", "obj-spec",
+        0.3, 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    mix.foreach { case (id, obj, _, _) => assert(asg(id) == obj, s"doc $id") }
+    // span leg == SpanCorruption.materialize over the span subset
+    val spanIds = asg.filter(_._2 == "span").keySet
+    val ref = graft.ext.SpanCorruption.materialize(
+        docs.filter(col("doc_id").isin(spanIds.toSeq: _*)), "doc_id",
+        "text", 0.15, 3, "obj-spec:span")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    mix.filter(_._2 == "span").foreach { case (id, _, in, tgt) =>
+      assert((in, tgt) == ref(id), s"span doc $id") }
+    // fim leg: decoder-only ('' input), PSM or passthrough target
+    mix.filter(_._2 == "fim").foreach { case (id, _, in, tgt) =>
+      assert(in == "")
+      val toks = docs.collect().find(_.getLong(0) == id).get.getString(1)
+        .toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 3) assert(tgt.startsWith("<fim_prefix> "))
+      else assert(tgt == toks.mkString(" "))
+    }
+    // ar leg: plain normalized stream
+    mix.filter(_._2 == "ar").foreach { case (id, _, in, tgt) =>
+      assert(in == "")
+      val toks = docs.collect().find(_.getLong(0) == id).get.getString(1)
+        .toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(tgt == toks.mkString(" "))
+    }
+  }
+
+  test("mix audit: per-group rates sum to 1, doc counts conserved, char masses match the mix") {
+    val audit = graft.ext.Objectives.mixAudit(docs, "doc_id", "text",
+        "source", "obj-spec", 0.3, 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(audit.map(_._3).sum == 82L)
+    audit.groupBy(_._1).foreach { case (src, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, src)
+    }
+    // the ar share is the IEEE residual 1.0 - 0.3 - 0.3 (not 0.4)
+    assert(audit.forall(a => (a._2 == "ar" && a._5 == 1.0 - 0.3 - 0.3) ||
+      (a._2 != "ar" && a._5 == 0.3)))
+    // char masses reconcile against the mix itself
+    val mix = graft.ext.Objectives.materializeMix(docs, "doc_id", "text",
+        "obj-spec", 0.3, 0.3)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect().map(r => ((r.getString(4), r.getString(1)),
+        (r.getString(2).length.toLong, r.getString(3).length.toLong)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.map(_._2._1).sum, v.map(_._2._2).sum)).toMap
+    audit.foreach { case (src, obj, _, _, _, ic, tc) =>
+      assert(mix((src, obj)) == ((ic, tc)), s"($src, $obj)")
+    }
+  }
+}
