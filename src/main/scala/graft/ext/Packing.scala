@@ -116,7 +116,18 @@ object Packing {
     * total); no join, no shuffle beyond the layout's own prefix
     * sum. */
   def windowManifest(packed: DataFrame, idCol: String,
-                     windowTokens: Int): DataFrame = {
+                     windowTokens: Int): DataFrame =
+    manifestRows(packed, idCol, windowTokens)
+      .select(col("bin"), col(idCol), col("bin_offset"), col("seg_len"),
+        col("is_head"), col("is_tail"))
+
+  /** [[windowManifest]] with the document's global `offset` RETAINED —
+    * the internal grain [[TokenIds.windowTokenIds]] slices ids with
+    * (re-joining `packed` just to recover the offset would pay one
+    * extra manifest-sized exchange). The public manifest is a
+    * projection of this. */
+  private[ext] def manifestRows(packed: DataFrame, idCol: String,
+                                windowTokens: Int): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     val w = lit(windowTokens.toLong)
     // head/tail flags come from the packed frame's OWN bin_start /
@@ -143,7 +154,7 @@ object Packing {
       .withColumn("is_head", col("bin") === col("bin_start"))
       .withColumn("is_tail", col("bin") === col("bin_end"))
       .select(checkedBin.as("bin"), col(idCol), col("bin_offset"),
-        col("seg_len"), col("is_head"), col("is_tail"))
+        col("seg_len"), col("is_head"), col("is_tail"), col("offset"))
   }
 
   /** PACKED-LAYOUT EFFICIENCY CARD — the batch-assembly audit a recipe

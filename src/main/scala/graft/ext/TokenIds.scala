@@ -103,8 +103,9 @@ object TokenIds {
       doc.select(col(idCol), col("n_tokens")), idCol, "n_tokens",
       windowTokens)
     val w = lit(windowTokens.toLong)
-    Packing.windowManifest(packed, idCol, windowTokens)
-      .join(packed.select(col(idCol), col("offset")), Seq(idCol))
+    // manifestRows retains the layout offset, so the only join here is
+    // the one doc-keyed equi against the id streams
+    Packing.manifestRows(packed, idCol, windowTokens)
       .join(doc.select(col(idCol), col("ids")), Seq(idCol))
       .withColumn("ids", slice(col("ids"),
         (col("bin") * w + col("bin_offset") - col("offset") + 1).cast("int"),

@@ -824,6 +824,28 @@ class PlanSpec extends SparkSpec {
       s"plan grew with vocabulary size: |V|=4 → $small chars, |V|=2048 → $large chars")
   }
 
+  test("x130 token stream joins the id streams ONCE (manifest carries its own offset); no cartesian") {
+    val df = Registry.queries("x130_token_id_stream")(spark, sf)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val s = root.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"))
+    val joins = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    // the id-assembly broadcast join sits behind the localCheckpoint;
+    // the visible plan must hold exactly the one manifest-vs-ids equi
+    // join — a second join here means the manifest re-joined `packed`
+    // just to recover the offset it already had
+    assert(joins.size == 1, s"expected 1 join, found ${joins.size}:\n${s.take(1500)}")
+  }
+
   test("store-served winnow dedup reads the bucketed index in place (Exchange-free store side)") {
     val t = "plan_winnow_dedup_store"
     def cleanup(): Unit = {
