@@ -89,15 +89,67 @@ object TokenIds {
     * ([[Bpe.writeTokenizerStore]]), so the stream prices in the SAME
     * units the budget/packing plan committed to. */
   def windowTokenIds(docs: DataFrame, idCol: String, textCol: String,
-                     table: String, windowTokens: Int): DataFrame = {
+                     table: String, windowTokens: Int): DataFrame =
+    streamFromWordPieces(docs, idCol, textCol,
+      Bpe.encodeAgainstStore(docs, textCol, table), windowTokens)
+
+  /** The default out-of-coverage piece (SentencePiece's `unk_id`
+    * convention) — outside the `[a-z]` word-token alphabet, so it can
+    * never collide with a real piece. */
+  val Unk = "<unk>"
+
+  /** Word→pieces under the STORED UNIGRAM tokenizer with the x131
+    * coverage completion, rendered for a LOADER (which, unlike a
+    * pricing card, cannot *report* a gap — every word must emit
+    * tokens): DP-segmentable words take their Viterbi pieces;
+    * DP-failures whose characters sit inside `fallbackChars` take the
+    * per-character floor; words outside even the floor emit ONE [[Unk]]
+    * piece (the published unk_id move — visible in the stream, never
+    * silently dropped). */
+  def unigramWordPieces(docs: DataFrame, textCol: String, table: String,
+                        fallbackChars: Set[String]): DataFrame = {
+    require(fallbackChars.nonEmpty, "fallbackChars must be non-empty")
+    fallbackChars.foreach(c => require(c.length == 1,
+      s"fallbackChars must be single characters, got '$c'"))
+    val (probs, maxPieceLen) = Unigram.servedProbs(docs.sparkSession, table)
+    val cls = "^[" + fallbackChars.toSeq.sorted
+      .map(java.util.regex.Pattern.quote).mkString + "]+$"
+    val words = docs
+      .select(explode(TextAnalysis.wordTokens(col(textCol))).as("word"))
+      .distinct().withColumn("cnt", lit(1L))
+    Unigram.viterbiSegments(words, probs, maxPieceLen)
+      .select(col("word"),
+        when(col("pieces").isNotNull, col("pieces"))
+          .when(col("word").rlike(cls),
+            transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1))))
+          .otherwise(array(lit(Unk))).as("syms"))
+  }
+
+  /** [[windowTokenIds]] in the UNIGRAM tokenizer's units — the same id
+    * stream served from a unigram store through
+    * [[unigramWordPieces]]' coverage-complete rendering (the id path
+    * is tokenizer-agnostic: anything that maps word → pieces feeds
+    * it). */
+  def windowTokenIdsUnigram(docs: DataFrame, idCol: String,
+                            textCol: String, table: String,
+                            windowTokens: Int,
+                            fallbackChars: Set[String] =
+                              ('a' to 'z').map(_.toString).toSet): DataFrame =
+    streamFromWordPieces(docs, idCol, textCol,
+      unigramWordPieces(docs, textCol, table, fallbackChars), windowTokens)
+
+  /** The shared stream assembly over ANY word→pieces table. */
+  private def streamFromWordPieces(docs: DataFrame, idCol: String,
+                                   textCol: String, wordPieces: DataFrame,
+                                   windowTokens: Int): DataFrame = {
     require(windowTokens > 0,
       s"windowTokens must be positive, got $windowTokens")
-    val encoded = Bpe.encodeAgainstStore(docs, textCol, table)
-    val ids = pieceIds(encoded)
+    val ids = pieceIds(wordPieces)
     // materialized once: the packing prefix sum AND the slice join both
     // consume the id streams — without this the tokenize + broadcast
     // join + per-doc rollup lineage would run twice
-    val doc = docTokenIds(docs, idCol, textCol, encoded, ids)
+    val doc = docTokenIds(docs, idCol, textCol, wordPieces, ids)
       .localCheckpoint(true)
     val packed = Packing.packCountedSequences(
       doc.select(col(idCol), col("n_tokens")), idCol, "n_tokens",

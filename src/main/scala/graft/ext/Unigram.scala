@@ -276,14 +276,22 @@ object Unigram {
     * meta, so a caller cannot price under mismatched parameters). */
   def pieceCountsAgainstStore(docs: DataFrame, idCol: String,
                               textCol: String, table: String): DataFrame = {
-    val spark = docs.sparkSession
+    val (probs, maxPieceLen) = servedProbs(docs.sparkSession, table)
+    pieceCounts(docs, idCol, textCol, probs, maxPieceLen)
+  }
+
+  /** The stored vocabulary's quantized probabilities and piece-length
+    * bound served under the meta contract — the driver-sized artifact
+    * every store-serving composition starts from (pricing, fertility,
+    * the [[TokenIds]] id stream). One contract read: withProbs over
+    * the raw table, not [[serveVocab]] (which would re-run
+    * requireContract and re-read the meta). */
+  def servedProbs(spark: org.apache.spark.sql.SparkSession,
+                  table: String): (Map[String, Double], Int) = {
     val meta = requireContract(spark, table)
-    // one contract read: withProbs over the raw table, not serveVocab
-    // (which would re-run requireContract and re-read the meta)
     val probs = withProbs(spark.table(table).select(col("piece"), col("cnt")))
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    pieceCounts(docs, idCol, textCol, probs,
-      meta.getAs[Int]("max_piece_len"))
+    (probs, meta.getAs[Int]("max_piece_len"))
   }
 
   /** Per-group unigram FERTILITY card — [[Bpe.fertilityCard]]'s twin

@@ -6939,6 +6939,110 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
             GROUP BY a.source, l.objective, tot.n
             ORDER BY a.source, l.objective"""))
 
+  /** UNIGRAM token-id training stream
+    * ([[graft.ext.TokenIds.windowTokenIdsUnigram]] — x130's loader
+    * stream served from the PERSISTED unigram store instead of the BPE
+    * store, proving the id path is tokenizer-agnostic, with the
+    * x131 coverage completion rendered the way a LOADER needs it:
+    * DP-failures inside the a–y floor emit per-character pieces, and
+    * 'zebra' — whose 'z' is outside the fixture's floor — emits ONE
+    * visible `<unk>` id (the published unk_id move; a loader cannot
+    * *report* a gap the way a pricing card can). The oracle replays
+    * the Viterbi piece walk in forward order, the fallback rendering,
+    * the dense id assignment, and the slice bounds). */
+  private val x135 = Q("x135_unigram_token_stream",
+    (s, d) => {
+      val docs = documents(s, d)
+      requireWordBound(docs)
+      graft.ext.Unigram.writeUnigramStore(docs, "text", vocabSize = ugV,
+        maxPieceLen = ugL, rounds = ugR, table = "x135_ug")
+      val scored = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" zebra xylo")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.TokenIds.windowTokenIdsUnigram(scored, "doc_id", "text",
+          "x135_ug", windowTokens = 64,
+          fallbackChars = ('a' to 'y').map(_.toString).toSet)
+        .select(col("bin"), col("doc_id"), col("bin_offset"), col("seg_len"),
+          col("is_head"), col("is_tail"),
+          array_join(col("ids").cast("array<string>"), " ").as("ids"))
+        .orderBy("bin", "bin_offset")
+    },
+    Some(s"""WITH ug_w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) GROUP BY 1),
+    ${unigramSql("ug_w", ugR, ugL, ugV, ugM)},
+    scored AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' zebra xylo'
+                          ELSE text END AS text FROM documents),
+    qq_w AS MATERIALIZED (
+      SELECT word, CAST(1 AS BIGINT) AS cnt FROM (
+        SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM scored)),
+    ${unigramDpRound("qq_", "qq_w", 1, s"ug_v$ugR", ugL, ugM)
+      .mkString(",\n    ")},
+    qq_ow AS MATERIALIZED (
+      ${(1 to ugM).map(st => s"SELECT word, pos, piece FROM qq_walk1_$st")
+        .mkString("\n      UNION ALL ")}),
+    segp AS MATERIALIZED (
+      SELECT word, list(piece ORDER BY pos) AS syms FROM qq_ow GROUP BY 1),
+    wp AS MATERIALIZED (
+      SELECT w.word,
+             CASE WHEN segp.word IS NOT NULL THEN segp.syms
+                  WHEN regexp_full_match(w.word, '[a-y]+')
+                    THEN list_transform(generate_series(1, length(w.word)),
+                      i -> substr(w.word, CAST(i AS INT), 1))
+                  ELSE ['<unk>'] END AS syms
+      FROM qq_w w LEFT JOIN segp USING (word)),
+    pid AS MATERIALIZED (
+      SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid
+      FROM (SELECT DISTINCT unnest(syms) AS piece FROM wp)),
+    wsym AS MATERIALIZED (
+      SELECT word, u.e.j AS j, u.e.s AS s
+      FROM wp, unnest(list_transform(generate_series(1, len(syms)),
+        i -> {'j': i, 's': syms[CAST(i AS INT)]})) AS u(e)),
+    wid AS MATERIALIZED (
+      SELECT ws.word, list(pid.pid ORDER BY ws.j) AS wids
+      FROM wsym ws JOIN pid ON pid.piece = ws.s GROUP BY ws.word),
+    dw AS MATERIALIZED (
+      SELECT doc_id, u.e.p AS p, u.e.wd AS word
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM scored) t,
+           unnest(list_transform(generate_series(1, len(ws)),
+             i -> {'p': i, 'wd': ws[CAST(i AS INT)]})) AS u(e)
+      WHERE len(ws) >= 1),
+    docids AS MATERIALIZED (
+      SELECT dw.doc_id, flatten(list(wid.wids ORDER BY dw.p)) AS ids
+      FROM dw JOIN wid ON wid.word = dw.word GROUP BY dw.doc_id),
+    costs AS MATERIALIZED (
+      SELECT d.doc_id, CAST(COALESCE(len(di.ids), 0) AS BIGINT) AS n_tokens,
+             di.ids AS ids
+      FROM documents d LEFT JOIN docids di USING (doc_id)),
+    laid AS MATERIALIZED (
+      SELECT doc_id, n_tokens, ids,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      FROM costs),
+    segs AS MATERIALIZED (
+      SELECT doc_id, n_tokens, ids, "offset",
+             CAST(unnest(generate_series("offset" // 64,
+               ("offset" + n_tokens - 1) // 64)) AS BIGINT) AS bin
+      FROM laid WHERE n_tokens > 0),
+    geo AS MATERIALIZED (
+      SELECT doc_id, ids, "offset", bin,
+             greatest(0, "offset" - bin * 64) AS bin_offset,
+             least(64, "offset" + n_tokens - bin * 64)
+               - greatest(0, "offset" - bin * 64) AS seg_len,
+             (bin = "offset" // 64) AS is_head,
+             (bin = ("offset" + n_tokens - 1) // 64) AS is_tail
+      FROM segs)
+            SELECT bin, doc_id, bin_offset, seg_len, is_head, is_tail,
+                   array_to_string(
+                     ids[CAST(bin * 64 + bin_offset - "offset" + 1 AS INT)
+                         : CAST(bin * 64 + bin_offset - "offset" + seg_len AS INT)],
+                     ' ') AS ids
+            FROM geo ORDER BY bin, bin_offset"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -6949,5 +7053,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
     x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129,
-    x130, x131, x132, x133, x134)
+    x130, x131, x132, x133, x134, x135)
 }

@@ -2049,6 +2049,49 @@ class TokenIdsSpec extends SparkSpec {
       if (b < lastBin) assert(t == 5L, s"window $b not full: $t")
     }
   }
+
+  test("unigram stream: DP pieces, char fallback inside the floor, one visible <unk> outside it") {
+    val t = "tis_ug_store"
+    def cleanup(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+    }
+    cleanup()
+    try {
+      val corpus = df(Seq(
+        (1L, "the cat sat on the mat"), (2L, "a cat and a dog"),
+        (3L, "the dog sat"))).toDF("doc_id", "text")
+      graft.ext.Unigram.writeUnigramStore(corpus, "text", vocabSize = 12,
+        maxPieceLen = 4, rounds = 1, table = t)
+      // scored adds: 'taco' (unseen word, chars in floor -> DP or char
+      // fallback) and 'zebra' ('z' outside the a-y floor -> <unk>)
+      val scored = df(Seq(
+        (1L, "the cat sat"), (2L, "zebra taco"))).toDF("doc_id", "text")
+      val floor = ('a' to 'y').map(_.toString).toSet
+      val wp = graft.ext.TokenIds.unigramWordPieces(scored, "text", t,
+          floor).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(wp("zebra") == Seq(graft.ext.TokenIds.Unk))
+      assert(wp("taco").mkString == "taco") // concat(pieces) = word
+      assert(wp("the").mkString == "the")
+      // the stream concatenates to exactly the per-word pieces' ids
+      val ids = graft.ext.TokenIds.pieceIds(
+        graft.ext.TokenIds.unigramWordPieces(scored, "text", t, floor))
+      val stream = graft.ext.TokenIds.windowTokenIdsUnigram(scored,
+          "doc_id", "text", t, windowTokens = 4, fallbackChars = floor)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](6)))
+      spark.catalog.clearCache()
+      val byDoc = stream.groupBy(_._2).view
+        .mapValues(_.sortBy(_._1).flatMap(_._3).toSeq).toMap
+      val words = Map(
+        1L -> Seq("the", "cat", "sat"), 2L -> Seq("zebra", "taco"))
+      words.foreach { case (id, ws) =>
+        assert(byDoc(id) == ws.flatMap(w => wp(w).map(ids)), s"doc $id")
+      }
+      // the <unk> id is a real, dense vocabulary member
+      assert(byDoc(2L).head == ids(graft.ext.TokenIds.Unk))
+    } finally cleanup()
+  }
 }
 
 class VocabSpec extends SparkSpec {
