@@ -7043,6 +7043,104 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                      ' ') AS ids
             FROM geo ORDER BY bin, bin_offset"""))
 
+  /** WINDOW-SHARD RELEASE — the last meter of the loader chain: the
+    * x130 token-id stream's windows (the unit a trainer actually
+    * consumes — shuffling DOCUMENTS would split a window's segments
+    * across shards) are deterministically shuffled
+    * ([[CorpusShuffle.order]] at the WINDOW grain — the x129 argument,
+    * one grain lower), cut into fixed-size shards, and released with
+    * the x87 integrity manifest — whose `n_tokens` column, computed
+    * over the window CONTENT (the space-joined id stream), is exactly
+    * the shard's token-id count: the manifest's accounting unit IS the
+    * loader's. Oracle replays the x130 cascade, the per-window content
+    * assembly, the md5 permutation, and the manifest rollups. */
+  private val x136 = Q("x136_window_shard_release",
+    (s, d) => {
+      val docs = documents(s, d)
+      Bpe.writeTokenizerStore(docs, "text", numMerges = bpeK,
+        table = "x136_tok")
+      val stream = graft.ext.TokenIds.windowTokenIds(docs, "doc_id",
+        "text", "x136_tok", windowTokens = 64)
+      // window content: segments in offset order, one id stream string
+      val windows = stream
+        .groupBy(col("bin").as("win_id"))
+        .agg(array_join(flatten(transform(
+          array_sort(collect_list(struct(col("bin_offset"), col("ids")))),
+          e => e("ids"))).cast("array<string>"), " ").as("content"))
+        .localCheckpoint(true)
+      val ordered = CorpusShuffle.order(windows, "win_id",
+        seed = "win-r20", shardSize = 16L)
+      CorpusShuffle.shardManifest(ordered, windows, "win_id", "content")
+        .orderBy("shard_id")
+    },
+    Some(s"""WITH ${bpeCascadeSql(bpeK, 2L)},
+             pid AS MATERIALIZED (
+               SELECT piece,
+                      CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid
+               FROM (SELECT DISTINCT unnest(syms) AS piece FROM w$bpeK)),
+             wsym AS MATERIALIZED (
+               SELECT word, u.e.j AS j, u.e.s AS s
+               FROM w$bpeK, unnest(list_transform(generate_series(1, len(syms)),
+                 i -> {'j': i, 's': syms[CAST(i AS INT)]})) AS u(e)),
+             wid AS MATERIALIZED (
+               SELECT ws.word, list(pid.pid ORDER BY ws.j) AS wids
+               FROM wsym ws JOIN pid ON pid.piece = ws.s GROUP BY ws.word),
+             dw AS MATERIALIZED (
+               SELECT doc_id, u.e.p AS p, u.e.wd AS word
+               FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                     FROM documents) t,
+                    unnest(list_transform(generate_series(1, len(ws)),
+                      i -> {'p': i, 'wd': ws[CAST(i AS INT)]})) AS u(e)
+               WHERE len(ws) >= 1),
+             docids AS MATERIALIZED (
+               SELECT dw.doc_id, flatten(list(wid.wids ORDER BY dw.p)) AS ids
+               FROM dw JOIN wid ON wid.word = dw.word GROUP BY dw.doc_id),
+             costs AS MATERIALIZED (
+               SELECT d.doc_id, CAST(COALESCE(len(di.ids), 0) AS BIGINT) AS n_tokens,
+                      di.ids AS ids
+               FROM documents d LEFT JOIN docids di USING (doc_id)),
+             laid AS MATERIALIZED (
+               SELECT doc_id, n_tokens, ids,
+                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+               FROM costs),
+             segs AS MATERIALIZED (
+               SELECT doc_id, n_tokens, ids, "offset",
+                      CAST(unnest(generate_series("offset" // 64,
+                        ("offset" + n_tokens - 1) // 64)) AS BIGINT) AS bin
+               FROM laid WHERE n_tokens > 0),
+             geo AS MATERIALIZED (
+               SELECT ids, "offset", bin,
+                      greatest(0, "offset" - bin * 64) AS bin_offset,
+                      least(64, "offset" + n_tokens - bin * 64)
+                        - greatest(0, "offset" - bin * 64) AS seg_len
+               FROM segs),
+             segtxt AS MATERIALIZED (
+               SELECT bin, bin_offset,
+                      array_to_string(
+                        ids[CAST(bin * 64 + bin_offset - "offset" + 1 AS INT)
+                            : CAST(bin * 64 + bin_offset - "offset" + seg_len AS INT)],
+                        ' ') AS seg
+               FROM geo),
+             win AS MATERIALIZED (
+               SELECT bin AS win_id,
+                      string_agg(seg, ' ' ORDER BY bin_offset) AS content
+               FROM segtxt GROUP BY 1),
+             k AS MATERIALIZED (
+               SELECT win_id, content,
+                      md5('win-r20:' || CAST(win_id AS VARCHAR)) AS shuffle_key
+               FROM win),
+             p AS MATERIALIZED (
+               SELECT win_id, content,
+                      CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS pos
+               FROM k)
+            SELECT CAST(pos // 16 AS BIGINT) AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(lower(trim(content)), '\\S+'))) AS BIGINT) AS n_tokens,
+                   bit_xor(CAST(CAST('0x'||substr(md5(md5(CAST(win_id AS VARCHAR)) || md5(COALESCE(content, ''))),1,15) AS UBIGINT) AS BIGINT)) AS content_xor,
+                   min(pos) AS pos_min, max(pos) AS pos_max
+            FROM p GROUP BY 1 ORDER BY shard_id"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -7053,5 +7151,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
     x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129,
-    x130, x131, x132, x133, x134, x135)
+    x130, x131, x132, x133, x134, x135, x136)
 }

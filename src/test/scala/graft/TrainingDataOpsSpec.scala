@@ -2050,6 +2050,39 @@ class TokenIdsSpec extends SparkSpec {
     }
   }
 
+  test("window-shard release conserves the token-id mass and covers every window exactly once") {
+    graft.ext.Bpe.writeTokenizerStore(docs, "text", numMerges = 4,
+      table = "tis_tok2", minPairCount = 2L)
+    val stream = graft.ext.TokenIds.windowTokenIds(docs, "doc_id", "text",
+      "tis_tok2", windowTokens = 5)
+    val windows = stream.groupBy(col("bin").as("win_id"))
+      .agg(org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.flatten(
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.array_sort(
+              org.apache.spark.sql.functions.collect_list(
+                org.apache.spark.sql.functions.struct(col("bin_offset"),
+                  col("ids")))), e => e("ids")))
+          .cast("array<string>"), " ").as("content"))
+      .localCheckpoint(true)
+    val ordered = graft.ext.CorpusShuffle.order(windows, "win_id",
+      seed = "tis-release", shardSize = 3L)
+    val manifest = graft.ext.CorpusShuffle.shardManifest(ordered, windows,
+        "win_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    spark.catalog.clearCache()
+    val totalIds = stream.collect().map(_.getLong(3)).sum
+    val nWindows = windows.count()
+    // token-id mass conserved through shuffle + shard; every window
+    // lands in exactly one shard; positions tile [0, nWindows)
+    assert(manifest.map(_._3).sum == totalIds)
+    assert(manifest.map(_._2).sum == nWindows)
+    assert(manifest.map(_._4).min == 0L &&
+      manifest.map(_._5).max == nWindows - 1)
+    manifest.foreach { case (_, n, _, lo, hi) => assert(hi - lo + 1 == n) }
+  }
+
   test("unigram stream: DP pieces, char fallback inside the floor, one visible <unk> outside it") {
     val t = "tis_ug_store"
     def cleanup(): Unit = {
