@@ -7141,6 +7141,51 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
                    min(pos) AS pos_min, max(pos) AS pos_max
             FROM p GROUP BY 1 ORDER BY shard_id"""))
 
+  /** FIM mix audit ([[graft.ext.Fim.audit]] — the per-source release
+    * card for the x127 transform: docs, ELIGIBLE docs (≥ 3 tokens —
+    * the apply draw only runs on those, so the realized rate divides
+    * by them, the r19 ADVICE fix now oracle-checked), transformed
+    * docs, realized rate, and the quantized mean middle-span share). */
+  private val x137 = Q("x137_fim_audit",
+    (s, d) => graft.ext.Fim.audit(documents(s, d), "doc_id", "text",
+        "source", fimRate = 0.5, seed = "fim-r20")
+      .orderBy("source"),
+    Some("""WITH ft AS MATERIALIZED (
+               SELECT doc_id, source,
+                      regexp_extract_all(lower(trim(text)), '\S+') AS w
+               FROM documents),
+             base AS MATERIALIZED (
+               SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+                      CAST(CAST('0x'||substr(md5('fim-r20:apply:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT) % 10000 AS ab,
+                      CAST(CAST('0x'||substr(md5('fim-r20:c1:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT)
+                        % greatest(1, len(w) - 1) + 1 AS a,
+                      CAST(CAST('0x'||substr(md5('fim-r20:c2:' || CAST(doc_id AS VARCHAR)),1,15) AS UBIGINT) AS BIGINT)
+                        % greatest(1, len(w) - 1) + 1 AS b
+               FROM ft),
+             fimd AS MATERIALIZED (
+               SELECT source, n_tokens,
+                      (n_tokens >= 3 AND ab < 5000) AS fim,
+                      CAST(least(a, b) AS BIGINT) AS c1,
+                      CAST(greatest(a, b) AS BIGINT) AS c2
+               FROM base),
+             agg AS MATERIALIZED (
+               SELECT source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN n_tokens >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible,
+                      CAST(sum(CASE WHEN fim THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
+                      CAST(sum(CASE WHEN fim THEN
+                        CAST(floor(CAST(c2 - c1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS mid_q
+               FROM fimd GROUP BY 1)
+            SELECT source, n_docs, n_eligible, n_fim,
+                   CASE WHEN n_eligible > 0 THEN
+                     CAST(n_fim AS DOUBLE) / CAST(n_eligible AS DOUBLE)
+                   END AS realized_rate,
+                   CASE WHEN n_fim > 0 THEN
+                     CAST(mid_q AS DOUBLE) / 1048576.0 / CAST(n_fim AS DOUBLE)
+                   END AS mean_middle_share
+            FROM agg ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
@@ -7151,5 +7196,5 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
     x96, x97, x98, x99, x100, x101, x102, x103, x104, x105, x106, x107,
     x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x122, x123, x124, x125, x126, x127, x128, x129,
-    x130, x131, x132, x133, x134, x135, x136)
+    x130, x131, x132, x133, x134, x135, x136, x137)
 }
