@@ -117,6 +117,14 @@ object TokenIds {
     val words = docs
       .select(explode(TextAnalysis.wordTokens(col(textCol))).as("word"))
       .distinct().withColumn("cnt", lit(1L))
+    // MATERIALIZED at the word-type grain (the grain every pricing
+    // path already materializes — Bpe.encodeWords checkpoints its
+    // merge folds for the same reason): without the cut, downstream
+    // projections COLLAPSE the Viterbi DP + backwalk expression into
+    // their own trees (the `pieces` column inlines wherever it is
+    // referenced), and the first explode over it hands codegen a
+    // multi-megabyte generator — measured 96 s of driver-side
+    // plan/compile time on a 33-word table vs 0.6 s materialized.
     Unigram.viterbiSegments(words, probs, maxPieceLen)
       .select(col("word"),
         when(col("pieces").isNotNull, col("pieces"))
@@ -124,6 +132,7 @@ object TokenIds {
             transform(sequence(lit(1), length(col("word"))),
               i => col("word").substr(i, lit(1))))
           .otherwise(array(lit(Unk))).as("syms"))
+      .localCheckpoint(true)
   }
 
   /** [[windowTokenIds]] in the UNIGRAM tokenizer's units — the same id
