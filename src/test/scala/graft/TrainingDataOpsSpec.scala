@@ -3100,3 +3100,55 @@ class ObjectivesSpec extends SparkSpec {
     }
   }
 }
+
+/** Vocabulary-lookup reference-object expressions
+  * ([[graft.functions.VocabProbLookup]] / [[graft.functions.PieceIdLookup]]):
+  * the CODEGEN path pin. Inside the Viterbi DP and the id-assembly
+  * lambdas these evaluate interpreted (HOF lambda bodies are), so a
+  * plain whole-stage-codegen projection is the path a different caller
+  * would hit first — it must agree with the interpreted contract:
+  * stored value on hit, NULL on miss, NULL on null key. */
+class VocabLookupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("codegen projection agrees with the lookup contract (hit, miss, null key)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some("ab"), Some("zz"), None, Some("c"))
+      .toDF("k").repartition(2)
+    val probs = Map("ab" -> 0.25, "c" -> 0.0625)
+    val ids = Map("ab" -> 7L, "c" -> 3L)
+    val out = df.select(col("k"),
+        graft.functions.VocabProbLookup(col("k"), probs).as("p"),
+        graft.functions.PieceIdLookup(col("k"), ids).as("i"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))))
+      .toSet
+    assert(out == Set(
+      ("ab", java.lang.Double.valueOf(0.25), java.lang.Long.valueOf(7L)),
+      ("zz", null, null),
+      (null, null, null),
+      ("c", java.lang.Double.valueOf(0.0625), java.lang.Long.valueOf(3L))))
+    // the projection really is codegen'd: AQE's final plan abbreviates
+    // the WholeStageCodegen wrapping to the `*(n)` node prefix, and it
+    // only appears after execution
+    val q = df.select(graft.functions.VocabProbLookup(col("k"), probs))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("vocab_prob"),
+      plan.take(500))
+  }
+
+  test("distinct vocabularies never collide in the per-session registry (content-addressed names)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("x").toDF("k")
+    val a = df.select(graft.functions.PieceIdLookup(col("k"),
+      Map("x" -> 1L))).head().getLong(0)
+    val b = df.select(graft.functions.PieceIdLookup(col("k"),
+      Map("x" -> 2L))).head().getLong(0)
+    assert(a == 1L && b == 2L)
+  }
+}
