@@ -205,6 +205,21 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "frame")
   }
 
+  /** Fan the codec input out to the session's parallelism when the
+    * upstream plan has FEWER partitions than cores — codec work (hash/
+    * decode/embed) is the expensive narrow phase, and a small
+    * single-row-group parquet file scans as ONE task, serializing it on
+    * one core (measured on x101 at sf0.1: the embed+signature stage ran
+    * 2.5 s in a single task while 31 cores idled). At scale the scan
+    * already has ≥ cores partitions and this is a no-op — the payload
+    * bytes are never shuffled where the input layout is healthy (the
+    * guide §2.5 "repartition immediately after the read" case, gated so
+    * it cannot fire as an accidental full-corpus shuffle). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Feature extraction: (id, payload) → (id, embedding array<double>,
     * per [[FakeCodec.features]]) — the bridge from multimodal payloads
     * into the [[Similarity]] ANN operators, all of which dispatch on the
@@ -215,7 +230,8 @@ object Multimodal {
                       binCol: String, dim: Int,
                       codec: Codec = FakeCodec): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+    fanOut(df.select(col(idCol).cast("long"), col(binCol)))
+      .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) => (id, codec.features(p, dim)) })
       .toDF(idCol, "embedding")
   }

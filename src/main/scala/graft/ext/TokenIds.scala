@@ -91,7 +91,13 @@ object TokenIds {
   def windowTokenIds(docs: DataFrame, idCol: String, textCol: String,
                      table: String, windowTokens: Int): DataFrame =
     streamFromWordPieces(docs, idCol, textCol,
-      Bpe.encodeAgainstStore(docs, textCol, table), windowTokens)
+      // materialized at the word-type grain (the unigram path already
+      // does this in unigramWordPieces): streamFromWordPieces consumes
+      // the word→pieces table twice — the pieceIds driver collect and
+      // the broadcast pricing side — and without the cut the whole
+      // tokenize + k-merge-fold encode lineage runs twice (r20 ADVICE)
+      Bpe.encodeAgainstStore(docs, textCol, table).localCheckpoint(true),
+      windowTokens)
 
   /** The default out-of-coverage piece (SentencePiece's `unk_id`
     * convention) — outside the `[a-z]` word-token alphabet, so it can

@@ -104,8 +104,16 @@ object Winnowing {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocsPerFp >= 2,
       s"maxDocsPerFp must be >= 2 (a pair needs two docs), got $maxDocsPerFp")
+    // materialized ONCE: the winnowed index feeds THREE consumers (the
+    // frequency count, and both sides of the pair self-join) and
+    // physical exchange reuse does not dedup the window+distinct
+    // subtree across them — measured (r21 bench, sf0.1): the gram
+    // window stage ran twice concurrently at ~4.4 CPU-s each; the
+    // checkpoint halves that (guide §1.2: remove repeated passes). The
+    // index is Θ(grams/w) rows of (id, fp) — output-sized, cheap to pin.
     val sel = selectFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol), col("sel_fp")).distinct()
+      .localCheckpoint(true)
     val rare = sel.groupBy("sel_fp").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxDocsPerFp).select(col("sel_fp"))
     val kept = sel.join(rare, Seq("sel_fp"), "left_semi")

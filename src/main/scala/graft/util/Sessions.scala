@@ -30,6 +30,15 @@ object Sessions {
       // AQE (default-on in Spark 4, pinned here): runtime coalescing,
       // skew-join splitting, and join-strategy re-planning
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor deliberately left at the 1m default: an
+      // r21 A/B at sf0.1 (64k vs 1m, same subset, same session shape)
+      // measured the 64k floor HURTING the many-stage pipelines (x135
+      // 3.99 vs 3.43 s, x136 4.62 vs 3.71, x86 3.58 vs 2.60 — 32 tiny
+      // tasks per stage × dozens of stages is pure scheduler overhead)
+      // while the compute-dense stages it was meant to parallelize were
+      // flat (x105 2.46 vs 2.44, x111 1.62 vs 1.47). Serialized narrow
+      // phases are fixed at the operator (e.g. Multimodal.fanOut), not
+      // with a global partition floor.
       // Streaming state lives in RocksDB, not on the executor heap. The
       // default HDFS-backed provider keeps every key in JVM memory —
       // fine for windowed aggregates whose watermark bounds state, fatal
