@@ -21,6 +21,13 @@ package graft
   * change the sample count. A query that throws in any measured rep is
   * reported with value -1 and its error in the `errors` map — never a
   * fake timing.
+  *
+  * Round 22: bounded contention re-run — after the main pass, any query
+  * whose med/min spread exceeds 1.5 gets up to SPARK_GRAFT_EXTRA_REPS
+  * (default 2) more samples; its reported median is recomputed over all
+  * its samples and its pre-re-run median is preserved in the
+  * `remeasured` map. Quiet runs re-run nothing; contended artifacts
+  * self-correct instead of needing external adjudication.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -79,7 +86,7 @@ object Bench {
     // runs and keeps every measured timing an honest cold-cache number.
     if (warmDir.nonEmpty) names.foreach { n => once(n, warmDir); spark.catalog.clearCache() }
     errors.clear()         // only the measured passes' errors are reported
-    val samples = names.map { n =>
+    val mainPass = names.map { n =>
       n -> (1 to reps).map { _ =>
         val t = once(n, sfDir); spark.catalog.clearCache(); t
       }.sorted
@@ -87,6 +94,32 @@ object Bench {
     def median(ts: Seq[Double]): Double =
       if (ts.head < 0) -1.0                     // any failed rep poisons the query
       else ts((ts.size - 1) / 2)                // lower median of the sorted reps
+    // Contention-robust bounded re-run (the r20/r21 verdicts' open ask:
+    // two driver artifacts in a row were contended — med_over_min_p95
+    // 1.54/1.56, untouched queries inflated up to 35× — and adjudicating
+    // them needed an external quiet re-run). After the main pass, any
+    // query whose med/min exceeds 1.5 gets up to SPARK_GRAFT_EXTRA_REPS
+    // (default 2) more samples and its median is recomputed over ALL its
+    // samples; a co-runner inflates a median but rarely survives 5
+    // samples. Bounded: ≤ 2 extra runs per flagged query, and only
+    // flagged queries re-run. Additions-only reporting: the pre-re-run
+    // medians of the flagged queries are kept in `remeasured` (old
+    // numbers preserved per the harness contract) and the summary line
+    // carries `n_remeasured`; an un-contended run re-runs nothing and
+    // reports byte-identical JSON shapes to prior rounds plus the two
+    // new fields.
+    val spreadBound = 1.5
+    val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt.max(0)
+    val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val samples = mainPass.map { case (n, ts) =>
+      if (extraReps > 0 && ts.head > 0.05 && median(ts) / ts.head > spreadBound) {
+        remeasured(n) = median(ts)
+        val more = (1 to extraReps).map { _ =>
+          val t = once(n, sfDir); spark.catalog.clearCache(); t
+        }
+        n -> (ts ++ more).sorted
+      } else n -> ts
+    }
     val med = samples.map { case (n, ts) => n -> median(ts) }
     val mins = samples.map { case (n, ts) => n -> (if (ts.head < 0) -1.0 else ts.head) }
     def jm(m: Seq[(String, Double)]): String =
@@ -94,7 +127,7 @@ object Bench {
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = med.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jm(med)},"queries_min":${jm(mins)},"reps":$reps,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jm(med)},"queries_min":${jm(mins)},"remeasured":${jm(remeasured.toSeq)},"reps":$reps,"errors":$es,"sf":"$sfDir"}""")
     // A second, SHORT summary line that survives the driver's 2000-char
     // artifact tail (round 6's big line lost its leading total to the
     // truncation). Splits the real streaming executions — whose ~1-5 s
@@ -131,7 +164,7 @@ object Bench {
     }.sorted
     val spreadP95 =
       if (ratios.isEmpty) 1.0 else ratios((ratios.size - 1) * 95 / 100)
-    println(s"""{"metric":"summary","total":$total,"total_min":${mins.filter(_._2 >= 0).map(_._2).sum},"batch_total":${batchMed.map(_._2).sum},"streaming_total":${streamMed.map(_._2).sum},"n_queries":${med.count(_._2 >= 0)},"n_errors":${errors.size},"slowest":${jm(slowest)},"slowest_min":${jm(slowestMin)},"med_over_min_p95":$spreadP95,"unit":"sec","reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":$total,"total_min":${mins.filter(_._2 >= 0).map(_._2).sum},"batch_total":${batchMed.map(_._2).sum},"streaming_total":${streamMed.map(_._2).sum},"n_queries":${med.count(_._2 >= 0)},"n_errors":${errors.size},"slowest":${jm(slowest)},"slowest_min":${jm(slowestMin)},"med_over_min_p95":$spreadP95,"n_remeasured":${remeasured.size},"unit":"sec","reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

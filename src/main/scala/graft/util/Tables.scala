@@ -60,6 +60,32 @@ object Tables {
             "expected INT64 nanos (legacy) or timestamp[us]")
     }
   }
-  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+  /** Fan a narrow scan out to the session's parallelism when the file
+    * layout gives it fewer partitions than cores. The sf test corpora
+    * are single-row-group parquet files, so every `documents`/
+    * `embeddings` scan otherwise runs as ONE task and the expensive
+    * narrow phase that follows it (regex tokenization, gram hashing,
+    * shingling — the dominant per-row cost of the text operators)
+    * serializes on one core while the rest idle (measured: x66's
+    * benchmark-store gram pass ran 2.2 s in a single task at sf0.1).
+    * The guide-§2.5 "repartition immediately after the read" case,
+    * gated exactly like [[graft.ext.Multimodal]]'s fanOut (the r21
+    * x101 fix, driver-confirmed): at 100 TB the scan already has
+    * ≥ cores partitions and this is a no-op — corpus bytes are never
+    * shuffled where the input layout is healthy. HASH-keyed on the
+    * table's unique id (not round-robin): a keyless repartition pays a
+    * local binary full-row sort per execution (sortBeforeRepartition,
+    * SPARK-23207) — measured as a net regression on queries that
+    * re-execute the scan subtree many times — while a hash exchange on
+    * a unique id is sort-free, deterministic under retries, and spreads
+    * evenly (≫100× more distinct keys than partitions, guide §2.5). */
+  private def fanOut(df: DataFrame, idCol: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(idCol)) else df
+  }
+
+  def documents(spark: SparkSession, d: String): DataFrame =
+    fanOut(table(spark, d, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, d: String): DataFrame =
+    fanOut(table(spark, d, "embeddings"), "vec_id")
 }
