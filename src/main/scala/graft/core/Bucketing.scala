@@ -81,6 +81,29 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Run two INDEPENDENT store side effects as concurrent driver-thread
+    * jobs (guide §2.6 — actions are only sequential because the driver
+    * calls them sequentially; the second write's tasks back-fill the
+    * executor slots the first one's tail leaves idle). Used for the
+    * store + count-delta double appends, whose crash contract is
+    * order-free by construction: the reconcile path
+    * ([[Reconcile.appendExact]]) converges store and counts from ANY
+    * committed subset via a touched-key recount, so which append
+    * commits first never mattered. Both thunks are awaited; the first
+    * failure propagates after both have settled (a half-committed pair
+    * is exactly the state the intent marker already brackets). */
+  def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    // settle both before propagating either failure
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    ra.get; rb.get
+  }
+
   /** Staging-table name used by the swap-based rewrites. */
   private def stagingName(table: String): String = s"${table}__compact"
 

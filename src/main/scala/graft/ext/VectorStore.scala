@@ -165,14 +165,21 @@ object VectorStore {
     val rows = assignedWith(vecs, idCol, embCol, scorer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      Bucketing.appendBucketed(rows, table, Seq("cell"), buckets)
       val spark = vecs.sparkSession
       val ct = countsTable(table)
       if (spark.catalog.tableExists(ct))
-        Bucketing.appendBucketed(cellCounts(rows), ct, Seq("cell"), buckets)
-      else
+        // independent writes off the same persisted frame, order-free
+        // crash contract (Reconcile recounts touched cells) — overlap
+        // them, the IncrementalDedup.appendBanded rationale (guide §2.6)
+        Bucketing.inParallel(
+          Bucketing.appendBucketed(rows, table, Seq("cell"), buckets),
+          Bucketing.appendBucketed(cellCounts(rows), ct, Seq("cell"),
+            buckets))
+      else {
+        Bucketing.appendBucketed(rows, table, Seq("cell"), buckets)
         Bucketing.writeBucketed(cellCounts(spark.table(table)), ct,
           Seq("cell"), buckets)
+      }
     } finally rows.unpersist()
   }
 

@@ -1253,15 +1253,22 @@ object ExtQueries {
         "standard cookie banner please accept all cookies to continue reading"
       val docs = documents(s, d).withColumn("text",
         when(col("doc_id") % 7 === 0, lit(boiler)).otherwise(col("text")))
-      graft.ext.IncrementalDedup.writeSignatureStore(
-        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
-        shingleN = 3, numHashes = 16, nBands = 4, table = "x37_sig_store",
-        buckets = 8)
       def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
         graft.util.Staging.stageWave(shard, in, name, ts)
-      // fixed mod times (any values work — only their ORDER matters)
-      stage(docs.filter(col("doc_id") % 3 === 1), "shard1.parquet", 1704067200000L)
-      stage(docs.filter(col("doc_id") % 3 === 2), "shard2.parquet", 1704067260000L)
+      // store build and wave staging are independent side effects into
+      // disjoint locations — overlap them (guide §2.6, the
+      // Bucketing.inParallel rationale). Wave ORDER is carried by the
+      // explicit mod times (any values work — only their ORDER matters),
+      // not by staging order.
+      graft.core.Bucketing.inParallel(
+        graft.ext.IncrementalDedup.writeSignatureStore(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          shingleN = 3, numHashes = 16, nBands = 4, table = "x37_sig_store",
+          buckets = 8),
+        {
+          stage(docs.filter(col("doc_id") % 3 === 1), "shard1.parquet", 1704067200000L)
+          stage(docs.filter(col("doc_id") % 3 === 2), "shard2.parquet", 1704067260000L)
+        })
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       val job = graft.ext.IncrementalDedup.streamIngest(stream, "doc_id", "text",
@@ -1724,14 +1731,20 @@ object ExtQueries {
         when(col("vec_id") % 7 === 0, boiler).otherwise(col("embedding")))
       val shard0 = emb.filter(col("vec_id") % 3 === 0)
       val cap = math.ceil(1.05 * shard0.count() / 16).toLong
-      graft.ext.VectorStore.writeVectorStore(
-        shard0, "vec_id", "embedding",
-        nCentroids = 16, dim = 64, seedOffset = 100000L,
-        table = "x46_vec_store", buckets = 8)
       def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
         graft.util.Staging.stageWave(shard, in, name, ts)
-      stage(emb.filter(col("vec_id") % 3 === 1), "shard1.parquet", 1704067200000L)
-      stage(emb.filter(col("vec_id") % 3 === 2), "shard2.parquet", 1704067260000L)
+      // store build ∥ wave staging — independent side effects
+      // (guide §2.6, the Bucketing.inParallel rationale); wave order is
+      // carried by the explicit mod times
+      graft.core.Bucketing.inParallel(
+        graft.ext.VectorStore.writeVectorStore(
+          shard0, "vec_id", "embedding",
+          nCentroids = 16, dim = 64, seedOffset = 100000L,
+          table = "x46_vec_store", buckets = 8),
+        {
+          stage(emb.filter(col("vec_id") % 3 === 1), "shard1.parquet", 1704067200000L)
+          stage(emb.filter(col("vec_id") % 3 === 2), "shard2.parquet", 1704067260000L)
+        })
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       val job = graft.ext.VectorStore.streamIngest(stream, "vec_id", "embedding",
@@ -2004,12 +2017,17 @@ object ExtQueries {
       val shard0 = emb.filter(col("vec_id") % 3 === 0)
       val codebook = KMeans.fit(shard0, "vec_id", "embedding",
         k = 16, rounds = 2)
-      graft.ext.VectorStore.writeVectorStoreTrained(shard0, "vec_id",
-        "embedding", codebook, table = "x49_vec_store", buckets = 8)
       def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
         graft.util.Staging.stageWave(shard, in, name, ts)
-      stage(emb.filter(col("vec_id") % 3 === 1), "shard1.parquet", 1704067200000L)
-      stage(emb.filter(col("vec_id") % 3 === 2), "shard2.parquet", 1704067260000L)
+      // store build ∥ wave staging (guide §2.6); wave order is carried
+      // by the explicit mod times
+      graft.core.Bucketing.inParallel(
+        graft.ext.VectorStore.writeVectorStoreTrained(shard0, "vec_id",
+          "embedding", codebook, table = "x49_vec_store", buckets = 8),
+        {
+          stage(emb.filter(col("vec_id") % 3 === 1), "shard1.parquet", 1704067200000L)
+          stage(emb.filter(col("vec_id") % 3 === 2), "shard2.parquet", 1704067260000L)
+        })
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       val job = graft.ext.VectorStore.streamIngestTrained(stream, "vec_id",
@@ -2161,9 +2179,6 @@ object ExtQueries {
       val in = root.resolve("in"); val out = s"$root/out"; val chk = s"$root/chk"
       java.nio.file.Files.createDirectories(in)
       val docs = documents(s, d).select(col("doc_id"), col("text"))
-      graft.ext.ExactDedup.writeFingerprintStore(
-        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
-        table = "x51_fp_store", buckets = 8)
       def recrawl(pred: org.apache.spark.sql.Column, offset: Long) =
         docs.filter(pred).select((col("doc_id") + offset).as("doc_id"),
           col("text"))
@@ -2177,8 +2192,16 @@ object ExtQueries {
           col("doc_id") % 5 === 0, 300000L))
       def stage(shard: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit =
         graft.util.Staging.stageWave(shard, in, name, ts)
-      stage(shard1, "shard1.parquet", 1704067200000L)
-      stage(shard2, "shard2.parquet", 1704067260000L)
+      // store build ∥ wave staging (guide §2.6); wave order is carried
+      // by the explicit mod times
+      graft.core.Bucketing.inParallel(
+        graft.ext.ExactDedup.writeFingerprintStore(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          table = "x51_fp_store", buckets = 8),
+        {
+          stage(shard1, "shard1.parquet", 1704067200000L)
+          stage(shard2, "shard2.parquet", 1704067260000L)
+        })
       val stream = s.readStream.schema(shard1.schema)
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       graft.ext.ExactDedup.streamIngest(stream, "doc_id", "text",
@@ -3261,10 +3284,17 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
       .unionByName(docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
           col("source"), col("text")))
-    Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
-      "text", n = 8, table = "x66_bench", buckets = 8)
-    graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
-      "text", table = "x66_model", buckets = 8)
+    // the two stores are INDEPENDENT side effects into separate tables:
+    // build them as two concurrent driver-thread jobs so the second
+    // build's tasks back-fill the executor slots the first one's tail
+    // leaves idle (guide §2.6 — actions are only sequential because the
+    // driver calls them sequentially). Contents are deterministic
+    // either way.
+    graft.core.Bucketing.inParallel(
+      Decontaminate.writeBenchmarkStore(docs.filter(col("doc_id") % 10 === 0),
+        "text", n = 8, table = "x66_bench", buckets = 8),
+      graft.ext.LmScore.writeModelStore(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", table = "x66_model", buckets = 8))
     (corpus, emb)
   }
 
@@ -3762,15 +3792,21 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
       val docs = documents(s, d)
       val bench = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
-      Decontaminate.writeBenchmarkStore(bench.filter(col("doc_id") % 3 === 0),
-        "text", n = 8, table = "x76_bench", buckets = 8)
       def stage(wave: org.apache.spark.sql.DataFrame, name: String,
                 ts: Long): Unit =
         graft.util.Staging.stageWave(wave, in, name, ts)
-      stage(bench.filter(col("doc_id") % 3 === 1), "wave1.parquet",
-        1704067200000L)
-      stage(bench.filter(col("doc_id") % 3 === 2), "wave2.parquet",
-        1704067260000L)
+      // store build ∥ wave staging (guide §2.6); wave order is carried
+      // by the explicit mod times
+      graft.core.Bucketing.inParallel(
+        Decontaminate.writeBenchmarkStore(
+          bench.filter(col("doc_id") % 3 === 0),
+          "text", n = 8, table = "x76_bench", buckets = 8),
+        {
+          stage(bench.filter(col("doc_id") % 3 === 1), "wave1.parquet",
+            1704067200000L)
+          stage(bench.filter(col("doc_id") % 3 === 2), "wave2.parquet",
+            1704067260000L)
+        })
       val stream = s.readStream.schema(bench.schema)
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       Decontaminate.streamIngestBenchmark(stream, "text", "x76_bench",
@@ -4695,16 +4731,23 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
         when(col("source").isin(curatedSources: _*), lit(1))
           .otherwise(lit(0)).as("label"),
         col("text"))
-      QualityClassifier.writeClassifierStore(
-        labeled.filter(col("label") === 1 && col("doc_id") % 3 === 0)
-          .select("doc_id", "text"),
-        labeled.filter(col("label") === 0 && col("doc_id") % 3 === 0)
-          .select("doc_id", "text"),
-        "text", "x93_cls", buckets = 8)
-      graft.util.Staging.stageWave(labeled.filter(col("doc_id") % 3 === 1),
-        in, "wave1.parquet", 1704067200000L)
-      graft.util.Staging.stageWave(labeled.filter(col("doc_id") % 3 === 2),
-        in, "wave2.parquet", 1704067260000L)
+      // store build ∥ wave staging (guide §2.6); wave order is carried
+      // by the explicit mod times
+      graft.core.Bucketing.inParallel(
+        QualityClassifier.writeClassifierStore(
+          labeled.filter(col("label") === 1 && col("doc_id") % 3 === 0)
+            .select("doc_id", "text"),
+          labeled.filter(col("label") === 0 && col("doc_id") % 3 === 0)
+            .select("doc_id", "text"),
+          "text", "x93_cls", buckets = 8),
+        {
+          graft.util.Staging.stageWave(
+            labeled.filter(col("doc_id") % 3 === 1),
+            in, "wave1.parquet", 1704067200000L)
+          graft.util.Staging.stageWave(
+            labeled.filter(col("doc_id") % 3 === 2),
+            in, "wave2.parquet", 1704067260000L)
+        })
       val stream = s.readStream.schema(labeled.schema)
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       QualityClassifier.streamIngestClassifier(stream, "label", "text",
@@ -5788,13 +5831,18 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
       val in = root.resolve("in"); val chk = s"$root/chk"
       java.nio.file.Files.createDirectories(in)
       val docs = documents(s, d).select(col("doc_id"), col("text"))
-      graft.ext.Winnowing.writeWinnowStore(
-        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
-        k = 3, w = 4, table = "x115_winnow_store", buckets = 8)
-      graft.util.Staging.stageWave(docs.filter(col("doc_id") % 3 === 1),
-        in, "wave1.parquet", 1704067200000L)
-      graft.util.Staging.stageWave(docs.filter(col("doc_id") % 3 === 2),
-        in, "wave2.parquet", 1704067260000L)
+      // store build ∥ wave staging (guide §2.6); wave order is carried
+      // by the explicit mod times
+      graft.core.Bucketing.inParallel(
+        graft.ext.Winnowing.writeWinnowStore(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          k = 3, w = 4, table = "x115_winnow_store", buckets = 8),
+        {
+          graft.util.Staging.stageWave(docs.filter(col("doc_id") % 3 === 1),
+            in, "wave1.parquet", 1704067200000L)
+          graft.util.Staging.stageWave(docs.filter(col("doc_id") % 3 === 2),
+            in, "wave2.parquet", 1704067260000L)
+        })
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       graft.ext.Winnowing.streamIngestWinnow(stream, "doc_id", "text",
