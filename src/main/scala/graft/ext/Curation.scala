@@ -671,16 +671,30 @@ object Curation {
                         p: RecipeParams, withCounts: Boolean,
                         quality: Option[QualityStage] = None)
       : (DataFrame, Option[Seq[(Int, String, Long)]]) = {
-    // stage 1: rule gate
+    // stage 1: rule gate. Eagerly materialized (round 22): the kept-id
+    // frame is broadcast into the s1 join, and a broadcast BUILD plan
+    // elides the ingest fan-out — the whole rule-regex pass would
+    // otherwise evaluate single-task inside the broadcast job (measured
+    // 2.5 s of one-core CPU at sf0.1, twice before the s2 rejoin fix).
+    // The checkpoint runs it once, in the parallel layout, and pins
+    // only the ids.
     val ruleKept = RuleGate.flags(docs, idCol, textCol, p.rules)
       .filter(col("keep")).select(col(idCol))
+      .localCheckpoint(true)
     val s1 = docs.join(ruleKept, Seq(idCol))
       .select(col(idCol), col(langCol), col(sourceCol), col(textCol))
-    // stage 2: boilerplate removal — cleaned text replaces the original
+    // stage 2: boilerplate removal — cleaned text replaces the original.
+    // The reassembly joins back to a narrow DOCS projection, not to s1:
+    // `cleaned` carries exactly s1's id set (removeBoilerplate emits one
+    // row per input doc, ids are unique), so the id-keyed inner join
+    // yields identical rows either way — while the s1 form re-evaluated
+    // the rule-gate regex pass a second time under this join (round 22,
+    // guide §1.2: don't re-run work the join key already encodes).
     val cleaned = PassageDedup.removeBoilerplate(s1, idCol, textCol,
         p.chunkTokens, p.minDocFreq)
       .select(col(idCol), col("text_kept").as("__clean"))
-    val s2 = s1.join(cleaned, Seq(idCol))
+    val s2 = docs.select(col(idCol), col(langCol), col(sourceCol))
+      .join(cleaned, Seq(idCol))
       .select(col(idCol), col(langCol), col(sourceCol), col("__clean"))
       .localCheckpoint(true)
     // stage 3: exact dedup on the cleaned text, min-id canonical keeps

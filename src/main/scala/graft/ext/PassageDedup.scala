@@ -188,6 +188,15 @@ object PassageDedup {
         posexplode_outer(Ngrams.passages(col("__toks"), chunkTokens))
           .as(Seq("idx", "passage")))
       .withColumn("fp", md5(col("passage")))
+      // materialized ONCE (round 22, the x111/overlapPairs discipline —
+      // guide §1.2): the passage table feeds TWO consumers (the
+      // document-frequency rollup and the reassembly join) and neither
+      // exchange dedups the tokenize+posexplode+md5 subtree across
+      // them — measured 4.5 s → 2.5 s on x66's s2 stage at sf0.1. The
+      // pinned rows are the chunked corpus itself — disk-backed,
+      // per-run, the §5 "recompute costs more than the memory pressure"
+      // case (the recompute is a full second tokenization pass).
+      .localCheckpoint(true)
     val boiler = passages.filter(col("fp").isNotNull)
       .groupBy("fp").agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocFreq)

@@ -54,17 +54,38 @@ object RuleGate {
       col(textCol).as("__text"),
       Ngrams.normTokens(col(textCol)).as("__toks"))
     val n = size(col("__toks")).cast("long")
-    val charSum = aggregate(
-      transform(col("__toks"), t => length(t).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // total characters across tokens as ONE codegen'd string op — the
+    // per-token length fold ran through interpreted HOF eval (round 22,
+    // guide: eliminate non-codegen expressions in the hot path)
+    val charSum = length(array_join(col("__toks"), "")).cast("long")
     val stopHits = size(filter(col("__toks"),
       t => t.isin(stopwords: _*))).cast("long")
-    val topCount = aggregate(array_distinct(col("__toks")), lit(0),
-      (acc, w) => greatest(acc, size(filter(col("__toks"), t => t === w))))
+    // top-word multiplicity = the longest equal run of the SORTED token
+    // array: one O(n log n) sort + one O(n) fold. The previous
+    // `aggregate(array_distinct, …, size(filter(…)))` form was
+    // O(|distinct| × |tokens|) through interpreted HOF eval and
+    // allocated a filtered array per distinct word — measured as the
+    // dominant term of the whole rule pass (round 22). Same value:
+    // max run length over sorted == max multiplicity.
+    val topCount = aggregate(
+      array_sort(col("__toks")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(acc.getField("prev") === w,
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val symbols = occurrences(col("__text"), "#") +
       occurrences(col("__text"), "...")
+    // "contains a letter" via translate-delta (pure string arithmetic)
+    // instead of a per-token regex engine call — same predicate over
+    // the lowercase token alphabet
     val alphaWords = size(filter(col("__toks"),
-      t => t.rlike("[a-z]"))).cast("long")
+      t => length(translate(t, "abcdefghijklmnopqrstuvwxyz", "")) <
+        length(t))).cast("long")
     val ratio = (num: Column) =>
       when(n === 0, 0.0).otherwise(num.cast("double") / n)
     projected
