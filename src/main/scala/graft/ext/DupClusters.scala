@@ -149,10 +149,18 @@ object DupClusters {
     var edges = base.filter(col("u") =!= col("v"))
     var rounds = 0
     var converged = false
+    // carried across rounds: each round's edge count is next round's
+    // previous count, so the loop pays ONE count job per round instead
+    // of two (round 22, guide §1.2 — the loop is driver-sequential and
+    // every job in it is wall-clock)
+    var edgeCount = -1L
     while (!converged && rounds < maxIters) {
+      if (edgeCount < 0) edgeCount = edges.count()
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(
