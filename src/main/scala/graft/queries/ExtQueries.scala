@@ -2764,10 +2764,12 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
   private val x58 = Q("x58_dsir_selection",
     (s, d) => {
       val docs = documents(s, d)
-      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") === "en"),
-        "text", table = "x58_target", buckets = 8)
-      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") =!= "en"),
-        "text", table = "x58_source", buckets = 8)
+      // independent target/source model builds — overlap them (§2.6)
+      graft.core.Bucketing.inParallel(
+        graft.ext.LmScore.writeModelStore(docs.filter(col("lang") === "en"),
+          "text", table = "x58_target", buckets = 8),
+        graft.ext.LmScore.writeModelStore(docs.filter(col("lang") =!= "en"),
+          "text", table = "x58_source", buckets = 8))
       graft.ext.LmScore.dsirAgainstStores(docs, "doc_id", "text",
           "x58_target", "x58_source")
         .orderBy("doc_id")
@@ -3501,10 +3503,13 @@ FROM fin GROUP BY b ORDER BY batch_id"""))
   private val x70 = Q("x70_dsir_mixture",
     (s, d) => {
       val docs = documents(s, d)
-      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") === "en"),
-        "text", table = "x70_target", buckets = 8)
-      graft.ext.LmScore.writeModelStore(docs.filter(col("lang") =!= "en"),
-        "text", table = "x70_source", buckets = 8)
+      // the target and source model stores are independent builds into
+      // separate tables — overlap them (guide §2.6)
+      graft.core.Bucketing.inParallel(
+        graft.ext.LmScore.writeModelStore(docs.filter(col("lang") === "en"),
+          "text", table = "x70_target", buckets = 8),
+        graft.ext.LmScore.writeModelStore(docs.filter(col("lang") =!= "en"),
+          "text", table = "x70_source", buckets = 8))
       Mixing.dsirMixture(docs, "lang", "doc_id", "text",
           "x70_target", "x70_source", budgetTokens = 30000L)
         .select(col("doc_id"), col("lang"), col("copy_idx"), col("n_copies"))
